@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Det, Tables}
+import graft.ops.AsofJoin
+
+/** Relational operator suite over the driver tables — each entry implements
+  * one declared query class from SURVEY §5.2 / BASELINE.md and has a
+  * DuckDB-equivalent oracle in [[oracleSql]]. The `events` table plays the
+  * role of the reference's sample-clock signal frames (user_id ↔ subject,
+  * ts ↔ sample clock, value ↔ signal).
+  */
+object Relational {
+
+  private val HOUR_US = 3600000000L
+  private val MIN_US = 60000000L
+  private val DAY_US = 86400000000L
+
+  /** Window partitioned by user ordered by the sample clock — the engine's
+    * `W(p)` (SURVEY §2 legend). Deterministic tie-break on event_id. */
+  private def wUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: fixed-bucket segmentation group-agg (SQA.get_artifacts analog,
+    // reference pipeline/SQA.py:237-277).
+    "q01_seg_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"), expr(s"ts_us div $HOUR_US").as("seg"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.sumDet(col("value")).as("sum_value"),
+          min(col("ts_us")).as("first_us"))
+    }),
+
+    // A4: sliding/rolling aggregation via a range frame (SQA.compute_metrics
+    // rolling path, reference pipeline/SQA.py:115-175).
+    "q02_rolling_range" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-HOUR_US, 0)
+      ev.select(
+        col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(24, 4))).over(w).cast("double").as("sum_1h"))
+    }),
+
+    // W1: lag-diff interval derivation (compute_ibis, reference
+    // physioview.py:977-1020).
+    "q03_lag_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(
+        col("event_id"),
+        ((col("ts_us") - lag(col("ts_us"), 1).over(wUser)).cast("double") / 1000.0).as("ibi_ms"))
+    }),
+
+    // W4: frame-bounded exact median over the 6 preceding rows (Hegarty
+    // rolling median, reference pipeline/SQA.py:364-378).
+    "q04_rolling_median" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = wUser.rowsBetween(-6, -1)
+      ev.select(
+        col("event_id"),
+        round(percentile(col("value"), lit(0.5)).over(w), 4).as("med6"))
+    }),
+
+    // W6: carry-forward last valid + leading backfill (last_valid_hr
+    // propagation, reference pipeline/SQA.py:576-628).
+    "q05_carry_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val vNN = when(col("event_type") =!= "error", col("value"))
+      val wB = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = wUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.select(
+        col("event_id"),
+        coalesce(
+          last(vNN, ignoreNulls = true).over(wB),
+          first(vNN, ignoreNulls = true).over(wF)).as("filled_v"))
+    }),
+
+    // W12: windowed dedupe keep-last (drop_duplicates(keep='last'),
+    // reference physioview.py:1754-1755).
+    "q06_dedupe_keep_last" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"), expr(s"ts_us div $MIN_US"))
+        .orderBy(col("event_id").desc)
+      ev.withColumn("minute", expr(s"ts_us div $MIN_US"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("user_id", "minute", "event_id", "value")
+    }),
+
+    // J1/J2: as-of nearest join with tolerance (merge_asof nearest,
+    // reference physioview.py:288-303, 1748-1758).
+    "q07_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("view_event_id"))
+      AsofJoin.join(
+        purchases, views,
+        keys = Seq("user_id"), leftT = "ts_us", rightT = "ts_us",
+        rightCols = Seq("view_event_id" -> "view_event_id"),
+        tolerance = Some(HOUR_US), direction = "nearest")
+        .withColumn("dist_us",
+          abs(col("ts_us") - col("ts_us_matched")))
+        .select("event_id", "user_id", "view_event_id", "dist_us")
+    }),
+
+    // J5/J7: multi-table equi-join + group agg (metrics joins, reference
+    // pipeline/SQA.py:184-191; physioview.py:315-316).
+    "q08_join_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(24, 8))).cast("double").as("revenue"))
+    }),
+
+    // J9/U2: anti-membership (np.isin negation, reference
+    // physioview.py:300-303).
+    "q09_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // A12: value-counts pivot to wide columns (flag summary, reference
+    // pipeline/SQA.py:1504-1508).
+    "q10_pivot" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // A9: exact percentiles / IQR / quartile deviation (reference
+    // pipeline/SQA.py:1738-1749).
+    "q11_percentiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.25)), 4).as("q1"),
+          round(percentile(col("value"), lit(0.75)), 4).as("q3"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 4))
+        .withColumn("qd", round((col("q3") - col("q1")) / 2.0, 4))
+    }),
+
+    // A10: conditional masked mean (tonic SCL excluding SCR intervals,
+    // reference pipeline/EDA.py:311-415).
+    "q12_masked_mean" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val masked = when(col("event_type") =!= "error", col("value"))
+      ev.groupBy("user_id")
+        .agg((sum(masked.cast(DecimalType(24, 4))).cast("double") / count(masked))
+          .as("masked_mean"))
+    }),
+
+    // W13: boolean dilation as window max over a ± range (invalid-mask
+    // spread, reference pipeline/SQA.py:2260-2275).
+    "q13_dilation" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-300L * 1000000L, 300L * 1000000L)
+      ev.select(
+        col("event_id"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).over(w).as("dilated"))
+    }),
+
+    // W15: run detection (gaps-and-islands; unusable-run ends, reference
+    // dashboard/callbacks.py:2464-2478).
+    "q14_runs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val boundary = when(
+        lag(col("event_type"), 1).over(wUser).isNull ||
+          lag(col("event_type"), 1).over(wUser) =!= col("event_type"), 1).otherwise(0)
+      ev.withColumn("__b", boundary)
+        .withColumn("run_id",
+          sum(col("__b")).over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "run_id")
+        .agg(
+          min(col("event_type")).as("event_type"),
+          count(lit(1)).as("n"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+    }),
+
+    // A6: per-window min-max normalization then exact sum (normalized AUC,
+    // reference pipeline/ACC.py:100-118, 249-262).
+    "q15_window_norm" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wg = Window.partitionBy(col("user_id"), expr(s"ts_us div $DAY_US"))
+      val mn = min(col("value")).over(wg)
+      val mx = max(col("value")).over(wg)
+      val norm = when(mx > mn, (col("value") - mn) / (mx - mn))
+      ev.withColumn("day", expr(s"ts_us div $DAY_US"))
+        .withColumn("__norm", round(norm, 6))
+        .groupBy("user_id", "day")
+        .agg(sum(col("__norm").cast(DecimalType(18, 6))).cast("double").as("sum_norm"))
+    }),
+
+    // O4: deterministic arg-max per group (window-max beat pick, reference
+    // pipeline/ECG.py:612-649).
+    "q16_argmax" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_seg_agg" ->
+      s"""SELECT user_id, epoch_us(ts) // $HOUR_US AS seg, COUNT(*) AS n,
+         |${Det.sumDetSql("value")} AS sum_value, MIN(epoch_us(ts)) AS first_us
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q02_rolling_range" ->
+      s"""SELECT event_id, COUNT(*) OVER w AS n_1h,
+         |CAST(SUM(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE) AS sum_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN $HOUR_US PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q03_lag_diff" ->
+      """SELECT event_id,
+        |CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1000.0 AS ibi_ms
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    "q04_rolling_median" ->
+      """SELECT event_id, ROUND(MEDIAN(value) OVER w, 4) AS med6
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q05_carry_forward" ->
+      """SELECT event_id, COALESCE(
+        |  LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  FIRST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS filled_v
+        |FROM events""".stripMargin,
+
+    "q06_dedupe_keep_last" ->
+      s"""SELECT user_id, minute, event_id, value FROM (
+         |  SELECT user_id, epoch_us(ts) // $MIN_US AS minute, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // $MIN_US
+         |      ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q07_asof_nearest" ->
+      s"""SELECT p.event_id, p.user_id, v.view_event_id, v.dist_us
+         |FROM events p LEFT JOIN LATERAL (
+         |  SELECT e.event_id AS view_event_id,
+         |         ABS(epoch_us(e.ts) - epoch_us(p.ts)) AS dist_us
+         |  FROM events e
+         |  WHERE e.event_type = 'view' AND e.user_id = p.user_id
+         |    AND ABS(epoch_us(e.ts) - epoch_us(p.ts)) <= $HOUR_US
+         |  ORDER BY dist_us, epoch_us(e.ts) LIMIT 1) v ON TRUE
+         |WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "q08_join_agg" ->
+      """SELECT c_mktsegment, l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q10_pivot" ->
+      """SELECT user_id,
+        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q11_percentiles" ->
+      """SELECT event_type,
+        |ROUND(quantile_cont(value, 0.25), 4) AS q1,
+        |ROUND(quantile_cont(value, 0.75), 4) AS q3,
+        |ROUND(ROUND(quantile_cont(value, 0.75), 4) - ROUND(quantile_cont(value, 0.25), 4), 4) AS iqr,
+        |ROUND((ROUND(quantile_cont(value, 0.75), 4) - ROUND(quantile_cont(value, 0.25), 4)) / 2.0, 4) AS qd
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q12_masked_mean" ->
+      """SELECT user_id,
+        |CAST(SUM(CASE WHEN event_type <> 'error' THEN CAST(value AS DECIMAL(24,4)) END) AS DOUBLE)
+        |  / COUNT(CASE WHEN event_type <> 'error' THEN value END) AS masked_mean
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q13_dilation" ->
+      """SELECT event_id,
+        |MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING) AS dilated
+        |FROM events""".stripMargin,
+
+    "q14_runs" ->
+      """SELECT user_id, run_id, MIN(event_type) AS event_type, COUNT(*) AS n,
+        |MIN(us) AS start_us, MAX(us) AS end_us FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    SUM(b) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM (
+        |    SELECT *, CASE WHEN LAG(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS DISTINCT FROM event_type
+        |      THEN 1 ELSE 0 END AS b
+        |    FROM events))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q15_window_norm" ->
+      s"""SELECT user_id, day,
+         |CAST(SUM(CAST(nv AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm FROM (
+         |  SELECT user_id, epoch_us(ts) // $DAY_US AS day,
+         |    ROUND(CASE WHEN MAX(value) OVER wg > MIN(value) OVER wg
+         |      THEN (value - MIN(value) OVER wg) / (MAX(value) OVER wg - MIN(value) OVER wg)
+         |      END, 6) AS nv
+         |  FROM events
+         |  WINDOW wg AS (PARTITION BY user_id, epoch_us(ts) // $DAY_US))
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q16_argmax" ->
+      """SELECT n_name, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT n_name, c_custkey, c_name, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rn = 1""".stripMargin
+  )
+}
