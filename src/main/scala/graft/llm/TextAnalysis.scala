@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language ID, quality scoring, token counting.
+  * All expression-only (whole-stage codegen), mirrored 1:1 in the DuckDB
+  * oracle. Heuristics are the engine's own documented definitions — the
+  * oracle verifies the computation, not linguistic truth.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Fixed engine vocabulary, deliberately tiny. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une"),
+    "es" -> Seq("el", "los", "y", "de", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ein"))
+
+  private def hitCount(wordsCol: Column, list: Seq[String]): Column =
+    aggregate(wordsCol, lit(0L),
+      (acc, w) => acc + when(w.isInCollection(list), 1L).otherwise(0L))
+
+  /** Language ID: argmax of stopword hits, ties resolved in declaration
+    * order (en, fr, es, de), empty docs -> "und". */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withWords = docs.withColumn("__words", TextOps.words(col(textCol)))
+    val scored = stopwords.foldLeft(withWords) { case (df, (lang, list)) =>
+      df.withColumn(s"s_$lang", hitCount(col("__words"), list))
+    }
+    val best = stopwords.map(_._1).foldRight(lit("und")) { case (lang, elseCol) =>
+      val isMax = stopwords.map(_._1).filterNot(_ == lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(col(s"s_$lang") > 0 && isMax, lang).otherwise(elseCol)
+    }
+    scored
+      .withColumn("pred_lang", best)
+      .select((Seq(col(idCol), col("pred_lang")) ++
+        stopwords.map { case (l, _) => col(s"s_$l") }): _*)
+  }
+
+  /** Quality metrics: word counts, uniqueness, average word length,
+    * stopword ratio, and a composite score in [0,1]. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = stopwords.head._2
+    docs
+      .withColumn("__words", TextOps.words(col(textCol)))
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("__words"))).cast("long"))
+      .withColumn("uniq_ratio", round(col("n_unique").cast("double") / col("n_words"), 6))
+      .withColumn("avg_word_len", round(
+        aggregate(col("__words"), lit(0L), (a, w) => a + length(w)).cast("double") /
+          col("n_words"), 6))
+      .withColumn("stop_ratio", round(
+        hitCount(col("__words"), en).cast("double") / col("n_words"), 6))
+      .withColumn("quality_score", round(
+        lit(0.4) * col("uniq_ratio") +
+          lit(0.3) * least(col("n_words").cast("double") / 50.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
+      .select(idCol, "n_words", "n_unique", "uniq_ratio", "avg_word_len",
+        "stop_ratio", "quality_score")
+  }
+
+  /** Token counting: whitespace tokens, regex tokens (letters / digits /
+    * other — the BPE-ish pre-tokenizer split), distinct tokens, chars. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__words", TextOps.words(col(textCol)))
+      .select(
+        col(idCol),
+        size(col("__words")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("re_tokens"),
+        size(array_distinct(col("__words"))).cast("long").as("distinct_tokens"),
+        length(col(textCol)).cast("long").as("n_chars_computed"))
+
+  /** Rolling-hash document fingerprints (order-sensitive). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__words", TextOps.words(col(textCol)))
+      .select(col(idCol), TextOps.rollingFingerprint(col("__words")).as("fingerprint"))
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression builders for text dedup / analysis operators.
+  *
+  * Everything here is pure Catalyst expression composition (codegen'd,
+  * whole-stage-friendly, no UDFs) and has a mechanical DuckDB translation —
+  * the hash-exact oracle parity requirement. Portable hashing is md5-based:
+  * both engines agree on md5 of identical strings, and
+  * `conv(substr(md5(x),1,15),16,10)` / `('0x'||substr(md5(x),1,15))::BIGINT`
+  * agree on the derived 60-bit integer.
+  */
+object TextOps {
+
+  /** Modulus for rolling fingerprints (fits 31*P + P in a long). */
+  val FP_MOD = 1000000007L
+
+  /** Lowercased, empty-stripped word array. */
+  def words(text: Column): Column =
+    filter(split(lower(text), " "), w => w =!= "")
+
+  /** Distinct word n-gram shingles (empty array when fewer than n words). */
+  def shingles(wordsCol: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(wordsCol) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(wordsCol, (i + k + 1).cast("int"))): _*))
+    array_distinct(when(size(wordsCol) >= n, grams).otherwise(array()))
+  }
+
+  /** MinHash signature: k md5-permutation minima over the shingle set.
+    * String-lexicographic min over fixed-width lowercase hex == numeric min
+    * over the 128-bit hash, so no integer conversion is needed. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shinglesCol, s => md5(concat(j.cast("string"), lit("|"), s)))))
+
+  /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashes. */
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws("", (0 until rowsPerBand).map(r =>
+        element_at(sig, (b * rowsPerBand + r + 1).cast("int"))): _*)))
+
+  /** 60-bit portable word hash. */
+  def wordHash60(w: Column): Column =
+    conv(substr(md5(w), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** 60-bit SimHash over the word multiset: majority vote per bit of the
+    * per-word 60-bit hashes. Bit positions unroll at plan-build time (the
+    * Column API's shift functions take literal shifts); all arithmetic is
+    * integer-exact, so any value-equivalent oracle formulation matches. */
+  def simhash60(wordsCol: Column): Column = {
+    val hashes = transform(wordsCol, w => wordHash60(w))
+    (0 until 60).map { j =>
+      val majority = aggregate(hashes, lit(0L),
+        (a, h) => a + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(majority > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Rolling polynomial fingerprint over words: fold (acc*31 + h(w)) mod P.
+    * (Order-sensitive document fingerprint; reference-class operator for
+    * near-identical prefix detection.) */
+  def rollingFingerprint(wordsCol: Column): Column =
+    aggregate(
+      wordsCol,
+      lit(0L),
+      (acc, w) => (acc * 31L + conv(substr(md5(w), lit(1), lit(8)), 16, 10).cast("long") % FP_MOD) % FP_MOD)
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

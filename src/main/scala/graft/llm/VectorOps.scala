@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators over `array<float>` columns.
+  *
+  * Dot products fold left-to-right with a double accumulator
+  * (`aggregate(..., 0D, _+_)`) — the same sequence DuckDB's
+  * `list_reduce` uses — so cosine scores are bit-identical across engines
+  * and reduction-order independent. All expression-only (codegen'd); the
+  * scale path buckets by sign-bit LSH so the candidate join is an equi-join
+  * on the bucket key instead of a cross join.
+  */
+object VectorOps {
+
+  /** Sequential double fold of element products over two equal-length
+    * float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), size(a) - 1),
+        i => element_at(a, (i + 1).cast("int")).cast("double") *
+          element_at(b, (i + 1).cast("int")).cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity given precomputed squared norms. */
+  def cosine(dotAb: Column, normSqA: Column, normSqB: Column): Column =
+    dotAb / sqrt(normSqA * normSqB)
+
+  /** Sign-bit LSH bucket over `dims.size` axis-aligned hyperplanes:
+    * bit k set iff embedding[dims(k)] > 0. Cheap, deterministic, and
+    * mirrors 1:1 into the DuckDB oracle. The library also accepts seeded
+    * random hyperplanes at scale — any fixed projection list works. */
+  def signBucket(emb: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, k) =>
+      when(element_at(emb, d + 1) > 0f, 1 << k).otherwise(0)
+    }.reduce(_ + _)
+}

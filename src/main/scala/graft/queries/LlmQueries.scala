@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operator suite over `documents` / `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + LSH-bucketed ANN), and text analysis (lang-ID, quality,
+  * tokens, fingerprints). Every query has a value-exact DuckDB oracle.
+  */
+object LlmQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q21_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 8)
+        .select(col("doc_id"), concat_ws(",", col("mh")).as("sig"))),
+
+    "q22_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.0)),
+
+    "q23_simhash" -> ((s, dir) =>
+      Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q24_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        numBands = 4, maxHamming = 10)),
+
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)),
+
+    "q26_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q27_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q28_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q29_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q30_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+    }),
+
+    "q31_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
+    })
+  )
+
+  /** Shared SQL fragments for the oracle. */
+  private val WORDS =
+    "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len(w) >= $n
+       | THEN list_transform(range(1, len(w) - ${n - 2}), i -> $parts)
+       | ELSE [] END)""".stripMargin
+  }
+
+  private val DOT =
+    "list_reduce(list_transform(range(1, 65), i -> (A[i])::DOUBLE * (B[i])::DOUBLE), (x, y) -> x + y)"
+
+  private def dot(a: String, b: String): String =
+    DOT.replace("A[", a + "[").replace("B[", b + "[")
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_minhash_sig" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents))
+         |SELECT doc_id, array_to_string(
+         |  list_transform(range(0, 8), j ->
+         |    list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)), 'min')),
+         |  ',') AS sig
+         |FROM sh WHERE len(shingles) > 0""".stripMargin,
+
+    "q22_minhash_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 8), j ->
+         |      list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)), 'min')) AS mh
+         |  FROM sh WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, shingles, b AS band_idx, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+         |  FROM sig, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b""".stripMargin,
+
+    "q23_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform($WORDS, w2 -> ('0x' || substr(md5(w2), 1, 15))::BIGINT) AS hs
+         |  FROM documents WHERE len($WORDS) > 0)
+         |SELECT doc_id, CAST(list_reduce(list_transform(range(0, 60), j ->
+         |  CASE WHEN CAST(list_sum(list_transform(hs, x ->
+         |      CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |    THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS simhash
+         |FROM h""".stripMargin,
+
+    "q24_simhash_pairs" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform($WORDS, w2 -> ('0x' || substr(md5(w2), 1, 15))::BIGINT) AS hs
+         |  FROM documents WHERE len($WORDS) > 0),
+         |fp AS (
+         |  SELECT doc_id, CAST(list_reduce(list_transform(range(0, 60), j ->
+         |    CASE WHEN CAST(list_sum(list_transform(hs, x ->
+         |        CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |      THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS simhash
+         |  FROM h),
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 15)) & 32767 AS band_val
+         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS fp_a, b.doc_id AS id_b, b.simhash AS fp_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 10""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT source, doc_id, ${shinglesSql(2)} AS s
+         |  FROM (SELECT source, doc_id, $WORDS AS w FROM documents))
+         |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / len(list_distinct(a.s || b.s)), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / len(list_distinct(a.s || b.s)), 6) >= 0.05""".stripMargin,
+
+    "q26_langid" -> {
+      val langs = TextAnalysis.stopwords
+      val scores = langs.map { case (l, ws) =>
+        s"len(list_filter(w, x -> x IN (${ws.map(x => s"'$x'").mkString(", ")}))) AS s_$l"
+      }.mkString(",\n  ")
+      val caseArms = langs.map(_._1).map { l =>
+        val geq = langs.map(_._1).filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $geq THEN '$l'"
+      }.mkString("\n  ")
+      s"""SELECT doc_id, CASE $caseArms ELSE 'und' END AS pred_lang,
+         |  s_en, s_fr, s_es, s_de
+         |FROM (SELECT doc_id, $scores
+         |      FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin
+    },
+
+    "q27_quality" -> {
+      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+      s"""SELECT doc_id, n_words, n_unique,
+         |  ROUND(n_unique::DOUBLE / n_words, 6) AS uniq_ratio,
+         |  ROUND(sum_len::DOUBLE / n_words, 6) AS avg_word_len,
+         |  ROUND(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+         |  ROUND(0.4 * ROUND(n_unique::DOUBLE / n_words, 6)
+         |      + 0.3 * LEAST(n_words::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - ROUND(n_stop::DOUBLE / n_words, 6)), 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_unique,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    len(list_filter(w, x -> x IN ($en))) AS n_stop
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin
+    },
+
+    "q28_tokens" ->
+      s"""SELECT doc_id,
+         |  len($WORDS) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+         |  len(list_distinct($WORDS)) AS distinct_tokens,
+         |  length(text) AS n_chars_computed
+         |FROM documents""".stripMargin,
+
+    "q29_fingerprint" ->
+      s"""SELECT doc_id, COALESCE(list_reduce(
+         |  list_transform($WORDS, w2 -> ('0x' || substr(md5(w2), 1, 8))::BIGINT % 1000000007),
+         |  (a, b) -> (a * 31 + b) % 1000000007), 0) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "q30_cosine_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings)
+         |SELECT query_id, cand_id, cos, rnk FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |               c.vec_id) AS rnk
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "q31_ann_lsh" -> {
+      val bucket = (0 until 8).map(k =>
+        s"CASE WHEN embedding[${k * 8 + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2,
+         |    $bucket AS bucket
+         |  FROM embeddings)
+         |SELECT query_id, bucket, cand_id, cos, rnk FROM (
+         |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS cand_id,
+         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |               c.vec_id) AS rnk
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE rnk <= 3""".stripMargin
+    }
+  )
+}
