@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SignalFrame
+import graft.sqa.Cardio
+
+/** Signal-quality-assessment suite — the reference's flagship query surface
+  * (SQA.Cardio) over the events-derived signal frame. fs=4 so every IBI is
+  * an exact binary multiple of 250 ms (order-independent sums); segSize=10
+  * (40 samples) so each subject spans multiple segments at sf>=0.001.
+  */
+object SqaQueries {
+
+  val FS = 4
+  val SEG = 10
+  private val SEG_ROWS = FS * SEG // 40
+  private val HALF = (SEG * 0.5).toInt // 5 rows
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_sqa_artifacts" -> ((s, dir) =>
+      Cardio.getArtifacts(SignalFrame.fromEvents(s, dir), FS, SEG)),
+
+    "q18_sqa_missing" -> ((s, dir) =>
+      Cardio.getMissing(SignalFrame.fromEvents(s, dir), FS, SEG)),
+
+    "q19_sqa_metrics" -> ((s, dir) =>
+      Cardio.computeMetrics(SignalFrame.fromEvents(s, dir), FS, SEG)),
+
+    "q32_sqa_seconds" -> ((s, dir) =>
+      Cardio.getSeconds(SignalFrame.fromEvents(s, dir), FS)),
+
+    "q33_hegarty" -> ((s, dir) =>
+      Cardio.hegartyArtifacts(
+        Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS)
+        .select("subject", "idx", "ibi", "hegarty_artifact"))
+  )
+
+  private val SIG = SignalFrame.fromEventsSql
+
+  /** numpy-median over a DuckDB list (null-skipping, interpolating). */
+  private def listMedian(l: String): String =
+    s"""(CASE WHEN len(list_filter($l, x -> x IS NOT NULL)) = 0 THEN NULL
+       | WHEN len(list_filter($l, x -> x IS NOT NULL)) % 2 = 1
+       |   THEN list_sort(list_filter($l, x -> x IS NOT NULL))[len(list_filter($l, x -> x IS NOT NULL)) // 2 + 1]
+       | ELSE (list_sort(list_filter($l, x -> x IS NOT NULL))[len(list_filter($l, x -> x IS NOT NULL)) // 2]
+       |     + list_sort(list_filter($l, x -> x IS NOT NULL))[len(list_filter($l, x -> x IS NOT NULL)) // 2 + 1]) / 2.0
+       | END)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q17_sqa_artifacts" ->
+      s"""WITH sig AS ($SIG)
+         |SELECT subject, idx // $SEG_ROWS + 1 AS segment,
+         |  COUNT(beat) AS n_detected, COUNT(artifact) AS n_artifact,
+         |  MIN(ts_us) AS first_ts_us,
+         |  CASE WHEN COUNT(beat) > 0
+         |    THEN round_even(COUNT(artifact)::DOUBLE / COUNT(beat) * 100, 2) END AS pct_artifact
+         |FROM sig GROUP BY 1, 2""".stripMargin,
+
+    "q18_sqa_missing" -> missingSql(),
+
+    "q19_sqa_metrics" ->
+      s"""WITH m AS (${missingSql()}),
+         |a AS (
+         |  WITH sig AS ($SIG)
+         |  SELECT subject, idx // $SEG_ROWS + 1 AS segment,
+         |    COUNT(artifact) AS n_artifact, MIN(ts_us) AS first_ts_us,
+         |    CASE WHEN COUNT(beat) > 0
+         |      THEN round_even(COUNT(artifact)::DOUBLE / COUNT(beat) * 100, 2) END AS pct_artifact
+         |  FROM sig GROUP BY 1, 2)
+         |SELECT m.subject, m.segment, a.first_ts_us, m.n_detected, m.n_expected,
+         |  m.n_missing, m.pct_missing, a.n_artifact, a.pct_artifact,
+         |  CASE WHEN m.n_detected < ${(40.0 * SEG / 60).toInt} OR m.n_detected > 220
+         |    THEN 1 END AS invalid
+         |FROM m JOIN a ON m.subject = a.subject AND m.segment = a.segment""".stripMargin,
+
+    "q32_sqa_seconds" ->
+      s"""WITH sig AS ($SIG),
+         |secs AS (
+         |  SELECT subject, idx // $FS AS sec, COUNT(beat) AS n_beats,
+         |    MIN(ts_us) AS first_ts_us
+         |  FROM sig GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT subject, idx, LAG(idx) OVER w AS prev_idx,
+         |    (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi
+         |  FROM sig WHERE beat = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |exploded AS (
+         |  SELECT subject, s, ibi FROM (
+         |    SELECT *, prev_idx // $FS AS pb, idx // $FS AS cb
+         |    FROM pairs WHERE ibi IS NOT NULL),
+         |  unnest(list_distinct([cb, pb + 1])) AS t(s)
+         |  WHERE s >= cb AND s <= pb + 1),
+         |pagg AS (
+         |  SELECT subject, s AS sec,
+         |    CAST(SUM(CAST(ibi AS DECIMAL(24,4))) AS DOUBLE) / COUNT(ibi) AS mean_ibi
+         |  FROM exploded GROUP BY 1, 2)
+         |SELECT secs.subject, sec + 1 AS second, first_ts_us,
+         |  60000.0 / mean_ibi AS mean_hr, mean_ibi, n_beats
+         |FROM secs LEFT JOIN pagg USING (subject, sec)""".stripMargin,
+
+    "q33_hegarty" ->
+      s"""WITH sig AS ($SIG),
+         |b0 AS (
+         |  SELECT subject, idx,
+         |    (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi,
+         |    ROW_NUMBER() OVER w - 2 AS n
+         |  FROM sig WHERE beat = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |b1 AS (
+         |  SELECT *, ABS(ibi - LAG(ibi) OVER w) AS sd
+         |  FROM b0 WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |b2 AS (
+         |  SELECT *, CASE WHEN COUNT(sd) OVER wf = 6 THEN AVG(sd) OVER wf END AS ma6
+         |  FROM b1 WINDOW wf AS (PARTITION BY subject ORDER BY idx
+         |    ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)),
+         |b3 AS (
+         |  SELECT *, FIRST_VALUE(CASE WHEN ma6 IS NOT NULL THEN n - 1 END) OVER
+         |    (PARTITION BY subject ORDER BY ma6 ASC NULLS LAST, n
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS m
+         |  FROM b2),
+         |b4 AS (
+         |  SELECT *, AVG(CASE WHEN n BETWEEN m AND m + 5 THEN ibi END) OVER
+         |    (PARTITION BY subject) AS first_ibi,
+         |    list(ibi) OVER (PARTITION BY subject ORDER BY idx
+         |      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prior6
+         |  FROM b3),
+         |b5 AS (
+         |  SELECT subject, idx, ibi,
+         |    CASE WHEN n >= 6 THEN ${listMedian("prior6")}
+         |         ELSE ${listMedian("list_prepend(first_ibi, prior6)")} END AS est
+         |  FROM b4)
+         |SELECT subject, idx, ibi,
+         |  CASE WHEN ibi IS NOT NULL AND NOT
+         |    (ibi BETWEEN (26.0/32) * est AND (44.0/32) * est) THEN 1 END AS hegarty_artifact
+         |FROM b5""".stripMargin
+  )
+
+  private def missingSql(): String =
+    s"""WITH sig AS ($SIG),
+       |seg AS (
+       |  SELECT *, idx // $SEG_ROWS + 1 AS segment, idx % $SEG_ROWS AS pos FROM sig),
+       |seglens AS (
+       |  SELECT subject, segment, COUNT(*) AS seg_len, COUNT(beat) AS n_detected
+       |  FROM seg GROUP BY 1, 2),
+       |beats AS (
+       |  SELECT s.subject, s.segment, s.pos, s.idx, s.artifact, l.seg_len,
+       |    (s.idx - LAG(s.idx) OVER (PARTITION BY s.subject ORDER BY s.idx)) / $FS.0 * 1000 AS ibi
+       |  FROM seg s JOIN seglens l ON s.subject = l.subject AND s.segment = l.segment
+       |  WHERE s.beat = 1),
+       |winmed AS (
+       |  SELECT subject, segment,
+       |    COUNT(*) OVER w5 AS cnt5,
+       |    (MIN(segment) OVER w5 = MAX(segment) OVER w5) AS same_seg,
+       |    (COUNT(artifact) OVER w5 = 0) AS art_free,
+       |    (MIN(CASE WHEN pos >= seg_len - $HALF THEN 1 ELSE 0 END) OVER w5 = 1) AS in_last_half,
+       |    (MIN(CASE WHEN pos < $HALF THEN 1 ELSE 0 END) OVER w5 = 1) AS in_first_half,
+       |    MEDIAN(60000.0 / ibi) OVER w5 AS med_hr
+       |  FROM beats
+       |  WINDOW w5 AS (PARTITION BY subject ORDER BY idx
+       |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+       |ok AS (SELECT * FROM winmed WHERE cnt5 = 5 AND same_seg AND art_free),
+       |segmed AS (SELECT subject, segment, MEDIAN(med_hr) AS exp0 FROM ok GROUP BY 1, 2),
+       |h2 AS (SELECT subject, segment, MEDIAN(med_hr) AS half2 FROM ok WHERE in_last_half GROUP BY 1, 2),
+       |h1 AS (SELECT subject, segment, MEDIAN(med_hr) AS half1 FROM ok WHERE in_first_half GROUP BY 1, 2),
+       |m0 AS (
+       |  SELECT l.subject, l.segment, l.seg_len, l.n_detected,
+       |    COALESCE(sm.exp0,
+       |      LAG(h2.half2) OVER (PARTITION BY l.subject ORDER BY l.segment),
+       |      LEAD(h1.half1) OVER (PARTITION BY l.subject ORDER BY l.segment)) AS exp_raw
+       |  FROM seglens l
+       |  LEFT JOIN segmed sm ON l.subject = sm.subject AND l.segment = sm.segment
+       |  LEFT JOIN h2 ON l.subject = h2.subject AND l.segment = h2.segment
+       |  LEFT JOIN h1 ON l.subject = h1.subject AND l.segment = h1.segment),
+       |m1 AS (
+       |  SELECT *, LAST_VALUE(exp_raw IGNORE NULLS) OVER
+       |    (PARTITION BY subject ORDER BY segment
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_hr,
+       |    (segment = MAX(segment) OVER (PARTITION BY subject)) AS is_last
+       |  FROM m0),
+       |m2 AS (
+       |  SELECT *, CAST(round_even(exp_hr * $SEG / 60.0, 0) AS BIGINT) AS n_exp0 FROM m1),
+       |m3 AS (
+       |  SELECT *, CASE WHEN is_last
+       |    THEN CAST(round_even(n_exp0 * (seg_len::DOUBLE / $FS / $SEG), 0) AS BIGINT)
+       |    ELSE n_exp0 END AS n_exp1
+       |  FROM m2),
+       |m4 AS (
+       |  SELECT *, COALESCE(n_exp1, FIRST_VALUE(n_exp1 IGNORE NULLS) OVER
+       |    (PARTITION BY subject ORDER BY segment
+       |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS n_expected
+       |  FROM m3)
+       |SELECT subject, segment, n_detected, n_expected,
+       |  GREATEST(n_expected - n_detected, 0) AS n_missing,
+       |  round_even(GREATEST(n_expected - n_detected, 0)::DOUBLE / n_expected * 100, 2) AS pct_missing
+       |FROM m4""".stripMargin
+}
