@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SignalFrame
+import graft.kernels.{BeatDetectors, Iir}
+import graft.core.KernelRunner
+
+/** Kernel-layer queries: Nabian window-expression detector (oracle-checked)
+  * and the sequential kernels (filtfilt, Pan-Tompkins) which have no SQL
+  * equivalent — the driver records rows-only checks for those.
+  */
+object KernelQueries {
+
+  private val NAB_FS = 32 // w = int(0.4*32) = 12
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_nabian" -> ((s, dir) =>
+      BeatDetectors.nabian(SignalFrame.fromEvents(s, dir), NAB_FS)
+        .select("subject", "idx", "nabian_beat")),
+
+    // Butterworth 0.5-15 Hz order-2 bandpass filtfilt over each subject's
+    // value series (the Pan-Tompkins preprocessing filter at fs=32).
+    // Sequential kernel — no SQL oracle; deterministic per recording.
+    "q35_filtfilt" -> ((s, dir) => {
+      val (b, a) = Iir.butter(2, Seq(0.5 / 16.0, 15.0 / 16.0), "bandpass")
+      KernelRunner.transformValues(
+        SignalFrame.fromEvents(s, dir), "value", "filtered")(
+        x => Iir.filtfilt(b, a, x))
+        .withColumn("filtered", round(col("filtered"), 6))
+    }),
+
+    // Full Pan-Tompkins FSM detection (filter + MWA + adaptive thresholds).
+    "q36_pantompkins" -> ((s, dir) =>
+      BeatDetectors.panTompkins(SignalFrame.fromEvents(s, dir), NAB_FS))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val w = (0.4 * NAB_FS).toInt
+    Map(
+      "q34_nabian" ->
+        s"""WITH sig AS (${SignalFrame.fromEventsSql})
+           |SELECT subject, idx,
+           |  CASE WHEN idx BETWEEN $w + 1 AND n - $w - 1
+           |    AND list_position(lst, list_aggregate(lst, 'max')) = $w + 2
+           |  THEN 1 END AS nabian_beat
+           |FROM (
+           |  SELECT subject, idx,
+           |    COUNT(*) OVER (PARTITION BY subject) AS n,
+           |    list(value) OVER (PARTITION BY subject ORDER BY idx
+           |      ROWS BETWEEN $w PRECEDING AND ${w - 1} FOLLOWING) AS lst
+           |  FROM sig)""".stripMargin
+    )
+  }
+}
