@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale document corpora.
@@ -26,15 +27,67 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** Per-document MinHash signature over word n-gram shingles. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame =
+  /** Distinct word n-gram shingles, one ROW per (doc, shingle).
+    *
+    * posexplode + window `lead` composition — every expression codegen'd
+    * (the array-lambda form evaluates interpreted and measured ~30x slower
+    * at sf0.1). Repartitions on the doc id up front: corpus files are often
+    * few large parquet files and the per-doc work is CPU-bound; the window
+    * then reuses the same exchange. Row form is also the scale layout — set
+    * intersections become shingle-equality joins instead of array ops. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = col("__w") +: (1 until shingleN).map(k => lead(col("__w"), k).over(w))
     docs
-      .withColumn("__words", TextOps.words(col(textCol)))
-      .withColumn("shingles", TextOps.shingles(col("__words"), shingleN))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("mh", TextOps.minhashSignature(col("shingles"), numHashes))
-      .select(col(idCol), col("shingles"), col("mh"))
+      .repartition(col(idCol))
+      .select((extraCols :+ idCol).map(col) :+
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")): _*)
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      .withColumn("__last", lead(col("__w"), shingleN - 1).over(w))
+      .filter(col("__last").isNotNull)
+      .select((extraCols :+ idCol).map(col) :+ col("shingle"): _*)
+      .distinct()
+  }
+
+  /** Distinct shingle-set sizes per document. */
+  def shingleSetSizes(rows: DataFrame, idCol: String): DataFrame =
+    rows.groupBy(col(idCol)).agg(count(lit(1)).as("__set_size"))
+
+  /** Per-document MinHash signature over word n-gram shingles: shingle
+    * rows → `numHashes` codegen'd `min(md5(...))` aggregates with map-side
+    * partial mins — one shuffle on the doc id. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, shingleN)
+    val mins = (0 until numHashes).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("shingle")))).as(s"__mh$j"))
+    rows.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("mh", array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+      .select(col(idCol), col("mh"))
+  }
+
+  /** Exact Jaccard for given candidate pairs via shingle-equality joins:
+    * |A∩B| from a co-grouped count, |A∪B| = |A|+|B|-|A∩B|. Pairs with an
+    * empty intersection get jaccard 0 (they only survive if threshold<=0).
+    */
+  private def verifyJaccard(cand: DataFrame, rows: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val sizes = shingleSetSizes(rows, idCol)
+    val inter = cand
+      .join(rows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(rows.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__int"))
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("__int"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__set_size").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__set_size").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("__int").cast("double") / (col("__na") + col("__nb") - col("__int")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** LSH candidate pairs with exact-Jaccard verification.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
@@ -42,30 +95,43 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
       threshold: Double = 0.0): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    val rows = shingleRows(docs, idCol, textCol, shingleN)
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
     val bands = sigs
       .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
-      .select(col(idCol), col("shingles"),
-        posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
-    val a = bands.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
-      col("band_idx"), col("band_key"))
-    val b = bands.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
-      col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
+      .select(col(idCol), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+    val a = bands.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = bands.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, rows, idCol, threshold)
   }
 
-  /** Per-document 60-bit SimHash fingerprints. */
-  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+  /** Per-document 60-bit SimHash fingerprints.
+    *
+    * Explode-side formulation: one 60-bit hash per word row, then 60
+    * codegen'd conditional sums per document (majority vote per bit) and a
+    * literal-shift recombination — integer-exact, so it hash-matches any
+    * value-equivalent oracle formulation. (The nested-HOF form evaluated
+    * interpreted and was the sf0.1 bench bottleneck.) */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs
+      .repartition(col(idCol))
       .withColumn("__words", TextOps.words(col(textCol)))
       .filter(size(col("__words")) > 0)
-      .withColumn("simhash", TextOps.simhash60(col("__words")))
+      .select(col(idCol), explode(col("__words")).as("__w"))
+      .withColumn("__h", TextOps.wordHash60(col("__w")))
+    val votes = (0 until 60).map(j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"__b$j"))
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until 60).map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _))
       .select(col(idCol), col("simhash"))
+  }
 
   /** SimHash near-duplicate pairs: banded candidate generation (pigeonhole
     * over `numBands` bit-bands of the 60-bit fingerprint), verified by
@@ -90,18 +156,29 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard pairs within a blocking key. */
+  /** Exact n-gram Jaccard pairs within a blocking key (threshold > 0).
+    *
+    * Instead of enumerating all O(block²) pairs and intersecting arrays,
+    * co-group on (block, shingle): only pairs that actually share a shingle
+    * ever materialize, intersection counts fall out of the join, and
+    * |A∪B| = |A|+|B|-|A∩B|. Zero-overlap pairs have jaccard 0 and are
+    * below any positive threshold by construction. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.05): DataFrame = {
-    val sh = docs
-      .withColumn("__words", TextOps.words(col(textCol)))
-      .withColumn("sh", TextOps.shingles(col("__words"), n))
-      .select(col(blockCol), col(idCol), col("sh"))
-    val a = sh.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq(blockCol))
+    require(threshold > 0, "join-form jaccard only emits overlapping pairs")
+    val rows = shingleRows(docs, idCol, textCol, n, extraCols = Seq(blockCol))
+    val sizes = shingleSetSizes(rows, idCol)
+    val inter = rows.select(col(blockCol), col(idCol).as("id_a"), col("shingle"))
+      .join(rows.select(col(blockCol), col(idCol).as("id_b"), col("shingle")),
+        Seq(blockCol, "shingle"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
+      .groupBy(col(blockCol), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__int"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__set_size").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__set_size").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("__int").cast("double") / (col("__na") + col("__nb") - col("__int")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
   }

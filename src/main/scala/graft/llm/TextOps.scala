@@ -29,14 +29,10 @@ object TextOps {
     array_distinct(when(size(wordsCol) >= n, grams).otherwise(array()))
   }
 
-  /** MinHash signature: k md5-permutation minima over the shingle set.
-    * String-lexicographic min over fixed-width lowercase hex == numeric min
-    * over the 128-bit hash, so no integer conversion is needed. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shinglesCol, s => md5(concat(j.cast("string"), lit("|"), s)))))
-
-  /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashes. */
+  /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashes.
+    * (Signatures themselves are computed explode-side in [[Dedup]] — md5
+    * string minima are codegen'd there; string-lexicographic min over
+    * fixed-width lowercase hex == numeric min over the 128-bit hash.) */
   def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
       b => md5(concat_ws("", (0 until rowsPerBand).map(r =>
@@ -45,19 +41,6 @@ object TextOps {
   /** 60-bit portable word hash. */
   def wordHash60(w: Column): Column =
     conv(substr(md5(w), lit(1), lit(15)), 16, 10).cast("long")
-
-  /** 60-bit SimHash over the word multiset: majority vote per bit of the
-    * per-word 60-bit hashes. Bit positions unroll at plan-build time (the
-    * Column API's shift functions take literal shifts); all arithmetic is
-    * integer-exact, so any value-equivalent oracle formulation matches. */
-  def simhash60(wordsCol: Column): Column = {
-    val hashes = transform(wordsCol, w => wordHash60(w))
-    (0 until 60).map { j =>
-      val majority = aggregate(hashes, lit(0L),
-        (a, h) => a + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(majority > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-  }
 
   /** Rolling polynomial fingerprint over words: fold (acc*31 + h(w)) mod P.
     * (Order-sensitive document fingerprint; reference-class operator for
