@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.SignalFrame
+import graft.sqa.{Cardio, Eda, Hrv}
+
+/** EDA quality, HRV features, and ACC AUC query suite — all oracle-checked.
+  * The events-derived signal doubles as pseudo-EDA (value in µS) with a
+  * deterministic synthetic temperature channel 28 + value mod 14. */
+object FeatureQueries {
+
+  val FS = 4
+  val SEG = 10
+  private val P = Eda.Params(edaMin = 5, edaMax = 150, maxSlope = 400,
+    tempMin = 30, tempMax = 40, spreadDurS = 2.0)
+
+  private def edaSignal(s: SparkSession, dir: String): DataFrame =
+    SignalFrame.fromEvents(s, dir)
+      .withColumn("temp", lit(28.0) + col("value") % 14.0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_eda_quality" -> ((s, dir) =>
+      Eda.qualityTable(edaSignal(s, dir), FS, P, tempCol = Some("temp"))
+        .select("subject", "idx", "value", "out_of_range", "excessive_slope",
+          "temp_out_of_range")),
+
+    "q38_eda_metrics" -> ((s, dir) =>
+      Eda.metrics(edaSignal(s, dir), FS, SEG, P,
+        tempCol = Some("temp"), scrCol = Some("artifact"))),
+
+    "q39_hrv_td" -> ((s, dir) =>
+      Hrv.timeDomain(
+        Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
+        FS, windowS = 60)),
+
+    "q40_hrv_nl" -> ((s, dir) =>
+      Hrv.nonlinear(
+        Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
+        FS, windowS = 60)),
+
+    "q41_acc_auc" -> ((s, dir) => {
+      val w = Window.partitionBy("subject").orderBy("idx")
+      val sig = SignalFrame.fromEvents(s, dir)
+        .withColumn("x", col("value"))
+        .withColumn("y", coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+        .withColumn("z", col("value") % 50.0)
+        .withColumn("mag", round(sqrt(col("x") * col("x") + col("y") * col("y") +
+          col("z") * col("z")), 6))
+      val perSec = sig
+        .groupBy(col("subject"), (col("idx") / FS).cast("long").as("second"))
+        .agg(sum(col("mag").cast(DecimalType(24, 6))).as("__dec"))
+      val wSec = Window.partitionBy("subject").orderBy("second").rangeBetween(-2, 0)
+      perSec
+        .withColumn("auc_1s", (col("__dec").cast("double") * 0.25))
+        .withColumn("auc_3s", sum(col("__dec")).over(wSec).cast("double") * 0.25)
+        .select("subject", "second", "auc_1s", "auc_3s")
+    })
+  )
+
+  private val SIG = SignalFrame.fromEventsSql
+  private val EDA_SIG =
+    s"""SELECT *, 28.0 + value % 14.0 AS temp FROM ($SIG)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q37_eda_quality" ->
+      s"""WITH sig AS ($EDA_SIG)
+         |SELECT subject, idx, value,
+         |  CASE WHEN value < ${P.edaMin} OR value > ${P.edaMax} THEN 1 END AS out_of_range,
+         |  CASE WHEN ABS(COALESCE((value - LAG(value) OVER w) * $FS, 0)) > ${P.maxSlope}
+         |    THEN 1 END AS excessive_slope,
+         |  CASE WHEN temp < ${P.tempMin} OR temp > ${P.tempMax} THEN 1 END AS temp_out_of_range
+         |FROM sig WINDOW w AS (PARTITION BY subject ORDER BY idx)""".stripMargin,
+
+    "q38_eda_metrics" ->
+      s"""WITH sig AS ($EDA_SIG),
+         |seg AS (SELECT *, idx // ${FS * SEG} + 1 AS segment FROM sig),
+         |f AS (
+         |  SELECT subject, segment, idx, artifact,
+         |    CASE WHEN value < ${P.edaMin} OR value > ${P.edaMax} THEN 1 ELSE 0 END AS oor,
+         |    CASE WHEN ABS(COALESCE((value - LAG(value) OVER ws) * $FS, 0)) > ${P.maxSlope}
+         |      THEN 1 ELSE 0 END AS slp,
+         |    CASE WHEN temp < ${P.tempMin} OR temp > ${P.tempMax} THEN 1 ELSE 0 END AS tmp
+         |  FROM seg WINDOW ws AS (PARTITION BY subject, segment ORDER BY idx)),
+         |g AS (
+         |  SELECT *, GREATEST(oor, slp, tmp) AS inv,
+         |    MAX(GREATEST(oor, slp, tmp)) OVER (PARTITION BY subject, segment ORDER BY idx
+         |      ROWS BETWEEN ${(P.spreadDurS * FS).toInt} PRECEDING
+         |               AND ${(P.spreadDurS * FS).toInt} FOLLOWING) AS spread
+         |  FROM f),
+         |agged AS (
+         |  SELECT subject, segment, COUNT(*) AS len, SUM(spread) AS nspr,
+         |    SUM(oor) AS n_out_of_range, SUM(slp) AS n_excessive_slope,
+         |    SUM(tmp) AS n_temp_out_of_range, COUNT(artifact) AS n_scrs
+         |  FROM g GROUP BY 1, 2)
+         |SELECT subject, segment, len - nspr AS n_valid,
+         |  round_even((len - nspr)::DOUBLE / len * 100, 2) AS pct_valid,
+         |  nspr AS n_invalid, round_even(nspr::DOUBLE / len * 100, 2) AS pct_invalid,
+         |  n_out_of_range, round_even(n_out_of_range::DOUBLE / len * 100, 2) AS pct_out_of_range,
+         |  n_excessive_slope, round_even(n_excessive_slope::DOUBLE / len * 100, 2) AS pct_excessive_slope,
+         |  n_temp_out_of_range, round_even(n_temp_out_of_range::DOUBLE / len * 100, 2) AS pct_temp_out_of_range,
+         |  n_scrs
+         |FROM agged WHERE len = ${FS * SEG}""".stripMargin,
+
+    "q39_hrv_td" ->
+      s"""WITH sig AS ($SIG),
+         |b AS (
+         |  SELECT subject, idx, (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi
+         |  FROM sig WHERE beat = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |d AS (
+         |  SELECT subject, idx, ibi, ibi - LAG(ibi) OVER w AS sd,
+         |    idx // ${FS * 60} + 1 AS win
+         |  FROM b WHERE ibi IS NOT NULL
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |a AS (
+         |  SELECT subject, win, COUNT(ibi) AS n_ibi,
+         |    CAST(SUM(CAST(ibi AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(ibi * ibi AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST(sd * sd AS DECIMAL(30,6))) AS DOUBLE) AS sd2,
+         |    COUNT(sd) AS nsd,
+         |    SUM(CASE WHEN ABS(sd) > 50 THEN 1 ELSE 0 END) AS nn50,
+         |    SUM(CASE WHEN ABS(sd) > 20 THEN 1 ELSE 0 END) AS nn20,
+         |    MIN(ibi) AS min_nni, MAX(ibi) AS max_nni,
+         |    MEDIAN(ibi) AS median_nni
+         |  FROM d GROUP BY 1, 2)
+         |SELECT subject, win, n_ibi, s1 / n_ibi AS mean_nni, median_nni,
+         |  max_nni - min_nni AS range_nni, min_nni, max_nni,
+         |  CASE WHEN n_ibi > 1 THEN sqrt((s2 - s1 * s1 / n_ibi) / (n_ibi - 1)) END AS sdnn,
+         |  CASE WHEN nsd > 0 THEN sqrt(sd2 / nsd) END AS rmssd,
+         |  CASE WHEN nsd > 0 THEN nn50::DOUBLE / nsd * 100 END AS pnn50,
+         |  CASE WHEN nsd > 0 THEN nn20::DOUBLE / nsd * 100 END AS pnn20,
+         |  60000.0 / (s1 / n_ibi) AS mean_hr,
+         |  60000.0 / min_nni AS max_hr, 60000.0 / max_nni AS min_hr
+         |FROM a""".stripMargin,
+
+    "q40_hrv_nl" ->
+      s"""WITH sig AS ($SIG),
+         |b AS (
+         |  SELECT subject, idx, (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi
+         |  FROM sig WHERE beat = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |d AS (
+         |  SELECT subject, idx, ibi, ibi - LAG(ibi) OVER w AS sd,
+         |    idx // ${FS * 60} + 1 AS win
+         |  FROM b WHERE ibi IS NOT NULL
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |a AS (
+         |  SELECT subject, win, COUNT(ibi) AS n_ibi,
+         |    CAST(SUM(CAST(ibi AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(ibi * ibi AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST(sd * sd AS DECIMAL(30,6))) AS DOUBLE) AS sd2,
+         |    COUNT(sd) AS nsd
+         |  FROM d GROUP BY 1, 2),
+         |v AS (
+         |  SELECT *, (s2 - s1 * s1 / n_ibi) / (n_ibi - 1) AS var_nni, sd2 / nsd AS var_sd
+         |  FROM a WHERE n_ibi > 2 AND nsd > 1)
+         |SELECT subject, win, n_ibi,
+         |  sqrt(var_sd / 2) AS sd1,
+         |  CASE WHEN 2.0 * var_nni - var_sd / 2 > 0 THEN sqrt(2.0 * var_nni - var_sd / 2) END AS sd2,
+         |  CASE WHEN 2.0 * var_nni - var_sd / 2 > 0 THEN sqrt(2.0 * var_nni - var_sd / 2) END / sqrt(var_sd / 2) AS csi,
+         |  ROUND(log10(sqrt(var_sd / 2) * (CASE WHEN 2.0 * var_nni - var_sd / 2 > 0
+         |    THEN sqrt(2.0 * var_nni - var_sd / 2) END) * 16), 6) AS cvi
+         |FROM v""".stripMargin,
+
+    "q41_acc_auc" ->
+      s"""WITH sig AS ($SIG),
+         |m AS (
+         |  SELECT subject, idx,
+         |    ROUND(sqrt(value * value
+         |      + COALESCE(LAG(value) OVER (PARTITION BY subject ORDER BY idx), 0)
+         |        * COALESCE(LAG(value) OVER (PARTITION BY subject ORDER BY idx), 0)
+         |      + (value % 50.0) * (value % 50.0)), 6) AS mag
+         |  FROM sig),
+         |s AS (
+         |  SELECT subject, idx // $FS AS second,
+         |    SUM(CAST(mag AS DECIMAL(24,6))) AS dec
+         |  FROM m GROUP BY 1, 2)
+         |SELECT subject, second,
+         |  CAST(dec AS DOUBLE) * 0.25 AS auc_1s,
+         |  CAST(SUM(dec) OVER (PARTITION BY subject ORDER BY second
+         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 0.25 AS auc_3s
+         |FROM s""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.sqa
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.SignalFrame
+
+/** Time-domain + nonlinear HRV features over sliding/fixed windows
+  * (SURVEY A15; the reference delegates to the `flirt` package,
+  * physioview.py:1078-1084 — feature definitions follow the standard
+  * published HRV formulas flirt implements).
+  *
+  * Determinism: every moment (mean/variance/rmssd) is computed from exact
+  * DECIMAL sums of the IBI values and their squares, so results are
+  * reduction-order independent and hash-match the oracle. With fs a power
+  * of two, IBIs and their squares are exactly representable.
+  */
+object Hrv {
+
+  /** Per-(subject, window) time-domain features from a beats frame with an
+    * `ibi` column. Window = fixed bucket of `windowS` seconds on the
+    * sample clock. */
+  def timeDomain(beats: DataFrame, fs: Int, windowS: Int): DataFrame = {
+    val wSub = Window.partitionBy("subject").orderBy("idx")
+    val windowRows = fs.toLong * windowS
+    val withDiff = beats
+      .filter(col("ibi").isNotNull)
+      .withColumn("__sd", col("ibi") - lag(col("ibi"), 1).over(wSub))
+      .withColumn("win", (col("idx") / windowRows).cast("long") + 1)
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+    withDiff.groupBy("subject", "win")
+      .agg(
+        count(col("ibi")).as("n_ibi"),
+        dsum(col("ibi")).as("__sum"),
+        dsum(col("ibi") * col("ibi")).as("__sumsq"),
+        dsum(col("__sd") * col("__sd")).as("__sdsq"),
+        count(col("__sd")).as("__nsd"),
+        sum(when(abs(col("__sd")) > 50, 1).otherwise(0)).as("__nn50"),
+        sum(when(abs(col("__sd")) > 20, 1).otherwise(0)).as("__nn20"),
+        min(col("ibi")).as("min_nni"),
+        max(col("ibi")).as("max_nni"),
+        percentile(col("ibi"), lit(0.5)).as("median_nni"))
+      .withColumn("mean_nni", col("__sum") / col("n_ibi"))
+      .withColumn("range_nni", col("max_nni") - col("min_nni"))
+      .withColumn("sdnn", when(col("n_ibi") > 1, sqrt(
+        (col("__sumsq") - col("__sum") * col("__sum") / col("n_ibi")) / (col("n_ibi") - 1))))
+      .withColumn("rmssd", when(col("__nsd") > 0, sqrt(col("__sdsq") / col("__nsd"))))
+      .withColumn("pnn50", when(col("__nsd") > 0,
+        col("__nn50").cast("double") / col("__nsd") * 100))
+      .withColumn("pnn20", when(col("__nsd") > 0,
+        col("__nn20").cast("double") / col("__nsd") * 100))
+      .withColumn("mean_hr", lit(60000.0) / (col("__sum") / col("n_ibi")))
+      .withColumn("max_hr", lit(60000.0) / col("min_nni"))
+      .withColumn("min_hr", lit(60000.0) / col("max_nni"))
+      .select("subject", "win", "n_ibi", "mean_nni", "median_nni", "range_nni",
+        "min_nni", "max_nni", "sdnn", "rmssd", "pnn50", "pnn20",
+        "mean_hr", "min_hr", "max_hr")
+  }
+
+  /** Poincaré nonlinear features SD1/SD2/CSI/CVI from successive-difference
+    * and total variance (standard identities: SD1² = var(diff)/2,
+    * SD2² = 2·var(nni) − SD1²). */
+  def nonlinear(beats: DataFrame, fs: Int, windowS: Int): DataFrame = {
+    val wSub = Window.partitionBy("subject").orderBy("idx")
+    val windowRows = fs.toLong * windowS
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val withDiff = beats
+      .filter(col("ibi").isNotNull)
+      .withColumn("__sd", col("ibi") - lag(col("ibi"), 1).over(wSub))
+      .withColumn("win", (col("idx") / windowRows).cast("long") + 1)
+    withDiff.groupBy("subject", "win")
+      .agg(
+        count(col("ibi")).as("n_ibi"),
+        dsum(col("ibi")).as("__sum"),
+        dsum(col("ibi") * col("ibi")).as("__sumsq"),
+        dsum(col("__sd") * col("__sd")).as("__sdsq"),
+        count(col("__sd")).as("__nsd"))
+      .filter(col("n_ibi") > 2 && col("__nsd") > 1)
+      .withColumn("__var_nni",
+        (col("__sumsq") - col("__sum") * col("__sum") / col("n_ibi")) / (col("n_ibi") - 1))
+      .withColumn("__var_sd", col("__sdsq") / col("__nsd"))
+      .withColumn("sd1", sqrt(col("__var_sd") / 2))
+      .withColumn("sd2_sq", lit(2.0) * col("__var_nni") - col("__var_sd") / 2)
+      .withColumn("sd2", when(col("sd2_sq") > 0, sqrt(col("sd2_sq"))))
+      .withColumn("csi", col("sd2") / col("sd1"))
+      // log10 is not correctly-rounded across libm implementations — pin
+      // the last digit for cross-engine hash parity
+      .withColumn("cvi", round(log10(col("sd1") * col("sd2") * 16), 6))
+      .select("subject", "win", "n_ibi", "sd1", "sd2", "csi", "cvi")
+  }
+}
