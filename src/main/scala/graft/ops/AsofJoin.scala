@@ -70,11 +70,17 @@ object AsofJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight)
 
-    // right rows (__side=0) sort before left rows at equal __t, so the
-    // backward frame includes exact-timestamp matches.
-    val wAll = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__side"))
-    val wBack = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Exact matches must be visible in BOTH directions, so the two frames
+    // use opposite side-orderings: backward sorts right rows (__side=0)
+    // before left rows at equal __t (the right row lands inside
+    // unboundedPreceding..current), forward sorts them after (inside
+    // current..unboundedFollowing).
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val withBoth = unioned
       .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wBack))

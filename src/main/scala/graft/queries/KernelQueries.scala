@@ -33,7 +33,13 @@ object KernelQueries {
 
     // Full Pan-Tompkins FSM detection (filter + MWA + adaptive thresholds).
     "q36_pantompkins" -> ((s, dir) =>
-      BeatDetectors.panTompkins(SignalFrame.fromEvents(s, dir), NAB_FS))
+      BeatDetectors.panTompkins(SignalFrame.fromEvents(s, dir), NAB_FS)),
+
+    // Berntson/Hoemann criterion-beat-difference artifacts (sequential
+    // kernel; reference SQA.py:391-475). Rows-only check.
+    "q44_cbd" -> ((s, dir) =>
+      graft.kernels.Cbd.artifacts(
+        graft.sqa.Cardio.beatRows(SignalFrame.fromEvents(s, dir)), fs = 4))
   )
 
   def oracleSql: Map[String, String] = {

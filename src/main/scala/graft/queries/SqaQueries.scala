@@ -34,7 +34,37 @@ object SqaQueries {
     "q33_hegarty" -> ((s, dir) =>
       Cardio.hegartyArtifacts(
         Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS)
-        .select("subject", "idx", "ibi", "hegarty_artifact"))
+        .select("subject", "idx", "ibi", "hegarty_artifact")),
+
+    "q42_rolling_metrics" -> ((s, dir) =>
+      Cardio.computeMetricsRolling(SignalFrame.fromEvents(s, dir), FS,
+        windowS = 20, stepS = 5)),
+
+    "q43_interp" -> ((s, dir) => {
+      import graft.ops.AsofJoin
+      val G = 7200000000L // 2-hour grid
+      val ev = graft.core.Tables.events(s, dir)
+        .select(col("user_id").as("subject"), col("ts_us"), col("value"))
+      val grid = ev.groupBy("subject")
+        .agg(min(col("ts_us")).as("__lo"), max(col("ts_us")).as("__hi"))
+        .withColumn("g", explode(sequence(
+          expr(s"(__lo + ${G - 1}) div $G"), expr(s"__hi div $G"))))
+        .withColumn("gt", col("g") * G)
+        .select("subject", "gt")
+      val bwd = AsofJoin.join(grid, ev, Seq("subject"), "gt", "ts_us",
+        Seq("value" -> "y0"), direction = "backward")
+        .withColumnRenamed("ts_us_matched", "t0")
+      val both = AsofJoin.join(bwd, ev, Seq("subject"), "gt", "ts_us",
+        Seq("value" -> "y1"), direction = "forward")
+        .withColumnRenamed("ts_us_matched", "t1")
+      both
+        .filter(col("t0").isNotNull && col("t1").isNotNull)
+        .withColumn("interp",
+          when(col("t1") === col("t0"), col("y0"))
+            .otherwise(col("y0") + (col("y1") - col("y0")) *
+              ((col("gt") - col("t0")).cast("double") / (col("t1") - col("t0")))))
+        .select("subject", "gt", "t0", "t1", "interp")
+    })
   )
 
   private val SIG = SignalFrame.fromEventsSql
@@ -134,8 +164,76 @@ object SqaQueries {
          |SELECT subject, idx, ibi,
          |  CASE WHEN ibi IS NOT NULL AND NOT
          |    (ibi BETWEEN (26.0/32) * est AND (44.0/32) * est) THEN 1 END AS hegarty_artifact
-         |FROM b5""".stripMargin
+         |FROM b5""".stripMargin,
+
+    "q42_rolling_metrics" -> rollingSql(windowS = 20, stepS = 5),
+
+    "q43_interp" -> {
+      val G = 7200000000L
+      s"""WITH ev AS (
+         |  SELECT user_id AS subject, epoch_us(ts) AS ts_us, value FROM events),
+         |grid AS (
+         |  SELECT subject, unnest(range((MIN(ts_us) + ${G - 1}) // $G, MAX(ts_us) // $G + 1)) * $G AS gt
+         |  FROM ev GROUP BY subject)
+         |SELECT g.subject, g.gt, b.t0, f.t1,
+         |  CASE WHEN f.t1 = b.t0 THEN b.y0
+         |    ELSE b.y0 + (f.y1 - b.y0) * (CAST(g.gt - b.t0 AS DOUBLE) / (f.t1 - b.t0)) END AS interp
+         |FROM grid g
+         |JOIN LATERAL (SELECT ts_us AS t0, value AS y0 FROM ev e
+         |  WHERE e.subject = g.subject AND e.ts_us <= g.gt
+         |  ORDER BY e.ts_us DESC LIMIT 1) b ON TRUE
+         |JOIN LATERAL (SELECT ts_us AS t1, value AS y1 FROM ev e
+         |  WHERE e.subject = g.subject AND e.ts_us >= g.gt
+         |  ORDER BY e.ts_us ASC LIMIT 1) f ON TRUE""".stripMargin
+    }
   )
+
+  private def rollingSql(windowS: Int, stepS: Int): String = {
+    val step = FS * stepS
+    val win = FS * windowS
+    val thr = (40.0 * 60 / 60).toInt
+    s"""WITH sig AS ($SIG),
+       |b AS (
+       |  SELECT subject, idx, (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi
+       |  FROM sig WHERE beat = 1
+       |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+       |sj AS (
+       |  SELECT s.*, b.ibi FROM sig s
+       |  LEFT JOIN b ON s.subject = b.subject AND s.idx = b.idx),
+       |ex AS (
+       |  SELECT *, w FROM sj, unnest(range(
+       |    GREATEST((idx - $win) // $step + 1, 0), idx // $step + 1)) AS t(w)),
+       |base AS (
+       |  SELECT subject, w, COUNT(beat) AS n_detected, COUNT(artifact) AS n_artifact,
+       |    MIN(ts_us) AS first_ts_us
+       |  FROM ex GROUP BY 1, 2),
+       |bm AS (
+       |  SELECT subject, w,
+       |    COUNT(*) OVER w5 AS cnt5,
+       |    (COUNT(artifact) OVER w5 = 0) AS art_free,
+       |    MEDIAN(60000.0 / ibi) OVER w5 AS med_hr
+       |  FROM ex WHERE beat = 1
+       |  WINDOW w5 AS (PARTITION BY subject, w ORDER BY idx
+       |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+       |er AS (
+       |  SELECT subject, w, MEDIAN(med_hr) AS exp_raw
+       |  FROM bm WHERE cnt5 = 5 AND art_free GROUP BY 1, 2),
+       |m AS (
+       |  SELECT base.*, LAST_VALUE(er.exp_raw IGNORE NULLS) OVER
+       |    (PARTITION BY base.subject ORDER BY base.w
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_hr
+       |  FROM base LEFT JOIN er ON base.subject = er.subject AND base.w = er.w)
+       |SELECT subject, w + 1 AS moving_window, first_ts_us, n_detected,
+       |  CAST(round_even(exp_hr * $windowS / 60.0, 0) AS BIGINT) AS n_expected,
+       |  GREATEST(CAST(round_even(exp_hr * $windowS / 60.0, 0) AS BIGINT) - n_detected, 0) AS n_missing,
+       |  round_even(GREATEST(CAST(round_even(exp_hr * $windowS / 60.0, 0) AS BIGINT) - n_detected, 0)::DOUBLE
+       |    / CAST(round_even(exp_hr * $windowS / 60.0, 0) AS BIGINT) * 100, 2) AS pct_missing,
+       |  n_artifact,
+       |  CASE WHEN n_detected > 0
+       |    THEN round_even(n_artifact::DOUBLE / n_detected * 100, 2) END AS pct_artifact,
+       |  CASE WHEN n_detected < $thr OR n_detected > 220 THEN 1 END AS invalid
+       |FROM m""".stripMargin
+  }
 
   private def missingSql(): String =
     s"""WITH sig AS ($SIG),

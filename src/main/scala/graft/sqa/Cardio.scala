@@ -191,6 +191,65 @@ object Cardio {
       .select("subject", "segment", "first_ts_us", "n_detected", "n_expected",
         "n_missing", "pct_missing", "n_artifact", "pct_artifact", "invalid")
 
+  /** Rolling-window SQA metrics (reference SQA.py:115-175): windows start
+    * every `stepS` seconds, `windowS` seconds wide (possibly truncated at
+    * the recording end). Expected HR = median of the artifact-free 5-beat
+    * window medians within the slice, with carry-forward of the last valid
+    * estimate across windows; no neighbor fallback, rescale, or backfill
+    * (those are segmented-path semantics).
+    *
+    * Relational form: each sample explodes to the <= windowS/stepS windows
+    * containing it (bounded), then one grouped aggregation per window and
+    * one beats-exploded pass for the 5-beat medians. */
+  def computeMetricsRolling(signal: DataFrame, fs: Int, windowS: Int,
+      stepS: Int, minHr: Double = 40, segSize: Int = 60): DataFrame = {
+    val step = fs.toLong * stepS
+    val win = fs.toLong * windowS
+    val winOf = (i: Column) => {
+      val whi = (i / step).cast("long")
+      val wlo = greatest(((i - win) / step).cast("long") + 1, lit(0L))
+      explode(sequence(wlo, whi))
+    }
+    val withIbi = {
+      val beats = ibis(beatRows(signal), fs).select("subject", "idx", "ibi", "artifact")
+      signal.join(beats.select(col("subject"), col("idx"), col("ibi")),
+        Seq("subject", "idx"), "left")
+    }
+    val exploded = withIbi.withColumn("w", winOf(col("idx")))
+    val base = exploded.groupBy("subject", "w")
+      .agg(
+        count(col("beat")).as("n_detected"),
+        count(col("artifact")).as("n_artifact"),
+        min(col("ts_us")).as("first_ts_us"))
+    // 5-beat medians within each window slice
+    val w5 = Window.partitionBy("subject", "w").orderBy("idx").rowsBetween(0, 4)
+    val beatsExploded = exploded.filter(col("beat") === 1)
+      .withColumn("hr", lit(60000.0) / col("ibi"))
+      .withColumn("__cnt5", count(lit(1)).over(w5))
+      .withColumn("__art_free", count(col("artifact")).over(w5) === 0)
+      .withColumn("__med_hr", percentile(col("hr"), lit(0.5)).over(w5))
+      .filter(col("__cnt5") === 5 && col("__art_free"))
+    val expRaw = beatsExploded.groupBy("subject", "w")
+      .agg(percentile(col("__med_hr"), lit(0.5)).as("__exp_raw"))
+    val wW = Window.partitionBy("subject").orderBy("w")
+    base.join(expRaw, Seq("subject", "w"), "left")
+      .withColumn("__exp_hr", last(col("__exp_raw"), ignoreNulls = true)
+        .over(wW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_expected",
+        bround(col("__exp_hr") * windowS / 60.0, 0).cast("long"))
+      .withColumn("n_missing", greatest(col("n_expected") - col("n_detected"), lit(0L)))
+      .withColumn("pct_missing",
+        bround(col("n_missing").cast("double") / col("n_expected") * 100, 2))
+      .withColumn("pct_artifact", when(col("n_detected") > 0,
+        bround(col("n_artifact").cast("double") / col("n_detected") * 100, 2)))
+      .withColumn("invalid",
+        when(col("n_detected") < (minHr * segSize / 60).toInt ||
+          col("n_detected") > 220, 1))
+      .select(col("subject"), (col("w") + 1).as("moving_window"), col("first_ts_us"),
+        col("n_detected"), col("n_expected"), col("n_missing"), col("pct_missing"),
+        col("n_artifact"), col("pct_artifact"), col("invalid"))
+  }
+
   /** Second-by-second HR/IBI (Graham 1978; reference SQA.py:631-723).
     * Each 1-s bucket is evaluated over beats in the previous+current+next
     * second (current second only for s=0); mean HR is the harmonic-style
