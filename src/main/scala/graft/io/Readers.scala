@@ -1,0 +1,127 @@
+package graft.io
+
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Device-file sources (SURVEY §2.1).
+  *
+  *  - E4 ZIP (S2/S3): per-modality CSVs where row 0 = Unix start time and
+  *    row 1 = sampling rate, remaining rows = samples
+  *    (reference physioview.py:196-335, 860-907). ZIP expansion happens
+  *    driver-side (archives are small device dumps); sample frames are
+  *    plain Spark DataFrames with synthesized timestamps.
+  *  - Column-mapped CSV (S4): arbitrary headers projected/renamed to the
+  *    canonical roles with an optional synthetic 1-based Sample column
+  *    (reference dashboard/utils.py:437-492).
+  *  - Beat-editor JSON (S9/S10): records-oriented export with epoch-ms
+  *    timestamps and the `_edited` edit-instruction format
+  *    (reference physioview.py:1594-1737).
+  */
+object Readers {
+
+  /** E4 archive entry names -> (columns, canonical name). */
+  private val E4_LAYOUT = Map(
+    "ACC.csv" -> Seq("X", "Y", "Z"),
+    "BVP.csv" -> Seq("BVP"),
+    "EDA.csv" -> Seq("EDA"),
+    "TEMP.csv" -> Seq("TEMP"),
+    "HR.csv" -> Seq("HR"))
+
+  /** Read one modality from an E4 ZIP: DataFrame with synthesized
+    * `Timestamp` (µs epoch), `idx`, and the modality columns. E4 ACC is
+    * additionally converted 1/64 g -> m/s² with a Magnitude column
+    * (reference physioview.py:370-371; P1/P5). */
+  def e4Modality(spark: SparkSession, zipPath: String, entry: String): DataFrame = {
+    val cols = E4_LAYOUT(entry)
+    val zf = new ZipFile(zipPath)
+    try {
+      val ze = zf.entries.asScala.find(_.getName.endsWith(entry))
+        .getOrElse(throw new IllegalArgumentException(s"$entry not in $zipPath"))
+      val lines = scala.io.Source.fromInputStream(zf.getInputStream(ze)).getLines().toArray
+      val start = lines(0).split(",")(0).trim.toDouble // Unix seconds
+      val fs = lines(1).split(",")(0).trim.toDouble
+      val rows = lines.drop(2).zipWithIndex.map { case (l, i) =>
+        val vs = l.split(",").map(_.trim.toDouble)
+        Row.merge(Row(i.toLong, ((start + i / fs) * 1e6).toLong), Row(vs.toIndexedSeq: _*))
+      }
+      val schema = StructType(
+        Seq(StructField("idx", LongType), StructField("ts_us", LongType)) ++
+          cols.map(c => StructField(c, DoubleType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+      if (entry == "ACC.csv")
+        df.withColumn("X", col("X") / 64 * 9.81)
+          .withColumn("Y", col("Y") / 64 * 9.81)
+          .withColumn("Z", col("Z") / 64 * 9.81)
+          .withColumn("Magnitude",
+            sqrt(col("X") * col("X") + col("Y") * col("Y") + col("Z") * col("Z")))
+      else df
+    } finally zf.close()
+  }
+
+  /** E4 IBI file: `Seconds,IBI` with the start time in the header row;
+    * IBI seconds -> ms (reference physioview.py:487-523). */
+  def e4Ibi(spark: SparkSession, zipPath: String): DataFrame = {
+    val zf = new ZipFile(zipPath)
+    try {
+      val ze = zf.entries.asScala.find(_.getName.endsWith("IBI.csv"))
+        .getOrElse(throw new IllegalArgumentException(s"IBI.csv not in $zipPath"))
+      val lines = scala.io.Source.fromInputStream(zf.getInputStream(ze)).getLines().toArray
+      val start = lines(0).split(",")(0).trim.toDouble
+      val rows = lines.drop(1).map { l =>
+        val p = l.split(",")
+        val sec = p(0).trim.toDouble
+        Row(((start + sec) * 1e6).toLong, p(1).trim.toDouble * 1000.0)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq),
+        StructType(Seq(StructField("ts_us", LongType), StructField("IBI", DoubleType))))
+    } finally zf.close()
+  }
+
+  /** Generic CSV with user column mapping: `mapping` renames source header
+    * -> canonical role (Timestamp, ECG/PPG/BVP/EDA, X, Y, Z, TEMP). A
+    * 1-based `Sample` column is synthesized when no Timestamp is mapped
+    * (reference dashboard/utils.py:437-492). */
+  def mappedCsv(spark: SparkSession, path: String,
+      mapping: Map[String, String]): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val projected = raw.select(mapping.keys.toSeq.map(c =>
+      col(s"`$c`").as(mapping(c))): _*)
+    if (mapping.values.exists(_ == "Timestamp")) projected
+    else projected.withColumn("Sample",
+      row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long"))
+  }
+
+  /** Probe CSV headers (S5; reference dashboard/utils.py:422-428). */
+  def csvHeaders(spark: SparkSession, path: String): Seq[String] =
+    spark.read.option("header", "true").csv(path).columns.toSeq
+
+  /** Beat-editor JSON export (S9): records-oriented, epoch-ms dates,
+    * Signal/Beat/Artifact naming, injected Segment
+    * (reference physioview.py:1594-1688). */
+  def writeBeatEditorJson(signal: DataFrame, sigCol: String, outPath: String): Unit =
+    signal.select(
+      col("segment").as("Segment"),
+      (col("ts_us") / 1000).cast("long").as("Timestamp"),
+      col(sigCol).as("Signal"),
+      col("beat").as("Beat"),
+      col("artifact").as("Artifact"))
+      .write.mode("overwrite").json(outPath)
+
+  /** Beat-editor edit-instruction source (S10; `_edited.json`):
+    * x/y/from/to/editType with epoch-ms values
+    * (reference physioview.py:1690-1737, docs/beat-editor-json.rst). */
+  def readBeatEdits(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType),
+      StructField("from", LongType), StructField("to", LongType),
+      StructField("editType", StringType)))
+    spark.read.schema(schema).json(path)
+  }
+}
