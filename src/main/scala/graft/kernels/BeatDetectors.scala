@@ -51,27 +51,18 @@ object BeatDetectors {
     var i = 0
     while (i < n - 1) { val d = signal(i + 1) - signal(i); squared(i) = d * d; i += 1 }
 
-    // 150 ms moving average, centered like uniform_filter1d with
-    // origin=(w-1)//2 => window [i - (w - 1 - o), i + o] with edge clamping
+    // 150 ms moving average: uniform_filter1d(squared, w, origin=(w-1)//2)
+    // is a TRAILING window [i-w+1, i] (== py-ecg-detectors MWA_cumulative);
+    // the head overwrite below exists precisely because that is where the
+    // trailing window is partial, so left indices just clamp to 0.
     val w = (0.15 * fs).toInt
-    val o = (w - 1) / 2
     val mwa = new Array[Double](squared.length)
+    var runSum = 0.0
     i = 0
     while (i < squared.length) {
-      // uniform_filter1d divides by w with 'reflect' edges; replicate:
-      var s = 0.0
-      var j = i - (w - 1 - o)
-      while (j <= i + o) {
-        // reflect mode: indices mirror at boundaries (scipy default)
-        var jj = j
-        while (jj < 0 || jj >= squared.length) {
-          if (jj < 0) jj = -jj - 1
-          if (jj >= squared.length) jj = 2 * squared.length - jj - 1
-        }
-        s += squared(jj)
-        j += 1
-      }
-      mwa(i) = s / w
+      runSum += squared(i)
+      if (i >= w) runSum -= squared(i - w)
+      mwa(i) = runSum / w
       i += 1
     }
     // reference head quirk: first (w-1) values overwritten with the running

@@ -75,11 +75,15 @@ object AsofJoin {
     // before left rows at equal __t (the right row lands inside
     // unboundedPreceding..current), forward sorts them after (inside
     // current..unboundedFollowing).
+    // __rv as final tie-break: among right rows sharing a timestamp, both
+    // directions deterministically surface the MAX payload struct (without
+    // it, last()/first() depend on physical row order — nondeterministic
+    // run-to-run on duplicate-timestamp quote data).
     val wBack = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side").desc)
+      .orderBy(col("__t"), col("__side").desc, col("__rv").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val withBoth = unioned

@@ -92,9 +92,10 @@ object FeatureQueries {
          |               AND ${(P.spreadDurS * FS).toInt} FOLLOWING) AS spread
          |  FROM f),
          |agged AS (
-         |  SELECT subject, segment, COUNT(*) AS len, SUM(spread) AS nspr,
-         |    SUM(oor) AS n_out_of_range, SUM(slp) AS n_excessive_slope,
-         |    SUM(tmp) AS n_temp_out_of_range, COUNT(artifact) AS n_scrs
+         |  SELECT subject, segment, COUNT(*) AS len, CAST(SUM(spread) AS BIGINT) AS nspr,
+         |    CAST(SUM(oor) AS BIGINT) AS n_out_of_range,
+         |    CAST(SUM(slp) AS BIGINT) AS n_excessive_slope,
+         |    CAST(SUM(tmp) AS BIGINT) AS n_temp_out_of_range, COUNT(artifact) AS n_scrs
          |  FROM g GROUP BY 1, 2)
          |SELECT subject, segment, len - nspr AS n_valid,
          |  round_even((len - nspr)::DOUBLE / len * 100, 2) AS pct_valid,

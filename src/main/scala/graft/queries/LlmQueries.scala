@@ -155,7 +155,8 @@ object LlmQueries {
          |  ROUND(len(list_intersect(a.s, b.s))::DOUBLE
          |    / len(list_distinct(a.s || b.s)), 6) AS jaccard
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
          |    / len(list_distinct(a.s || b.s)), 6) >= 0.05""".stripMargin,
 
     "q26_langid" -> {

@@ -273,7 +273,7 @@ object Relational {
          |  FROM events e
          |  WHERE e.event_type = 'view' AND e.user_id = p.user_id
          |    AND ABS(epoch_us(e.ts) - epoch_us(p.ts)) <= $HOUR_US
-         |  ORDER BY dist_us, epoch_us(e.ts) LIMIT 1) v ON TRUE
+         |  ORDER BY dist_us, epoch_us(e.ts), e.event_id DESC LIMIT 1) v ON TRUE
          |WHERE p.event_type = 'purchase'""".stripMargin,
 
     "q08_join_agg" ->
@@ -290,11 +290,11 @@ object Relational {
 
     "q10_pivot" ->
       """SELECT user_id,
-        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q11_percentiles" ->
@@ -322,8 +322,8 @@ object Relational {
       """SELECT user_id, run_id, MIN(event_type) AS event_type, COUNT(*) AS n,
         |MIN(us) AS start_us, MAX(us) AS end_us FROM (
         |  SELECT user_id, event_type, epoch_us(ts) AS us,
-        |    SUM(b) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |    CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
         |  FROM (
         |    SELECT *, CASE WHEN LAG(event_type) OVER
         |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS DISTINCT FROM event_type

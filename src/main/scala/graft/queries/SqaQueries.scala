@@ -202,7 +202,8 @@ object SqaQueries {
        |  LEFT JOIN b ON s.subject = b.subject AND s.idx = b.idx),
        |ex AS (
        |  SELECT *, w FROM sj, unnest(range(
-       |    GREATEST((idx - $win) // $step + 1, 0), idx // $step + 1)) AS t(w)),
+       |    CASE WHEN idx < $win THEN 0 ELSE (idx - $win) // $step + 1 END,
+       |    idx // $step + 1)) AS t(w)),
        |base AS (
        |  SELECT subject, w, COUNT(beat) AS n_detected, COUNT(artifact) AS n_artifact,
        |    MIN(ts_us) AS first_ts_us

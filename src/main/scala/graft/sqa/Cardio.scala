@@ -207,7 +207,11 @@ object Cardio {
     val win = fs.toLong * windowS
     val winOf = (i: Column) => {
       val whi = (i / step).cast("long")
-      val wlo = greatest(((i - win) / step).cast("long") + 1, lit(0L))
+      // lowest containing window needs FLOOR semantics: cast("long") truncates
+      // toward zero, which would drop idx in (win-step, win) from window 0.
+      // For i >= win the quotient is non-negative, where trunc == floor.
+      val wlo = when(i < win, lit(0L))
+        .otherwise(((i - win) / step).cast("long") + 1)
       explode(sequence(wlo, whi))
     }
     val withIbi = {

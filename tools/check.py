@@ -75,6 +75,20 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
             continue
+        # Driver hashes typed values: DuckDB HUGEINT (any SUM of integers)
+        # arrives as float64 while Spark longs arrive as int64 — equal values,
+        # different hashes. Flag kind mismatches unless nulls forced the cast.
+        tbad = None
+        for c in got.columns:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            if gk != wk and {gk, wk} <= {"i", "u", "f"} and \
+                    not got[c].isna().any() and not want[c].isna().any():
+                tbad = (c, got[c].dtype, want[c].dtype)
+                break
+        if tbad:
+            print(f"FAIL {name}: dtype col {tbad[0]}: spark={tbad[1]} duckdb={tbad[2]}")
+            n_fail += 1
+            continue
         bad = None
         for c in got.columns:
             ga, wa = got[c].tolist(), want[c].tolist()
