@@ -25,15 +25,28 @@ object Bench {
       try graft.core.Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Optional comma-separated query-name filter and repeat count (min of k)
+    // for targeted profiling; the driver sets neither.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+          System.err.println(s"== $name ==\n" + fn(spark, sfDir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val dt = times.min
+        System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-      name -> dt
-    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -54,27 +54,46 @@ object Dedup {
   def shingleSetSizes(rows: DataFrame, idCol: String): DataFrame =
     rows.groupBy(col(idCol)).agg(count(lit(1)).as("__set_size"))
 
+  /** Universal-hash constants for the k MinHash permutations: one 32-bit
+    * base hash per shingle, then h_j = (A_j * h + B_j) mod P — 1 md5 per
+    * shingle row instead of k (md5 dominates signature cost at k=8).
+    * Products stay < 2^63 (A_j < 2^27, h < 2^32), so the arithmetic is
+    * exact in both Spark longs and DuckDB BIGINTs — oracle-portable. */
+  val MINHASH_P = 2147483647L // 2^31 - 1
+  val HASH_A = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  val HASH_B = Seq(104729L, 1299709L, 2750159L, 4256233L,
+    5800079L, 7368787L, 8960453L, 10570841L)
+
   /** Per-document MinHash signature over word n-gram shingles: shingle
-    * rows → `numHashes` codegen'd `min(md5(...))` aggregates with map-side
-    * partial mins — one shuffle on the doc id. */
+    * rows → one 32-bit md5-derived base hash → `numHashes` codegen'd
+    * universal-hash `min` aggregates with map-side partial mins — one
+    * shuffle on the doc id. `mh` is array<long>. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    val rows = shingleRows(docs, idCol, textCol, shingleN)
-    val mins = (0 until numHashes).map(j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("shingle")))).as(s"__mh$j"))
-    rows.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .withColumn("mh", array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+      shingleN: Int, numHashes: Int): DataFrame =
+    signaturesFromRows(shingleRows(docs, idCol, textCol, shingleN), idCol, numHashes)
       .select(col(idCol), col("mh"))
+
+  /** Signature + set size in ONE aggregation pass over the shingle rows —
+    * (id, mh, __set_size). Callers that need both never re-scan the rows. */
+  private def signaturesFromRows(rows: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    require(numHashes <= HASH_A.size, s"at most ${HASH_A.size} hash functions")
+    val base = conv(substr(md5(col("shingle")), lit(1), lit(8)), 16, 10).cast("long")
+    val mins = (0 until numHashes).map(j =>
+      min((lit(HASH_A(j)) * base + lit(HASH_B(j))) % MINHASH_P).as(s"__mh$j"))
+    rows.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__set_size"), mins: _*)
+      .withColumn("mh", array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+      .select(col(idCol), col("mh"), col("__set_size"))
   }
 
   /** Exact Jaccard for given candidate pairs via shingle-equality joins:
     * |A∩B| from a co-grouped count, |A∪B| = |A|+|B|-|A∩B|. Pairs with an
     * empty intersection get jaccard 0 (they only survive if threshold<=0).
     */
-  private def verifyJaccard(cand: DataFrame, rows: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val sizes = shingleSetSizes(rows, idCol)
+  private def verifyJaccard(cand: DataFrame, rows: DataFrame, sizes: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val inter = cand
       .join(rows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(rows.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -96,16 +115,21 @@ object Dedup {
       threshold: Double = 0.0): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val rows = shingleRows(docs, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    // One aggregation yields signatures AND set sizes; the band self-join's
+    // two sides are identical subplans, so Catalyst's ReuseExchange computes
+    // the signature pipeline once.
+    val sigs = signaturesFromRows(rows, idCol, numHashes)
     val bands = sigs
       .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
-      .select(col(idCol), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+      .select(col(idCol), col("__set_size"),
+        posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
     val a = bands.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
     val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(cand, rows, idCol, threshold)
+    val sizes = sigs.select(col(idCol), col("__set_size"))
+    verifyJaccard(cand, rows, sizes, idCol, threshold)
   }
 
   /** Per-document 60-bit SimHash fingerprints.
@@ -139,6 +163,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       numBands: Int = 4, maxHamming: Int = 10): DataFrame = {
     val bitsPerBand = 60 / numBands
+    // The a/b join sides are identical subplans — ReuseExchange computes the
+    // fingerprint aggregation once.
     val fps = simhashFingerprints(docs, idCol, textCol)
     val bandExprs = (0 until numBands).map(b =>
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1L))
@@ -167,6 +193,10 @@ object Dedup {
       blockCol: String, n: Int = 2, threshold: Double = 0.05): DataFrame = {
     require(threshold > 0, "join-form jaccard only emits overlapping pairs")
     val rows = shingleRows(docs, idCol, textCol, n, extraCols = Seq(blockCol))
+    // Identical a/b subtrees share their shuffle stage under AQE; the size
+    // lookups stay separate small aggregations joined post-aggregation (a
+    // window-carried count was measured slower — it forces a full sort of
+    // the shingle rows).
     val sizes = shingleSetSizes(rows, idCol)
     val inter = rows.select(col(blockCol), col(idCol).as("id_a"), col("shingle"))
       .join(rows.select(col(blockCol), col(idCol).as("id_b"), col("shingle")),

@@ -29,14 +29,18 @@ object TextOps {
     array_distinct(when(size(wordsCol) >= n, grams).otherwise(array()))
   }
 
-  /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashes.
-    * (Signatures themselves are computed explode-side in [[Dedup]] — md5
-    * string minima are codegen'd there; string-lexicographic min over
-    * fixed-width lowercase hex == numeric min over the 128-bit hash.) */
-  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+  /** LSH band keys from a numeric minhash signature (values < 2^31): bands
+    * of `rowsPerBand` hashes packed into one long — integer-exact, no
+    * string hashing on the banding path, identical arithmetic in DuckDB. */
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 2,
+      "packed band keys support 1 or 2 rows per band")
     transform(sequence(lit(0), lit(numBands - 1)),
-      b => md5(concat_ws("", (0 until rowsPerBand).map(r =>
-        element_at(sig, (b * rowsPerBand + r + 1).cast("int"))): _*)))
+      b =>
+        if (rowsPerBand == 1) element_at(sig, (b + 1).cast("int"))
+        else element_at(sig, (b * 2 + 1).cast("int")) * lit(2147483648L) +
+          element_at(sig, (b * 2 + 2).cast("int")))
+  }
 
   /** 60-bit portable word hash. */
   def wordHash60(w: Column): Column =

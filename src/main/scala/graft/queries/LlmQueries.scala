@@ -73,6 +73,17 @@ object LlmQueries {
        | ELSE [] END)""".stripMargin
   }
 
+  /** MinHash j (0-based, inside a `range(0, k)` lambda over `shingles`):
+    * universal hash of the 32-bit md5-derived base — mirrors
+    * [[graft.llm.Dedup.signaturesFromRows]] exactly. */
+  private val MINHASH_SQL = {
+    val a = Dedup.HASH_A.mkString("[", ", ", "]")
+    val b = Dedup.HASH_B.mkString("[", ", ", "]")
+    s"""list_aggregate(list_transform(shingles, s ->
+       | ((${a})[j+1] * ('0x' || substr(md5(s), 1, 8))::BIGINT + (${b})[j+1])
+       |   % ${Dedup.MINHASH_P}), 'min')""".stripMargin.replace("\n", "")
+  }
+
   private val DOT =
     "list_reduce(list_transform(range(1, 65), i -> (A[i])::DOUBLE * (B[i])::DOUBLE), (x, y) -> x + y)"
 
@@ -89,9 +100,7 @@ object LlmQueries {
          |  SELECT doc_id, ${shinglesSql(3)} AS shingles
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents))
          |SELECT doc_id, array_to_string(
-         |  list_transform(range(0, 8), j ->
-         |    list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)), 'min')),
-         |  ',') AS sig
+         |  list_transform(range(0, 8), j -> $MINHASH_SQL), ',') AS sig
          |FROM sh WHERE len(shingles) > 0""".stripMargin,
 
     "q22_minhash_pairs" ->
@@ -100,11 +109,11 @@ object LlmQueries {
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
          |sig AS (
          |  SELECT doc_id, shingles,
-         |    list_transform(range(0, 8), j ->
-         |      list_aggregate(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)), 'min')) AS mh
+         |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
          |  FROM sh WHERE len(shingles) > 0),
          |bands AS (
-         |  SELECT doc_id, shingles, b AS band_idx, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+         |  SELECT doc_id, shingles, b AS band_idx,
+         |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
          |  FROM sig, unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
