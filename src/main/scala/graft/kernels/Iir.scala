@@ -274,10 +274,12 @@ object Iir {
 
   /** Zero-phase forward-backward filter with odd-extension padding,
     * padlen = 3 * max(len(a), len(b)) (the scipy filtfilt defaults the
-    * reference relies on). */
-  def filtfilt(b: Array[Double], a: Array[Double], x: Array[Double]): Array[Double] = {
+    * reference relies on). `padlenOpt >= 0` overrides (the decimation path
+    * passes min(3*taps, len-1), utils.py:513-515). */
+  def filtfilt(b: Array[Double], a: Array[Double], x: Array[Double],
+      padlenOpt: Int = -1): Array[Double] = {
     val ntaps = math.max(a.length, b.length)
-    val padlen = 3 * ntaps
+    val padlen = if (padlenOpt >= 0) padlenOpt else 3 * ntaps
     require(x.length > padlen, s"input length ${x.length} must exceed padlen $padlen")
     // odd extension: 2*x[0] - x[padlen..1], x, 2*x[-1] - x[-2..-padlen-1]
     val ext = new Array[Double](x.length + 2 * padlen)

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Beat-Editor edit application (SURVEY K17/K18).
+  *
+  * Reference semantics (physioview.py:1690-1832, sample-mapped path):
+  * point edits `(x, editType ∈ ADD|DELETE)` are nearest-matched onto the
+  * sample grid with tolerance 1 — pandas `merge_asof(samples, edits,
+  * nearest, tolerance=1)`, so ONE edit marks every sample within distance
+  * 1 (a faithful reference quirk), with backward ties winning. Range edits
+  * `(from, to)` mark `Unusable` spans inclusively. Flag application order
+  * (last wins): Edited := Beat, then DELETE→null, then Unusable→null,
+  * then ADD→1.
+  *
+  * Spark-first: the point-edit map is [[AsofJoin]] (one shuffle, linear);
+  * range edits explode to their covered samples (spans are bounded by the
+  * editor's segment length) and equi-join — no range-join explosion.
+  */
+object BeatEdits {
+
+  /** @param signal (subject, idx, beat, ...) canonical frame
+    * @param pointEdits (subject, x LONG, editType) — x unique per subject
+    * @param rangeEdits (subject, from LONG, to LONG) unusable spans
+    * @return signal columns + edited / deleted_beat / added_beat / unusable
+    */
+  def applyEdits(signal: DataFrame, pointEdits: DataFrame,
+      rangeEdits: DataFrame): DataFrame = {
+    // Reference: sort + drop_duplicates(keep='last') per sample, then asof.
+    val wDedup = Window.partitionBy("subject", "x")
+      .orderBy(col("editType").desc)
+    val edits = pointEdits
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col("__rn") === 1)
+      .select("subject", "x", "editType")
+
+    val mapped = AsofJoin.join(
+      signal, edits,
+      keys = Seq("subject"), leftT = "idx", rightT = "x",
+      rightCols = Seq("editType" -> "edit_type"),
+      tolerance = Some(1L), direction = "nearest")
+
+    // Inclusive [from, to] spans; one row per covered sample, deduplicated
+    // so overlapping spans mark once.
+    val unusable = rangeEdits
+      .select(col("subject"), explode(sequence(col("from"), col("to"))).as("idx"))
+      .distinct()
+      .withColumn("unusable", lit(1))
+
+    mapped.join(unusable, Seq("subject", "idx"), "left")
+      .withColumn("deleted_beat", when(col("edit_type") === "DELETE", 1))
+      .withColumn("added_beat", when(col("edit_type") === "ADD", 1))
+      .withColumn("edited",
+        when(col("edit_type") === "ADD", 1)
+          .when(col("edit_type") === "DELETE", lit(null))
+          .when(col("unusable") === 1, lit(null))
+          .otherwise(col("beat")))
+      .drop("x_matched", "edit_type")
+  }
+
+  /** Edited-IBI cleanup (reference callbacks.py:2459-2478): recompute IBIs
+    * over the final (`edited == 1`) beats, then null the FIRST non-null IBI
+    * after each unusable RUN END (run ends = last sample of each contiguous
+    * unusable span; the reference's searchsorted walk).
+    *
+    * Run-end counting is one union-tagged cumulative window — the same
+    * shuffle-once shape as the as-of join: an IBI row is nulled iff at
+    * least one run end lies in [prev_ibi_row_idx, idx).
+    *
+    * @param edited output of [[applyEdits]] (needs edited, unusable)
+    * @return (subject, idx, ibi_ms) one row per final beat
+    */
+  def editedIbis(edited: DataFrame, fs: Int): DataFrame = {
+    val wU = Window.partitionBy("subject").orderBy("idx")
+    val ends = edited.filter(col("unusable") === 1)
+      .withColumn("__nxt", lead(col("idx"), 1).over(wU))
+      .filter(col("__nxt").isNull || col("__nxt") > col("idx") + 1)
+      .select(col("subject"), col("idx"), lit(1).as("__end"), lit(null).cast("long").as("__beat"))
+
+    val beats = edited.filter(col("edited") === 1)
+      .select(col("subject"), col("idx"), lit(0).as("__end"), lit(1L).as("__beat"))
+
+    // Beats sort BEFORE ends at equal idx: a run end exactly at a beat's
+    // sample must only affect LATER beats (searchsorted side='right').
+    val wCum = Window.partitionBy("subject").orderBy(col("idx"), col("__end"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = beats.unionByName(ends)
+      .withColumn("__cum", sum(col("__end")).over(wCum))
+      .filter(col("__beat") === 1L)
+
+    val wB = Window.partitionBy("subject").orderBy("idx")
+    val ibi = (col("idx") - lag(col("idx"), 1).over(wB)).cast("double") / fs * 1000.0
+    // Threshold = cum at the previous NON-null-IBI row. Non-null rows are
+    // all beats but the first, so for the 2nd beat (the first non-null IBI,
+    // whose preceding beat is a null-IBI row outside the reference's
+    // searchsorted array) the threshold is 0; beyond that, the previous
+    // beat is itself non-null and plain lag applies.
+    withCum
+      .withColumn("__ibi", ibi)
+      .withColumn("__rn", row_number().over(wB))
+      .withColumn("__thr",
+        when(col("__rn") === 2, lit(0L)).otherwise(lag(col("__cum"), 1).over(wB)))
+      .withColumn("ibi_ms",
+        when(col("__ibi").isNotNull && col("__cum") > col("__thr"), lit(null))
+          .otherwise(col("__ibi")))
+      .select("subject", "idx", "ibi_ms")
+  }
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SignalFrame
+import graft.kernels.{Decimate, PpgDetectors}
+import graft.ops.BeatEdits
+
+/** Beat-editing, PPG detection, and render-decimation query surface
+  * (SURVEY K8/K16/K17/K18) over the events-derived signal frame.
+  *
+  * Edits are synthesized deterministically from the frame itself so the
+  * whole chain is oracle-checkable:
+  *  - DELETE at beat rows with idx % 29 == 3,
+  *  - ADD at non-beat rows with idx % 31 == 7,
+  *  - UNUSABLE spans [idx, idx+5] at artifact rows with idx % 37 == 5.
+  */
+object EditQueries {
+
+  private val FS = SqaQueries.FS // 4
+
+  /** Decimation scenario: virtual fs 1000 -> ds_target 250 => factor 4. */
+  private val DS_FACTOR = 4
+  private val DS_FS = 250
+
+  private def pointEdits(sig: DataFrame): DataFrame =
+    sig.filter(col("beat") === 1 && col("idx") % 29 === 3)
+      .select(col("subject"), col("idx").as("x"), lit("DELETE").as("editType"))
+      .unionByName(
+        sig.filter(col("beat").isNull && col("idx") % 31 === 7)
+          .select(col("subject"), col("idx").as("x"), lit("ADD").as("editType")))
+
+  private def rangeEdits(sig: DataFrame): DataFrame =
+    sig.filter(col("artifact") === 1 && col("idx") % 37 === 5)
+      .select(col("subject"), col("idx").as("from"), (col("idx") + 5).as("to"))
+
+  private def applied(s: SparkSession, dir: String): DataFrame = {
+    val sig = SignalFrame.fromEvents(s, dir)
+    BeatEdits.applyEdits(sig, pointEdits(sig), rangeEdits(sig))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K17: Beat-Editor edit application (physioview.py:1690-1832).
+    "q45_edit_apply" -> ((s, dir) =>
+      applied(s, dir).select("subject", "idx", "beat", "edited",
+        "deleted_beat", "added_beat", "unusable")),
+
+    // K18: edited-IBI cleanup (callbacks.py:2459-2478).
+    "q46_edited_ibi" -> ((s, dir) =>
+      BeatEdits.editedIbis(applied(s, dir), FS)),
+
+    // K8: van Gent (2019) adaptive-threshold PPG beats (PPG.py:174-233).
+    "q47_vangent" -> ((s, dir) =>
+      PpgDetectors.vanGent(SignalFrame.fromEvents(s, dir), FS)),
+
+    // K16: decimated-grid beat rescale + re-derived IBIs
+    // (dashboard/utils.py:536-569). The anti-alias FIR path is exercised
+    // by the Decimate kernel specs; this query covers the relational
+    // stride/rescale/IBI chain end-to-end.
+    "q48_decimate" -> ((s, dir) => {
+      val sig = SignalFrame.fromEvents(s, dir)
+      val beats = sig.filter(col("beat") === 1)
+      val marks = Decimate.rescaleIndices(beats, DS_FACTOR,
+        Decimate.dsLengths(sig, DS_FACTOR))
+      Decimate.ibisFromMarks(marks, DS_FS)
+    })
+  )
+
+  private val SIG = SignalFrame.fromEventsSql
+
+  private val EDITS_SQL =
+    """pe AS (
+      |  SELECT subject, idx AS x, 'DELETE' AS edit_type FROM sig
+      |  WHERE beat = 1 AND idx % 29 = 3
+      |  UNION ALL
+      |  SELECT subject, idx AS x, 'ADD' AS edit_type FROM sig
+      |  WHERE beat IS NULL AND idx % 31 = 7),
+      |uv AS (
+      |  SELECT DISTINCT subject, idx + g AS idx
+      |  FROM (SELECT subject, idx FROM sig WHERE artifact = 1 AND idx % 37 = 5),
+      |       unnest(range(0, 6)) AS t(g)),
+      |ed AS (
+      |  SELECT s.subject, s.idx, s.beat,
+      |    CASE WHEN m.edit_type = 'ADD' THEN 1
+      |         WHEN m.edit_type = 'DELETE' THEN NULL
+      |         WHEN u.subject IS NOT NULL THEN NULL
+      |         ELSE s.beat END AS edited,
+      |    CASE WHEN m.edit_type = 'DELETE' THEN 1 END AS deleted_beat,
+      |    CASE WHEN m.edit_type = 'ADD' THEN 1 END AS added_beat,
+      |    CASE WHEN u.subject IS NOT NULL THEN 1 END AS unusable
+      |  FROM sig s
+      |  LEFT JOIN LATERAL (
+      |    SELECT e.edit_type FROM pe e
+      |    WHERE e.subject = s.subject AND ABS(e.x - s.idx) <= 1
+      |    ORDER BY ABS(e.x - s.idx), e.x LIMIT 1) m ON TRUE
+      |  LEFT JOIN uv u ON u.subject = s.subject AND u.idx = s.idx)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q45_edit_apply" ->
+      s"""WITH sig AS ($SIG),
+         |$EDITS_SQL
+         |SELECT subject, idx, beat, edited, deleted_beat, added_beat, unusable
+         |FROM ed""".stripMargin,
+
+    "q46_edited_ibi" ->
+      s"""WITH sig AS ($SIG),
+         |$EDITS_SQL,
+         |ends AS (
+         |  SELECT subject, idx FROM (
+         |    SELECT subject, idx, LEAD(idx) OVER (PARTITION BY subject ORDER BY idx) AS nxt
+         |    FROM ed WHERE unusable = 1)
+         |  WHERE nxt IS NULL OR nxt > idx + 1),
+         |tagged AS (
+         |  SELECT subject, idx, 0 AS e, 1 AS isb FROM ed WHERE edited = 1
+         |  UNION ALL SELECT subject, idx, 1 AS e, 0 AS isb FROM ends),
+         |cum AS (
+         |  SELECT *, CAST(SUM(e) OVER (PARTITION BY subject ORDER BY idx, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |  FROM tagged),
+         |b AS (
+         |  SELECT subject, idx, c, ROW_NUMBER() OVER w AS rn,
+         |    (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi,
+         |    LAG(c) OVER w AS pc
+         |  FROM cum WHERE isb = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx))
+         |SELECT subject, idx,
+         |  CASE WHEN ibi IS NOT NULL AND c > (CASE WHEN rn = 2 THEN 0 ELSE pc END)
+         |    THEN NULL ELSE ibi END AS ibi_ms
+         |FROM b""".stripMargin,
+
+    "q47_vangent" -> {
+      val w = (0.75 * FS).toInt // 3
+      val lo = w / 2
+      def termSql(k: Int): String = {
+        val inRange =
+          if (k < 0) s"LAG(value, ${-k}) OVER ws"
+          else if (k > 0) s"LEAD(value, $k) OVER ws"
+          else "value"
+        s"""CASE WHEN idx + $k < 0 THEN head[-(idx + $k)]
+           | WHEN idx + $k > mx THEN tail[n + $w - (idx + $k)]
+           | ELSE $inRange END""".stripMargin.replace("\n", "")
+      }
+      val terms = (-lo until (w - lo)).map(termSql).mkString(" + ")
+      s"""WITH sig AS ($SIG),
+         |bd AS (
+         |  SELECT subject, MAX(idx) AS mx, COUNT(*) AS n,
+         |    list(value ORDER BY idx) FILTER (WHERE idx < $w) AS head,
+         |    list(value ORDER BY idx) FILTER (WHERE idx > mxw - $w) AS tail
+         |  FROM (SELECT *, MAX(idx) OVER (PARTITION BY subject) AS mxw FROM sig)
+         |  GROUP BY subject),
+         |m AS (
+         |  SELECT s.subject, s.idx, s.value,
+         |    round_even(($terms) / $w, 9) AS ma
+         |  FROM sig s JOIN bd USING (subject)
+         |  WINDOW ws AS (PARTITION BY s.subject ORDER BY s.idx)),
+         |mn AS (
+         |  SELECT subject,
+         |    CAST(SUM(CAST(ma AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) / 100 * 20 AS mn
+         |  FROM m GROUP BY subject),
+         |above AS (
+         |  SELECT m.subject, idx, value FROM m JOIN mn USING (subject)
+         |  WHERE value > ma + mn),
+         |g AS (
+         |  SELECT *, CASE WHEN LEAD(idx) OVER (PARTITION BY subject ORDER BY idx) - idx > 1
+         |    THEN 1 ELSE 0 END AS gp
+         |  FROM above),
+         |runs AS (
+         |  SELECT *, SUM(gp) OVER (PARTITION BY subject ORDER BY idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM g)
+         |SELECT subject, idx, value FROM (
+         |  SELECT subject, idx, value,
+         |    ROW_NUMBER() OVER (PARTITION BY subject, run ORDER BY value DESC, idx) AS rn
+         |  FROM runs)
+         |WHERE rn = 1""".stripMargin
+    },
+
+    "q48_decimate" ->
+      s"""WITH sig AS ($SIG),
+         |dsl AS (
+         |  SELECT subject, COUNT(*) AS dslen FROM sig
+         |  WHERE idx % $DS_FACTOR = 0 GROUP BY subject),
+         |marks AS (
+         |  SELECT DISTINCT s.subject,
+         |    LEAST(GREATEST(CAST(round_even(idx / $DS_FACTOR.0, 0) AS BIGINT), 0),
+         |      dslen - 1) AS ds_idx
+         |  FROM sig s JOIN dsl USING (subject) WHERE beat = 1)
+         |SELECT subject, ds_idx,
+         |  (ds_idx - LAG(ds_idx) OVER (PARTITION BY subject ORDER BY ds_idx))
+         |    / $DS_FS.0 * 1000 AS ibi_ms
+         |FROM marks""".stripMargin
+  )
+}
