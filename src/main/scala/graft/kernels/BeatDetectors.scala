@@ -135,4 +135,203 @@ object BeatDetectors {
       panTompkinsKernel(fs)(pre)
     }
   }
+
+  /** Engelse-Zeelenberg 1979 / Lourenço 2012 QRS detection (K4; reference
+    * ECG.py:231-383): 4-lag difference, [1,4,6,4,1] low-pass, adaptive M
+    * threshold over a 5-peak memory with a 1.0→0.6 decay slope, negative
+    * threshold-crossing counter, argmax over the unfiltered window. The
+    * first detection is dropped (it seeds the threshold). */
+  def engzeeKernel(fs: Int)(signal: Array[Double]): Array[Int] = {
+    val n = signal.length
+    if (n == 0) return Array.empty
+    val diff = new Array[Double](n)
+    var i = 4
+    while (i < n) { diff(i) = signal(i) - signal(i - 4); i += 1 }
+    val lowPass = Iir.lfilter(Array(1, 4, 6, 4, 1).map(_.toDouble), Array(1.0), diff)
+    val zeroN = math.min((0.2 * fs).toInt, n)
+    i = 0
+    while (i < zeroN) { lowPass(i) = 0.0; i += 1 }
+
+    val ms200 = (0.2 * fs).toInt
+    val ms1200 = (1.2 * fs).toInt
+    val ms160 = (0.16 * fs).toInt
+    val negThreshold = (0.01 * fs).toInt
+    val slopeLen = ms1200 - ms200
+    def mSlope(k: Int): Double =
+      if (slopeLen <= 1) 1.0 else 1.0 - 0.4 * k / (slopeLen - 1)
+
+    var m = 0.0
+    var runningMax = Double.NegativeInfinity
+    val mm = collection.mutable.ArrayBuffer.empty[Double]
+    val qrs = collection.mutable.ArrayBuffer.empty[Int]
+    val beats = collection.mutable.ArrayBuffer.empty[Int]
+    var counter = 0
+    var lastThi = -1
+    var thi = false
+    var thf = false
+    var newM5 = 0.0
+
+    i = 0
+    while (i < n) {
+      if (i < 5 * fs) {
+        if (lowPass(i) > runningMax) runningMax = lowPass(i)
+        m = 0.6 * runningMax
+        mm += m
+        if (mm.length > 5) mm.remove(0)
+      } else if (qrs.nonEmpty && i < qrs.last + ms200) {
+        var mx = Double.NegativeInfinity
+        var j = qrs.last
+        while (j < i) { if (lowPass(j) > mx) mx = lowPass(j); j += 1 }
+        newM5 = 0.6 * mx
+        if (newM5 > 1.5 * mm.last) newM5 = 1.1 * mm.last
+      } else if (newM5 != 0.0 && qrs.nonEmpty && i == qrs.last + ms200) {
+        mm += newM5
+        if (mm.length > 5) mm.remove(0)
+        m = mm.sum / mm.length
+      } else if (qrs.nonEmpty && i > qrs.last + ms200 && i < qrs.last + ms1200) {
+        m = (mm.sum / mm.length) * mSlope(i - (qrs.last + ms200))
+      } else if (qrs.nonEmpty && i > qrs.last + ms1200) {
+        m = 0.6 * (mm.sum / mm.length)
+      }
+
+      if (qrs.isEmpty && lowPass(i) > m) {
+        qrs += i; lastThi = i; thi = true
+      } else if (qrs.nonEmpty && i > qrs.last + ms200 && lowPass(i) > m) {
+        qrs += i; lastThi = i; thi = true
+      }
+
+      if (thi && i < lastThi + ms160) {
+        if (lowPass(i) < -m && i >= 1 && lowPass(i - 1) > -m) thf = true
+        if (thf && lowPass(i) < -m) counter += 1
+        else if (lowPass(i) > -m && thf) { counter = 0; thi = false; thf = false }
+      } else if (thi && i > lastThi + ms160) {
+        counter = 0; thi = false; thf = false
+      }
+
+      if (counter > negThreshold) {
+        val start = math.max(0, lastThi - (0.01 * fs).toInt)
+        if (i > start) {
+          var best = start; var bv = signal(start)
+          var j = start + 1
+          while (j < i) { if (signal(j) > bv) { bv = signal(j); best = j }; j += 1 }
+          beats += best
+        }
+        counter = 0; thi = false; thf = false
+      }
+      i += 1
+    }
+    if (beats.nonEmpty) beats.remove(0) // first detection only seeds M
+    val seen = collection.mutable.LinkedHashSet.empty[Int]
+    beats.foreach(seen += _)
+    seen.toArray
+  }
+
+  /** Manikandan-Soman 2012 R-peak detection (K5; reference
+    * ECG.py:385-513): normalized derivative → Shannon energy → 0.15 s MA →
+    * Hilbert → 2.5 s MA drift removal → positive zero-crossings →
+    * ±0.12 s argmax windows (negative window indices wrap to the signal
+    * tail, as numpy indexing does) → optional sequential adaptive
+    * amplitude threshold over 0.44 s windows stepped by 0.1 s. */
+  def manikandanKernel(fs: Int, adaptiveThreshold: Boolean = true,
+      window: Double = 0.44)(signal: Array[Double]): Array[Int] = {
+    val n = signal.length
+    if (n < 2) return Array.empty
+    val dn = Array.tabulate(n)(i => (if (i + 1 < n) signal(i + 1) else 0.0) - signal(i))
+    var mx = 0.0
+    dn.foreach(v => if (math.abs(v) > mx) mx = math.abs(v))
+    if (mx == 0.0) return Array.empty
+    val dtn = dn.map(_ / mx)
+    // -(dtn²)·log10(dtn²); dtn == 0 → 0·(-inf) = NaN, exactly as numpy.
+    val sn = dtn.map { v => val e = v * v; -e * math.log10(e) }
+
+    def maCumulative(x: Array[Double], w: Int): Array[Double] = {
+      if (x.length < w) return Array.empty
+      val cs = new Array[Double](x.length + 1)
+      var i = 0
+      while (i < x.length) { cs(i + 1) = cs(i) + x(i); i += 1 }
+      Array.tabulate(x.length - w + 1)(i => (cs(i + w) - cs(i)) / w)
+    }
+    // Recordings shorter than an MA window keep a zero MA (the reference's
+    // numpy insert would length-mismatch there).
+    val wl = (0.15 * fs).toInt
+    val snF = new Array[Double](n)
+    val ma1 = maCumulative(sn, wl)
+    if (ma1.nonEmpty) System.arraycopy(ma1, 0, snF, wl - 1, ma1.length)
+    val zn = Fft.hilbertImag(snF)
+    val maLen = (fs * 2.5).toInt
+    val znMa = new Array[Double](n)
+    val ma2 = maCumulative(zn, maLen)
+    if (ma2.nonEmpty) System.arraycopy(ma2, 0, znMa, maLen - 1, ma2.length)
+    val s = Array.tabulate(n)(i => zn(i) - znMa(i))
+
+    // positive-going zero crossings of sign(s)
+    val crossings = (0 until n - 1).filter { i =>
+      val d = math.signum(s(i + 1)) - math.signum(s(i))
+      d > 0
+    }
+    val half = math.round(fs * 0.12).toInt
+    val beats = collection.mutable.ArrayBuffer.empty[Int]
+    crossings.foreach { c =>
+      val idxs = collection.mutable.ArrayBuffer.empty[Int]
+      var j = c - half
+      while (j < c) { idxs += j; j += 1 }
+      idxs += c
+      j = c + 1
+      val hiEnd = c + half
+      while (j <= hiEnd && j < n) { idxs += j; j += 1 }
+      // numpy negative indices wrap to the tail
+      var best = -1; var bv = Double.NegativeInfinity
+      idxs.foreach { k =>
+        val kk = if (k < 0) n + k else k
+        if (kk >= 0 && kk < n && signal(kk) > bv) { bv = signal(kk); best = kk }
+      }
+      if (best > 0) beats += best
+    }
+    val seen = collection.mutable.LinkedHashSet.empty[Int]
+    beats.foreach(seen += _)
+    val unique = seen.toArray
+    if (!adaptiveThreshold) return unique
+
+    // sequential amplitude gate: rejections feed later (overlapping) windows
+    val isBeat = new Array[Boolean](n)
+    unique.foreach(isBeat(_) = true)
+    val winLen = (fs * window).toInt
+    val step = (fs * 0.1).toInt
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + winLen, n)
+      val inWin = (start until end).filter(isBeat)
+      if (inWin.length >= 2) {
+        val vals = inWin.map(signal)
+        val thresh =
+          if (inWin.length == 2) (vals.min + vals.max) * 0.5
+          else {
+            val sorted = vals.sorted
+            val m = sorted.length
+            val med = if (m % 2 == 1) sorted(m / 2)
+              else (sorted(m / 2 - 1) + sorted(m / 2)) / 2.0
+            (med + vals.max) * 0.5
+          }
+        inWin.foreach(ix => if (signal(ix) < thresh) isBeat(ix) = false)
+      }
+      start += math.max(step, 1)
+    }
+    (0 until n).filter(isBeat).toArray
+  }
+
+  /** Engzee over a signal frame with the reference's default filter chain
+    * skipped when `preprocessed` (the events-derived frame has no powerline
+    * structure worth the notch cascade). */
+  def engzee(signal: DataFrame, fs: Int): DataFrame =
+    KernelRunner.detectIndices(signal, "value")(engzeeKernel(fs))
+
+  /** Manikandan with the reference's Chebyshev-I 6-18 Hz order-4 bandpass
+    * preprocessing. */
+  def manikandan(signal: DataFrame, fs: Int, preprocessed: Boolean = false): DataFrame = {
+    val (b, a) = Iir.cheby1(4, 1.0, Seq(6.0 / (0.5 * fs), 18.0 / (0.5 * fs)), "bandpass")
+    KernelRunner.detectIndices(signal, "value") { x =>
+      val pre = if (preprocessed) x else Iir.filtfilt(b, a, x)
+      manikandanKernel(fs)(pre)
+    }
+  }
 }

@@ -39,7 +39,33 @@ object KernelQueries {
     // kernel; reference SQA.py:391-475). Rows-only check.
     "q44_cbd" -> ((s, dir) =>
       graft.kernels.Cbd.artifacts(
-        graft.sqa.Cardio.beatRows(SignalFrame.fromEvents(s, dir)), fs = 4))
+        graft.sqa.Cardio.beatRows(SignalFrame.fromEvents(s, dir)), fs = 4)),
+
+    // Hegarty-Craver beat-correction FSM (K14; reference SQA.py:725-1415):
+    // original + corrected IBI tables, union-tagged. Sequential kernel —
+    // rows-only check.
+    "q49_correct_interval" -> ((s, dir) =>
+      graft.sqa.Corrected.correctionRows(
+        graft.sqa.Cardio.beatRows(SignalFrame.fromEvents(s, dir)), fs = 4)),
+
+    // Per-segment correction summary (get_corrected, SQA.py:1417-1512):
+    // relational aggregation over the FSM output. Rows-only check.
+    "q50_correct_summary" -> ((s, dir) =>
+      graft.sqa.Corrected.summary(
+        graft.sqa.Cardio.beatRows(SignalFrame.fromEvents(s, dir))
+          .transform(br => graft.sqa.Corrected.correctionRows(br, fs = 4)),
+        fs = 4, segSize = 10)),
+
+    // Engelse-Zeelenberg QRS FSM (K4; ECG.py:231-383). Rows-only check.
+    "q51_engzee" -> ((s, dir) =>
+      BeatDetectors.engzee(SignalFrame.fromEvents(s, dir), NAB_FS)),
+
+    // Manikandan-Soman Shannon-energy/Hilbert detector with adaptive
+    // amplitude gate (K5; ECG.py:385-513). fs=128: the 6-18 Hz cheby1
+    // preprocessing band must sit below Nyquist (at fs=32 the reference's
+    // own design would be invalid). Rows-only check.
+    "q52_manikandan" -> ((s, dir) =>
+      BeatDetectors.manikandan(SignalFrame.fromEvents(s, dir), 128))
   )
 
   def oracleSql: Map[String, String] = {
