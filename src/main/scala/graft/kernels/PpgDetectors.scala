@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.core.KernelRunner
+
 /** PPG beat detectors (SURVEY K8).
   *
   * van Gent et al. (2019) adaptive thresholding (reference
@@ -87,5 +89,94 @@ object PpgDetectors {
     runs.withColumn("__rn", row_number().over(wR))
       .filter(col("__rn") === 1)
       .select("subject", "idx", "value")
+  }
+
+  /** scipy find_peaks-style local maxima (plateau midpoint) with
+    * prominences over the full signal: prominence = height − the higher of
+    * the two side bases, each base the minimum between the peak and the
+    * next strictly-higher sample (or edge). */
+  private[kernels] def peaksWithProminence(x: Array[Double]): Array[(Int, Double)] = {
+    val n = x.length
+    val peaks = collection.mutable.ArrayBuffer.empty[Int]
+    var i = 1
+    while (i < n - 1) {
+      if (x(i - 1) < x(i)) {
+        var j = i
+        while (j < n - 1 && x(j + 1) == x(i)) j += 1
+        if (j < n - 1 && x(j + 1) < x(i)) { peaks += (i + j) / 2; i = j }
+      }
+      i += 1
+    }
+    peaks.toArray.map { p =>
+      var lmin = x(p); var j = p - 1
+      while (j >= 0 && x(j) <= x(p)) { if (x(j) < lmin) lmin = x(j); j -= 1 }
+      var rmin = x(p); j = p + 1
+      while (j < n && x(j) <= x(p)) { if (x(j) < rmin) rmin = x(j); j += 1 }
+      (p, x(p) - math.max(lmin, rmin))
+    }
+  }
+
+  /** Elgendi et al. (2013) event-related-moving-average PPG detector (K8;
+    * reference PPG.py:235-322): clip+square, W1/W2 moving averages,
+    * offset-raised threshold, wave-length gate, per-wave max-prominence
+    * peak, 300 ms refractory (sequential). */
+  def ermaKernel(fs: Int, w1: Double = 0.111, w2: Double = 0.667,
+      offset: Double = 0.02, refractory: Double = 0.3)(
+      signal: Array[Double]): Array[Int] = {
+    val n = signal.length
+    if (n == 0) return Array.empty
+    val squared = signal.map(v => { val c = math.max(v, 0.0); c * c })
+
+    def maSame(x: Array[Double], w: Int): Array[Double] = {
+      val off = (w - 1) / 2
+      Array.tabulate(x.length) { i =>
+        var s = 0.0; var j = 0
+        while (j < w) {
+          val k = i + off - j
+          if (k >= 0 && k < x.length) s += x(k)
+          j += 1
+        }
+        s / w
+      }
+    }
+    val kPeak = math.rint(w1 * fs).toInt
+    val kBeat = math.rint(w2 * fs).toInt
+    if (kPeak < 1 || kBeat < 1) return Array.empty
+    val maPeak = maSame(squared, kPeak)
+    val maBeat = maSame(squared, kBeat)
+    val thrOff = offset * (squared.sum / n)
+
+    val waves = Array.tabulate(n)(i => maPeak(i) > maBeat(i) + thrOff)
+    val begs = (0 until n - 1).filter(i => !waves(i) && waves(i + 1))
+    val ends0 = (0 until n - 1).filter(i => waves(i) && !waves(i + 1))
+    if (begs.isEmpty) return Array.empty
+    val ends = ends0.filter(_ > begs.head)
+
+    val minLen = math.rint(w1 * fs).toInt
+    val minDelay = math.rint(refractory * fs).toInt
+    val beats = collection.mutable.ArrayBuffer[Int](0)
+    begs.zip(ends).foreach { case (beg, end) =>
+      if (end - beg >= minLen) {
+        val cands = peaksWithProminence(signal.slice(beg, end))
+        if (cands.nonEmpty) {
+          val best = cands.maxBy(_._2) // argmax: ties -> first (stable maxBy? enforce below)
+          val firstBest = cands.find(_._2 == best._2).get
+          val peak = beg + firstBest._1
+          if (peak - beats.last > minDelay) beats += peak
+        }
+      }
+    }
+    beats.remove(0)
+    beats.toArray
+  }
+
+  /** ERMA over a signal frame with the reference's Butterworth 0.5-8 Hz
+    * order-2 bandpass preprocessing. */
+  def erma(signal: DataFrame, fs: Int, preprocessed: Boolean = false): DataFrame = {
+    val (b, a) = Iir.butter(2, Seq(0.5 / (0.5 * fs), 8.0 / (0.5 * fs)), "bandpass")
+    KernelRunner.detectIndices(signal, "value") { x =>
+      val pre = if (preprocessed) x else Iir.filtfilt(b, a, x)
+      ermaKernel(fs)(pre)
+    }
   }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.SignalFrame
-import graft.sqa.{Cardio, Eda, Hrv}
+import graft.kernels.PpgDetectors
+import graft.sqa.{Cardio, Eda, Hrv, Scr}
 
 /** EDA quality, HRV features, and ACC AUC query suite — all oracle-checked.
   * The events-derived signal doubles as pseudo-EDA (value in µS) with a
@@ -58,7 +59,18 @@ object FeatureQueries {
         .withColumn("auc_1s", (col("__dec").cast("double") * 0.25))
         .withColumn("auc_3s", sum(col("__dec")).over(wSec).cast("double") * 0.25)
         .select("subject", "second", "auc_1s", "auc_3s")
-    })
+    }),
+
+    // K10: SCR peak detection over the pseudo-phasic signal — fully
+    // relational (EDA.py:219-309); the reference's sequential amplitude
+    // filter is provably a prefix-max predicate.
+    "q53_scr_peaks" -> ((s, dir) =>
+      Scr.peaks(SignalFrame.fromEvents(s, dir))),
+
+    // K8b: Elgendi ERMA PPG detector (PPG.py:235-322). Sequential
+    // refractory pass — rows-only check.
+    "q54_erma" -> ((s, dir) =>
+      PpgDetectors.erma(SignalFrame.fromEvents(s, dir), fs = 32))
   )
 
   private val SIG = SignalFrame.fromEventsSql
@@ -184,6 +196,61 @@ object FeatureQueries {
          |  CAST(dec AS DOUBLE) * 0.25 AS auc_1s,
          |  CAST(SUM(dec) OVER (PARTITION BY subject ORDER BY second
          |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 0.25 AS auc_3s
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    "q53_scr_peaks" -> {
+      val m = 20
+      val kern = Scr.bartlettKernel(m)
+      val off = (m - 1) / 2
+      val taps = (0 until m).map { j =>
+        val o = off - j
+        val v =
+          if (o > 0) s"COALESCE(LEAD(dd, $o) OVER w, 0)"
+          else if (o < 0) s"COALESCE(LAG(dd, ${-o}) OVER w, 0)"
+          else "dd"
+        s"${kern(j)} * $v"
+      }.mkString(" + ")
+      s"""WITH sig AS ($SIG),
+         |d AS (
+         |  SELECT subject, idx, value,
+         |    COALESCE(value - LAG(value) OVER (PARTITION BY subject ORDER BY idx), 0) AS dd
+         |  FROM sig),
+         |sm AS (
+         |  SELECT subject, idx, value, $taps AS s FROM d
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |s2 AS (
+         |  SELECT *, LEAD(s) OVER (PARTITION BY subject ORDER BY idx) AS snx FROM sm),
+         |pos AS (
+         |  SELECT subject, idx AS onset, value AS onset_v,
+         |    ROW_NUMBER() OVER (PARTITION BY subject ORDER BY idx) AS r
+         |  FROM s2 WHERE s < 0 AND snx >= 0),
+         |neg AS (
+         |  SELECT subject, idx AS offs,
+         |    ROW_NUMBER() OVER (PARTITION BY subject ORDER BY idx) AS rn0
+         |  FROM s2 WHERE s > 0 AND snx <= 0),
+         |fst AS (
+         |  SELECT p.subject, CASE WHEN q.fn < p.fp THEN 1 ELSE 0 END AS shift
+         |  FROM (SELECT subject, MIN(onset) AS fp FROM pos GROUP BY 1) p
+         |  JOIN (SELECT subject, MIN(offs) AS fn FROM neg GROUP BY 1) q USING (subject)),
+         |na AS (
+         |  SELECT neg.subject, offs, rn0 - shift AS r
+         |  FROM neg JOIN fst USING (subject) WHERE rn0 - shift >= 1),
+         |pairs AS (
+         |  SELECT pos.subject, onset, offs, onset_v
+         |  FROM pos JOIN na ON pos.subject = na.subject AND pos.r = na.r),
+         |cand AS (
+         |  SELECT subject, onset, offs, idx AS peak_idx, value - onset_v AS amp FROM (
+         |    SELECT p.subject, p.onset, p.offs, g.idx, g.value, p.onset_v,
+         |      ROW_NUMBER() OVER (PARTITION BY p.subject, p.onset
+         |        ORDER BY g.value DESC, g.idx) AS pk
+         |    FROM pairs p JOIN sig g ON g.subject = p.subject
+         |      AND g.idx >= p.onset AND g.idx < p.offs)
+         |  WHERE pk = 1)
+         |SELECT subject, peak_idx, onset, offs AS "offset", amp FROM (
+         |  SELECT *, MAX(amp) OVER (PARTITION BY subject ORDER BY onset
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM cand)
+         |WHERE pm IS NULL OR amp >= 0.1 * pm""".stripMargin
+    }
   )
 }

@@ -64,6 +64,16 @@ class FftDetectorSpec extends AnyFunSuite {
     assert(got.size >= peaks.size - 3)
   }
 
+  test("erma finds sinusoidal pulse peaks under the refractory gate") {
+    val fs = 128
+    val n = fs * 10
+    // 1 Hz PPG-like wave: peaks at i = 32 + 128k
+    val x = Array.tabulate(n)(i => math.sin(2 * math.Pi * i / fs))
+    val got = graft.kernels.PpgDetectors.ermaKernel(fs)(x).toSeq
+    assert(got.size >= 8)
+    assert(got.forall(g => (g - 32) % fs == 0 || math.abs((g % fs) - 32) <= 2))
+  }
+
   test("manikandan finds steady spikes") {
     val fs = 128
     val (x0, peaks) = spikes(fs, 20)
