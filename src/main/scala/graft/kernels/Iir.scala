@@ -195,6 +195,11 @@ object Iir {
   def cheby2(n: Int, rs: Double, wn: Seq[Double], btype: String): (Array[Double], Array[Double]) =
     design(cheby2Ap(n, rs), wn, btype)
 
+  /** Elliptic (Cauer) design — scipy ellip equivalent (K1: the reference's
+    * default ECG band 1-15 Hz and EDA low-pass designs). */
+  def ellip(n: Int, rp: Double, rs: Double, wn: Seq[Double], btype: String): (Array[Double], Array[Double]) =
+    design(Ellip.ellipAp(n, rp, rs), wn, btype)
+
   /** Digital notch filter (Hz units): iirnotch(w0, Q) equivalent. */
   def notch(w0: Double, q: Double): (Array[Double], Array[Double]) = {
     // standard RBJ biquad notch on normalized frequency w0 (fraction of Nyquist)

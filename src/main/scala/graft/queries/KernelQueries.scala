@@ -65,7 +65,33 @@ object KernelQueries {
     // preprocessing band must sit below Nyquist (at fs=32 the reference's
     // own design would be invalid). Rows-only check.
     "q52_manikandan" -> ((s, dir) =>
-      BeatDetectors.manikandan(SignalFrame.fromEvents(s, dir), 128))
+      BeatDetectors.manikandan(SignalFrame.fromEvents(s, dir), 128)),
+
+    // The reference's DEFAULT ECG filter: elliptic bandpass 1-15 Hz,
+    // order 2, rp 0.15 dB, rs 80 dB (ECG.py:140-189), zero-phase. fs=64
+    // keeps the band inside Nyquist. Rows-only check (kernel).
+    "q55_ellip_filtfilt" -> ((s, dir) => {
+      val (b, a) = Iir.ellip(2, 0.15, 80.0, Seq(1.0 / 32, 15.0 / 32), "bandpass")
+      KernelRunner.transformValues(
+        SignalFrame.fromEvents(s, dir), "value", "filtered")(
+        x => Iir.filtfilt(b, a, x))
+        .withColumn("filtered", round(col("filtered"), 6))
+    }),
+
+    // K15a: polyphase resample 4 Hz -> 8 Hz (EDA.py:484-518). Fully
+    // relational (stuffed grid + Kaiser-sinc FIR expression) — oracle-
+    // checked hash-exact.
+    "q56_resample_poly" -> ((s, dir) =>
+      graft.kernels.Resample.resamplePoly(
+        SignalFrame.fromEvents(s, dir), up = 2, down = 1)
+        .withColumn("value_rs", bround(col("value_rs"), 6))),
+
+    // K15b: Fourier-domain resample 4 Hz -> 8 Hz (scipy.signal.resample;
+    // physioview.py:105-112). FFT kernel — rows-only check.
+    "q57_fourier_resample" -> ((s, dir) =>
+      graft.kernels.Resample.fourierResample(
+        SignalFrame.fromEvents(s, dir), fs = 4, newFs = 8)
+        .withColumn("value_rs", round(col("value_rs"), 6)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -82,7 +108,31 @@ object KernelQueries {
            |    COUNT(*) OVER (PARTITION BY subject) AS n,
            |    list(value) OVER (PARTITION BY subject ORDER BY idx
            |      ROWS BETWEEN $w PRECEDING AND ${w - 1} FOLLOWING) AS lst
-           |  FROM sig)""".stripMargin
+           |  FROM sig)""".stripMargin,
+
+      "q56_resample_poly" -> {
+        val h = graft.kernels.Resample.polyTaps(2, 1)
+        val half = (h.length - 1) / 2
+        val taps = h.indices.map { j =>
+          val o = half - j
+          val v =
+            if (o > 0) s"COALESCE(LAG(value, $o) OVER w, 0)"
+            else if (o < 0) s"COALESCE(LEAD(value, ${-o}) OVER w, 0)"
+            else "value"
+          s"${h(j)} * $v"
+        }.mkString(" + ")
+        s"""WITH sig AS (${SignalFrame.fromEventsSql}),
+           |cnt AS (SELECT subject, COUNT(*) AS n FROM sig GROUP BY subject),
+           |grid AS (
+           |  SELECT subject, ui FROM cnt, unnest(range(0, n * 2)) AS t(ui)),
+           |stuffed AS (
+           |  SELECT g.subject, g.ui, COALESCE(s.value, 0) AS value
+           |  FROM grid g LEFT JOIN (SELECT subject, idx * 2 AS ui, value FROM sig) s
+           |    ON g.subject = s.subject AND g.ui = s.ui)
+           |SELECT subject, ui AS ridx, round_even($taps, 6) AS value_rs
+           |FROM stuffed
+           |WINDOW w AS (PARTITION BY subject ORDER BY ui)""".stripMargin
+      }
     )
   }
 }

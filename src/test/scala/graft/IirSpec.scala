@@ -103,4 +103,36 @@ class IirSpec extends AnyFunSuite {
     val const = Iir.filtfilt(b, a, Array.fill(200)(3.7))
     const.foreach(v => assert(math.abs(v - 3.7) < 1e-8))
   }
+
+  test("ellip lowpass: equiripple passband, band edge at ripple floor, stopband at rs") {
+    val rp = 1.0; val rs = 40.0
+    val ripple = math.pow(10, -rp / 20) // 0.8913
+    val floor = math.pow(10, -rs / 20) // 0.01
+    val (b, a) = Iir.ellip(4, rp, rs, Seq(0.3), "lowpass")
+    // even order: DC sits at the ripple floor of the passband
+    assert(math.abs(gain(b, a, 0) - ripple) < 1e-6)
+    // passband stays within [ripple, 1] and touches both
+    val pb = (0 to 300).map(i => gain(b, a, i / 1000.0 * math.Pi))
+    assert(pb.min > ripple - 1e-6 && pb.max < 1.0 + 1e-6)
+    assert(pb.max > 1.0 - 1e-4)
+    // band edge hits the ripple exactly
+    assert(math.abs(gain(b, a, 0.3 * math.Pi) - ripple) < 1e-6)
+    // stopband bounded by the attenuation floor (elliptic equiripple)
+    for (i <- 55 to 100)
+      assert(gain(b, a, i / 100.0 * math.Pi) < floor * 1.01, s"w=$i%")
+  }
+
+  test("ellip odd order: unit DC gain; bandpass zero at DC/Nyquist") {
+    val (b, a) = Iir.ellip(3, 1.0, 40.0, Seq(0.25), "lowpass")
+    assert(math.abs(gain(b, a, 0) - 1.0) < 1e-9)
+    // elliptic zeros are finite, so the bandpass stop bands sit at the
+    // equiripple floor (not hard zeros like Butterworth)
+    val floor = math.pow(10, -40.0 / 20)
+    val (bb, ab) = Iir.ellip(2, 1.0, 40.0, Seq(1.0 / 16, 15.0 / 16), "bandpass")
+    assert(gain(bb, ab, 0) < floor * 1.01)
+    assert(gain(bb, ab, math.Pi) < floor * 1.01)
+    val wc = digitalCenter(1.0 / 16, 15.0 / 16)
+    val g = gain(bb, ab, wc)
+    assert(g > 0.8 && g < 1.01)
+  }
 }
