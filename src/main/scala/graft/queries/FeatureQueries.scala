@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.SignalFrame
 import graft.kernels.PpgDetectors
-import graft.sqa.{Cardio, Eda, Hrv, Scr}
+import graft.sqa.{Cardio, Eda, Hrv, HrvFreq, Scr}
 
 /** EDA quality, HRV features, and ACC AUC query suite — all oracle-checked.
   * The events-derived signal doubles as pseudo-EDA (value in µS) with a
@@ -70,7 +70,30 @@ object FeatureQueries {
     // K8b: Elgendi ERMA PPG detector (PPG.py:235-322). Sequential
     // refractory pass — rows-only check.
     "q54_erma" -> ((s, dir) =>
-      PpgDetectors.erma(SignalFrame.fromEvents(s, dir), fs = 32))
+      PpgDetectors.erma(SignalFrame.fromEvents(s, dir), fs = 32)),
+
+    // K9: cvxEDA-class phasic/tonic decomposition (EDA.py:520-688 model,
+    // deterministic FISTA solver). Kernel — rows-only check.
+    "q59_cvxeda" -> ((s, dir) =>
+      graft.kernels.EdaDecompose.decompose(SignalFrame.fromEvents(s, dir), FS)
+        .withColumn("phasic", round(col("phasic"), 6))
+        .withColumn("driver", round(col("driver"), 6))
+        .withColumn("tonic", round(col("tonic"), 6))),
+
+    // A15 fd: Lomb-Scargle periodogram band powers over the (unevenly
+    // sampled) IBI series. Rows-only check (libm trig); spec-validated
+    // against a direct implementation.
+    "q58_lomb" -> ((s, dir) => {
+      val beats = Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS)
+        .filter(col("ibi").isNotNull)
+        .select(col("subject"), (col("idx") / FS).as("t_s"), col("ibi").as("y"))
+      val freqs = (1 to 100).map(_ * 0.004)
+      val psd = HrvFreq.lombScargle(beats, freqs)
+      HrvFreq.bandPowers(psd, df = 0.004)
+        .select(col("subject"), bround(col("lf_power"), 6).as("lf_power"),
+          bround(col("hf_power"), 6).as("hf_power"),
+          bround(col("lf_hf_ratio"), 6).as("lf_hf_ratio"))
+    })
   )
 
   private val SIG = SignalFrame.fromEventsSql
