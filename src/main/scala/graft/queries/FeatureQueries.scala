@@ -72,6 +72,13 @@ object FeatureQueries {
     "q54_erma" -> ((s, dir) =>
       PpgDetectors.erma(SignalFrame.fromEvents(s, dir), fs = 32)),
 
+    // A10 full: per-segment tonic SCL excluding SCR intervals
+    // (EDA.py:311-415, incl. the reference's global-interval-on-local-mask
+    // quirk). find_peaks distance pruning is greedy -> kernel, rows-only.
+    "q60_tonic_scl" -> ((s, dir) =>
+      Scr.tonicScl(SignalFrame.fromEvents(s, dir), FS, SEG)
+        .withColumn("tonic_scl", round(col("tonic_scl"), 6))),
+
     // K9: cvxEDA-class phasic/tonic decomposition (EDA.py:520-688 model,
     // deterministic FISTA solver). Kernel — rows-only check.
     "q59_cvxeda" -> ((s, dir) =>

@@ -91,4 +91,84 @@ object Scr {
       .filter(col("__pm").isNull || col("amp") >= lit(minAmpThresh) * col("__pm"))
       .select("subject", "peak_idx", "onset", "offset", "amp")
   }
+
+  /** Tonic SCL per segment excluding SCR intervals (A10 full;
+    * reference `compute_tonic_scl`, EDA.py:311-415) — per-recording kernel
+    * because scipy find_peaks distance pruning is greedy-by-height.
+    *
+    * Faithfully ported reference quirks:
+    *  - the recovery walk stops immediately when the derivative at the
+    *    peak itself is non-negative (so `end` usually equals the peak);
+    *  - segment masks apply the GLOBAL interval indices to each segment's
+    *    LOCAL mask (numpy slice clipping), so every segment masks the same
+    *    leading positions. */
+  def tonicSclKernel(fs: Int, segSize: Int, minHeight: Double = 0.05,
+      minRiseS: Double = 1.0, minRecoveryS: Double = 2.0)(
+      x: Array[Double]): Array[Double] = {
+    val n = x.length
+    if (n == 0) return Array.empty
+    val diff = Array.tabulate(n)(i => if (i == 0) 0.0 else x(i) - x(i - 1))
+    // scipy find_peaks: plateau-midpoint local maxima, height filter,
+    // greedy distance pruning (highest first; ties -> later index first)
+    val locs = collection.mutable.ArrayBuffer.empty[Int]
+    var i = 1
+    while (i < n - 1) {
+      if (x(i - 1) < x(i)) {
+        var j = i
+        while (j < n - 1 && x(j + 1) == x(i)) j += 1
+        if (j < n - 1 && x(j + 1) < x(i)) { locs += (i + j) / 2; i = j }
+      }
+      i += 1
+    }
+    val tall = locs.filter(p => x(p) >= minHeight).toArray
+    val minDist = ((minRiseS + minRecoveryS) * fs).toInt
+    val order = tall.sortBy(p => (-x(p), -p))
+    val kept = collection.mutable.SortedSet.empty[Int]
+    val removed = collection.mutable.HashSet.empty[Int]
+    order.foreach { p =>
+      if (!removed(p)) {
+        kept += p
+        tall.foreach(q => if (q != p && math.abs(q - p) < minDist && !kept(q)) removed += q)
+      }
+    }
+    val peaks = kept.toArray
+
+    val intervals = peaks.map { p =>
+      var s = p
+      while (s > 0 && diff(s) > 0) s -= 1
+      var e = p
+      while (e < n - 1 && diff(e) < 0) e += 1
+      (s, e)
+    }
+
+    val segLen = segSize * fs
+    val nSeg = n / segLen
+    Array.tabulate(nSeg) { k =>
+      val seg = x.slice(k * segLen, (k + 1) * segLen)
+      val mask = Array.fill(segLen)(true)
+      intervals.foreach { case (s, e) =>
+        var j = math.min(s, segLen)
+        val stop = math.min(e, segLen)
+        while (j < stop) { mask(j) = false; j += 1 }
+      }
+      val keptV = seg.indices.filter(mask).map(seg)
+      if (keptV.nonEmpty) keptV.sum / keptV.length else Double.NaN
+    }
+  }
+
+  /** Frame-level per-segment tonic SCL: (subject, segment, tonic_scl). */
+  def tonicScl(signal: DataFrame, fs: Int, segSize: Int): DataFrame = {
+    val spark = signal.sparkSession
+    import spark.implicits._
+    signal.select(col("subject").cast("long"), col("idx").cast("long"),
+      col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (subj, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        tonicSclKernel(fs, segSize)(rows.map(_._3)).iterator.zipWithIndex
+          .map { case (v, k) => (subj, (k + 1).toLong, v) }
+      }
+      .toDF("subject", "segment", "tonic_scl")
+  }
 }

@@ -75,6 +75,25 @@ class EditSpec extends AnyFunSuite {
     assert(peaks2 == Set(9L))
   }
 
+  test("tonicSclKernel masks SCR intervals per the reference's global-index quirk") {
+    val fs = 4
+    // 2 segments of 10 s (40 samples each); baseline 2.0 with one SCR
+    // bump rising over samples 8-12 to peak 3.0 at 12
+    val x = Array.tabulate(80) { i =>
+      if (i >= 8 && i <= 12) 2.0 + (i - 8) * 0.25
+      else if (i >= 13 && i <= 16) 3.0 - (i - 12) * 0.25
+      else 2.0
+    }
+    val out = graft.sqa.Scr.tonicSclKernel(fs, 10)(x)
+    assert(out.length == 2)
+    // segment 1: the rise [8..peak] is masked -> mean of remaining 2.0s
+    // plus the (unmasked) decay tail samples
+    assert(out(0) > 2.0 && out(0) < 2.2)
+    // segment 2 re-applies the same GLOBAL indices locally (reference
+    // quirk): positions 8..12 of segment 2 are masked even though flat
+    assert(math.abs(out(1) - 2.0) < 1e-12)
+  }
+
   test("firwin: DC gain 1, symmetric, matches scipy head values") {
     val h = Decimate.firwin(129, 0.1125) // cutoff 0.45/4
     assert(math.abs(h.sum - 1.0) < 1e-12)
