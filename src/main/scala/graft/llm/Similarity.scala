@@ -36,6 +36,29 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
+    * candidate pairs confined to shared sign-bit LSH buckets — an
+    * equi-join, never a cross join — then exact cosine >= threshold.
+    * Output (id_a < id_b, cos). */
+  def embeddingDupPairs(docs: DataFrame, idCol: String, embCol: String,
+      threshold: Double,
+      dims: Seq[Int] = Seq(0, 8, 16, 24, 32, 40, 48, 56)): DataFrame = {
+    val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+      .withColumn("bucket", VectorOps.signBucket(col("emb"), dims))
+    val a = n.select(col("id").as("id_a"), col("emb").as("ea"),
+      col("n2").as("na"), col("bucket"))
+    val b = n.select(col("id").as("id_b"), col("emb").as("eb"),
+      col("n2").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        VectorOps.cosine(VectorOps.dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Bucketed ANN: candidates restricted to the query's LSH bucket. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int,

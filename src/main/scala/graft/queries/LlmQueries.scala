@@ -59,7 +59,11 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 3)
-    })
+    }),
+
+    "q61_embed_dup" -> ((s, dir) =>
+      Similarity.embeddingDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3))
   )
 
   /** Shared SQL fragments for the oracle. */
@@ -243,6 +247,19 @@ object LlmQueries {
          |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 20)
          |WHERE rnk <= 3""".stripMargin
+    },
+
+    "q61_embed_dup" -> {
+      val bucket = (0 until 8).map(k =>
+        s"CASE WHEN embedding[${k * 8 + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2,
+         |    $bucket AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) AS cos
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) >= 0.3""".stripMargin
     }
   )
 }
