@@ -162,12 +162,20 @@ object EdaDecompose {
     var pv = p.clone(); var lv = l.clone(); var dv = d.clone()
     var tk = 1.0
     var it = 0
-    while (it < iters) {
+    var lastObj = Double.MaxValue
+    var done = false
+    while (it < iters && !done) {
       val resid = {
         val hp = applyH(pv)
         val bl = applyB(lv)
         val cd = applyC(dv)
         Array.tabulate(n)(i => hp(i) + bl(i) + cd(i) - y(i))
+      }
+      // deterministic early exit: same data -> same trajectory -> same stop
+      if (it % 25 == 24) {
+        val obj = resid.map(r => r * r).sum
+        if (lastObj - obj < 1e-10 * math.max(obj, 1e-12)) done = true
+        lastObj = obj
       }
       val gp = applyHT(resid)
       val gl = applyBT(resid)

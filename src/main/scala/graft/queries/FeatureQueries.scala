@@ -72,6 +72,33 @@ object FeatureQueries {
     "q54_erma" -> ((s, dir) =>
       PpgDetectors.erma(SignalFrame.fromEvents(s, dir), fs = 32)),
 
+    // A5 full: stepped moving-window AUC with minmax-normalized sums
+    // (ACC.py:86-197 rolling path): windows of 5 s starting every 2 s,
+    // truncated at the recording end.
+    "q62_acc_windows" -> ((s, dir) => {
+      val rw = 5L; val step = 2L
+      val secs = SignalFrame.fromEvents(s, dir)
+        .groupBy(col("subject"), (col("idx") / FS).cast("long").as("second"))
+        .agg(sum(col("value").cast(DecimalType(24, 4))).as("__dec"))
+        .withColumn("__sec_v", col("__dec").cast("double"))
+      val wlo = when(col("second") < rw, lit(0L))
+        .otherwise(((col("second") - rw) / step).cast("long") + 1)
+      val whi = (col("second") / step).cast("long")
+      val exploded = secs.withColumn("w", explode(sequence(wlo, whi)))
+      val wWin = Window.partitionBy("subject", "w")
+      exploded
+        .withColumn("__mn", min(col("__sec_v")).over(wWin))
+        .withColumn("__mx", max(col("__sec_v")).over(wWin))
+        .withColumn("__norm", when(col("__mx") > col("__mn"),
+          bround((col("__sec_v") - col("__mn")) / (col("__mx") - col("__mn")), 6)))
+        .groupBy("subject", "w")
+        .agg(
+          sum(col("__dec")).cast("double").as("auc"),
+          sum(col("__norm").cast(DecimalType(18, 6))).cast("double").as("auc_norm"))
+        .select(col("subject"), (col("w") + 1).as("moving_window"),
+          col("auc"), col("auc_norm"))
+    }),
+
     // A10 full: per-segment tonic SCL excluding SCR intervals
     // (EDA.py:311-415, incl. the reference's global-interval-on-local-mask
     // quirk). find_peaks distance pruning is greedy -> kernel, rows-only.
@@ -227,6 +254,27 @@ object FeatureQueries {
          |  CAST(SUM(dec) OVER (PARTITION BY subject ORDER BY second
          |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 0.25 AS auc_3s
          |FROM s""".stripMargin,
+
+    "q62_acc_windows" ->
+      s"""WITH sig AS ($SIG),
+         |secs AS (
+         |  SELECT subject, idx // $FS AS second,
+         |    SUM(CAST(value AS DECIMAL(24,4))) AS dec
+         |  FROM sig GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT subject, second, dec, CAST(dec AS DOUBLE) AS sec_v, w
+         |  FROM secs, unnest(range(
+         |    CASE WHEN second < 5 THEN 0 ELSE (second - 5) // 2 + 1 END,
+         |    second // 2 + 1)) AS t(w)),
+         |m AS (
+         |  SELECT *, MIN(sec_v) OVER ww AS mn, MAX(sec_v) OVER ww AS mx
+         |  FROM ex WINDOW ww AS (PARTITION BY subject, w))
+         |SELECT subject, w + 1 AS moving_window,
+         |  CAST(SUM(dec) AS DOUBLE) AS auc,
+         |  CAST(SUM(CAST(CASE WHEN mx > mn
+         |    THEN round_even((sec_v - mn) / (mx - mn), 6) END AS DECIMAL(18,6)))
+         |    AS DOUBLE) AS auc_norm
+         |FROM m GROUP BY 1, 2""".stripMargin,
 
     "q53_scr_peaks" -> {
       val m = 20
