@@ -54,6 +54,18 @@ object EditQueries {
     "q47_vangent" -> ((s, dir) =>
       PpgDetectors.vanGent(SignalFrame.fromEvents(s, dir), FS)),
 
+    // §3.3 round-trip: the flagship per-segment SQA metrics recomputed
+    // over the EDITED beat annotations (edited -> beat; artifacts kept
+    // only where still a beat) — the dashboard's edit-then-recompute flow
+    // as one composed lazy plan.
+    "q63_edited_metrics" -> ((s, dir) => {
+      val ed = applied(s, dir)
+      val sig2 = ed.select(col("subject"), col("idx"), col("ts_us"), col("value"),
+        col("edited").cast("int").as("beat"),
+        when(col("edited") === 1, col("artifact")).as("artifact"))
+      graft.sqa.Cardio.computeMetrics(sig2, FS, SqaQueries.SEG)
+    }),
+
     // K16: decimated-grid beat rescale + re-derived IBIs
     // (dashboard/utils.py:536-569). The anti-alias FIR path is exercised
     // by the Decimate kernel specs; this query covers the relational
@@ -81,7 +93,7 @@ object EditQueries {
       |  FROM (SELECT subject, idx FROM sig WHERE artifact = 1 AND idx % 37 = 5),
       |       unnest(range(0, 6)) AS t(g)),
       |ed AS (
-      |  SELECT s.subject, s.idx, s.beat,
+      |  SELECT s.subject, s.idx, s.ts_us, s.value, s.artifact, s.beat,
       |    CASE WHEN m.edit_type = 'ADD' THEN 1
       |         WHEN m.edit_type = 'DELETE' THEN NULL
       |         WHEN u.subject IS NOT NULL THEN NULL
@@ -96,12 +108,23 @@ object EditQueries {
       |    ORDER BY ABS(e.x - s.idx), e.x LIMIT 1) m ON TRUE
       |  LEFT JOIN uv u ON u.subject = s.subject AND u.idx = s.idx)""".stripMargin
 
+  /** Signal-CTE chain whose final CTE `sig` is the EDITED frame. */
+  private val EDITED_SIG_CTE =
+    s"""sigraw AS ($SIG),
+       |${EDITS_SQL.replace("FROM sig", "FROM sigraw")},
+       |sig AS (
+       |  SELECT subject, idx, ts_us, value, edited AS beat,
+       |    CASE WHEN edited = 1 THEN artifact END AS artifact
+       |  FROM ed)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q45_edit_apply" ->
       s"""WITH sig AS ($SIG),
          |$EDITS_SQL
          |SELECT subject, idx, beat, edited, deleted_beat, added_beat, unusable
          |FROM ed""".stripMargin,
+
+    "q63_edited_metrics" -> SqaQueries.metricsSql(EDITED_SIG_CTE),
 
     "q46_edited_ibi" ->
       s"""WITH sig AS ($SIG),

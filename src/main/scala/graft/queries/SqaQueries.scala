@@ -90,20 +90,7 @@ object SqaQueries {
 
     "q18_sqa_missing" -> missingSql(),
 
-    "q19_sqa_metrics" ->
-      s"""WITH m AS (${missingSql()}),
-         |a AS (
-         |  WITH sig AS ($SIG)
-         |  SELECT subject, idx // $SEG_ROWS + 1 AS segment,
-         |    COUNT(artifact) AS n_artifact, MIN(ts_us) AS first_ts_us,
-         |    CASE WHEN COUNT(beat) > 0
-         |      THEN round_even(COUNT(artifact)::DOUBLE / COUNT(beat) * 100, 2) END AS pct_artifact
-         |  FROM sig GROUP BY 1, 2)
-         |SELECT m.subject, m.segment, a.first_ts_us, m.n_detected, m.n_expected,
-         |  m.n_missing, m.pct_missing, a.n_artifact, a.pct_artifact,
-         |  CASE WHEN m.n_detected < ${(40.0 * SEG / 60).toInt} OR m.n_detected > 220
-         |    THEN 1 END AS invalid
-         |FROM m JOIN a ON m.subject = a.subject AND m.segment = a.segment""".stripMargin,
+    "q19_sqa_metrics" -> metricsSql(s"sig AS ($SIG)"),
 
     "q32_sqa_seconds" ->
       s"""WITH sig AS ($SIG),
@@ -236,8 +223,26 @@ object SqaQueries {
        |FROM m""".stripMargin
   }
 
-  private def missingSql(): String =
-    s"""WITH sig AS ($SIG),
+  /** Full per-segment metrics SQL over an arbitrary signal-CTE chain whose
+    * final CTE is named `sig` — reused by q19 (raw beats) and q63 (edited
+    * beats round-trip). */
+  def metricsSql(sigCte: String): String =
+    s"""WITH m AS (${missingSql(sigCte)}),
+       |a AS (
+       |  WITH $sigCte
+       |  SELECT subject, idx // $SEG_ROWS + 1 AS segment,
+       |    COUNT(artifact) AS n_artifact, MIN(ts_us) AS first_ts_us,
+       |    CASE WHEN COUNT(beat) > 0
+       |      THEN round_even(COUNT(artifact)::DOUBLE / COUNT(beat) * 100, 2) END AS pct_artifact
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT m.subject, m.segment, a.first_ts_us, m.n_detected, m.n_expected,
+       |  m.n_missing, m.pct_missing, a.n_artifact, a.pct_artifact,
+       |  CASE WHEN m.n_detected < ${(40.0 * SEG / 60).toInt} OR m.n_detected > 220
+       |    THEN 1 END AS invalid
+       |FROM m JOIN a ON m.subject = a.subject AND m.segment = a.segment""".stripMargin
+
+  private def missingSql(sigCte: String = s"sig AS ($SIG)"): String =
+    s"""WITH $sigCte,
        |seg AS (
        |  SELECT *, idx // $SEG_ROWS + 1 AS segment, idx % $SEG_ROWS AS pos FROM sig),
        |seglens AS (
