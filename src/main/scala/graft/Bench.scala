@@ -45,6 +45,13 @@ object Bench {
         }
         val dt = times.min
         System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+        // Spark's ContextCleaner reclaims broadcast blocks and shuffle state
+        // only when the JVM GCs their references; across 60+ sequential
+        // queries in one local JVM the accumulated state degrades later
+        // queries (observed: q23/q24 4-6x slower mid-suite than isolated).
+        // An explicit GC between queries keeps each measurement honest.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
         name -> dt
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -170,13 +170,18 @@ object Dedup {
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1L))
     val bands = fps.select(col(idCol), col("simhash"),
       posexplode(array(bandExprs: _*)).as(Seq("band_idx", "band_val")))
-    val a = bands.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
-      col("band_idx"), col("band_val"))
-    val b = bands.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
-      col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val a = bands.select(col(idCol).as("id_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col(idCol).as("id_b"), col("band_idx"), col("band_val"))
+    // Dedupe candidates on the NARROW (id_a, id_b) key before re-attaching
+    // fingerprints: pairs sharing several bands would otherwise carry both
+    // 60-bit fingerprints through the distinct's shuffle. The fps re-join
+    // sides are the same aggregation subtree — ReuseExchange runs it once.
+    val cand = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(fps.select(col(idCol).as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
+      .join(fps.select(col(idCol).as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

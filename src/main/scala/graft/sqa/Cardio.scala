@@ -35,17 +35,28 @@ object Cardio {
   /** Beat rows of a signal frame. */
   def beatRows(signal: DataFrame): DataFrame = signal.filter(col("beat") === 1)
 
-  /** Per-segment artifact summary (reference SQA.py:237-277).
-    * Output: subject, segment, n_detected, n_artifact, pct_artifact,
-    * first_ts_us. */
-  def getArtifacts(signal: DataFrame, fs: Int, segSize: Int): DataFrame =
+  /** ONE per-segment aggregation feeding getArtifacts, getMissing AND
+    * computeMetrics: segment length, detected/artifact beat counts, first
+    * timestamp. The signal frame is scanned once for all segment-level
+    * counts — at 100 TB a second scan of the raw signal is the difference
+    * between one pass and two (the reference recomputes these per call:
+    * SQA.py:237-277 vs :503-629). */
+  private def segBase(signal: DataFrame, fs: Int, segSize: Int): DataFrame =
     signal
       .withColumn("segment", SignalFrame.segment(col("idx"), fs, segSize))
       .groupBy("subject", "segment")
       .agg(
+        count(lit(1)).as("__seg_len"),
         count(col("beat")).as("n_detected"),
         count(col("artifact")).as("n_artifact"),
         min(col("ts_us")).as("first_ts_us"))
+
+  /** Per-segment artifact summary (reference SQA.py:237-277).
+    * Output: subject, segment, n_detected, n_artifact, pct_artifact,
+    * first_ts_us. */
+  def getArtifacts(signal: DataFrame, fs: Int, segSize: Int): DataFrame =
+    segBase(signal, fs, segSize)
+      .select("subject", "segment", "n_detected", "n_artifact", "first_ts_us")
       .withColumn("pct_artifact",
         when(col("n_detected") > 0,
           bround(col("n_artifact").cast("double") / col("n_detected") * 100, 2)))
@@ -111,15 +122,20 @@ object Cardio {
     *
     * Output: subject, segment, n_detected, n_expected, n_missing,
     * pct_missing. */
-  def getMissing(signal: DataFrame, fs: Int, segSize: Int): DataFrame = {
+  def getMissing(signal: DataFrame, fs: Int, segSize: Int): DataFrame =
+    withMissing(signal, fs, segSize)
+      .select("subject", "segment", "n_detected", "n_expected", "n_missing", "pct_missing")
+
+  /** Full per-segment frame: segBase counts + expected/missing-beat columns
+    * — the single-pass core shared by getMissing and computeMetrics. */
+  private def withMissing(signal: DataFrame, fs: Int, segSize: Int): DataFrame = {
     val segRows = fs.toLong * segSize
     val half = (segSize * 0.5).toInt
 
     val seg = signal.withColumn("segment", SignalFrame.segment(col("idx"), fs, segSize))
       .withColumn("__pos", col("idx") - (col("segment") - 1) * segRows)
-    // per-segment row counts (last segment may be partial)
-    val segLens = seg.groupBy("subject", "segment")
-      .agg(count(lit(1)).as("__seg_len"), count(col("beat")).as("n_detected"))
+    // per-segment counts (last segment may be partial) — one scan for all
+    val segLens = segBase(signal, fs, segSize)
 
     // 5-beat windows over beat rows: medians of 60000/IBI
     val beats = ibis(beatRows(seg), fs)
@@ -177,14 +193,18 @@ object Cardio {
       .withColumn("n_missing", greatest(col("n_expected") - col("n_detected"), lit(0L)))
       .withColumn("pct_missing",
         bround(col("n_missing").cast("double") / col("n_expected") * 100, 2))
-    merged.select("subject", "segment", "n_detected", "n_expected", "n_missing", "pct_missing")
+    merged
   }
 
-  /** Segmented SQA metrics: missing ⋈ artifacts + invalid flag
-    * (reference SQA.py:161-197). */
+  /** Segmented SQA metrics (reference SQA.py:161-197): one per-segment
+    * aggregation carries detected/artifact counts AND the expected/missing
+    * estimates — the signal frame is scanned once (plus the beats-only
+    * median subplan), not once per metric family. */
   def computeMetrics(signal: DataFrame, fs: Int, segSize: Int, minHr: Double = 40): DataFrame =
-    getMissing(signal, fs, segSize)
-      .join(getArtifacts(signal, fs, segSize).drop("n_detected"), Seq("subject", "segment"))
+    withMissing(signal, fs, segSize)
+      .withColumn("pct_artifact",
+        when(col("n_detected") > 0,
+          bround(col("n_artifact").cast("double") / col("n_detected") * 100, 2)))
       .withColumn("invalid",
         when(col("n_detected") < (minHr * segSize / 60).toInt ||
           col("n_detected") > 220, 1))
