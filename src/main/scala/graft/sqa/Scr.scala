@@ -73,16 +73,26 @@ object Scr {
     val pairs = pos.join(negAdj, Seq("subject", "__r"))
       .select("subject", "onset", "offset", "onset_v")
 
-    // argmax of the phasic signal over [onset, offset); first max wins
-    val inWin = pairs.join(phasic.select(col("subject"), col("idx"), col("value")),
-      Seq("subject"))
-      .filter(col("idx") >= col("onset") && col("idx") < col("offset"))
-    val wPick = Window.partitionBy("subject", "onset")
+    // argmax of the phasic signal over [onset, offset); first max wins.
+    // The (onset, offset) intervals are disjoint and ordered by
+    // construction (rank-paired alternating zero crossings), so each
+    // sample's containing interval is simply the most recent onset at or
+    // before it: a 1:1 equi-join to plant the interval marks plus one
+    // ordered window pass — O(n log n) per subject, never pairs x samples.
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = phasic.select(col("subject"), col("idx"), col("value"))
+      .join(pairs.select(col("subject"), col("onset").as("idx"),
+        col("onset"), col("offset"), col("onset_v")), Seq("subject", "idx"), "left")
+      .withColumn("__on", last(col("onset"), ignoreNulls = true).over(wRun))
+      .withColumn("__off", last(col("offset"), ignoreNulls = true).over(wRun))
+      .withColumn("__onv", last(col("onset_v"), ignoreNulls = true).over(wRun))
+      .filter(col("idx") >= col("__on") && col("idx") < col("__off"))
+    val wPick = Window.partitionBy("subject", "__on")
       .orderBy(col("value").desc, col("idx"))
-    val cands = inWin.withColumn("__pk", row_number().over(wPick))
+    val cands = tagged.withColumn("__pk", row_number().over(wPick))
       .filter(col("__pk") === 1)
-      .select(col("subject"), col("onset"), col("offset"),
-        col("idx").as("peak_idx"), (col("value") - col("onset_v")).as("amp"))
+      .select(col("subject"), col("__on").as("onset"), col("__off").as("offset"),
+        col("idx").as("peak_idx"), (col("value") - col("__onv")).as("amp"))
 
     // sequential relative-amplitude filter == prefix-max predicate
     val wSeq = Window.partitionBy("subject").orderBy("onset")
