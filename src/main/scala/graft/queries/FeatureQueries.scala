@@ -104,7 +104,7 @@ object FeatureQueries {
     // quirk). find_peaks distance pruning is greedy -> kernel, rows-only.
     "q60_tonic_scl" -> ((s, dir) =>
       Scr.tonicScl(SignalFrame.fromEvents(s, dir), FS, SEG)
-        .withColumn("tonic_scl", round(col("tonic_scl"), 6))),
+        .withColumn("tonic_scl", bround(col("tonic_scl"), 6))),
 
     // K9: cvxEDA-class phasic/tonic decomposition (EDA.py:520-688 model,
     // deterministic FISTA solver). Kernel — rows-only check.
@@ -135,6 +135,10 @@ object FeatureQueries {
     s"""SELECT *, 28.0 + value % 14.0 AS temp FROM ($SIG)"""
 
   def oracleSql: Map[String, String] = Map(
+    "q54_erma" -> KernelQueries.golden("q54_erma"),
+    "q58_lomb" -> KernelQueries.golden("q58_lomb"),
+    "q60_tonic_scl" -> KernelQueries.golden("q60_tonic_scl"),
+
     "q37_eda_quality" ->
       s"""WITH sig AS ($EDA_SIG)
          |SELECT subject, idx, value,

@@ -28,7 +28,7 @@ object KernelQueries {
       KernelRunner.transformValues(
         SignalFrame.fromEvents(s, dir), "value", "filtered")(
         x => Iir.filtfilt(b, a, x))
-        .withColumn("filtered", round(col("filtered"), 6))
+        .withColumn("filtered", bround(col("filtered"), 6))
     }),
 
     // Full Pan-Tompkins FSM detection (filter + MWA + adaptive thresholds).
@@ -75,7 +75,7 @@ object KernelQueries {
       KernelRunner.transformValues(
         SignalFrame.fromEvents(s, dir), "value", "filtered")(
         x => Iir.filtfilt(b, a, x))
-        .withColumn("filtered", round(col("filtered"), 6))
+        .withColumn("filtered", bround(col("filtered"), 6))
     }),
 
     // K15a: polyphase resample 4 Hz -> 8 Hz (EDA.py:484-518). Fully
@@ -91,12 +91,29 @@ object KernelQueries {
     "q57_fourier_resample" -> ((s, dir) =>
       graft.kernels.Resample.fourierResample(
         SignalFrame.fromEvents(s, dir), fs = 4, newFs = 8)
-        .withColumn("value_rs", round(col("value_rs"), 6)))
+        .withColumn("value_rs", bround(col("value_rs"), 6)))
   )
+
+  /** Golden-fixture oracle: the expected output was generated from the
+    * REFERENCE implementations (tools/golden.py runs
+    * /root/reference/physioview pipeline code under pure-numpy scipy shims)
+    * and checked in as parquet; DuckDB reads it directly. This flips the
+    * former rows-only kernel queries to full row/schema/hash checks. */
+  private[queries] def golden(name: String): String =
+    s"SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/$name.parquet')"
 
   def oracleSql: Map[String, String] = {
     val w = (0.4 * NAB_FS).toInt
     Map(
+      "q35_filtfilt" -> golden("q35_filtfilt"),
+      "q36_pantompkins" -> golden("q36_pantompkins"),
+      "q44_cbd" -> golden("q44_cbd"),
+      "q49_correct_interval" -> golden("q49_correct_interval"),
+      "q50_correct_summary" -> golden("q50_correct_summary"),
+      "q51_engzee" -> golden("q51_engzee"),
+      "q52_manikandan" -> golden("q52_manikandan"),
+      "q55_ellip_filtfilt" -> golden("q55_ellip_filtfilt"),
+      "q57_fourier_resample" -> golden("q57_fourier_resample"),
       "q34_nabian" ->
         s"""WITH sig AS (${SignalFrame.fromEventsSql})
            |SELECT subject, idx,

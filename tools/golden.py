@@ -1,0 +1,358 @@
+#!/usr/bin/env python3
+"""Golden-fixture generator for the rows-only kernel queries.
+
+Runs the REFERENCE pipeline implementations (/root/reference/physioview,
+loaded with the pure-numpy scipy shims from tools/scipyshim.py) over the
+sf0.01 events-derived signal frames and writes each query's expected output
+as parquet under src/test/resources/golden/. The engine registers DuckDB
+`read_parquet` oracles over these files, flipping the former `no_oracle`
+queries to full row/schema/hash checks.
+
+Where a query has no runnable reference function (q55 elliptic filtfilt,
+q57 Fourier resample, q58 Lomb-Scargle band powers), the golden is computed
+directly from the public algorithm in numpy — still an implementation
+independent of the Scala engine.
+
+Usage: python3 tools/golden.py [sfDir] [outDir]
+"""
+import importlib.util
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).parent))
+import scipyshim
+
+scipyshim.install()
+
+REF = Path("/root/reference/physioview/pipeline")
+BEAT_TYPES = {"click", "purchase", "signup", "view"}
+
+
+def load_ref(name):
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", REF / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def signal_frames(sf_dir):
+    """Per-subject (values, beat sample indices), mirroring
+    graft.core.SignalFrame.fromEvents: sample clock = arrival order
+    (epoch-us, event_id), beats = non-error events."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("int64") // 1000
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    out = {}
+    for subj, g in ev.groupby("user_id"):
+        vals = g["value"].to_numpy(dtype=float)
+        beats = np.flatnonzero(g["event_type"].isin(BEAT_TYPES).to_numpy())
+        out[int(subj)] = (vals, beats.astype(np.int64))
+    return out
+
+
+def write(df, out_dir, name):
+    p = Path(out_dir) / f"{name}.parquet"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    df.to_parquet(p, index=False)
+    print(f"golden {name}: {len(df)} rows -> {p}")
+
+
+def frames_df(rows, cols):
+    return pd.DataFrame(rows, columns=cols)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else \
+        str(Path(__file__).parent.parent / "src/test/resources/golden")
+    frames = signal_frames(sf_dir)
+    subjects = sorted(frames)
+
+    ECG = load_ref("ECG")
+    PPG = load_ref("PPG")
+    SQA = load_ref("SQA")
+    EDA = load_ref("EDA")
+
+    # ---- q35: Butterworth 0.5-15 Hz order-2 bandpass filtfilt at fs=32
+    rows = []
+    b, a = scipyshim.butter(2, [0.5 / 16.0, 15.0 / 16.0], "band")
+    for s in subjects:
+        vals, _ = frames[s]
+        y = np.round(scipyshim.filtfilt(b, a, vals), 6)
+        rows += [(s, i, v) for i, v in enumerate(y)]
+    write(frames_df(rows, ["subject", "idx", "filtered"]).astype(
+        {"subject": "int64", "idx": "int64", "filtered": "float64"}),
+        out_dir, "q35_filtfilt")
+
+    # ---- q36: Pan-Tompkins at fs=32, reference preprocessing included
+    rows = []
+    det32 = ECG.BeatDetectors(fs=32, preprocessed=False)
+    for s in subjects:
+        vals, _ = frames[s]
+        for p in det32.pantompkins(vals):
+            rows.append((s, int(p)))
+    write(frames_df(rows, ["subject", "idx"]).astype("int64"),
+          out_dir, "q36_pantompkins")
+
+    # ---- q51: Engzee at fs=32 on the raw frame (preprocessed=True)
+    rows = []
+    det32p = ECG.BeatDetectors(fs=32, preprocessed=True)
+    for s in subjects:
+        vals, _ = frames[s]
+        try:
+            beats = det32p.engzee(vals)
+        except IndexError:  # reference pops the seed detection unguarded
+            beats = []
+        for p in beats:
+            rows.append((s, int(p)))
+    write(frames_df(rows, ["subject", "idx"]).astype("int64"),
+          out_dir, "q51_engzee")
+
+    # ---- q52: Manikandan at fs=128 with cheby1 6-18 Hz preprocessing.
+    # The reference raises on recordings shorter than its 2.5 s MA window
+    # (np.insert length mismatch); the engine's documented extension keeps a
+    # zero MA there. The golden uses an independent numpy port with the same
+    # extension, SELF-CHECKED against the reference on a long signal where
+    # the reference is defined.
+    det128 = ECG.BeatDetectors(fs=128, preprocessed=True)
+    longsig = np.tile(frames[subjects[0]][0], 10)
+    ref_beats = det128.manikandan(longsig)
+    own_beats = _manikandan_py(longsig, 128)
+    assert np.array_equal(np.asarray(ref_beats, dtype=int), own_beats), \
+        "manikandan port diverges from the reference on its defined domain"
+    rows = []
+    bc, ac = scipyshim.cheby1(4, 1, [6.0 / 64, 18.0 / 64], "bandpass")
+    for s in subjects:
+        vals, _ = frames[s]
+        for p in _manikandan_py(scipyshim.filtfilt(bc, ac, vals), 128):
+            rows.append((s, int(p)))
+    write(frames_df(rows, ["subject", "idx"]).astype("int64"),
+          out_dir, "q52_manikandan")
+
+    # ---- q54: Elgendi ERMA at fs=32 with butter 0.5-8 Hz preprocessing
+    rows = []
+    ppg32 = PPG.BeatDetectors(fs=32, preprocessed=False)
+    for s in subjects:
+        vals, _ = frames[s]
+        try:
+            beats = ppg32.erma(vals)
+        except IndexError:  # no wave onsets -> reference indexes beg_waves[0]
+            beats = []
+        for p in beats:
+            rows.append((s, int(p)))
+    write(frames_df(rows, ["subject", "idx"]).astype("int64"),
+          out_dir, "q54_erma")
+
+    # ---- q44: CBD artifacts over beat rows, fs=4
+    rows = []
+    sqa4 = SQA.Cardio(fs=4)
+    for s in subjects:
+        _, beats = frames[s]
+        if len(beats) < 2:
+            continue
+        art = sqa4.identify_artifacts(beats, method="cbd")
+        for p in np.unique(np.asarray(art, dtype=np.int64)):
+            rows.append((s, int(p)))
+    write(frames_df(rows, ["subject", "idx"]).astype("int64"),
+          out_dir, "q44_cbd")
+
+    # ---- q49/q50: Hegarty-Craver correction FSM, fs=4 (+ summary, seg 10 s)
+    rows = []
+    for s in subjects:
+        _, beats = frames[s]
+        if len(beats) < 2:
+            for bpos in beats:
+                rows.append((s, 0, 0, np.nan, np.nan, float(bpos), 0.0, None))
+                rows.append((s, 1, 0, np.nan, np.nan, float(bpos), np.nan, None))
+            continue
+        _, _, orig, corr = sqa4.correct_interval(
+            beats_ix=beats, print_estimated_hr=False)
+        for pos, r in enumerate(orig.itertuples(index=False)):
+            rows.append((s, 0, pos, r[0], _f(r[1]), float(r[2]), float(r[3]), None))
+        for pos, r in enumerate(corr.itertuples(index=False)):
+            flag = r[3] if isinstance(r[3], str) else None
+            rows.append((s, 1, pos, r[0], _f(r[1]), float(r[2]), np.nan, flag))
+    q49 = frames_df(rows, ["subject", "side", "pos", "ibi_ms", "ibi",
+                           "beat", "correction", "flag"])
+    q49 = q49.astype({"subject": "int64", "side": "int32", "pos": "int32",
+                      "ibi_ms": "float64", "ibi": "float64",
+                      "beat": "float64", "correction": "float64"})
+    write(q49, out_dir, "q49_correct_interval")
+
+    seg_rows = 10 * 4  # segSize * fs
+    g = q49.copy()
+    g["segment"] = np.ceil(g["beat"] / seg_rows).astype("int64")
+    o = g[g["side"] == 0].groupby(["subject", "segment"]).agg(
+        n_corrected=("correction", "sum"), n=("correction", "size"))
+    o["pct_corrected"] = np.round(o["n_corrected"] / o["n"] * 100, 2)
+    o["n_corrected"] = o["n_corrected"].astype("int64")
+    # Spark's pivot keeps every (subject, segment) group even when all its
+    # flags are null (counts 0) — count with predicates, not pivot_table.
+    c = g[g["side"] == 1].groupby(["subject", "segment"]).agg(
+        n_correct=("flag", lambda x: (x == "Correct").sum()),
+        n_short=("flag", lambda x: (x == "Short").sum()),
+        n_long=("flag", lambda x: (x == "Long").sum()),
+        n_extra_long=("flag", lambda x: (x == "Extra Long").sum()))
+    q50 = c.join(o, how="inner").reset_index()[[
+        "subject", "segment", "n_correct", "n_short", "n_long",
+        "n_extra_long", "n_corrected", "pct_corrected"]]
+    for col in ["n_correct", "n_short", "n_long", "n_extra_long"]:
+        q50[col] = q50[col].astype("int64")
+    write(q50, out_dir, "q50_correct_summary")
+
+    # ---- q55: elliptic 1-15 Hz order-2 rp 0.15 rs 80 filtfilt at fs=64
+    rows = []
+    b, a = scipyshim.ellip(2, 0.15, 80.0, [1.0 / 32, 15.0 / 32], "band")
+    for s in subjects:
+        vals, _ = frames[s]
+        y = np.round(scipyshim.filtfilt(b, a, vals), 6)
+        rows += [(s, i, v) for i, v in enumerate(y)]
+    write(frames_df(rows, ["subject", "idx", "filtered"]).astype(
+        {"subject": "int64", "idx": "int64", "filtered": "float64"}),
+        out_dir, "q55_ellip_filtfilt")
+
+    # ---- q57: Fourier-domain resample 4 Hz -> 8 Hz
+    rows = []
+    for s in subjects:
+        vals, _ = frames[s]
+        num = int(round(len(vals) * 8 / 4))
+        y = np.round(scipyshim.resample(vals, num), 6)
+        rows += [(s, i, v) for i, v in enumerate(y)]
+    write(frames_df(rows, ["subject", "ridx", "value_rs"]).astype(
+        {"subject": "int64", "ridx": "int64", "value_rs": "float64"}),
+        out_dir, "q57_fourier_resample")
+
+    # ---- q58: Lomb-Scargle LF/HF band powers over the IBI series, fs=4
+    rows = []
+    freqs = np.array([i * 0.004 for i in range(1, 101)])
+    for s in subjects:
+        _, beats = frames[s]
+        if len(beats) < 2:
+            continue
+        t = beats[1:] / 4.0
+        y = np.diff(beats) / 4.0 * 1000.0
+        lf = hf = 0.0
+        n = len(y)
+        ybar = y.sum() / n
+        var = ((y - ybar) ** 2).sum() / (n - 1)
+        for f in freqs:
+            w = 2.0 * math.pi * f
+            tau = math.atan2(np.sin(2 * w * t).sum(), np.cos(2 * w * t).sum()) \
+                / (2.0 * 2.0 * math.pi * f)
+            ph = w * (t - tau)
+            yc = y - ybar
+            sc = (yc * np.cos(ph)).sum()
+            ss = (yc * np.sin(ph)).sum()
+            cc = (np.cos(ph) ** 2).sum()
+            ssq = (np.sin(ph) ** 2).sum()
+            power = (sc * sc / cc + ss * ss / ssq) / (2.0 * var)
+            if 0.04 <= f < 0.15:
+                lf += power * 0.004
+            elif 0.15 <= f < 0.4:
+                hf += power * 0.004
+        rows.append((s, np.round(lf, 6), np.round(hf, 6),
+                     np.round(lf / hf, 6)))
+    write(frames_df(rows, ["subject", "lf_power", "hf_power", "lf_hf_ratio"])
+          .astype({"subject": "int64"}), out_dir, "q58_lomb")
+
+    # ---- q60: per-segment tonic SCL excluding SCR intervals, fs=4, seg 10 s
+    # np.mean sums pairwise while the engine kernel sums sequentially —
+    # a sub-1e-12 difference that can straddle a 6-digit rounding boundary.
+    # The semantics under test are the SCR peak/interval masking; pin the
+    # final mean to sequential left-to-right summation for the comparison.
+    rows = []
+    orig_mean = np.mean
+
+    def _seq_mean(a, *args, **kw):
+        lst = np.asarray(a, dtype=float).ravel().tolist()
+        return sum(lst) / len(lst) if lst else float("nan")
+
+    np.mean = _seq_mean
+    try:
+        for s in subjects:
+            vals, _ = frames[s]
+            scl = EDA.compute_tonic_scl(vals, fs=4, seg_size=10)
+            for k, v in enumerate(np.asarray(scl, dtype=float)):
+                rows.append((s, k + 1, np.round(v, 6)))
+    finally:
+        np.mean = orig_mean
+    write(frames_df(rows, ["subject", "segment", "tonic_scl"]).astype(
+        {"subject": "int64", "segment": "int64", "tonic_scl": "float64"}),
+        out_dir, "q60_tonic_scl")
+
+
+def _f(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return np.nan
+
+
+def _ma_cum(x, w):
+    """Reference _ma_cumulative_sum: trailing mean, length len(x)-w+1."""
+    if len(x) < w:
+        return np.empty(0)
+    cs = np.cumsum(np.insert(x, 0, 0))
+    return (cs[w:] - cs[:-w]) / float(w)
+
+
+def _manikandan_py(signal, fs, window=0.44):
+    """Manikandan-Soman R-peak detection (reference ECG.py:385-513) on an
+    already-filtered signal, with zero-MA handling for recordings shorter
+    than an MA window (the engine's documented extension of the reference's
+    undefined/raising behavior) and first-argmax tie-breaks (the reference's
+    `.item()` raises on ties)."""
+    n = len(signal)
+    if n < 2:
+        return np.empty(0, dtype=int)
+    dn = np.append(signal[1:], 0) - signal
+    mx = np.max(np.abs(dn))
+    if mx == 0:
+        return np.empty(0, dtype=int)
+    dtn = dn / mx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sn = -(dtn ** 2) * np.log10(dtn ** 2)
+    wl = int(0.15 * fs)
+    snf = np.zeros(n)
+    ma1 = _ma_cum(sn, wl)
+    if len(ma1):
+        snf[wl - 1:wl - 1 + len(ma1)] = ma1
+    zn = np.imag(scipyshim.hilbert(snf))
+    ma_len = int(fs * 2.5)
+    znma = np.zeros(n)
+    ma2 = _ma_cum(zn, ma_len)
+    if len(ma2):
+        znma[ma_len - 1:ma_len - 1 + len(ma2)] = ma2
+    s = zn - znma
+    crossings = np.flatnonzero(np.diff(np.sign(s)) > 0)
+    half = round(fs * 0.12)
+    beats = []
+    for c in crossings:
+        best, bv = -1, -np.inf
+        for k in list(range(c - half, c + 1)) + \
+                [j for j in range(c + 1, c + half + 1) if j < n]:
+            kk = n + k if k < 0 else k  # numpy negative-index wrap
+            if 0 <= kk < n and signal[kk] > bv:
+                bv, best = signal[kk], kk
+        if best > 0:
+            beats.append(best)
+    unique = list(dict.fromkeys(beats))
+    is_beat = np.zeros(n, dtype=bool)
+    is_beat[unique] = True
+    wlen, step = int(fs * window), int(fs * 0.1)
+    for start in range(0, n, max(step, 1)):
+        inw = np.flatnonzero(is_beat[start:min(start + wlen, n)]) + start
+        if len(inw) >= 2:
+            v = signal[inw]
+            thr = (v.min() + v.max()) * 0.5 if len(inw) == 2 \
+                else (np.median(v) + v.max()) * 0.5
+            is_beat[inw[v < thr]] = False
+    return np.flatnonzero(is_beat)
+
+
+if __name__ == "__main__":
+    main()
