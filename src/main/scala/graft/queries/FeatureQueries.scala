@@ -33,6 +33,16 @@ object FeatureQueries {
       Eda.metrics(edaSignal(s, dir), FS, SEG, P,
         tempCol = Some("temp"), scrCol = Some("artifact"))),
 
+    // A14 EDA summary panel (dashboard/utils.py:633-686): median tonic SCL
+    // (np.median NaN-poisoning semantics), avg SCRs per full segment,
+    // invalid-segment count, averaged quality percentages.
+    "q65_eda_summary" -> ((s, dir) =>
+      graft.sqa.Summary.eda(
+        Eda.metrics(edaSignal(s, dir), FS, SEG, P,
+          tempCol = Some("temp"), scrCol = Some("artifact")),
+        Scr.tonicScl(SignalFrame.fromEvents(s, dir), FS, SEG)
+          .withColumn("tonic_scl", bround(col("tonic_scl"), 6)))),
+
     "q39_hrv_td" -> ((s, dir) =>
       Hrv.timeDomain(
         Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
@@ -134,6 +144,39 @@ object FeatureQueries {
   private val EDA_SIG =
     s"""SELECT *, 28.0 + value % 14.0 AS temp FROM ($SIG)"""
 
+  /** Per-segment EDA quality metrics SQL (q38) — reused by the q65 summary
+    * oracle. */
+  private def edaMetricsSql: String =
+    s"""WITH sig AS ($EDA_SIG),
+       |seg AS (SELECT *, idx // ${FS * SEG} + 1 AS segment FROM sig),
+       |f AS (
+       |  SELECT subject, segment, idx, artifact,
+       |    CASE WHEN value < ${P.edaMin} OR value > ${P.edaMax} THEN 1 ELSE 0 END AS oor,
+       |    CASE WHEN ABS(COALESCE((value - LAG(value) OVER ws) * $FS, 0)) > ${P.maxSlope}
+       |      THEN 1 ELSE 0 END AS slp,
+       |    CASE WHEN temp < ${P.tempMin} OR temp > ${P.tempMax} THEN 1 ELSE 0 END AS tmp
+       |  FROM seg WINDOW ws AS (PARTITION BY subject, segment ORDER BY idx)),
+       |g AS (
+       |  SELECT *, GREATEST(oor, slp, tmp) AS inv,
+       |    MAX(GREATEST(oor, slp, tmp)) OVER (PARTITION BY subject, segment ORDER BY idx
+       |      ROWS BETWEEN ${(P.spreadDurS * FS).toInt} PRECEDING
+       |               AND ${(P.spreadDurS * FS).toInt} FOLLOWING) AS spread
+       |  FROM f),
+       |agged AS (
+       |  SELECT subject, segment, COUNT(*) AS len, CAST(SUM(spread) AS BIGINT) AS nspr,
+       |    CAST(SUM(oor) AS BIGINT) AS n_out_of_range,
+       |    CAST(SUM(slp) AS BIGINT) AS n_excessive_slope,
+       |    CAST(SUM(tmp) AS BIGINT) AS n_temp_out_of_range, COUNT(artifact) AS n_scrs
+       |  FROM g GROUP BY 1, 2)
+       |SELECT subject, segment, len - nspr AS n_valid,
+       |  round_even((len - nspr)::DOUBLE / len * 100, 2) AS pct_valid,
+       |  nspr AS n_invalid, round_even(nspr::DOUBLE / len * 100, 2) AS pct_invalid,
+       |  n_out_of_range, round_even(n_out_of_range::DOUBLE / len * 100, 2) AS pct_out_of_range,
+       |  n_excessive_slope, round_even(n_excessive_slope::DOUBLE / len * 100, 2) AS pct_excessive_slope,
+       |  n_temp_out_of_range, round_even(n_temp_out_of_range::DOUBLE / len * 100, 2) AS pct_temp_out_of_range,
+       |  n_scrs
+       |FROM agged WHERE len = ${FS * SEG}""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q54_erma" -> KernelQueries.golden("q54_erma"),
     "q58_lomb" -> KernelQueries.golden("q58_lomb"),
@@ -148,36 +191,38 @@ object FeatureQueries {
          |  CASE WHEN temp < ${P.tempMin} OR temp > ${P.tempMax} THEN 1 END AS temp_out_of_range
          |FROM sig WINDOW w AS (PARTITION BY subject ORDER BY idx)""".stripMargin,
 
-    "q38_eda_metrics" ->
-      s"""WITH sig AS ($EDA_SIG),
-         |seg AS (SELECT *, idx // ${FS * SEG} + 1 AS segment FROM sig),
-         |f AS (
-         |  SELECT subject, segment, idx, artifact,
-         |    CASE WHEN value < ${P.edaMin} OR value > ${P.edaMax} THEN 1 ELSE 0 END AS oor,
-         |    CASE WHEN ABS(COALESCE((value - LAG(value) OVER ws) * $FS, 0)) > ${P.maxSlope}
-         |      THEN 1 ELSE 0 END AS slp,
-         |    CASE WHEN temp < ${P.tempMin} OR temp > ${P.tempMax} THEN 1 ELSE 0 END AS tmp
-         |  FROM seg WINDOW ws AS (PARTITION BY subject, segment ORDER BY idx)),
-         |g AS (
-         |  SELECT *, GREATEST(oor, slp, tmp) AS inv,
-         |    MAX(GREATEST(oor, slp, tmp)) OVER (PARTITION BY subject, segment ORDER BY idx
-         |      ROWS BETWEEN ${(P.spreadDurS * FS).toInt} PRECEDING
-         |               AND ${(P.spreadDurS * FS).toInt} FOLLOWING) AS spread
-         |  FROM f),
-         |agged AS (
-         |  SELECT subject, segment, COUNT(*) AS len, CAST(SUM(spread) AS BIGINT) AS nspr,
-         |    CAST(SUM(oor) AS BIGINT) AS n_out_of_range,
-         |    CAST(SUM(slp) AS BIGINT) AS n_excessive_slope,
-         |    CAST(SUM(tmp) AS BIGINT) AS n_temp_out_of_range, COUNT(artifact) AS n_scrs
-         |  FROM g GROUP BY 1, 2)
-         |SELECT subject, segment, len - nspr AS n_valid,
-         |  round_even((len - nspr)::DOUBLE / len * 100, 2) AS pct_valid,
-         |  nspr AS n_invalid, round_even(nspr::DOUBLE / len * 100, 2) AS pct_invalid,
-         |  n_out_of_range, round_even(n_out_of_range::DOUBLE / len * 100, 2) AS pct_out_of_range,
-         |  n_excessive_slope, round_even(n_excessive_slope::DOUBLE / len * 100, 2) AS pct_excessive_slope,
-         |  n_temp_out_of_range, round_even(n_temp_out_of_range::DOUBLE / len * 100, 2) AS pct_temp_out_of_range,
-         |  n_scrs
-         |FROM agged WHERE len = ${FS * SEG}""".stripMargin,
+    "q38_eda_metrics" -> edaMetricsSql,
+
+    // A14 EDA summary: metrics aggregation + tonic-SCL median from the
+    // reference-generated golden fixture (the tonic kernel itself is
+    // oracle-checked by q60).
+    "q65_eda_summary" ->
+      s"""WITH met AS ($edaMetricsSql),
+         |ton AS (${KernelQueries.golden("q60_tonic_scl")}),
+         |med AS (
+         |  SELECT subject, round_even(
+         |    CASE WHEN COUNT(CASE WHEN isnan(tonic_scl) THEN 1 END) > 0
+         |      THEN 'NaN'::DOUBLE
+         |      ELSE MEDIAN(CASE WHEN NOT isnan(tonic_scl) THEN tonic_scl END)
+         |    END, 2) AS median_tonic_scl
+         |  FROM ton GROUP BY 1),
+         |agg AS (
+         |  SELECT subject,
+         |    round_even(CAST(SUM(n_scrs) AS DOUBLE) / COUNT(*), 2) AS avg_scrs_per_segment,
+         |    COUNT(CASE WHEN n_invalid > 0 THEN 1 END) AS n_seg_invalid,
+         |    round_even(CAST(SUM(CAST(pct_invalid AS DECIMAL(24,6))) AS DOUBLE)
+         |      / COUNT(pct_invalid), 2) AS avg_pct_invalid,
+         |    round_even(CAST(SUM(CAST(pct_out_of_range AS DECIMAL(24,6))) AS DOUBLE)
+         |      / COUNT(pct_out_of_range), 2) AS avg_pct_out_of_range,
+         |    round_even(CAST(SUM(CAST(pct_excessive_slope AS DECIMAL(24,6))) AS DOUBLE)
+         |      / COUNT(pct_excessive_slope), 2) AS avg_pct_excessive_slope,
+         |    round_even(CAST(SUM(CAST(pct_temp_out_of_range AS DECIMAL(24,6))) AS DOUBLE)
+         |      / COUNT(pct_temp_out_of_range), 2) AS avg_pct_temp_out_of_range
+         |  FROM met GROUP BY 1)
+         |SELECT agg.subject, median_tonic_scl, avg_scrs_per_segment,
+         |  n_seg_invalid, avg_pct_invalid, avg_pct_out_of_range,
+         |  avg_pct_excessive_slope, avg_pct_temp_out_of_range
+         |FROM agg LEFT JOIN med ON agg.subject = med.subject""".stripMargin,
 
     "q39_hrv_td" ->
       s"""WITH sig AS ($SIG),

@@ -40,6 +40,12 @@ object SqaQueries {
       Cardio.computeMetricsRolling(SignalFrame.fromEvents(s, dir), FS,
         windowS = 20, stepS = 5)),
 
+    // A14 cardiac summary panel (dashboard/utils.py:584-631) over the
+    // per-segment metrics, incl. the diff<10 HR-stability filter.
+    "q64_cardiac_summary" -> ((s, dir) =>
+      graft.sqa.Summary.cardiac(
+        Cardio.computeMetrics(SignalFrame.fromEvents(s, dir), FS, SEG))),
+
     "q43_interp" -> ((s, dir) => {
       import graft.ops.AsofJoin
       val G = 7200000000L // 2-hour grid
@@ -154,6 +160,36 @@ object SqaQueries {
          |FROM b5""".stripMargin,
 
     "q42_rolling_metrics" -> rollingSql(windowS = 20, stepS = 5),
+
+    "q64_cardiac_summary" ->
+      s"""WITH met AS (${metricsSql(s"sig AS ($SIG)")}),
+         |v AS (
+         |  SELECT subject, n_detected,
+         |    LEAD(n_detected) OVER (PARTITION BY subject ORDER BY segment)
+         |      - n_detected AS d
+         |  FROM met WHERE invalid IS NULL),
+         |avgn AS (
+         |  SELECT subject,
+         |    round_even(CAST(SUM(n_detected) AS DOUBLE) / COUNT(*), 2) AS avg_n_detected
+         |  FROM v WHERE d < 10 GROUP BY 1),
+         |agg AS (
+         |  SELECT subject,
+         |    COUNT(CASE WHEN n_missing > 0 THEN 1 END) AS n_seg_missing,
+         |    COUNT(CASE WHEN n_artifact > 0 THEN 1 END) AS n_seg_artifact,
+         |    COUNT(CASE WHEN invalid = 1 THEN 1 END) AS n_seg_invalid,
+         |    round_even(COUNT(CASE WHEN invalid = 1 THEN 1 END)::DOUBLE
+         |      / MAX(segment) * 100, 2) AS pct_invalid,
+         |    round_even(CAST(SUM(CAST(pct_missing AS DECIMAL(24,6))) AS DOUBLE)
+         |      / COUNT(pct_missing), 2) AS avg_pct_missing,
+         |    round_even(COALESCE(
+         |      CAST(SUM(CAST(CASE WHEN pct_artifact > 0 THEN pct_artifact END
+         |        AS DECIMAL(24,6))) AS DOUBLE)
+         |      / COUNT(CASE WHEN pct_artifact > 0 THEN pct_artifact END), 0.0), 2)
+         |      AS avg_pct_artifact
+         |  FROM met GROUP BY 1)
+         |SELECT agg.subject, avg_n_detected, n_seg_missing, n_seg_artifact,
+         |  n_seg_invalid, pct_invalid, avg_pct_missing, avg_pct_artifact
+         |FROM agg LEFT JOIN avgn ON agg.subject = avgn.subject""".stripMargin,
 
     "q43_interp" -> {
       val G = 7200000000L
