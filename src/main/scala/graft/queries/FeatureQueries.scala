@@ -33,6 +33,21 @@ object FeatureQueries {
       Eda.metrics(edaSignal(s, dir), FS, SEG, P,
         tempCol = Some("temp"), scrCol = Some("artifact"))),
 
+    // A16 EDA features over sliding windows (EDA.py:451-482): per-window
+    // mean/std/min/max of phasic/tonic, 30 s windows stepped by 10 s. The
+    // feature math is oracle-checked over a SQL-expressible decomposition
+    // (centered decimal-mean tonic, residual phasic); in the full pipeline
+    // the input is the K9 decomposition (q59 covers that kernel).
+    "q66_eda_features" -> ((s, dir) => {
+      val wf = Window.partitionBy("subject").orderBy("idx").rowsBetween(-8, 8)
+      val dec = SignalFrame.fromEvents(s, dir)
+        .withColumn("tonic", bround(
+          sum(col("value").cast(DecimalType(24, 6))).over(wf).cast("double") /
+            count(lit(1)).over(wf), 6))
+        .withColumn("phasic", bround(col("value") - col("tonic"), 6))
+      Eda.features(dec, FS, windowS = 30, stepS = 10)
+    }),
+
     // A14 EDA summary panel (dashboard/utils.py:633-686): median tonic SCL
     // (np.median NaN-poisoning semantics), avg SCRs per full segment,
     // invalid-segment count, averaged quality percentages.
@@ -178,6 +193,36 @@ object FeatureQueries {
        |FROM agged WHERE len = ${FS * SEG}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q66_eda_features" -> {
+      def st(c: String): String = {
+        val s1 = s"CAST(SUM(CAST($c AS DECIMAL(30,8))) AS DOUBLE)"
+        val s2 = s"CAST(SUM(CAST($c * $c AS DECIMAL(30,8))) AS DOUBLE)"
+        s"""round_even($s1 / COUNT($c), 6) AS ${c}_mean,
+           |  round_even(CASE WHEN COUNT($c) > 1
+           |    THEN sqrt(($s2 - $s1 * $s1 / COUNT($c)) / CAST(COUNT($c) - 1 AS DOUBLE))
+           |  END, 6) AS ${c}_std,
+           |  MIN($c) AS ${c}_min, MAX($c) AS ${c}_max""".stripMargin
+      }
+      s"""WITH sig AS ($SIG),
+         |dec0 AS (
+         |  SELECT subject, idx, value,
+         |    round_even(CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER wf AS DOUBLE)
+         |      / COUNT(*) OVER wf, 6) AS tonic
+         |  FROM sig WINDOW wf AS (PARTITION BY subject ORDER BY idx
+         |    ROWS BETWEEN 8 PRECEDING AND 8 FOLLOWING)),
+         |dec AS (
+         |  SELECT subject, idx, tonic, round_even(value - tonic, 6) AS phasic
+         |  FROM dec0),
+         |ex AS (
+         |  SELECT *, w FROM dec, unnest(range(
+         |    CASE WHEN idx < 120 THEN 0 ELSE (idx - 120) // 40 + 1 END,
+         |    idx // 40 + 1)) AS t(w))
+         |SELECT subject, w + 1 AS moving_window, COUNT(*) AS n,
+         |  ${st("phasic")},
+         |  ${st("tonic")}
+         |FROM ex GROUP BY subject, w""".stripMargin
+    },
+
     "q54_erma" -> KernelQueries.golden("q54_erma"),
     "q58_lomb" -> KernelQueries.golden("q58_lomb"),
     "q60_tonic_scl" -> KernelQueries.golden("q60_tonic_scl"),

@@ -94,4 +94,45 @@ object Eda {
         "n_out_of_range", "pct_out_of_range", "n_excessive_slope", "pct_excessive_slope",
         "n_temp_out_of_range", "pct_temp_out_of_range", "n_scrs")
   }
+
+  /** A16: statistical EDA features over sliding windows of the phasic/tonic
+    * decomposition (reference `compute_features`, EDA.py:451-482, which
+    * delegates to the external flirt package; the per-window feature set
+    * here — mean, sample std, min, max of each component — is the engine's
+    * own honest definition, following the A15 HRV pattern).
+    *
+    * Input: (subject, idx, phasic, tonic) — in the full pipeline the K9
+    * decomposition (kernels/EdaDecompose). Windows start every `stepS`
+    * seconds, `windowS` seconds wide, truncated at the recording end; the
+    * bounded explode (≤ windowS/stepS windows per sample) + one grouped
+    * aggregation is the same scale shape as the rolling SQA metrics. All
+    * means/stds route through DECIMAL sums (order-independent). */
+  def features(decomposed: DataFrame, fs: Int, windowS: Int = 180,
+      stepS: Int = 60): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val step = fs.toLong * stepS
+    val win = fs.toLong * windowS
+    val wlo = when(col("idx") < win, lit(0L))
+      .otherwise(((col("idx") - win) / step).cast("long") + 1)
+    val whi = (col("idx") / step).cast("long")
+    val ex = decomposed.withColumn("w", explode(sequence(wlo, whi)))
+    def stats(c: String): Seq[Column] = {
+      val s1 = sum(col(c).cast(DecimalType(30, 8))).cast("double")
+      val s2 = sum((col(c) * col(c)).cast(DecimalType(30, 8))).cast("double")
+      val n = count(col(c))
+      Seq(
+        bround(s1 / n, 6).as(s"${c}_mean"),
+        bround(when(n > 1,
+          sqrt((s2 - s1 * s1 / n) / (n - 1).cast("double"))), 6).as(s"${c}_std"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    val aggs = count(lit(1)).as("n") +: (stats("phasic") ++ stats("tonic"))
+    ex.groupBy("subject", "w")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("moving_window", col("w") + 1)
+      .select("subject", "moving_window", "n",
+        "phasic_mean", "phasic_std", "phasic_min", "phasic_max",
+        "tonic_mean", "tonic_std", "tonic_min", "tonic_max")
+  }
 }
