@@ -35,6 +35,13 @@ object Edf {
   private def ascii(b: Array[Byte], off: Int, len: Int): String =
     new String(b, off, len, StandardCharsets.US_ASCII).trim
 
+  /** S13: Actiwave-EDF validity probe (reference `_check_edf`,
+    * dashboard/utils.py:289-296): the file must parse as EDF and expose an
+    * 'ECG0' channel label. */
+  def isValidActiwave(bytes: Array[Byte]): Boolean =
+    try parse(bytes).channels.exists(_.label.contains("ECG0"))
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** Parse an EDF file into per-channel physical-value arrays. */
   def parse(bytes: Array[Byte]): EdfFile = {
     require(bytes.length >= 256, "truncated EDF header")

@@ -102,6 +102,36 @@ object Readers {
   def csvHeaders(spark: SparkSession, path: String): Seq[String] =
     spark.read.option("header", "true").csv(path).columns.toSeq
 
+  /** S6: batch-of-CSVs source (reference dashboard/callbacks.py:743-892).
+    * The reference loops over extracted files serially; here the whole
+    * directory is ONE partitioned `spark.read.csv` scan with the subject
+    * derived from the file name via input_file_name() — at 100 TB this is
+    * exactly where the engine should shine: per-subject pipelines become
+    * one plan over all subjects. A per-subject 0-based `idx` sample clock
+    * is materialized from within-file order. */
+  def batchCsvDir(spark: SparkSession, dir: String,
+      mapping: Map[String, String]): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/*.csv")
+    val w = Window.partitionBy("subject").orderBy(monotonically_increasing_id())
+    raw
+      .withColumn("subject",
+        regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))
+      .select(col("subject") +:
+        mapping.keys.toSeq.map(c => col(s"`$c`").as(mapping(c))): _*)
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+  }
+
+  /** S8: canonical sinks — Parquet for inter-stage checkpoints, exact
+    * header CSV for the reference's export surface
+    * (reference dashboard/callbacks.py:794-1101 temp-CSV materialization).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
   /** Beat-editor JSON export (S9): records-oriented, epoch-ms dates,
     * Signal/Beat/Artifact naming, injected Segment
     * (reference physioview.py:1594-1688). */

@@ -95,6 +95,27 @@ object Fft {
     }
   }
 
+  /** K2: frequency-domain Gaussian low-pass (reference
+    * `Filters.lowpass_gaussian`, pipeline/EDA.py:95-133; Nabian 2018):
+    * FFT → multiply by exp(-(f/cutoff)²/2) over the two-sided fftfreq
+    * grid → real part of the inverse FFT. */
+  def gaussianLowpass(fs: Double, cutoff: Double = 1.0)(
+      x: Array[Double]): Array[Double] = {
+    val n = x.length
+    if (n == 0) return Array.empty
+    val re = x.clone(); val im = new Array[Double](n)
+    fft(re, im, invert = false)
+    var k = 0
+    while (k < n) {
+      val fk = (if (k <= (n - 1) / 2) k.toDouble else k.toDouble - n) * fs / n
+      val g = math.exp(-0.5 * (fk / cutoff) * (fk / cutoff))
+      re(k) *= g; im(k) *= g
+      k += 1
+    }
+    fft(re, im, invert = true)
+    re
+  }
+
   /** Imaginary part of the analytic signal (scipy.signal.hilbert). */
   def hilbertImag(x: Array[Double]): Array[Double] = {
     val n = x.length

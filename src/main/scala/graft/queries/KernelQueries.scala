@@ -87,11 +87,19 @@ object KernelQueries {
         .withColumn("value_rs", bround(col("value_rs"), 6))),
 
     // K15b: Fourier-domain resample 4 Hz -> 8 Hz (scipy.signal.resample;
-    // physioview.py:105-112). FFT kernel — rows-only check.
+    // physioview.py:105-112). FFT kernel, golden-fixture oracle.
     "q57_fourier_resample" -> ((s, dir) =>
       graft.kernels.Resample.fourierResample(
         SignalFrame.fromEvents(s, dir), fs = 4, newFs = 8)
-        .withColumn("value_rs", bround(col("value_rs"), 6)))
+        .withColumn("value_rs", bround(col("value_rs"), 6))),
+
+    // K2: frequency-domain Gaussian low-pass (EDA.py:95-133), cutoff
+    // 0.5 Hz at fs=4. FFT kernel, golden-fixture oracle.
+    "q67_gaussian_lowpass" -> ((s, dir) =>
+      KernelRunner.transformValues(
+        SignalFrame.fromEvents(s, dir), "value", "filtered")(
+        graft.kernels.Fft.gaussianLowpass(fs = 4.0, cutoff = 0.5))
+        .withColumn("filtered", bround(col("filtered"), 6)))
   )
 
   /** Golden-fixture oracle: the expected output was generated from the
@@ -114,6 +122,7 @@ object KernelQueries {
       "q52_manikandan" -> golden("q52_manikandan"),
       "q55_ellip_filtfilt" -> golden("q55_ellip_filtfilt"),
       "q57_fourier_resample" -> golden("q57_fourier_resample"),
+      "q67_gaussian_lowpass" -> golden("q67_gaussian_lowpass"),
       "q34_nabian" ->
         s"""WITH sig AS (${SignalFrame.fromEventsSql})
            |SELECT subject, idx,

@@ -226,6 +226,18 @@ def main():
         {"subject": "int64", "ridx": "int64", "value_rs": "float64"}),
         out_dir, "q57_fourier_resample")
 
+    # ---- q67: frequency-domain Gaussian low-pass, cutoff 0.5 Hz at fs=4
+    rows = []
+    for s in subjects:
+        vals, _ = frames[s]
+        freqs = np.fft.fftfreq(len(vals), d=1 / 4.0)
+        resp = np.exp(-0.5 * (freqs / 0.5) ** 2)
+        y = np.round(np.real(np.fft.ifft(np.fft.fft(vals) * resp)), 6)
+        rows += [(s, i, v) for i, v in enumerate(y)]
+    write(frames_df(rows, ["subject", "idx", "filtered"]).astype(
+        {"subject": "int64", "idx": "int64", "filtered": "float64"}),
+        out_dir, "q67_gaussian_lowpass")
+
     # ---- q58: Lomb-Scargle LF/HF band powers over the IBI series, fs=4
     rows = []
     freqs = np.array([i * 0.004 for i in range(1, 101)])
