@@ -37,21 +37,30 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
-    * candidate pairs confined to shared sign-bit LSH buckets — an
-    * equi-join, never a cross join — then exact cosine >= threshold.
-    * Output (id_a < id_b, cos). */
+    * candidate pairs confined to shared banded sign-bit LSH buckets —
+    * OR-amplified like minhashPairs: `numBands` disjoint hyperplane bands,
+    * a pair is a candidate when ANY band key matches (recall
+    * 1-(1-p^b)^B instead of single-table p^b), the join stays an equi-join
+    * on (band_idx, band_key), never a cross join. Candidates are deduped
+    * on the narrow (id_a, id_b) key before the exact-cosine verify.
+    * Output (id_a < id_b, cos >= threshold). */
   def embeddingDupPairs(docs: DataFrame, idCol: String, embCol: String,
-      threshold: Double,
-      dims: Seq[Int] = Seq(0, 8, 16, 24, 32, 40, 48, 56)): DataFrame = {
+      threshold: Double, numBands: Int = 4, bitsPerBand: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val bands = VectorOps.bandDims(numBands, bitsPerBand, dim)
     val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
-      .withColumn("bucket", VectorOps.signBucket(col("emb"), dims))
-    val a = n.select(col("id").as("id_a"), col("emb").as("ea"),
-      col("n2").as("na"), col("bucket"))
-    val b = n.select(col("id").as("id_b"), col("emb").as("eb"),
-      col("n2").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val keyed = n.select(col("id"),
+      posexplode(array(bands.map(d => VectorOps.signBucket(col("emb"), d)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = keyed.select(col("id").as("id_a"), col("band_idx"), col("band_key"))
+    val b = keyed.select(col("id").as("id_b"), col("band_idx"), col("band_key"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(n.select(col("id").as("id_a"), col("emb").as("ea"), col("n2").as("na")), Seq("id_a"))
+      .join(n.select(col("id").as("id_b"), col("emb").as("eb"), col("n2").as("nb")), Seq("id_b"))
       .withColumn("cos", round(
         VectorOps.cosine(VectorOps.dot(col("ea"), col("eb")),
           col("na"), col("nb")), 6))
@@ -59,24 +68,32 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** Bucketed ANN: candidates restricted to the query's LSH bucket. */
+  /** Banded ANN: candidates restricted to rows sharing ANY of the query's
+    * band keys (multi-table OR-amplification; same recall math as
+    * embeddingDupPairs), then exact cosine + per-query top-k. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, embCol: String, k: Int,
-      dims: Seq[Int] = Seq(0, 8, 16, 24, 32, 40, 48, 56)): DataFrame = {
+      idCol: String, embCol: String, k: Int, numBands: Int = 4,
+      bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val bands = VectorOps.bandDims(numBands, bitsPerBand, dim)
+    def keyed(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        posexplode(array(bands.map(d => VectorOps.signBucket(col(embCol), d)): _*))
+          .as(Seq("band_idx", "band_key")))
+    val cand = keyed(queries, "query_id")
+      .join(keyed(candidates, "cand_id"), Seq("band_idx", "band_key"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
-      .withColumn("bucket", VectorOps.signBucket(col("q_emb"), dims))
     val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
       .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
-      .withColumn("bucket", VectorOps.signBucket(col("c_emb"), dims))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
+    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("cand_id"))
       .withColumn("cos", round(
         VectorOps.cosine(VectorOps.dot(col("q_emb"), col("c_emb")),
           col("q_n2"), col("c_n2")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select("query_id", "bucket", "cand_id", "cos", "rnk")
+      .select("query_id", "cand_id", "cos", "rnk")
   }
 }

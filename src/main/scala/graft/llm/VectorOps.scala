@@ -38,4 +38,15 @@ object VectorOps {
     dims.zipWithIndex.map { case (d, k) =>
       when(element_at(emb, d + 1) > 0f, 1 << k).otherwise(0)
     }.reduce(_ + _)
+
+  /** OR-amplified banded LSH dimension layout: `numBands` disjoint bands of
+    * `bitsPerBand` hyperplanes striding the full `dim`-dimensional space.
+    * Candidate recall for per-bit agreement probability p is
+    * 1 - (1 - p^bitsPerBand)^numBands — e.g. p=0.9, 8 bits, 4 bands:
+    * 0.89 vs 0.43 for a single 8-bit table (the round-2 shape). */
+  def bandDims(numBands: Int, bitsPerBand: Int, dim: Int): Seq[Seq[Int]] = {
+    val stride = math.max(1, dim / (numBands * bitsPerBand))
+    (0 until numBands).map(j =>
+      (0 until bitsPerBand).map(k => (j * bitsPerBand + k) * stride))
+  }
 }

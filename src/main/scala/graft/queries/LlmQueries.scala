@@ -232,34 +232,50 @@ object LlmQueries {
          |WHERE rnk <= 5""".stripMargin,
 
     "q31_ann_lsh" -> {
-      val bucket = (0 until 8).map(k =>
-        s"CASE WHEN embedding[${k * 8 + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
       s"""WITH n AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2,
-         |    $bucket AS bucket
-         |  FROM embeddings)
-         |SELECT query_id, bucket, cand_id, cos, rnk FROM (
-         |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS cand_id,
-         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
-         |               c.vec_id) AS rnk
-         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |bands AS ($bandKeysSql),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bands q JOIN bands c
+         |    ON q.bi = c.bi AND q.bk = c.bk AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 20)
+         |SELECT query_id, cand_id, cos, rnk FROM (
+         |  SELECT query_id, cand_id,
+         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |               cand_id) AS rnk
+         |  FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |            JOIN n c ON cand.cand_id = c.vec_id)
          |WHERE rnk <= 3""".stripMargin
     },
 
     "q61_embed_dup" -> {
-      val bucket = (0 until 8).map(k =>
-        s"CASE WHEN embedding[${k * 8 + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
       s"""WITH n AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2,
-         |    $bucket AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |bands AS ($bandKeysSql),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
          |  ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) AS cos
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM cand JOIN n a ON cand.id_a = a.vec_id
+         |          JOIN n b ON cand.id_b = b.vec_id
          |WHERE ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) >= 0.3""".stripMargin
     }
   )
+
+  /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row
+    * per (vec_id, band_idx) with the band's 8-bit key. */
+  private def bandKeysSql: String =
+    (0 until 4).map { j =>
+      val key = (0 until 8).map(k =>
+        s"CASE WHEN embedding[${(j * 8 + k) * 2 + 1}] > 0 THEN ${1 << k} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, $j AS bi, $key AS bk FROM embeddings"
+    }.mkString("\n  UNION ALL ")
 }
