@@ -45,6 +45,82 @@ object KernelRunner {
       .toDF("subject", "idx", outCol)
   }
 
+  /** The 100 TB posture: range-bucket each recording by `idx div
+    * bucketLen` with `halo` overlap rows on each side, run the kernel per
+    * (subject, bucket) slice, and emit ONLY the bucket-core outputs. No
+    * task ever materializes more than bucketLen + 2*halo samples, so a
+    * multi-day recording becomes many bounded tasks instead of one
+    * unbounded group.
+    *
+    * Correctness contract: exact (to fp tolerance) for kernels whose
+    * output at a position depends on inputs within `halo` positions —
+    * FIR convolutions, zero-phase IIR (choose halo past the impulse-
+    * response decay, >= 3x padlen is a good floor), windowed detectors.
+    * Adaptive FSM detectors converge rather than match bitwise: their
+    * running state (threshold EMAs, IBI FIFOs) forgets history
+    * geometrically, so halo must cover the state's convergence length
+    * (seconds of signal), as the spec demonstrates for Pan-Tompkins. */
+  def transformValuesBucketed(signal: DataFrame, valueCol: String,
+      outCol: String, bucketLen: Long, halo: Int)(
+      kernel: Array[Double] => Array[Double]): DataFrame = {
+    require(halo >= 0 && halo < bucketLen, "need 0 <= halo < bucketLen")
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val ds = bucketed(signal, valueCol, bucketLen, halo)
+    ds.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
+        val (subj, b) = key
+        val rows = it.toArray.sortBy(_._3)
+        val out = kernel(rows.map(_._4))
+        rows.iterator.zip(out.iterator)
+          .filter { case (r, _) => r._3 / bucketLen == b }
+          .map { case (r, v) => ValueOut(subj, r._3, v) }
+      }
+      .toDF("subject", "idx", outCol)
+  }
+
+  /** Bucketed detector variant: kernel positions map back to sample idx;
+    * only detections whose idx falls in the bucket core are emitted (cores
+    * are disjoint, so no dedupe is needed). */
+  def detectIndicesBucketed(signal: DataFrame, valueCol: String,
+      bucketLen: Long, halo: Int)(
+      kernel: Array[Double] => Array[Int]): DataFrame = {
+    require(halo >= 0 && halo < bucketLen, "need 0 <= halo < bucketLen")
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val ds = bucketed(signal, valueCol, bucketLen, halo)
+    ds.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
+        val (subj, b) = key
+        val rows = it.toArray.sortBy(_._3)
+        kernel(rows.map(_._4)).iterator
+          .map(p => rows(p)._3)
+          .filter(_ / bucketLen == b)
+          .map(ix => IdxOut(subj, ix))
+      }
+      .toDF("subject", "idx")
+  }
+
+  /** (subject, bucket, idx, value) rows: every sample lands in its own
+    * bucket plus — within `halo` of a boundary — the neighbor bucket. The
+    * bounded explode costs <= (1 + 2*halo/bucketLen)x rows. */
+  private def bucketed(signal: DataFrame, valueCol: String, bucketLen: Long,
+      halo: Int): Dataset[(Long, Long, Long, Double)] = {
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val b = (col("idx") / bucketLen).cast("long")
+    val pos = col("idx") % bucketLen
+    signal
+      .select(col("subject").cast("long"), col("idx").cast("long"),
+        col(valueCol).cast("double").as("value"))
+      .withColumn("__b", explode(array_distinct(array(
+        b,
+        when(pos < halo && b > 0, b - 1).otherwise(b),
+        when(pos >= bucketLen - halo, b + 1).otherwise(b)))))
+      .select(col("subject"), col("__b"), col("idx"), col("value"))
+      .as[(Long, Long, Long, Double)]
+  }
+
   /** Run an array→indices kernel per recording (e.g., a beat detector):
     * emits the sample indices the kernel selects (positions into the
     * idx-sorted array are mapped back to `idx` values). */
