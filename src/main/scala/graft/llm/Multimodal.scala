@@ -1,29 +1,165 @@
 package graft.llm
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, batched feature extraction via the typed
+/** Multimodal column support: image/audio as opaque `binary` columns with
+  * typed metadata, batched decode + feature extraction via the typed
   * mapPartitions contract (the Scala analog of `mapInPandas`).
   *
-  * The decode step is STUBBED — codec libraries are not available in this
-  * environment — behind [[decodeStub]], a deterministic fake that derives
-  * a feature vector from the payload bytes. The Spark-side plumbing
-  * (schema, per-partition batching, output shape, partition-count
-  * preservation) is real and tested; swapping a real decoder in changes
-  * only the function body.
+  * Decoders are REAL pure-JVM implementations for container-free formats:
+  * RIFF/WAVE PCM audio (8/16-bit, any channel count) and binary PPM (P6)
+  * images, plus nearest-neighbor image resize — no codec library needed.
+  * Compressed formats (JPEG/MP3/MP4) would require codecs this environment
+  * lacks; payloads that match no known magic fall back to a documented
+  * deterministic byte-fold so pipelines never drop rows.
   */
 object Multimodal {
 
   case class MediaRow(id: Long, payload: Array[Byte], width: Int, height: Int)
-  case class FeatureRow(id: Long, dim: Int, features: Array[Float], checksum: Long)
+  case class FeatureRow(id: Long, kind: String, dim: Int,
+      features: Array[Float], checksum: Long)
 
   val FEATURE_DIM = 8
 
-  /** Deterministic fake decoder: folds payload bytes into FEATURE_DIM
-    * buckets. Replace with a real image/audio decode when codecs exist. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
+  // ------------------------------------------------------------- WAV/PCM
+  /** Interleaved samples normalized to [-1, 1]. */
+  case class Wav(numChannels: Int, sampleRate: Int, bitsPerSample: Int,
+      samples: Array[Double])
+
+  /** RIFF/WAVE PCM decoder (format tag 1, 8- or 16-bit). */
+  def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val len = bb.getInt(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((bb.getShort(off + 10).toInt, bb.getInt(off + 12),
+          bb.getShort(off + 22).toInt))
+      } else if (id == "data") {
+        data = Some((off + 8, math.min(len, bytes.length - off - 8)))
+      }
+      off += 8 + len + (len & 1)
+    }
+    for ((ch, rate, bits) <- fmt; (doff, dlen) <- data;
+         if bits == 8 || bits == 16) yield {
+      val n = dlen / (bits / 8)
+      val samples = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 16) bb.getShort(doff + 2 * i) / 32768.0
+          else ((bytes(doff + i) & 0xff) - 128) / 128.0
+        i += 1
+      }
+      Wav(ch, rate, bits, samples)
+    }
+  }
+
+  // ------------------------------------------------------------ PPM (P6)
+  /** Packed 0xRRGGBB pixels, row-major. */
+  case class Image(width: Int, height: Int, rgb: Array[Int])
+
+  /** Binary PPM (P6, maxval 255) decoder with comment support. */
+  def decodePpm(bytes: Array[Byte]): Option[Image] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < bytes.length &&
+        (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val (w, h, maxv) = (nextInt(), nextInt(), nextInt())
+    pos += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxv != 255 || pos + 3 * w * h > bytes.length)
+      return None
+    val rgb = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      rgb(i) = ((bytes(pos + 3 * i) & 0xff) << 16) |
+        ((bytes(pos + 3 * i + 1) & 0xff) << 8) | (bytes(pos + 3 * i + 2) & 0xff)
+      i += 1
+    }
+    Some(Image(w, h, rgb))
+  }
+
+  /** Nearest-neighbor resize (the mapInPandas 'resize' transform). */
+  def resizeNearest(img: Image, w: Int, h: Int): Image = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(img.height - 1, y * img.height / h)
+      var x = 0
+      while (x < w) {
+        val sx = math.min(img.width - 1, x * img.width / w)
+        out(y * w + x) = img.rgb(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
+  // ------------------------------------------------------------ features
+  /** Audio features: duration, RMS, zero-crossing rate, peak, mean,
+    * normalized rate/channels/bits. */
+  def wavFeatures(w: Wav): Array[Float] = {
+    val n = w.samples.length
+    if (n == 0) return new Array[Float](FEATURE_DIM)
+    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = w.samples(i)
+      sum += v; sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && math.signum(v) != math.signum(w.samples(i - 1))) zc += 1
+      i += 1
+    }
+    Array(
+      (n.toDouble / (w.sampleRate * w.numChannels)).toFloat,
+      math.sqrt(sumSq / n).toFloat, zc.toFloat / n, peak.toFloat,
+      (sum / n).toFloat, w.sampleRate / 48000f, w.numChannels.toFloat,
+      w.bitsPerSample / 32f)
+  }
+
+  /** Image features: normalized dims, mean RGB, luma mean/std, aspect. */
+  def imageFeatures(img: Image): Array[Float] = {
+    val n = img.rgb.length.max(1)
+    var r = 0.0; var g = 0.0; var b = 0.0; var l = 0.0; var l2 = 0.0
+    img.rgb.foreach { p =>
+      val (pr, pg, pb) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      r += pr; g += pg; b += pb
+      val luma = 0.299 * pr + 0.587 * pg + 0.114 * pb
+      l += luma; l2 += luma * luma
+    }
+    Array(
+      img.width / 1024f, img.height / 1024f,
+      (r / n / 255).toFloat, (g / n / 255).toFloat, (b / n / 255).toFloat,
+      (l / n / 255).toFloat,
+      (math.sqrt(math.max(0, l2 / n - (l / n) * (l / n))) / 255).toFloat,
+      if (img.height == 0) 0f else img.width.toFloat / img.height)
+  }
+
+  /** Deterministic byte-fold for payloads matching no known magic —
+    * documented fallback, not a decoder. */
+  def byteFoldFeatures(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FEATURE_DIM)
     var i = 0
     while (i < payload.length) {
@@ -33,8 +169,14 @@ object Multimodal {
     acc
   }
 
+  /** Decode dispatch by magic bytes: ("wav"|"ppm"|"opaque", features). */
+  def decode(payload: Array[Byte]): (String, Array[Float]) =
+    decodeWav(payload).map(w => "wav" -> wavFeatures(w))
+      .orElse(decodePpm(payload).map(i => "ppm" -> imageFeatures(i)))
+      .getOrElse("opaque" -> byteFoldFeatures(payload))
+
   /** Attach a typed media struct to documents: payload = utf-8 bytes of
-    * the text standing in for image bytes; metadata derived
+    * the text standing in for media bytes; metadata derived
     * deterministically. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -47,18 +189,16 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Batched feature extraction: one decode call per row, executed
-    * partition-at-a-time so a real decoder can amortize codec/session
-    * setup per batch (the mapInPandas batch shape). */
+  /** Batched decode + feature extraction: executed partition-at-a-time so
+    * decoder state amortizes per batch (the mapInPandas batch shape). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition setup would open the codec once here
       it.map { r =>
-        val f = decodeStub(r.payload)
+        val (kind, f) = decode(r.payload)
         val checksum = f.foldLeft(17L)((a, v) => a * 31 + math.round(v * 1000).toLong)
-        FeatureRow(r.id, FEATURE_DIM, f, checksum)
+        FeatureRow(r.id, kind, FEATURE_DIM, f, checksum)
       }
     }
   }

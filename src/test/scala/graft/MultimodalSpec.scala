@@ -1,0 +1,83 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Multimodal
+
+/** Real pure-JVM multimodal decoders: RIFF/WAVE PCM, binary PPM,
+  * nearest-neighbor resize, and magic-byte dispatch through the batched
+  * mapPartitions extraction path. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def wavBytes(samples: Array[Short], rate: Int, channels: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1)
+    bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  private def ppmBytes(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"P6\n# test\n$w $h\n255\n".getBytes("US-ASCII"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      out.write(r); out.write(g); out.write(b)
+    }
+    out.toByteArray
+  }
+
+  test("WAV PCM decode: header fields and normalized samples") {
+    val sine = Array.tabulate(480)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 48000.0) * 16384).toShort)
+    val wav = Multimodal.decodeWav(wavBytes(sine, 48000, 1)).get
+    assert(wav.sampleRate == 48000 && wav.numChannels == 1 && wav.bitsPerSample == 16)
+    assert(wav.samples.length == 480)
+    assert(math.abs(wav.samples(0)) < 1e-9)
+    sine.indices.foreach(i =>
+      assert(math.abs(wav.samples(i) - sine(i) / 32768.0) < 1e-12))
+    assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
+  }
+
+  test("PPM decode + nearest-neighbor resize") {
+    val img = Multimodal.decodePpm(
+      ppmBytes(4, 2, (x, y) => (x * 60, y * 100, 255 - x * 60))).get
+    assert(img.width == 4 && img.height == 2)
+    assert(img.rgb(0) == ((0 << 16) | (0 << 8) | 255))
+    assert(img.rgb(1 * 4 + 3) == ((180 << 16) | (100 << 8) | 75))
+    val small = Multimodal.resizeNearest(img, 2, 1)
+    assert(small.width == 2 && small.height == 1)
+    assert(small.rgb(0) == img.rgb(0) && small.rgb(1) == img.rgb(2))
+    assert(Multimodal.decodePpm("P3 ascii not supported".getBytes).isEmpty)
+  }
+
+  test("magic-byte dispatch through the batched extraction path") {
+    import spark.implicits._
+    val wav = wavBytes(Array.tabulate(100)(i => (i * 300).toShort), 8000, 1)
+    val ppm = ppmBytes(3, 3, (_, _) => (10, 20, 30))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav, 0, 0),
+      Multimodal.MediaRow(2L, ppm, 3, 3),
+      Multimodal.MediaRow(3L, "plain text".getBytes, 0, 0)).toDS()
+    val feats = Multimodal.extractFeatures(rows).collect().sortBy(_.id)
+    assert(feats.map(_.kind).toSeq == Seq("wav", "ppm", "opaque"))
+    assert(feats.forall(_.features.length == Multimodal.FEATURE_DIM))
+    // ppm mean RGB normalized
+    val p = feats(1).features
+    assert(math.abs(p(2) - 10f / 255) < 1e-6)
+    assert(math.abs(p(3) - 20f / 255) < 1e-6)
+    assert(math.abs(p(4) - 30f / 255) < 1e-6)
+  }
+}
