@@ -77,16 +77,25 @@ object Scr {
     // The (onset, offset) intervals are disjoint and ordered by
     // construction (rank-paired alternating zero crossings), so each
     // sample's containing interval is simply the most recent onset at or
-    // before it: a 1:1 equi-join to plant the interval marks plus one
-    // ordered window pass — O(n log n) per subject, never pairs x samples.
-    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-    val tagged = phasic.select(col("subject"), col("idx"), col("value"))
-      .join(pairs.select(col("subject"), col("onset").as("idx"),
-        col("onset"), col("offset"), col("onset_v")), Seq("subject", "idx"), "left")
+    // before it. Interval marks are UNIONED into the sample stream (mark
+    // rows sort just before their sample via __m) and carried forward by
+    // one ordered window pass — a single sort, no join, never
+    // pairs x samples.
+    val marks = pairs.select(col("subject"), col("onset").as("idx"),
+      lit(0).as("__m"), lit(null).cast("double").as("value"),
+      col("onset"), col("offset"), col("onset_v"))
+    val stream = phasic.select(col("subject"), col("idx"), lit(1).as("__m"),
+      col("value"), lit(null).cast("long").as("onset"),
+      lit(null).cast("long").as("offset"), lit(null).cast("double").as("onset_v"))
+      .unionByName(marks)
+    val wRun = Window.partitionBy("subject").orderBy("idx", "__m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = stream
       .withColumn("__on", last(col("onset"), ignoreNulls = true).over(wRun))
       .withColumn("__off", last(col("offset"), ignoreNulls = true).over(wRun))
       .withColumn("__onv", last(col("onset_v"), ignoreNulls = true).over(wRun))
-      .filter(col("idx") >= col("__on") && col("idx") < col("__off"))
+      .filter(col("__m") === 1 &&
+        col("idx") >= col("__on") && col("idx") < col("__off"))
     val wPick = Window.partitionBy("subject", "__on")
       .orderBy(col("value").desc, col("idx"))
     val cands = tagged.withColumn("__pk", row_number().over(wPick))
