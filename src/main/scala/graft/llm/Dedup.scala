@@ -39,6 +39,14 @@ object Dedup {
       shingleN: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val parts = col("__w") +: (1 until shingleN).map(k => lead(col("__w"), k).over(w))
+    // Dedupe via a row_number window over (id, shingle) instead of
+    // distinct(): HashPartitioning(id) satisfies clustering on
+    // (id, shingle), so the dedupe AND every downstream per-id aggregation
+    // run on the single up-front id exchange — distinct() would insert a
+    // second full shuffle on the wide (id, shingle) key.
+    val wDedup = Window
+      .partitionBy(((extraCols :+ idCol).map(col) :+ col("shingle")): _*)
+      .orderBy(col("__pos"))
     docs
       .repartition(col(idCol))
       .select((extraCols :+ idCol).map(col) :+
@@ -46,8 +54,9 @@ object Dedup {
       .withColumn("shingle", concat_ws(" ", parts: _*))
       .withColumn("__last", lead(col("__w"), shingleN - 1).over(w))
       .filter(col("__last").isNotNull)
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col("__rn") === 1)
       .select((extraCols :+ idCol).map(col) :+ col("shingle"): _*)
-      .distinct()
   }
 
   /** Distinct shingle-set sizes per document. */
