@@ -90,10 +90,13 @@ object Scr {
       .unionByName(marks)
     val wRun = Window.partitionBy("subject").orderBy("idx", "__m")
       .rowsBetween(Window.unboundedPreceding, 0)
+    val mark = when(col("__m") === 0,
+      struct(col("onset"), col("offset"), col("onset_v")))
     val tagged = stream
-      .withColumn("__on", last(col("onset"), ignoreNulls = true).over(wRun))
-      .withColumn("__off", last(col("offset"), ignoreNulls = true).over(wRun))
-      .withColumn("__onv", last(col("onset_v"), ignoreNulls = true).over(wRun))
+      .withColumn("__iv", last(mark, ignoreNulls = true).over(wRun))
+      .withColumn("__on", col("__iv.onset"))
+      .withColumn("__off", col("__iv.offset"))
+      .withColumn("__onv", col("__iv.onset_v"))
       .filter(col("__m") === 1 &&
         col("idx") >= col("__on") && col("idx") < col("__off"))
     val wPick = Window.partitionBy("subject", "__on")
