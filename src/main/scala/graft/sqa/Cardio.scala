@@ -154,22 +154,20 @@ object Cardio {
       .withColumn("__med_hr", percentile(col("hr"), lit(0.5)).over(w5))
       .filter(col("__cnt5") === 5 && col("__same_seg") && col("__art_free"))
 
-    // median of window medians per segment, and per half-slice
+    // median of window medians per segment AND per half-slice in ONE
+    // aggregation pass (percentile skips nulls, so the half-slice medians
+    // are conditional projections) — three separate filtered groupBys
+    // would re-evaluate the whole beats subplan three times.
     val segMed = winMed.groupBy("subject", "segment")
-      .agg(percentile(col("__med_hr"), lit(0.5)).as("__exp0"))
-    val lastHalfMed = winMed.filter(col("__in_last_half"))
-      .groupBy("subject", "segment")
-      .agg(percentile(col("__med_hr"), lit(0.5)).as("__half2"))
-    val firstHalfMed = winMed.filter(col("__in_first_half"))
-      .groupBy("subject", "segment")
-      .agg(percentile(col("__med_hr"), lit(0.5)).as("__half1"))
+      .agg(
+        percentile(col("__med_hr"), lit(0.5)).as("__exp0"),
+        percentile(when(col("__in_last_half"), col("__med_hr")), lit(0.5)).as("__half2"),
+        percentile(when(col("__in_first_half"), col("__med_hr")), lit(0.5)).as("__half1"))
 
     val wSeg = Window.partitionBy("subject").orderBy("segment")
     val wSegAll = wSeg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val merged = segLens
       .join(segMed, Seq("subject", "segment"), "left")
-      .join(lastHalfMed, Seq("subject", "segment"), "left")
-      .join(firstHalfMed, Seq("subject", "segment"), "left")
       .withColumn("__exp_raw",
         coalesce(col("__exp0"), lag(col("__half2"), 1).over(wSeg),
           lead(col("__half1"), 1).over(wSeg)))
