@@ -139,8 +139,12 @@ object EdaDecompose {
     // trend: ones and ramp
     def applyC(d: Array[Double]): Array[Double] =
       Array.tabulate(n)(i => d(0) + d(1) * (i + 1.0) / n)
-    def applyCT(v: Array[Double]): Array[Double] =
-      Array(v.sum, v.zipWithIndex.map { case (x, i) => x * (i + 1.0) / n }.sum)
+    def applyCT(v: Array[Double]): Array[Double] = {
+      var s0 = 0.0; var s1 = 0.0
+      var i = 0
+      while (i < n) { s0 += v(i); s1 += v(i) * (i + 1.0) / n; i += 1 }
+      Array(s0, s1)
+    }
 
     // Lipschitz estimate by power iteration on the stacked operator
     var pw = Array.fill(n)(1.0)
@@ -155,40 +159,63 @@ object EdaDecompose {
     val bNormSq = spl.map(x => x * x).sum
     val step = 1.0 / (lEst + bNormSq + n + 1.0)
 
-    // FISTA on (p, l, d)
+    // FISTA on (p, l, d) — hot loop runs on preallocated buffers (the
+    // tabulate-per-iteration form allocated ~15 arrays x iters per
+    // recording and was GC-bound, not compute-bound).
     var p = new Array[Double](n)
     var l = new Array[Double](nB)
     var d = new Array[Double](2)
     var pv = p.clone(); var lv = l.clone(); var dv = d.clone()
+    var pNew = new Array[Double](n); var lNew = new Array[Double](nB)
+    val dNew = new Array[Double](2)
+    val resid = new Array[Double](n)
     var tk = 1.0
     var it = 0
     var lastObj = Double.MaxValue
     var done = false
     while (it < iters && !done) {
-      val resid = {
-        val hp = applyH(pv)
-        val bl = applyB(lv)
-        val cd = applyC(dv)
-        Array.tabulate(n)(i => hp(i) + bl(i) + cd(i) - y(i))
+      val hp = applyH(pv)
+      val bl = applyB(lv)
+      var i = 0
+      val c0 = dv(0); val c1 = dv(1)
+      while (i < n) {
+        resid(i) = hp(i) + bl(i) + c0 + c1 * (i + 1.0) / n - y(i)
+        i += 1
       }
       // deterministic early exit: same data -> same trajectory -> same stop
       if (it % 25 == 24) {
-        val obj = resid.map(r => r * r).sum
+        var obj = 0.0
+        i = 0
+        while (i < n) { obj += resid(i) * resid(i); i += 1 }
         if (lastObj - obj < 1e-10 * math.max(obj, 1e-12)) done = true
         lastObj = obj
       }
       val gp = applyHT(resid)
       val gl = applyBT(resid)
       val gd = applyCT(resid)
-      val pNew = Array.tabulate(n)(i => math.max(0.0, pv(i) - step * (gp(i) + alpha)))
-      val lNew = Array.tabulate(nB)(i => lv(i) - step * (gl(i) + gamma * lv(i)))
-      val dNew = Array(dv(0) - step * gd(0), dv(1) - step * gd(1))
       val tNew = (1 + math.sqrt(1 + 4 * tk * tk)) / 2
       val mom = (tk - 1) / tNew
-      pv = Array.tabulate(n)(i => pNew(i) + mom * (pNew(i) - p(i)))
-      lv = Array.tabulate(nB)(i => lNew(i) + mom * (lNew(i) - l(i)))
-      dv = Array(dNew(0) + mom * (dNew(0) - d(0)), dNew(1) + mom * (dNew(1) - d(1)))
-      p = pNew; l = lNew; d = dNew
+      i = 0
+      while (i < n) {
+        val pn = math.max(0.0, pv(i) - step * (gp(i) + alpha))
+        pNew(i) = pn
+        pv(i) = pn + mom * (pn - p(i))
+        i += 1
+      }
+      i = 0
+      while (i < nB) {
+        val ln = lv(i) - step * (gl(i) + gamma * lv(i))
+        lNew(i) = ln
+        lv(i) = ln + mom * (ln - l(i))
+        i += 1
+      }
+      dNew(0) = dv(0) - step * gd(0); dNew(1) = dv(1) - step * gd(1)
+      dv(0) = dNew(0) + mom * (dNew(0) - d(0))
+      dv(1) = dNew(1) + mom * (dNew(1) - d(1))
+      // swap current/new so no per-iteration allocation occurs
+      val tp = p; p = pNew; pNew = tp
+      val tl = l; l = lNew; lNew = tl
+      d(0) = dNew(0); d(1) = dNew(1)
       tk = tNew
       it += 1
     }
