@@ -59,6 +59,23 @@ class IoRound3Spec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("S8 sinks: header CSV and parquet round-trip") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5, "a"), (2L, 3.5, "b")).toDF("idx", "v", "tag")
+    val base = Files.createTempDirectory("sink_").toString
+    Readers.writeCsv(df, s"$base/csv")
+    val csvBack = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/csv")
+    assert(csvBack.columns.toSeq == Seq("idx", "v", "tag"))
+    assert(csvBack.count() == 2)
+    Readers.writeParquet(df, s"$base/pq")
+    val pqBack = spark.read.parquet(s"$base/pq")
+    // parquet reads back nullable; names and types round-trip exactly
+    assert(pqBack.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(pqBack.count() == 2)
+  }
+
   test("S13 EDF validity probe: ECG0 channel label required") {
     assert(Edf.isValidActiwave(tinyEdf("ECG0")))
     assert(!Edf.isValidActiwave(tinyEdf("X")))
