@@ -71,10 +71,16 @@ object PpgDetectors {
     * pulse peak. */
   def vanGent(signal: DataFrame, fs: Int, maPerc: Double = 20.0): DataFrame = {
     val withMa = reflectUniformMa(signal, fs, 0.75)
-    val mn = withMa.groupBy("subject").agg(
-      ((sum(col("__ma").cast(DecimalType(28, 10))).cast("double") /
-        count(lit(1))) / 100.0 * maPerc).as("__mn"))
-    val above = withMa.join(mn, Seq("subject"))
+    // Whole-partition window mean instead of a groupBy + self-join: the MA
+    // expression (24 lag/lead terms) is evaluated once, on the exchange the
+    // MA windows already established. Decimal sum keeps the threshold
+    // bit-equal to the oracle's aggregated form.
+    val wAll = Window.partitionBy("subject")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val above = withMa
+      .withColumn("__mn",
+        (sum(col("__ma").cast(DecimalType(28, 10))).over(wAll).cast("double") /
+          count(lit(1)).over(wAll)) / 100.0 * maPerc)
       .filter(col("value") > col("__ma") + col("__mn"))
     val wA = Window.partitionBy("subject").orderBy("idx")
     // HeartPy quirk: a gap AFTER position p makes p the first element of
