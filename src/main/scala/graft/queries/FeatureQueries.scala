@@ -68,6 +68,13 @@ object FeatureQueries {
         Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
         FS, windowS = 60)),
 
+    // A15 stat domain: skewness/excess kurtosis of the per-window IBI
+    // distribution from exact decimal power sums.
+    "q68_hrv_stat" -> ((s, dir) =>
+      Hrv.statDomain(
+        Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
+        FS, windowS = 60)),
+
     "q41_acc_auc" -> ((s, dir) => {
       val w = Window.partitionBy("subject").orderBy("idx")
       val sig = SignalFrame.fromEvents(s, dir)
@@ -222,6 +229,33 @@ object FeatureQueries {
          |  ${st("tonic")}
          |FROM ex GROUP BY subject, w""".stripMargin
     },
+
+    "q68_hrv_stat" ->
+      s"""WITH sig AS ($SIG),
+         |b AS (
+         |  SELECT subject, idx, (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi
+         |  FROM sig WHERE beat = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |a AS (
+         |  SELECT subject, idx // ${FS * 60} + 1 AS win, COUNT(ibi) AS n_ibi,
+         |    CAST(SUM(CAST(ibi AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(ibi * ibi AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST(ibi * ibi * ibi AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         |    CAST(SUM(CAST(ibi * ibi * ibi * ibi AS DECIMAL(38,6))) AS DOUBLE) AS s4
+         |  FROM b WHERE ibi IS NOT NULL GROUP BY 1, 2),
+         |m AS (
+         |  SELECT subject, win, n_ibi, s1 / n_ibi AS mu,
+         |    s2 / n_ibi - (s1 / n_ibi) * (s1 / n_ibi) AS m2,
+         |    s3 / n_ibi - 3.0 * (s1 / n_ibi) * s2 / n_ibi
+         |      + 2.0 * (s1 / n_ibi) * (s1 / n_ibi) * (s1 / n_ibi) AS m3,
+         |    s4 / n_ibi - 4.0 * (s1 / n_ibi) * s3 / n_ibi
+         |      + 6.0 * (s1 / n_ibi) * (s1 / n_ibi) * s2 / n_ibi
+         |      - 3.0 * (s1 / n_ibi) * (s1 / n_ibi) * (s1 / n_ibi) * (s1 / n_ibi) AS m4
+         |  FROM a WHERE n_ibi > 2)
+         |SELECT subject, win, n_ibi, mu AS mean_nni,
+         |  CASE WHEN m2 > 0 THEN round_even(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+         |  CASE WHEN m2 > 0 THEN round_even(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis
+         |FROM m""".stripMargin,
 
     "q54_erma" -> KernelQueries.golden("q54_erma"),
     "q58_lomb" -> KernelQueries.golden("q58_lomb"),

@@ -59,6 +59,45 @@ object Hrv {
         "mean_hr", "min_hr", "max_hr")
   }
 
+  /** Statistical-moment features (flirt's 'stat' domain): skewness and
+    * excess kurtosis of the per-window IBI distribution from exact DECIMAL
+    * power sums — explicit population-moment formulas rather than engine
+    * built-ins (Spark's and DuckDB's skewness/kurtosis apply different
+    * bias corrections). IBI^4 at 2000 ms is ~1.6e13, inside DECIMAL(38,6).
+    */
+  def statDomain(beats: DataFrame, fs: Int, windowS: Int): DataFrame = {
+    val windowRows = fs.toLong * windowS
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+    val ibi = col("ibi")
+    beats
+      .filter(ibi.isNotNull)
+      .withColumn("win", (col("idx") / windowRows).cast("long") + 1)
+      .groupBy("subject", "win")
+      .agg(
+        count(ibi).as("n_ibi"),
+        dsum(ibi).as("__s1"),
+        dsum(ibi * ibi).as("__s2"),
+        dsum(ibi * ibi * ibi).as("__s3"),
+        dsum(ibi * ibi * ibi * ibi).as("__s4"))
+      .filter(col("n_ibi") > 2)
+      .withColumn("__m", col("__s1") / col("n_ibi"))
+      .withColumn("__m2", col("__s2") / col("n_ibi") - col("__m") * col("__m"))
+      .withColumn("__m3",
+        col("__s3") / col("n_ibi") - lit(3.0) * col("__m") * col("__s2") / col("n_ibi")
+          + lit(2.0) * col("__m") * col("__m") * col("__m"))
+      .withColumn("__m4",
+        col("__s4") / col("n_ibi") - lit(4.0) * col("__m") * col("__s3") / col("n_ibi")
+          + lit(6.0) * col("__m") * col("__m") * col("__s2") / col("n_ibi")
+          - lit(3.0) * col("__m") * col("__m") * col("__m") * col("__m"))
+      // m2^1.5 as m2*sqrt(m2): sqrt and * are IEEE-exact, pow is not
+      .withColumn("skewness", when(col("__m2") > 0,
+        bround(col("__m3") / (col("__m2") * sqrt(col("__m2"))), 6)))
+      .withColumn("kurtosis", when(col("__m2") > 0,
+        bround(col("__m4") / (col("__m2") * col("__m2")) - 3.0, 6)))
+      .withColumn("mean_nni", col("__m"))
+      .select("subject", "win", "n_ibi", "mean_nni", "skewness", "kurtosis")
+  }
+
   /** Poincaré nonlinear features SD1/SD2/CSI/CVI from successive-difference
     * and total variance (standard identities: SD1² = var(diff)/2,
     * SD2² = 2·var(nni) − SD1²). */
