@@ -73,22 +73,24 @@ object BeatEdits {
     * @return (subject, idx, ibi_ms) one row per final beat
     */
   def editedIbis(edited: DataFrame, fs: Int): DataFrame = {
-    val wU = Window.partitionBy("subject").orderBy("idx")
-    val ends = edited.filter(col("unusable") === 1)
-      .withColumn("__nxt", lead(col("idx"), 1).over(wU))
-      .filter(col("__nxt").isNull || col("__nxt") > col("idx") + 1)
-      .select(col("subject"), col("idx"), lit(1).as("__end"), lit(null).cast("long").as("__beat"))
-
-    val beats = edited.filter(col("edited") === 1)
-      .select(col("subject"), col("idx"), lit(0).as("__end"), lit(1L).as("__beat"))
-
-    // Beats sort BEFORE ends at equal idx: a run end exactly at a beat's
-    // sample must only affect LATER beats (searchsorted side='right').
-    val wCum = Window.partitionBy("subject").orderBy(col("idx"), col("__end"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = beats.unionByName(ends)
-      .withColumn("__cum", sum(col("__end")).over(wCum))
-      .filter(col("__beat") === 1L)
+    // Unusable rows and final-beat rows are DISJOINT (applyEdits nulls
+    // `edited` on unusable samples), so one filtered pass carries both
+    // roles — the union-of-two-filters form evaluated the whole
+    // edit-application subtree twice. A run end is an unusable sample
+    // whose next unusable sample (beats never interrupt a contiguous
+    // span) is not idx+1.
+    val comb = edited
+      .filter(col("unusable") === 1 || col("edited") === 1)
+      .select(col("subject"), col("idx"), col("unusable"), col("edited"))
+    val wS = Window.partitionBy("subject").orderBy("idx")
+    val nextUn = first(when(col("unusable") === 1, col("idx")), ignoreNulls = true)
+      .over(wS.rowsBetween(1, Window.unboundedFollowing))
+    val isEnd = col("unusable") === 1 &&
+      (nextUn.isNull || nextUn > col("idx") + 1)
+    val wCum = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = comb
+      .withColumn("__cum", sum(when(isEnd, 1L).otherwise(0L)).over(wCum))
+      .filter(col("edited") === 1)
 
     val wB = Window.partitionBy("subject").orderBy("idx")
     val ibi = (col("idx") - lag(col("idx"), 1).over(wB)).cast("double") / fs * 1000.0
