@@ -232,11 +232,14 @@ object Cardio {
         .otherwise(((i - win) / step).cast("long") + 1)
       explode(sequence(wlo, whi))
     }
-    val withIbi = {
-      val beats = ibis(beatRows(signal), fs).select("subject", "idx", "ibi", "artifact")
-      signal.join(beats.select(col("subject"), col("idx"), col("ibi")),
-        Seq("subject", "idx"), "left")
-    }
+    // IBI as a window expression on the full frame (previous beat's idx via
+    // ignoreNulls last) — the beats-frame self-join form evaluated the
+    // signal subtree twice before the bounded explode.
+    val wPrev = wSub.rowsBetween(Window.unboundedPreceding, -1)
+    val withIbi = signal.withColumn("ibi",
+      when(col("beat") === 1,
+        (col("idx") - last(when(col("beat") === 1, col("idx")),
+          ignoreNulls = true).over(wPrev)).cast("double") / fs * 1000.0))
     val exploded = withIbi.withColumn("w", winOf(col("idx")))
     val base = exploded.groupBy("subject", "w")
       .agg(
