@@ -137,11 +137,13 @@ object Cardio {
     // per-segment counts (last segment may be partial) — one scan for all
     val segLens = segBase(signal, fs, segSize)
 
-    // 5-beat windows over beat rows: medians of 60000/IBI
-    val beats = ibis(beatRows(seg), fs)
+    // 5-beat windows over beat rows: medians of 60000/IBI. Segment length
+    // rides each row as a window count BEFORE the beat filter — joining
+    // the aggregated lengths back would re-evaluate the segment subtree.
+    val beats = ibis(beatRows(
+      seg.withColumn("__seg_len",
+        count(lit(1)).over(Window.partitionBy("subject", "segment")))), fs)
       .withColumn("hr", lit(60000.0) / col("ibi"))
-      .join(segLens.select(col("subject"), col("segment"), col("__seg_len")),
-        Seq("subject", "segment"))
     val w5 = wSub.rowsBetween(0, 4)
     val winMed = beats
       .withColumn("__cnt5", count(lit(1)).over(w5))
