@@ -36,6 +36,7 @@ object Bench {
           System.err.println(s"== $name ==\n" + fn(spark, sfDir)
             .queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
+        val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
@@ -50,14 +51,23 @@ object Bench {
         // queries in one local JVM the accumulated state degrades later
         // queries (observed: q23/q24 4-6x slower mid-suite than isolated).
         // An explicit GC between queries keeps each measurement honest.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // Only state the just-finished query created is unpersisted, so a
+        // deliberately shared cache would survive the sweep.
+        spark.sparkContext.getPersistentRDDs.collect {
+          case (id, rdd) if !cachedBefore.contains(id) => rdd.unpersist(false)
+        }
         System.gc()
         name -> dt
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON short enough for the
+    // driver's bounded output tail (68 queries at full double precision
+    // overflowed it in round 3 and the line failed to parse).
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,12 +108,25 @@ object Readers {
     * derived from the file name via input_file_name() — at 100 TB this is
     * exactly where the engine should shine: per-subject pipelines become
     * one plan over all subjects. A per-subject 0-based `idx` sample clock
-    * is materialized from within-file order. */
+    * is materialized from within-file order.
+    *
+    * Ordering contract: within-file row order is only well-defined when
+    * each file is read by ONE task start-to-end. Spark splits large CSVs
+    * at maxPartitionBytes and packs the splits size-descending, so a
+    * monotonic-id clock over a split file would scramble. When the
+    * mapping carries a `Timestamp` role the clock orders by it and the
+    * scan stays splittable (the scale path — require a timestamp for
+    * multi-GB recordings); otherwise `multiLine` forces the non-splittable
+    * whole-file read path, where batch parallelism = number of files,
+    * which is exactly the S6 batch shape. */
   def batchCsvDir(spark: SparkSession, dir: String,
       mapping: Map[String, String]): DataFrame = {
+    val hasTs = mapping.values.exists(_ == "Timestamp")
     val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .option("multiLine", (!hasTs).toString)
       .csv(s"$dir/*.csv")
-    val w = Window.partitionBy("subject").orderBy(monotonically_increasing_id())
+    val w = Window.partitionBy("subject").orderBy(
+      if (hasTs) col("Timestamp") else monotonically_increasing_id())
     raw
       .withColumn("subject",
         regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))

@@ -35,21 +35,27 @@ object Multimodal {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // Long walk over UNTRUSTED 32-bit chunk lengths: a negative len would
+    // stall (len = -8 advances by 0) or crash the executor task, and large
+    // ones could overflow the Int offset. Reject negatives; with len >= 0
+    // the Long offset strictly increases by >= 8, so the walk terminates.
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
     var data: Option[(Int, Int)] = None // offset, length
     while (off + 8 <= bytes.length) {
-      val id = tag(off)
-      val len = bb.getInt(off + 4)
-      if (id == "fmt " && off + 24 <= bytes.length) {
-        val audioFormat = bb.getShort(off + 8).toInt
+      val o = off.toInt
+      val id = tag(o)
+      val len = bb.getInt(o + 4)
+      if (len < 0) return None
+      if (id == "fmt " && o + 24 <= bytes.length) {
+        val audioFormat = bb.getShort(o + 8).toInt
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((bb.getShort(off + 10).toInt, bb.getInt(off + 12),
-          bb.getShort(off + 22).toInt))
+        fmt = Some((bb.getShort(o + 10).toInt, bb.getInt(o + 12),
+          bb.getShort(o + 22).toInt))
       } else if (id == "data") {
-        data = Some((off + 8, math.min(len, bytes.length - off - 8)))
+        data = Some((o + 8, math.min(len, bytes.length - o - 8)))
       }
-      off += 8 + len + (len & 1)
+      off += 8L + len + (len & 1)
     }
     for ((ch, rate, bits) <- fmt; (doff, dlen) <- data;
          if bits == 8 || bits == 16) yield {
@@ -88,7 +94,9 @@ object Multimodal {
     }
     val (w, h, maxv) = (nextInt(), nextInt(), nextInt())
     pos += 1 // single whitespace after maxval
-    if (w <= 0 || h <= 0 || maxv != 255 || pos + 3 * w * h > bytes.length)
+    // 3L * w * h: the Int product overflows for untrusted header dims
+    // (e.g. 40000 x 40000 claims a negative size and slips past the bound).
+    if (w <= 0 || h <= 0 || maxv != 255 || pos.toLong + 3L * w * h > bytes.length)
       return None
     val rgb = new Array[Int](w * h)
     var i = 0
@@ -169,10 +177,15 @@ object Multimodal {
     acc
   }
 
-  /** Decode dispatch by magic bytes: ("wav"|"ppm"|"opaque", features). */
+  /** Decode dispatch by magic bytes: ("wav"|"ppm"|"opaque", features).
+    * Each decoder is additionally fenced with Try so ANY malformed payload
+    * — not just the shapes the validators anticipate — degrades to the
+    * byte-fold path instead of failing the executor task. */
   def decode(payload: Array[Byte]): (String, Array[Float]) =
-    decodeWav(payload).map(w => "wav" -> wavFeatures(w))
-      .orElse(decodePpm(payload).map(i => "ppm" -> imageFeatures(i)))
+    scala.util.Try(decodeWav(payload).map(w => "wav" -> wavFeatures(w)))
+      .toOption.flatten
+      .orElse(scala.util.Try(
+        decodePpm(payload).map(i => "ppm" -> imageFeatures(i))).toOption.flatten)
       .getOrElse("opaque" -> byteFoldFeatures(payload))
 
   /** Attach a typed media struct to documents: payload = utf-8 bytes of

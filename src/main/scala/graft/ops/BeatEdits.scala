@@ -87,7 +87,14 @@ object BeatEdits {
       .over(wS.rowsBetween(1, Window.unboundedFollowing))
     val isEnd = col("unusable") === 1 &&
       (nextUn.isNull || nextUn > col("idx") + 1)
-    val wCum = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Strictly-preceding frame: a row never counts its OWN end mark. The
+    // two roles are not disjoint after all — applyEdits' when-chain puts
+    // ADD before Unusable, so an ADD landing on an unusable sample yields
+    // edited=1 AND unusable=1; if that sample closes a run, searchsorted
+    // side='right' semantics put the end in the NEXT beat's interval, not
+    // this one's. __cum only surfaces on beat rows (directly and via lag),
+    // so excluding the current row is exactly that semantics.
+    val wCum = wS.rowsBetween(Window.unboundedPreceding, -1)
     val withCum = comb
       .withColumn("__cum", sum(when(isEnd, 1L).otherwise(0L)).over(wCum))
       .filter(col("edited") === 1)

@@ -55,6 +55,25 @@ class EditSpec extends AnyFunSuite {
     assert(out(18).contains(1000.0))
   }
 
+  test("editedIbis: ADD landing on an unusable run END nulls the NEXT beat") {
+    import spark.implicits._
+    // ADD at x=8 marks samples 7,8,9 (merge_asof tol-1 quirk) as added
+    // beats; range [6,8] makes 8 a run END that is ALSO a beat row.
+    // searchsorted side='right': the end at 8 belongs to the interval of
+    // the beat AFTER it, so beat 9's IBI is nulled and beat 8's is kept.
+    val pe = Seq((1L, 8L, "ADD")).toDF("subject", "x", "editType")
+    val re = Seq((1L, 6L, 8L)).toDF("subject", "from", "to")
+    val out = BeatEdits.editedIbis(BeatEdits.applyEdits(signal, pe, re), fs = 4)
+      .collect().map(r => r.getLong(1) -> Option(r.getAs[Any]("ibi_ms"))).toMap
+    // final beats: 2, 7, 8, 9 (added), 10, 14, 18 (6's beat fell unusable)
+    assert(out(2).isEmpty)
+    assert(out(7).contains(1250.0))
+    assert(out(8).contains(250.0))  // own end mark NOT counted against itself
+    assert(out(9).isEmpty)          // first IBI after the run end -> nulled
+    assert(out(10).contains(250.0))
+    assert(out(14).contains(1000.0) && out(18).contains(1000.0))
+  }
+
   test("vanGent peaks per run, with HeartPy's slicing quirk ported faithfully") {
     import spark.implicits._
     // fs=4 -> MA window 3. Two 2-sample above-threshold runs at {2,3} and

@@ -28,6 +28,18 @@ class IoRound3Spec extends AnyFunSuite {
       ("bob", 0L, 7.0), ("bob", 1L, 8.0)))
   }
 
+  test("S6 batch-CSV: Timestamp-mapped clock orders by timestamp (splittable path)") {
+    val dir = Files.createTempDirectory("batch_ts_").toString
+    // rows deliberately NOT in timestamp order inside the file: the idx
+    // clock must follow the Timestamp role, not physical row order
+    Files.writeString(Paths.get(dir, "carol.csv"), "t,mv\n30,3.0\n10,1.0\n20,2.0\n")
+    val df = Readers.batchCsvDir(spark, dir,
+      Map("t" -> "Timestamp", "mv" -> "ECG"))
+    val rows = df.collect().map(r =>
+      (r.getAs[Long]("idx"), r.getAs[Int]("Timestamp"), r.getAs[Double]("ECG"))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 10, 1.0), (1L, 20, 2.0), (2L, 30, 3.0)))
+  }
+
   test("S11 config JSON round-trip") {
     val dir = Files.createTempDirectory("cfg_").toString + "/cfg"
     val cfg = EngineConfig(

@@ -63,6 +63,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm("P3 ascii not supported".getBytes).isEmpty)
   }
 
+  test("malformed payloads degrade to opaque instead of hanging or crashing") {
+    // len = -8 advances the naive chunk walk by 0 (infinite loop); -9 by -1;
+    // other negatives used to throw NegativeArraySizeException.
+    for (badLen <- Seq(-8, -9, -1, Int.MinValue, Int.MaxValue)) {
+      val bb = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+      bb.put("data".getBytes); bb.putInt(badLen)
+      val (kind, f) = Multimodal.decode(bb.array())
+      assert(kind == "opaque" && f.length == Multimodal.FEATURE_DIM)
+    }
+    // PPM claiming 40000x40000: 3*w*h overflows Int to a negative number
+    // and used to slip past the size bound.
+    val hugePpm = "P6\n40000 40000\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.decode(hugePpm)._1 == "opaque")
+    // truncated real WAV header with a data chunk longer than the payload
+    val wav = wavBytes(Array.tabulate(10)(_.toShort), 8000, 1)
+    val truncated = wav.take(50)
+    val (k2, f2) = Multimodal.decode(truncated)
+    assert(f2.length == Multimodal.FEATURE_DIM) // decoded-short or opaque, never a crash
+  }
+
   test("magic-byte dispatch through the batched extraction path") {
     import spark.implicits._
     val wav = wavBytes(Array.tabulate(100)(i => (i * 300).toShort), 8000, 1)
