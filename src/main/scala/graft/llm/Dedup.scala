@@ -196,6 +196,59 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-duplicate pair list: every document
+    * gets the MINIMUM doc id of its component as `cluster_id` — the
+    * canonical "which copies collapse to one training example" table.
+    *
+    * Min-label propagation to fixpoint: each round joins the (symmetric)
+    * edge list with the current labels and takes the neighborhood min.
+    * Rounds = component diameter; near-dup components are dense clumps of
+    * copies (diameter 2-3 in practice), and `maxIter` guards pathological
+    * chains. Each round is one equi-join + one aggregation on the edge
+    * partitioning, and `localCheckpoint` truncates the lineage so the plan
+    * does not grow with rounds — the shape GraphX's CC uses, minus the
+    * vertex-cut machinery a plain pair table does not need. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    // init: min of self and direct neighbors
+    var labels = edges.groupBy("u")
+      .agg(min(least(col("u"), col("v"))).as("comp"))
+      .withColumnRenamed("u", "id")
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("__nc")), Seq("v"))
+        .groupBy("u").agg(min("__nc").as("__nm"))
+        .withColumnRenamed("u", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.agg(coalesce(sum((col("comp") =!= col("__old")).cast("long")),
+        lit(0L))).first().getLong(0)
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    labels
+  }
+
+  /** Dedup cluster table: LSH near-dup pairs above `threshold`, closed
+    * under transitivity. (doc_id, cluster_id, cluster_size). */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+    connectedComponents(pairs.select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking key (threshold > 0).
     *
     * Instead of enumerating all O(block²) pairs and intersecting arrays,

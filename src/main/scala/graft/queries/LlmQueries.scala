@@ -63,7 +63,11 @@ object LlmQueries {
 
     "q61_embed_dup" -> ((s, dir) =>
       Similarity.embeddingDupPairs(
-        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3))
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3)),
+
+    "q69_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3))
   )
 
   /** Shared SQL fragments for the oracle. */
@@ -251,6 +255,44 @@ object LlmQueries {
          |            JOIN n c ON cand.cand_id = c.vec_id)
          |WHERE rnk <= 3""".stripMargin
     },
+
+    // Transitive closure of the verified minhash pairs (threshold 0.3) via
+    // a recursive CTE; cluster id = component minimum — value-identical to
+    // the engine's min-label-propagation fixpoint.
+    "q69_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
+         |  FROM sh WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
+         |  FROM sig, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM comp""".stripMargin,
 
     "q61_embed_dup" -> {
       s"""WITH n AS (
