@@ -39,14 +39,11 @@ object Dedup {
       shingleN: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val parts = col("__w") +: (1 until shingleN).map(k => lead(col("__w"), k).over(w))
-    // Dedupe via a row_number window over (id, shingle) instead of
-    // distinct(): HashPartitioning(id) satisfies clustering on
-    // (id, shingle), so the dedupe AND every downstream per-id aggregation
-    // run on the single up-front id exchange — distinct() would insert a
-    // second full shuffle on the wide (id, shingle) key.
-    val wDedup = Window
-      .partitionBy(((extraCols :+ idCol).map(col) :+ col("shingle")): _*)
-      .orderBy(col("__pos"))
+    // Dedupe via distinct(): HashPartitioning(id) from the up-front
+    // repartition SATISFIES ClusteredDistribution(extra.., id, shingle)
+    // (hash keys are a subset of the grouping keys), so the aggregate runs
+    // exchange-free on the existing id partitioning — and a hash aggregate
+    // replaces the second full sort a row_number dedup window needed.
     docs
       .repartition(col(idCol))
       .select((extraCols :+ idCol).map(col) :+
@@ -54,9 +51,8 @@ object Dedup {
       .withColumn("shingle", concat_ws(" ", parts: _*))
       .withColumn("__last", lead(col("__w"), shingleN - 1).over(w))
       .filter(col("__last").isNotNull)
-      .withColumn("__rn", row_number().over(wDedup))
-      .filter(col("__rn") === 1)
       .select((extraCols :+ idCol).map(col) :+ col("shingle"): _*)
+      .distinct()
   }
 
   /** Distinct shingle-set sizes per document. */
@@ -103,9 +99,21 @@ object Dedup {
     */
   private def verifyJaccard(cand: DataFrame, rows: DataFrame, sizes: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
+    // Restrict the shingle rows to CANDIDATE documents before the
+    // intersection join: LSH makes |candidates| << |corpus|, so the
+    // (id, shingle) co-group shuffles only candidate shingles instead of
+    // the whole corpus — the difference between verifying against 100 TB
+    // and verifying against the near-dup set. The broadcast semi-join
+    // prunes at the scan side; localCheckpoint materializes the small
+    // candidate-row set once so the a/b join sides share one evaluation
+    // of the shingle pipeline.
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val candRows = rows.join(broadcast(candIds), Seq(idCol), "leftsemi")
+      .localCheckpoint()
     val inter = cand
-      .join(rows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(rows.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(candRows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(candRows.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__int"))
     cand
       .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("__int"))
@@ -124,10 +132,12 @@ object Dedup {
       threshold: Double = 0.0): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val rows = shingleRows(docs, idCol, textCol, shingleN)
-    // One aggregation yields signatures AND set sizes; the band self-join's
-    // two sides are identical subplans, so Catalyst's ReuseExchange computes
-    // the signature pipeline once.
-    val sigs = signaturesFromRows(rows, idCol, numHashes)
+    // Signatures are ONE ROW PER DOCUMENT — localCheckpoint materializes
+    // the shingle+aggregation pipeline once and the band self-join, size
+    // lookups, and candidate generation all read the tiny table instead of
+    // re-deriving it per consumer. (Per-doc state is the thing that is
+    // always safe to pin at 100 TB; per-shingle state is not.)
+    val sigs = signaturesFromRows(rows, idCol, numHashes).localCheckpoint()
     val bands = sigs
       .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
       .select(col(idCol), col("__set_size"),
@@ -172,9 +182,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       numBands: Int = 4, maxHamming: Int = 10): DataFrame = {
     val bitsPerBand = 60 / numBands
-    // The a/b join sides are identical subplans — ReuseExchange computes the
-    // fingerprint aggregation once.
-    val fps = simhashFingerprints(docs, idCol, textCol)
+    // One row per document: localCheckpoint the 60-sum fingerprint
+    // aggregation so banding and the two verification re-joins read it
+    // instead of re-running the word explosion three times.
+    val fps = simhashFingerprints(docs, idCol, textCol).localCheckpoint()
     val bandExprs = (0 until numBands).map(b =>
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1L))
     val bands = fps.select(col(idCol), col("simhash"),
@@ -236,18 +247,23 @@ object Dedup {
     labels
   }
 
+  /** Pairs → cluster table: (outId, cluster_id, cluster_size). Works for
+    * ANY near-dup pair source (minhash, simhash, embedding cosine). */
+  def clustersFromPairs(pairs: DataFrame, outId: String): DataFrame =
+    connectedComponents(pairs.select("id_a", "id_b"))
+      .select(col("id").as(outId), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+
   /** Dedup cluster table: LSH near-dup pairs above `threshold`, closed
     * under transitivity. (doc_id, cluster_id, cluster_size). */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
-      threshold: Double = 0.3): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
-      numBands, threshold)
-    connectedComponents(pairs.select("id_a", "id_b"))
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-  }
+      threshold: Double = 0.3): DataFrame =
+    clustersFromPairs(
+      minhashPairs(docs, idCol, textCol, shingleN, numHashes, numBands,
+        threshold),
+      "doc_id")
 
   /** Exact n-gram Jaccard pairs within a blocking key (threshold > 0).
     *

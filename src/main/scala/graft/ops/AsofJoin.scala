@@ -45,6 +45,62 @@ object AsofJoin {
       rightCols: Seq[(String, String)],
       tolerance: Option[Long] = None,
       direction: String = "nearest"): DataFrame = {
+    val (withBoth, leftCols) = bothDirections(left, right, keys, leftT, rightT, rightCols)
+
+    val bd = abs(col("__t") - col("__bt"))
+    val fd = abs(col("__ft") - col("__t"))
+    val inTolB = tolerance.map(t => bd <= t).getOrElse(lit(true)) && col("__bt").isNotNull
+    val inTolF = tolerance.map(t => fd <= t).getOrElse(lit(true)) && col("__ft").isNotNull
+
+    val (chosenT, chosenV) = direction match {
+      case "backward" => (when(inTolB, col("__bt")), when(inTolB, col("__bv")))
+      case "forward"  => (when(inTolF, col("__ft")), when(inTolF, col("__fv")))
+      case _ => // nearest; ties -> backward
+        val pickBack = inTolB && (!inTolF || bd <= fd)
+        val pickFwd = inTolF && !pickBack
+        (when(pickBack, col("__bt")).when(pickFwd, col("__ft")),
+          when(pickBack, col("__bv")).when(pickFwd, col("__fv")))
+    }
+
+    val out = withBoth.withColumn("__mt", chosenT).withColumn("__mv", chosenV)
+    val projected = leftCols.map(col) ++
+      Seq(col("__mt").as(s"${rightT}_matched")) ++
+      rightCols.map { case (c, alias) => col(s"__mv.$c").as(alias) }
+    out.select(projected: _*)
+  }
+
+  /** BOTH directions in the same single union+window pass: each left row
+    * gets the last right row at-or-before (`<rightT>_backward`, `backCols`
+    * aliases) and the first at-or-after (`<rightT>_forward`, `fwdCols`).
+    * Interpolation-style consumers need both brackets — two directed
+    * as-of calls would sort the keyed stream twice for no reason. */
+  def joinBoth(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftT: String,
+      rightT: String,
+      backCols: Seq[(String, String)],
+      fwdCols: Seq[(String, String)]): DataFrame = {
+    val rightCols = (backCols.map(_._1) ++ fwdCols.map(_._1)).distinct.map(c => c -> c)
+    val (withBoth, leftCols) = bothDirections(left, right, keys, leftT, rightT, rightCols)
+    val projected = leftCols.map(col) ++
+      Seq(col("__bt").as(s"${rightT}_backward")) ++
+      backCols.map { case (c, alias) => col(s"__bv.$c").as(alias) } ++
+      Seq(col("__ft").as(s"${rightT}_forward")) ++
+      fwdCols.map { case (c, alias) => col(s"__fv.$c").as(alias) }
+    withBoth.select(projected: _*)
+  }
+
+  /** Union-tagged single-pass core: returns the left rows with backward
+    * (`__bt`/`__bv`) and forward (`__ft`/`__fv`) matches attached. */
+  private def bothDirections(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftT: String,
+      rightT: String,
+      rightCols: Seq[(String, String)]): (DataFrame, Seq[String]) = {
 
     val leftCols = left.columns.toSeq
     val payloadType = StructType(rightCols.map { case (c, _) =>
@@ -93,25 +149,6 @@ object AsofJoin {
       .withColumn("__fv", first(col("__rv"), ignoreNulls = true).over(wFwd))
       .filter(col("__side") === 1)
 
-    val bd = abs(col("__t") - col("__bt"))
-    val fd = abs(col("__ft") - col("__t"))
-    val inTolB = tolerance.map(t => bd <= t).getOrElse(lit(true)) && col("__bt").isNotNull
-    val inTolF = tolerance.map(t => fd <= t).getOrElse(lit(true)) && col("__ft").isNotNull
-
-    val (chosenT, chosenV) = direction match {
-      case "backward" => (when(inTolB, col("__bt")), when(inTolB, col("__bv")))
-      case "forward"  => (when(inTolF, col("__ft")), when(inTolF, col("__fv")))
-      case _ => // nearest; ties -> backward
-        val pickBack = inTolB && (!inTolF || bd <= fd)
-        val pickFwd = inTolF && !pickBack
-        (when(pickBack, col("__bt")).when(pickFwd, col("__ft")),
-          when(pickBack, col("__bv")).when(pickFwd, col("__fv")))
-    }
-
-    val out = withBoth.withColumn("__mt", chosenT).withColumn("__mv", chosenV)
-    val projected = leftCols.map(col) ++
-      Seq(col("__mt").as(s"${rightT}_matched")) ++
-      rightCols.map { case (c, alias) => col(s"__mv.$c").as(alias) }
-    out.select(projected: _*)
+    (withBoth, leftCols)
   }
 }

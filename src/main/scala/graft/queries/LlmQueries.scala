@@ -67,7 +67,16 @@ object LlmQueries {
 
     "q69_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3))
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
+
+    // Same transitive-closure clustering, but in embedding space: the
+    // semantic-dedup decision table ("these vectors collapse to one
+    // training example").
+    "q70_embed_clusters" -> ((s, dir) =>
+      Dedup.clustersFromPairs(
+        Similarity.embeddingDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3),
+        "vec_id"))
   )
 
   /** Shared SQL fragments for the oracle. */
@@ -291,6 +300,34 @@ object LlmQueries {
          |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
          |  FROM reach GROUP BY u)
          |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM comp""".stripMargin,
+
+    "q70_embed_clusters" ->
+      s"""WITH RECURSIVE n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |bands AS ($bandKeysSql),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN n a ON cand.id_a = a.vec_id
+         |            JOIN n b ON cand.id_b = b.vec_id
+         |  WHERE ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT vec_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
 

@@ -57,12 +57,12 @@ object SqaQueries {
           expr(s"(__lo + ${G - 1}) div $G"), expr(s"__hi div $G"))))
         .withColumn("gt", col("g") * G)
         .select("subject", "gt")
-      val bwd = AsofJoin.join(grid, ev, Seq("subject"), "gt", "ts_us",
-        Seq("value" -> "y0"), direction = "backward")
-        .withColumnRenamed("ts_us_matched", "t0")
-      val both = AsofJoin.join(bwd, ev, Seq("subject"), "gt", "ts_us",
-        Seq("value" -> "y1"), direction = "forward")
-        .withColumnRenamed("ts_us_matched", "t1")
+      // Both interpolation brackets from ONE union+window pass — two
+      // directed as-of calls would re-sort the keyed stream twice.
+      val both = AsofJoin.joinBoth(grid, ev, Seq("subject"), "gt", "ts_us",
+        backCols = Seq("value" -> "y0"), fwdCols = Seq("value" -> "y1"))
+        .withColumnRenamed("ts_us_backward", "t0")
+        .withColumnRenamed("ts_us_forward", "t1")
       both
         .filter(col("t0").isNotNull && col("t1").isNotNull)
         .withColumn("interp",

@@ -34,6 +34,20 @@ object StreamingSqa {
         count(when(col("event_type") === "error", 1)).as("n_error"),
         sum(col("value").cast("decimal(24,4)")).cast("double").as("sum_value"))
 
+  /** Streaming exact dedup (the streaming analog of
+    * [[graft.llm.Dedup.exactGroups]]): keep the FIRST occurrence of each
+    * content hash from an unbounded document feed. State is keyed by the
+    * 16-byte md5 and evicted once the event-time watermark passes
+    * (`dropDuplicatesWithinWatermark`), so memory stays bounded no matter
+    * how long the feed runs — the property a plain `dropDuplicates` lacks.
+    * Emit is append-mode: first sighting flows through immediately. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Run the streaming plan over a static parquet directory through the
     * memory sink until exhausted; returns the materialized result. Used by
     * tests and as the backfill demonstration. */

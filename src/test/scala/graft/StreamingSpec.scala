@@ -33,4 +33,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming exact dedup keeps first occurrence, bounded state") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_dedup_stream").toString
+    // two micro-batches (one file each): batch 2 repeats batch 1's texts
+    Seq((1L, "2026-01-01 00:00:01", "alpha"), (2L, "2026-01-01 00:00:02", "beta"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.parquet(s"$tmp/b1")
+    Seq((3L, "2026-01-01 00:00:03", "alpha"), (4L, "2026-01-01 00:00:04", "gamma"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingExactDedup(stream, "ts", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream").select("text").as[String]
+      .collect().sorted
+    // duplicate "alpha" suppressed; one row per distinct text survives
+    assert(kept.toSeq == Seq("alpha", "beta", "gamma"))
+  }
 }
