@@ -51,55 +51,41 @@ object Scr {
     val s = withDiff.withColumn("__s", smoothed)
       .withColumn("__sn", lead(col("__s"), 1).over(w))
 
-    val pos = s.filter(col("__s") < 0 && col("__sn") >= 0)
-      .select(col("subject"), col("idx").as("onset"), col("value").as("onset_v"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("subject").orderBy("onset")))
-    val neg = s.filter(col("__s") > 0 && col("__sn") <= 0)
-      .select(col("subject"), col("idx").as("offset"))
-      .withColumn("__rn0", row_number().over(
-        Window.partitionBy("subject").orderBy("offset")))
-
-    // drop the first offset when it precedes the first onset
-    val firsts = pos.groupBy("subject").agg(min("onset").as("__fp"))
-      .join(neg.groupBy("subject").agg(min("offset").as("__fn")), Seq("subject"))
-      .withColumn("__shift", when(col("__fn") < col("__fp"), 1).otherwise(0))
-      .select("subject", "__shift")
-    val negAdj = neg.join(broadcast(firsts), Seq("subject"))
-      .withColumn("__r", col("__rn0") - col("__shift"))
-      .filter(col("__r") >= 1)
-      .select("subject", "offset", "__r")
-
-    val pairs = pos.join(negAdj, Seq("subject", "__r"))
-      .select("subject", "onset", "offset", "onset_v")
-
-    // argmax of the phasic signal over [onset, offset); first max wins.
-    // The (onset, offset) intervals are disjoint and ordered by
-    // construction (rank-paired alternating zero crossings), so each
-    // sample's containing interval is simply the most recent onset at or
-    // before it. Interval marks are UNIONED into the sample stream (mark
-    // rows sort just before their sample via __m) and carried forward by
-    // one ordered window pass — a single sort, no join, never
-    // pairs x samples.
-    val marks = pairs.select(col("subject"), col("onset").as("idx"),
-      lit(0).as("__m"), lit(null).cast("double").as("value"),
-      col("onset"), col("offset"), col("onset_v"))
-    val stream = phasic.select(col("subject"), col("idx"), lit(1).as("__m"),
-      col("value"), lit(null).cast("long").as("onset"),
-      lit(null).cast("long").as("offset"), lit(null).cast("double").as("onset_v"))
-      .unionByName(marks)
-    val wRun = Window.partitionBy("subject").orderBy("idx", "__m")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val mark = when(col("__m") === 0,
-      struct(col("onset"), col("offset"), col("onset_v")))
-    val tagged = stream
-      .withColumn("__iv", last(mark, ignoreNulls = true).over(wRun))
-      .withColumn("__on", col("__iv.onset"))
-      .withColumn("__off", col("__iv.offset"))
-      .withColumn("__onv", col("__iv.onset_v"))
-      .filter(col("__m") === 1 &&
-        col("idx") >= col("__on") && col("idx") < col("__off"))
-    val wPick = Window.partitionBy("subject", "__on")
+    // Onset/offset pairing and interval membership WITHOUT leaving the
+    // one sorted (subject, idx) pass. Zero crossings alternate, so:
+    //   - a sample is inside an interval  iff  running onset count >
+    //     adjusted running offset count (the leading unpaired offset is
+    //     dropped by subtracting the shift flag),
+    //   - its interval id IS the running onset count (most recent onset),
+    //   - its interval's offset is the next offset crossing forward,
+    //   - a trailing unpaired onset is voided by capping the interval id
+    //     at the total adjusted offset count.
+    // The former rank-pairing needed the smoothed frame evaluated FIVE
+    // times (pos/neg branches, two first-crossing aggregates, the mark
+    // union): 10 scans / 26 exchanges collapsed into 1 scan / 1 exchange
+    // plus the candidate argmax sort.
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wFwd = w.rowsBetween(0, Window.unboundedFollowing)
+    val tagged = s
+      .withColumn("__pc", (col("__s") < 0 && col("__sn") >= 0).cast("int"))
+      .withColumn("__nc", (col("__s") > 0 && col("__sn") <= 0).cast("int"))
+      .withColumn("__cp", sum(col("__pc")).over(wCum))
+      .withColumn("__cnr", sum(col("__nc")).over(wCum))
+      .withColumn("__shift",
+        when(min(when(col("__nc") === 1, col("idx"))).over(wAll) <
+          min(when(col("__pc") === 1, col("idx"))).over(wAll), 1L).otherwise(0L))
+      .withColumn("__cn", greatest(col("__cnr") - col("__shift"), lit(0L)))
+      .withColumn("__nn",
+        greatest(max(col("__cnr")).over(wAll) - col("__shift"), lit(0L)))
+      .withColumn("__on",
+        last(when(col("__pc") === 1, col("idx")), ignoreNulls = true).over(wCum))
+      .withColumn("__onv",
+        last(when(col("__pc") === 1, col("value")), ignoreNulls = true).over(wCum))
+      .withColumn("__off",
+        first(when(col("__nc") === 1, col("idx")), ignoreNulls = true).over(wFwd))
+      .filter(col("__cp") > col("__cn") && col("__cp") <= col("__nn"))
+    val wPick = Window.partitionBy("subject", "__cp")
       .orderBy(col("value").desc, col("idx"))
     val cands = tagged.withColumn("__pk", row_number().over(wPick))
       .filter(col("__pk") === 1)
