@@ -76,7 +76,30 @@ object LlmQueries {
       Dedup.clustersFromPairs(
         Similarity.embeddingDupPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3),
-        "vec_id"))
+        "vec_id")),
+
+    // The canonical training-data selection: English, above the quality
+    // bar, sane length, and one representative per near-dup cluster —
+    // every upstream operator composed into one plan.
+    "q71_corpus_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lang = TextAnalysis.langId(docs, "doc_id", "text")
+        .select("doc_id", "pred_lang")
+      val qual = TextAnalysis.quality(docs, "doc_id", "text")
+        .select("doc_id", "quality_score", "n_words")
+      val clusters = Dedup.dedupClusters(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
+        .select("doc_id", "cluster_id")
+      docs.select("doc_id", "source")
+        .join(lang, Seq("doc_id"))
+        .join(qual, Seq("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .filter(col("pred_lang") === "en" &&
+          col("quality_score") >= 0.72 &&
+          col("n_words").between(10, 500) &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+        .select("doc_id", "source", "pred_lang", "quality_score", "n_words")
+    })
   )
 
   /** Shared SQL fragments for the oracle. */
@@ -106,6 +129,76 @@ object LlmQueries {
 
   private def dot(a: String, b: String): String =
     DOT.replace("A[", a + "[").replace("B[", b + "[")
+
+  /** q26's full SELECT (doc_id, pred_lang, per-language stopword scores) —
+    * also the `lang` CTE of q71. */
+  private lazy val langSelectSql: String = {
+    val langs = TextAnalysis.stopwords
+    val scores = langs.map { case (l, ws) =>
+      s"len(list_filter(w, x -> x IN (${ws.map(x => s"'$x'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n  ")
+    val caseArms = langs.map(_._1).map { l =>
+      val geq = langs.map(_._1).filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geq THEN '$l'"
+    }.mkString("\n  ")
+    s"""SELECT doc_id, CASE $caseArms ELSE 'und' END AS pred_lang,
+       |  s_en, s_fr, s_es, s_de
+       |FROM (SELECT doc_id, $scores
+       |      FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin
+  }
+
+  /** q27's full SELECT — also the `qual` CTE of q71. */
+  private lazy val qualitySelectSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+    s"""SELECT doc_id, n_words, n_unique,
+       |  ROUND(n_unique::DOUBLE / n_words, 6) AS uniq_ratio,
+       |  ROUND(sum_len::DOUBLE / n_words, 6) AS avg_word_len,
+       |  ROUND(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+       |  ROUND(0.4 * ROUND(n_unique::DOUBLE / n_words, 6)
+       |      + 0.3 * LEAST(n_words::DOUBLE / 50.0, 1.0)
+       |      + 0.3 * (1.0 - ROUND(n_stop::DOUBLE / n_words, 6)), 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_unique,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+       |    len(list_filter(w, x -> x IN ($en))) AS n_stop
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin
+  }
+
+  /** Shared CTE chain (shingles → minhash → LSH candidates → verified
+    * pairs at threshold 0.3 → symmetric edges → recursive transitive
+    * closure → `comp(doc_id, cluster_id)`), used by q69 and q71. Must sit
+    * under a WITH RECURSIVE header. */
+  private lazy val textClusterCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
+       |  FROM sh WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
+       |  FROM sig, unnest(range(0, 4)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+       |    / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.3),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -185,36 +278,9 @@ object LlmQueries {
          |  AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
          |    / len(list_distinct(a.s || b.s)), 6) >= 0.05""".stripMargin,
 
-    "q26_langid" -> {
-      val langs = TextAnalysis.stopwords
-      val scores = langs.map { case (l, ws) =>
-        s"len(list_filter(w, x -> x IN (${ws.map(x => s"'$x'").mkString(", ")}))) AS s_$l"
-      }.mkString(",\n  ")
-      val caseArms = langs.map(_._1).map { l =>
-        val geq = langs.map(_._1).filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN s_$l > 0 AND $geq THEN '$l'"
-      }.mkString("\n  ")
-      s"""SELECT doc_id, CASE $caseArms ELSE 'und' END AS pred_lang,
-         |  s_en, s_fr, s_es, s_de
-         |FROM (SELECT doc_id, $scores
-         |      FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin
-    },
+    "q26_langid" -> langSelectSql,
 
-    "q27_quality" -> {
-      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
-      s"""SELECT doc_id, n_words, n_unique,
-         |  ROUND(n_unique::DOUBLE / n_words, 6) AS uniq_ratio,
-         |  ROUND(sum_len::DOUBLE / n_words, 6) AS avg_word_len,
-         |  ROUND(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
-         |  ROUND(0.4 * ROUND(n_unique::DOUBLE / n_words, 6)
-         |      + 0.3 * LEAST(n_words::DOUBLE / 50.0, 1.0)
-         |      + 0.3 * (1.0 - ROUND(n_stop::DOUBLE / n_words, 6)), 6) AS quality_score
-         |FROM (
-         |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_unique,
-         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
-         |    len(list_filter(w, x -> x IN ($en))) AS n_stop
-         |  FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin
-    },
+    "q27_quality" -> qualitySelectSql,
 
     "q28_tokens" ->
       s"""SELECT doc_id,
@@ -269,39 +335,26 @@ object LlmQueries {
     // a recursive CTE; cluster id = component minimum — value-identical to
     // the engine's min-label-propagation fixpoint.
     "q69_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
-         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
-         |sig AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
-         |  FROM sh WHERE len(shingles) > 0),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
-         |  FROM sig, unnest(range(0, 4)) AS t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM cand
-         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.3),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |comp AS (
-         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-         |  FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $textClusterCtes
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
+
+    // Training-data selection composing lang-ID + quality + dedup
+    // clustering: English, quality bar, length band, and only the
+    // cluster-minimum representative of each near-dup component.
+    "q71_corpus_select" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |lang AS ($langSelectSql),
+         |qual AS ($qualitySelectSql)
+         |SELECT d.doc_id, d.source, l.pred_lang, q.quality_score, q.n_words
+         |FROM documents d
+         |JOIN lang l USING (doc_id)
+         |JOIN qual q USING (doc_id)
+         |LEFT JOIN comp c USING (doc_id)
+         |WHERE l.pred_lang = 'en' AND q.quality_score >= 0.72
+         |  AND q.n_words BETWEEN 10 AND 500
+         |  AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)""".stripMargin,
 
     "q70_embed_clusters" ->
       s"""WITH RECURSIVE n AS (
