@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,40 +212,110 @@ object Dedup {
     * gets the MINIMUM doc id of its component as `cluster_id` — the
     * canonical "which copies collapse to one training example" table.
     *
-    * Min-label propagation to fixpoint: each round joins the (symmetric)
-    * edge list with the current labels and takes the neighborhood min.
-    * Rounds = component diameter; near-dup components are dense clumps of
-    * copies (diameter 2-3 in practice), and `maxIter` guards pathological
-    * chains. Each round is one equi-join + one aggregation on the edge
-    * partitioning, and `localCheckpoint` truncates the lineage so the plan
-    * does not grow with rounds — the shape GraphX's CC uses, minus the
+    * Min-label propagation WITH pointer jumping, to fixpoint: each round
+    * (a) takes the neighborhood min over the symmetric edge list, then
+    * (b) follows the new label's own label (comp := comp(comp(id))).
+    * The jump makes labels race down already-discovered paths, so rounds
+    * are O(log diameter) instead of O(diameter) — embedding near-dup
+    * graphs form long chains in cosine space where plain propagation
+    * needed tens of rounds at sf0.1. Labels only decrease and always name
+    * a member of the same component, so the fixpoint is the component
+    * minimum regardless of round count. Each round is two equi-joins +
+    * one aggregation; `localCheckpoint` truncates lineage so the plan
+    * does not grow with rounds — the GraphX-CC shape, minus the
     * vertex-cut machinery a plain pair table does not need. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
-    // init: min of self and direct neighbors
-    var labels = edges.groupBy("u")
-      .agg(min(least(col("u"), col("v"))).as("comp"))
-      .withColumnRenamed("u", "id")
-      .localCheckpoint()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("comp").as("__nc")), Seq("v"))
-        .groupBy("u").agg(min("__nc").as("__nm"))
-        .withColumnRenamed("u", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.agg(coalesce(sum((col("comp") =!= col("__old")).cast("long")),
-        lit(0L))).first().getLong(0)
-      labels = next.select("id", "comp")
-      it += 1
+  /** Materialize as a FLAT plan: cache the RDD and rebuild the DataFrame
+    * from it. `localCheckpoint` is NOT usable in an iterative loop — it
+    * keeps the child plan's statistics, and Catalyst's join size estimate
+    * is the PRODUCT of child sizes, so k nested rounds build a 2^k-bit
+    * BigInteger sizeInBytes and the driver disappears into
+    * BigInteger.multiply (observed: q70 never finished planning). A flat
+    * LogicalRDD has constant default stats; AQE picks the real join
+    * strategies from runtime sizes. */
+  private def materializeRound(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.cache()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Edge lists at or below this size are solved with exact union-find on
+    * the driver — the broadcast-join of connected components. A near-dup
+    * edge list is ALWAYS tiny relative to its corpus (pairs above a high
+    * similarity threshold), so even a 100 TB corpus rarely crosses this;
+    * when it does, the distributed label-propagation loop takes over. */
+  val LocalCcMaxEdges: Long = 4L * 1000 * 1000
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val (edges, edgesRdd) = materializeRound(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    val nEdges = edgesRdd.count()
+
+    if (nEdges <= localMaxEdges) {
+      // Local exact path: weighted union-find with path compression,
+      // O(E a(E)) on the driver, then parallelize the label table. A
+      // distributed fixpoint loop on a graph this small is all scheduler
+      // overhead (measured ~0.5 s/round x diameter rounds).
+      val parent = collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgesRdd.collect().foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      // root chosen as running min -> find() already yields the component
+      // minimum (unions always point the larger root at the smaller)
+      val out = parent.keys.toSeq.map(id => (id, find(id))).sorted
+      edgesRdd.unpersist(false)
+      out.toDF("id", "comp")
+    } else {
+      // Distributed scale path: min-label propagation with a pointer jump,
+      // each round materialized FLAT (localCheckpoint is unusable here —
+      // its retained child stats make Catalyst's multiplicative join
+      // estimate a 2^rounds-bit BigInteger and the driver hangs in
+      // BigInteger.multiply). Rounds are O(diameter / 2); near-dup
+      // components at scale are dense clumps, not chains.
+      var (labels, labelsRdd) = materializeRound(
+        edges.groupBy("u")
+          .agg(min(least(col("u"), col("v"))).as("comp"))
+          .withColumnRenamed("u", "id"))
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("v"), col("comp").as("__nc")), Seq("v"))
+          .groupBy("u").agg(min("__nc").as("__nm"))
+          .withColumnRenamed("u", "id")
+        val (stepped, steppedRdd) = materializeRound(
+          labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("comp").as("__old"),
+              least(col("comp"), coalesce(col("__nm"), col("comp"))).as("__c1")))
+        val (next, nextRdd) = materializeRound(
+          stepped
+            .join(stepped.select(col("id").as("__jid"), col("__c1").as("__jc")),
+              col("__c1") === col("__jid"), "left")
+            .select(col("id"), col("__old"),
+              least(col("__c1"), coalesce(col("__jc"), col("__c1"))).as("comp")))
+        changed = next.agg(coalesce(
+          sum((col("comp") =!= col("__old")).cast("long")), lit(0L)))
+          .first().getLong(0)
+        steppedRdd.unpersist(false)
+        labelsRdd.unpersist(false)
+        labels = next.select("id", "comp")
+        labelsRdd = nextRdd
+        it += 1
+      }
+      labels
     }
-    labels
   }
 
   /** Pairs → cluster table: (outId, cluster_id, cluster_size). Works for

@@ -22,6 +22,7 @@ object Similarity {
     * (deterministic across engines). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
     val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
@@ -47,6 +48,7 @@ object Similarity {
   def embeddingDupPairs(docs: DataFrame, idCol: String, embCol: String,
       threshold: Double, numBands: Int = 4, bitsPerBand: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     val bands = VectorOps.bandDims(numBands, bitsPerBand, dim)
     val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
@@ -74,6 +76,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int, numBands: Int = 4,
       bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val bands = VectorOps.bandDims(numBands, bitsPerBand, dim)
     def keyed(df: DataFrame, idAs: String) =
       df.select(col(idCol).as(idAs),

@@ -5,24 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Embedding-vector operators over `array<float>` columns.
   *
-  * Dot products fold left-to-right with a double accumulator
-  * (`aggregate(..., 0D, _+_)`) — the same sequence DuckDB's
-  * `list_reduce` uses — so cosine scores are bit-identical across engines
-  * and reduction-order independent. All expression-only (codegen'd); the
-  * scale path buckets by sign-bit LSH so the candidate join is an equi-join
-  * on the bucket key instead of a cross join.
+  * Dot products fold left-to-right with a double accumulator — the same
+  * sequence DuckDB's `list_reduce` uses — so cosine scores are
+  * bit-identical across engines and reduction-order independent. The fold
+  * is a native codegen Catalyst expression
+  * ([[graft.functions.DotProductF]]): the higher-order `aggregate` form it
+  * replaced evaluates interpreted, which dominated the similarity joins.
+  * The scale path buckets by sign-bit LSH so the candidate join is an
+  * equi-join on the bucket key instead of a cross join.
   */
 object VectorOps {
 
   /** Sequential double fold of element products over two equal-length
-    * float arrays. */
+    * float arrays (codegen expression; the caller's session must have
+    * called [[graft.functions.VectorExpressions.register]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), size(a) - 1),
-        i => element_at(a, (i + 1).cast("int")).cast("double") *
-          element_at(b, (i + 1).cast("int")).cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotf(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 
