@@ -346,7 +346,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.05): DataFrame = {
     require(threshold > 0, "join-form jaccard only emits overlapping pairs")
+    // Materialized once: the co-group's two sides and the size aggregation
+    // would each re-derive the shingle pipeline. Blocked exact Jaccard is
+    // the BOUNDED fallback (explicit blocking key, quadratic per block),
+    // so pinning its per-shingle rows is per-block-bounded by contract —
+    // unlike the unbounded corpus-wide paths, which only pin per-doc state.
     val rows = shingleRows(docs, idCol, textCol, n, extraCols = Seq(blockCol))
+      .localCheckpoint()
     // Identical a/b subtrees share their shuffle stage under AQE; the size
     // lookups stay separate small aggregations joined post-aggregation (a
     // window-carried count was measured slower — it forces a full sort of

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variant of the sliding-window SQA aggregation
@@ -33,6 +34,38 @@ object StreamingSqa {
         count(when(col("event_type") =!= "error", 1)).as("n_valid"),
         count(when(col("event_type") === "error", 1)).as("n_error"),
         sum(col("value").cast("decimal(24,4)")).cast("double").as("sum_value"))
+
+  /** Per-subject inter-beat intervals over a live event feed — the
+    * streaming analog of the batch lag-diff (W1). Custom state via
+    * `flatMapGroupsWithState`: each subject's state is the timestamp of
+    * its last seen beat, carried ACROSS micro-batches, so the first beat
+    * of a new batch still gets its interval against the previous batch's
+    * last beat. Rows inside a batch are sorted per subject before the
+    * walk; the source contract is the device-feed one (append-ordered per
+    * subject), the same assumption every sample-clock operator makes.
+    * Emitted in Append mode: each interval is final when it appears. */
+  def streamingIbis(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          val tsMs = it.map(_._2.getTime).toArray.sorted
+          val out = Array.newBuilder[(Long, Long, Double)]
+          var last = if (state.exists) state.get else Long.MinValue
+          tsMs.foreach { t =>
+            if (last != Long.MinValue) out += ((uid, t, (t - last).toDouble))
+            last = t
+          }
+          if (tsMs.nonEmpty) state.update(last)
+          out.result().iterator
+      }
+  }
 
   /** Streaming exact dedup (the streaming analog of
     * [[graft.llm.Dedup.exactGroups]]): keep the FIRST occurrence of each

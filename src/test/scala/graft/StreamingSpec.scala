@@ -34,6 +34,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stateful streaming IBIs carry last-beat state across micro-batches") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ibi_stream").toString
+    // subject 1 beats at t=1,2,4 s split across two files: the 4s beat
+    // arrives in batch 2 and must pair with batch 1's last beat (2s)
+    // coalesce(1): one parquet part per batch dir, so maxFilesPerTrigger=1
+    // delivers each batch whole and in write order
+    def df(rows: Seq[(Long, String)]) = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1)
+    df(Seq((1L, "2026-01-01 00:00:01"), (1L, "2026-01-01 00:00:02"),
+      (2L, "2026-01-01 00:00:05"))).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100) // distinct mtimes: the file source orders by them
+    df(Seq((1L, "2026-01-01 00:00:04"), (2L, "2026-01-01 00:00:07")))
+      .write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingIbis(stream)
+      .toDF("user_id", "ts_ms", "ibi_ms")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ibi_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ibi_stream")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    // subject 1: 1000 ms (1->2 s), 2000 ms (2->4 s, CROSS-batch);
+    // subject 2: 2000 ms (5->7 s, cross-batch)
+    assert(got == Seq((1L, 1000.0), (1L, 2000.0), (2L, 2000.0)))
+  }
+
   test("streaming exact dedup keeps first occurrence, bounded state") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_dedup_stream").toString
