@@ -18,8 +18,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed section: JVM/codegen classloading + file
-    // metadata caches, so per-query numbers measure the queries.
+    // metadata caches, so per-query numbers measure the queries. The
+    // second statement exercises the suite's hot operator shapes (window
+    // chain, explode, broadcast join, hash aggregate, md5/string) so the
+    // first real query does not pay their generic codegen/JIT cost.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("id")
+      val base = spark.range(1 << 16)
+        .selectExpr("id % 97 AS k", "id", "md5(cast(id AS string)) AS s")
+      val dims = spark.range(97).selectExpr("id AS k", "id * 2 AS dim")
+      base
+        .withColumn("l", lag(col("id"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("c", explode(split(col("s"), "a")))
+        .join(broadcast(dims), Seq("k"))
+        .groupBy("k").agg(count(lit(1)), sum(col("id")), min(col("s")))
+        .collect()
+    }
     Seq("events", "lineitem", "documents", "embeddings", "orders", "customer",
       "nation", "region", "part", "supplier").foreach { t =>
       try graft.core.Tables.table(spark, sfDir, t).count()
