@@ -70,6 +70,54 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** IVF ANN: an inverted-file index over DISJOINT cells. The coarse
+    * quantizer is the `nList` lowest-id vectors (deterministic sample
+    * seeding — at 100 TB the quantizer is trained offline on a sample
+    * anyway, FAISS-style); every vector joins exactly one cell (argmax
+    * cosine to the seeds, ties to the lower seed id), and a query probes
+    * only its `nProbe` nearest cells. Complements the LSH path: cells
+    * partition the corpus (bucket key = natural partitioning key, no
+    * multi-band row duplication), recall is tuned by nProbe instead of
+    * band count. The assignment "cross" join is against `nList`
+    * broadcast rows — bounded fan-out, not a corpus cross join. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, nList: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val n = candidates.select(col(idCol).as("vid"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val cents = n.orderBy("vid").limit(nList)
+      .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
+        col("n2").as("c_n2"))
+    // one row per (vector, seed): exact cosine, rank per vector
+    val wA = Window.partitionBy("vid")
+      .orderBy(col("__cc").desc, col("cent_id"))
+    val ranked = n.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .withColumn("__rn", row_number().over(wA))
+    val cells = ranked.filter(col("__rn") === 1)
+      .select(col("vid").as("cand_id"), col("cent_id").as("cell"))
+    val probes = ranked.join(queries.select(col(idCol).as("vid")), Seq("vid"))
+      .filter(col("__rn") <= nProbe)
+      .select(col("vid").as("query_id"), col("cent_id").as("cell"))
+    val cand = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+      .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("cand_id"))
+      .withColumn("cos", round(
+        VectorOps.cosine(VectorOps.dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos", "rnk")
+  }
+
   /** Banded ANN: candidates restricted to rows sharing ANY of the query's
     * band keys (multi-table OR-amplification; same recall math as
     * embeddingDupPairs), then exact cosine + per-query top-k. */

@@ -78,6 +78,15 @@ object LlmQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3),
         "vec_id")),
 
+    // IVF ANN: disjoint inverted-file cells from a deterministic
+    // sample-seeded coarse quantizer; queries probe nProbe nearest cells.
+    "q72_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 3, nList = 16, nProbe = 2)
+    }),
+
     // The canonical training-data selection: English, above the quality
     // bar, sane length, and one representative per near-dup cluster —
     // every upstream operator composed into one plan.
@@ -383,6 +392,37 @@ object LlmQueries {
          |SELECT vec_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
+
+    "q72_ann_ivf" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+         |  FROM n ORDER BY vec_id LIMIT 16),
+         |ranked AS (
+         |  SELECT n.vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2) DESC,
+         |               cent_id) AS rn
+         |  FROM n CROSS JOIN cents),
+         |cells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM ranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id AS cell
+         |  FROM ranked WHERE rn <= 2 AND vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT query_id, cand_id
+         |  FROM probes JOIN cells USING (cell)
+         |  WHERE cand_id <> query_id)
+         |SELECT query_id, cand_id, cos, rnk FROM (
+         |  SELECT query_id, cand_id,
+         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |               cand_id) AS rnk
+         |  FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |            JOIN n c ON cand.cand_id = c.vec_id)
+         |WHERE rnk <= 3""".stripMargin,
 
     "q61_embed_dup" -> {
       s"""WITH n AS (

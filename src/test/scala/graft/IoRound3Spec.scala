@@ -40,6 +40,29 @@ class IoRound3Spec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 10, 1.0), (1L, 20, 2.0), (2L, 30, 3.0)))
   }
 
+  test("S6 batch-CSV: idx stays in file order even under split pressure") {
+    // Force maxPartitionBytes far below the file size: a splittable scan
+    // would shatter the file and scramble the monotonic-id clock. The
+    // multiLine whole-file path must keep idx == line order regardless.
+    val dir = Files.createTempDirectory("batch_split_").toString
+    val n = 5000
+    val body = "mv\n" + (0 until n).map(i => s"$i.5").mkString("\n") + "\n"
+    Files.writeString(Paths.get(dir, "big.csv"), body)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", null)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val rows = Readers.batchCsvDir(spark, dir, Map("mv" -> "ECG"))
+        .collect().map(r => (r.getAs[Long]("idx"), r.getAs[Double]("ECG")))
+      assert(rows.length == n)
+      // idx k must carry the k-th line's value — any split-induced
+      // reordering breaks this for some k
+      assert(rows.forall { case (idx, v) => v == idx + 0.5 })
+    } finally {
+      if (prev == null) spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      else spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+  }
+
   test("S11 config JSON round-trip") {
     val dir = Files.createTempDirectory("cfg_").toString + "/cfg"
     val cfg = EngineConfig(
