@@ -27,10 +27,17 @@ case class DotProductF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dotf"
 
+  // Length mismatch -> NULL, matching both the HOF form it replaced
+  // (element_at past the shorter array poisons the fold with null) and
+  // DuckDB's list indexing — a ragged embedding must not yield a
+  // plausible-looking prefix score.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -43,13 +50,16 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_s = 0.0;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_s += (double) $a.getFloat(${ev.value}_i)
-         |    * (double) $b.getFloat(${ev.value}_i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}_s = 0.0;
+         |  for (int ${ev.value}_i = 0; ${ev.value}_i < $a.numElements(); ${ev.value}_i++) {
+         |    ${ev.value}_s += (double) $a.getFloat(${ev.value}_i)
+         |      * (double) $b.getFloat(${ev.value}_i);
+         |  }
+         |  ${ev.value} = ${ev.value}_s;
          |}
-         |${ev.value} = ${ev.value}_s;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

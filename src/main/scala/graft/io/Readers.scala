@@ -118,7 +118,13 @@ object Readers {
     * scan stays splittable (the scale path — require a timestamp for
     * multi-GB recordings); otherwise `multiLine` forces the non-splittable
     * whole-file read path, where batch parallelism = number of files,
-    * which is exactly the S6 batch shape. */
+    * which is exactly the S6 batch shape.
+    *
+    * Timestamp-path contract: timestamps must be UNIQUE per subject (the
+    * sample-clock invariant every downstream operator assumes). Repeated
+    * timestamps on a split scan have no recoverable file order; the
+    * monotonic-id tie-break below keeps idx deterministic within one read
+    * but tied rows may swap across runs. */
   def batchCsvDir(spark: SparkSession, dir: String,
       mapping: Map[String, String]): DataFrame = {
     val hasTs = mapping.values.exists(_ == "Timestamp")
@@ -126,7 +132,8 @@ object Readers {
       .option("multiLine", (!hasTs).toString)
       .csv(s"$dir/*.csv")
     val w = Window.partitionBy("subject").orderBy(
-      if (hasTs) col("Timestamp") else monotonically_increasing_id())
+      (if (hasTs) Seq(col("Timestamp"), monotonically_increasing_id())
+       else Seq(monotonically_increasing_id())): _*)
     raw
       .withColumn("subject",
         regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))

@@ -314,6 +314,9 @@ object Dedup {
         labelsRdd = nextRdd
         it += 1
       }
+      // labels no longer references edges; the final labels RDD stays
+      // cached (it IS the result — lineage can still recompute it)
+      edgesRdd.unpersist(false)
       labels
     }
   }

@@ -89,25 +89,31 @@ object Similarity {
     val cents = n.orderBy("vid").limit(nList)
       .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
-    // one row per (vector, seed): exact cosine, rank per vector
-    val wA = Window.partitionBy("vid")
-      .orderBy(col("__cc").desc, col("cent_id"))
-    val ranked = n.crossJoin(broadcast(cents))
-      .withColumn("__cc", VectorOps.cosine(
-        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
-      .withColumn("__rn", row_number().over(wA))
-    val cells = ranked.filter(col("__rn") === 1)
+    // seed-rank against an arbitrary (id, emb, n2) side — queries need
+    // NOT be a subset of the candidate corpus (external query vectors are
+    // the normal ANN shape)
+    def seedRanked(side: DataFrame) = {
+      val wA = Window.partitionBy("vid")
+        .orderBy(col("__cc").desc, col("cent_id"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("__cc", VectorOps.cosine(
+          VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+        .withColumn("__rn", row_number().over(wA))
+    }
+    val cells = seedRanked(n).filter(col("__rn") === 1)
       .select(col("vid").as("cand_id"), col("cent_id").as("cell"))
-    val probes = ranked.join(queries.select(col(idCol).as("vid")), Seq("vid"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
+    val probes = seedRanked(q.select(col("query_id").as("vid"),
+        col("q_emb").as("emb"), col("q_n2").as("n2")))
       .filter(col("__rn") <= nProbe)
       .select(col("vid").as("query_id"), col("cent_id").as("cell"))
     val cand = probes.join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
-    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
-      .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
+    // norms reused from the assignment projections — no re-derivation
+    val c = n.select(col("vid").as("cand_id"), col("emb").as("c_emb"),
+      col("n2").as("c_n2"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     cand.join(broadcast(q), Seq("query_id")).join(c, Seq("cand_id"))
       .withColumn("cos", round(

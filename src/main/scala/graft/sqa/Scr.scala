@@ -64,6 +64,14 @@ object Scr {
     // times (pos/neg branches, two first-crossing aggregates, the mark
     // union): 10 scans / 26 exchanges collapsed into 1 scan / 1 exchange
     // plus the candidate argmax sort.
+    //
+    // Degenerate non-alternation (two up-crossings with no down-crossing
+    // between them — requires the smoothed derivative to hit EXACTLY 0,
+    // measure-zero on real phasic data and absent from the oracle data):
+    // interval membership and amplitudes still match the rank-pairing,
+    // but the reported `offset` field names the next crossing after the
+    // peak rather than the rank-paired one when the peak precedes an
+    // interior crossing.
     val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wFwd = w.rowsBetween(0, Window.unboundedFollowing)

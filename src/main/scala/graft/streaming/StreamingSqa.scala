@@ -41,29 +41,45 @@ object StreamingSqa {
     * its last seen beat, carried ACROSS micro-batches, so the first beat
     * of a new batch still gets its interval against the previous batch's
     * last beat. Rows inside a batch are sorted per subject before the
-    * walk; the source contract is the device-feed one (append-ordered per
-    * subject), the same assumption every sample-clock operator makes.
+    * walk; a beat at or before the saved state is LATE (violates the
+    * append-ordered device-feed contract) and is dropped rather than
+    * emitting a negative interval. State is BOUNDED: a subject silent for
+    * `idleGap` of event time has its entry evicted (event-time timeout
+    * against the watermark), and its next beat starts a fresh IBI chain —
+    * session-window semantics, same rationale as streamingExactDedup.
     * Emitted in Append mode: each interval is final when it appears. */
-  def streamingIbis(events: DataFrame): Dataset[(Long, Long, Double)] = {
+  def streamingIbis(events: DataFrame, watermark: String = "10 minutes",
+      idleGapMs: Long = 60L * 60 * 1000): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
             state: GroupState[Long]) =>
-          val tsMs = it.map(_._2.getTime).toArray.sorted
-          val out = Array.newBuilder[(Long, Long, Double)]
-          var last = if (state.exists) state.get else Long.MinValue
-          tsMs.foreach { t =>
-            if (last != Long.MinValue) out += ((uid, t, (t - last).toDouble))
-            last = t
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val tsMs = it.map(_._2.getTime).toArray.sorted
+            val out = Array.newBuilder[(Long, Long, Double)]
+            var last = if (state.exists) state.get else Long.MinValue
+            tsMs.foreach { t =>
+              if (t > last) {
+                if (last != Long.MinValue) out += ((uid, t, (t - last).toDouble))
+                last = t
+              } // else: late arrival — dropped
+            }
+            if (last != Long.MinValue) {
+              state.update(last)
+              state.setTimeoutTimestamp(last + idleGapMs)
+            }
+            out.result().iterator
           }
-          if (tsMs.nonEmpty) state.update(last)
-          out.result().iterator
       }
   }
 

@@ -36,16 +36,18 @@ class VectorExprSpec extends AnyFunSuite {
     assert(df.filter(col("gen").isNull).count() == 0)
   }
 
-  test("null input yields null; mismatched lengths fold the common prefix") {
+  test("null input and mismatched lengths yield null (ragged != prefix score)") {
     import spark.implicits._
     VectorExpressions.register(spark)
     val df = Seq(
       (Some(Array(1f, 2f, 3f)), Some(Array(4f, 5f))),
-      (None: Option[Array[Float]], Some(Array(1f))))
+      (None: Option[Array[Float]], Some(Array(1f))),
+      (Some(Array(2f, 3f)), Some(Array(4f, 5f))))
       .toDF("a", "b")
       .withColumn("gen", VectorExpressions.dotf(col("a"), col("b")))
     val got = df.select("gen").collect().map(r => Option(r.get(0)))
-    assert(got(0).contains(1.0 * 4 + 2.0 * 5))
-    assert(got(1).isEmpty)
+    assert(got(0).isEmpty) // length mismatch
+    assert(got(1).isEmpty) // null input
+    assert(got(2).contains(2.0 * 4 + 3.0 * 5))
   }
 }
