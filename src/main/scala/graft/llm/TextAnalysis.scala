@@ -81,4 +81,23 @@ object TextAnalysis {
     docs
       .withColumn("__words", TextOps.words(col(textCol)))
       .select(col(idCol), TextOps.rollingFingerprint(col("__words")).as("fingerprint"))
+
+  /** Corpus vocabulary statistics — the token-frequency table a tokenizer
+    * or filtering pass is built from: per word, document frequency, total
+    * occurrences, and smoothed IDF. One explode + one hash-aggregate
+    * shuffle on the word key (map-side partial counts); the corpus size
+    * rides in as a broadcast scalar. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 25): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextOps.words(col(textCol))).as("word"))
+    val total = docs.agg(count(lit(1)).as("__n_docs"))
+    words.groupBy("word")
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(total))
+      .withColumn("idf", round(
+        log((col("__n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .select("word", "df", "tf", "idf")
+  }
 }

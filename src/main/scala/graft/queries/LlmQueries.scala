@@ -78,6 +78,10 @@ object LlmQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3),
         "vec_id")),
 
+    "q73_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
+        minDf = 25)),
+
     // IVF ANN: disjoint inverted-file cells from a deterministic
     // sample-seeded coarse quantizer; queries probe nProbe nearest cells.
     "q72_ann_ivf" -> ((s, dir) => {
@@ -392,6 +396,16 @@ object LlmQueries {
          |SELECT vec_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
+
+    "q73_vocab" ->
+      s"""SELECT word, df, tf,
+         |  ROUND(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf
+         |FROM (
+         |  SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY word)
+         |CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents)
+         |WHERE df >= 25""".stripMargin,
 
     "q72_ann_ivf" ->
       s"""WITH n AS (
