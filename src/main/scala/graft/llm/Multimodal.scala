@@ -166,15 +166,19 @@ object Multimodal {
   }
 
   /** Deterministic byte-fold for payloads matching no known magic —
-    * documented fallback, not a decoder. */
+    * documented fallback, not a decoder. Lanes accumulate in DOUBLE (one
+    * float32 rounding at the end) so the value is reproducible from the
+    * byte stream by any engine: per-term byte/255.0 and the ascending
+    * sequential sum are bit-identical in IEEE doubles — the SQL oracle
+    * recomputes it from hex(payload). */
   def byteFoldFeatures(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Float](FEATURE_DIM)
+    val acc = new Array[Double](FEATURE_DIM)
     var i = 0
     while (i < payload.length) {
-      acc(i % FEATURE_DIM) += (payload(i) & 0xff) / 255.0f
+      acc(i % FEATURE_DIM) += (payload(i) & 0xff) / 255.0
       i += 1
     }
-    acc
+    acc.map(_.toFloat)
   }
 
   /** Decode dispatch by magic bytes: ("wav"|"ppm"|"opaque", features).
@@ -210,7 +214,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val (kind, f) = decode(r.payload)
-        val checksum = f.foldLeft(17L)((a, v) => a * 31 + math.round(v * 1000).toLong)
+        // double multiply before rounding: float*1000 rounds differently
+        // from the oracle's double arithmetic
+        val checksum = f.foldLeft(17L)((a, v) =>
+          a * 31 + math.round(v.toDouble * 1000))
         FeatureRow(r.id, kind, FEATURE_DIM, f, checksum)
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operator suite over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -81,6 +81,17 @@ object LlmQueries {
     "q73_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
         minDf = 25)),
+
+    // Multimodal batched extraction over documents-as-media: every text
+    // payload takes the byte-fold path (no WAV/PPM magic), whose lanes
+    // and integer checksum the oracle recomputes from hex(payload).
+    "q74_media_features" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .select(col("id"), col("kind"), col("dim"), col("checksum"))
+    }),
 
     // IVF ANN: disjoint inverted-file cells from a deterministic
     // sample-seeded coarse quantizer; queries probe nProbe nearest cells.
@@ -396,6 +407,27 @@ object LlmQueries {
          |SELECT vec_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp""".stripMargin,
+
+    // Byte-exact replay of the byte-fold feature path from hex(payload):
+    // per-lane ascending double sums, one float32 rounding per lane, then
+    // the integer checksum fold — mirrors Multimodal.byteFoldFeatures and
+    // the extractFeatures checksum exactly.
+    "q74_media_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_transform(range(0, octet_length(encode(text))), i ->
+         |    ('0x' || substr(hex(encode(text)), (2*i+1)::INT, 2))::INT / 255.0) AS vals
+         |  FROM documents),
+         |lanes AS (
+         |  SELECT doc_id, list_transform(range(0, 8), j ->
+         |    CAST(CAST(CASE WHEN len(list_filter(vals, (x, i) -> (i-1) % 8 = j)) = 0
+         |      THEN 0.0
+         |      ELSE list_reduce(list_filter(vals, (x, i) -> (i-1) % 8 = j),
+         |        (a, c) -> a + c) END AS FLOAT) AS DOUBLE)) AS f
+         |  FROM b)
+         |SELECT doc_id AS id, 'opaque' AS kind, 8 AS dim,
+         |  CAST(list_reduce(list_prepend(17.0::DOUBLE, f),
+         |    (a, c) -> a * 31 + round(c * 1000)) AS BIGINT) AS checksum
+         |FROM lanes""".stripMargin,
 
     "q73_vocab" ->
       s"""SELECT word, df, tf,
