@@ -1,0 +1,199 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: term
+  * weighting, retrieval scoring, sequence packing, stratified sampling,
+  * repetition filtering, and deterministic sharding.
+  *
+  * Everything is expression + shuffle-frugal aggregation (whole-stage
+  * codegen; the only shuffles are the per-doc / per-word hash aggregates
+  * a 100 TB corpus genuinely needs), and every output is integer- or
+  * pinned-digit-deterministic so the DuckDB oracle hash-matches.
+  */
+object Pipeline {
+
+  /** One (id, word) row per word occurrence, pre-partitioned on the doc id
+    * so the downstream window/aggregate reuse one exchange. */
+  private def wordRows(docs: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String] = Nil): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .select((extraCols :+ idCol).map(col) :+
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")): _*)
+
+  /** TF-IDF top-k terms per document.
+    *
+    * Shape: one hash-aggregate on (id, word) for term frequencies, one on
+    * word for document frequencies (vocabulary-sized — AQE broadcasts it
+    * back), corpus size rides in as a broadcast scalar. The top-k window
+    * runs on the (id)-partitioned tf rows. idf matches
+    * [[TextAnalysis.vocabulary]]: ln((N+1)/(df+1)), pinned to 6 digits
+    * (libm ln differs across engines by 1 ulp); tf * idf is then IEEE-exact.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val words = wordRows(docs, idCol, textCol)
+    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfTab = words.groupBy(col("word"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val total = docs.agg(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfTab, Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("idf", round(log((col("__n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("tfidf"), col("rnk"))
+  }
+
+  /** BM25 document scoring against a fixed query-term set (Robertson
+    * k1/b defaults). Per-document work is ONE hash-aggregate over the word
+    * rows (doc length + one conditional tf per query term — query terms
+    * are a literal list, so tfs land in fixed columns and the final score
+    * is a fixed-order sum, not a reassociating aggregate). Corpus stats
+    * (N, avgdl, per-term df) are two scalar aggregates broadcast back.
+    * Scored set = documents with at least one word; only score > 0 rows
+    * are emitted. idf = ln(1 + (N - df + .5)/(df + .5)) pinned to 6
+    * digits; the remaining arithmetic is IEEE-exact on both engines. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val words = wordRows(docs, idCol, textCol)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = words.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("word") === t, col(idCol))).as(s"__df$i")
+    }
+    val termStats = words.agg(dfAggs.head, dfAggs.tail: _*)
+    val corpus = perDoc.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sum_dl"))
+    val scored = perDoc
+      .crossJoin(broadcast(termStats))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__avgdl", col("__sum_dl").cast("double") / col("__n"))
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = round(log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5)), 6)
+      // (1.0 - b) is exact in binary; (k1 + 1.0) is the same IEEE sum the
+      // oracle's (1.2 + 1.0) constant-folds to — association mirrored.
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("__avgdl")))
+    }
+    // Fixed left-to-right addition order — mirrored verbatim in the oracle.
+    scored
+      .withColumn("score", round(contribs.reduceLeft(_ + _), 6))
+      .filter(col("score") > 0)
+      .select(Seq(col(idCol), col("dl")) ++
+        terms.indices.map(i => col(s"__tf$i").as(s"tf_${terms(i)}")) :+
+        col("score"): _*)
+  }
+
+  /** Sequence packing — the concatenate-and-chunk training layout: within
+    * each `streamCol` stream, documents are laid end-to-end in id order
+    * and cut into `ctxLen`-token context windows. Emits each document's
+    * start offset, pack id, offset inside the pack, and whether it spans a
+    * pack boundary.
+    *
+    * The cumulative offset is a per-stream window sum of token counts —
+    * integer-exact, one shuffle on the stream key. Packing per stream
+    * (not globally) is deliberate: a single global cumsum serializes the
+    * corpus through one partition, while streams (source shards) are the
+    * unit real pipelines pack and shuffle independently. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, ctxLen: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy(streamCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(streamCol), col(idCol),
+        size(TextOps.words(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off div $ctxLen"))
+      .withColumn("pack_off", col("start_off") % ctxLen)
+      .withColumn("spans_boundary",
+        (expr(s"(start_off + n_tok - 1) div $ctxLen") > col("pack_id")) &&
+          col("n_tok") > 0)
+  }
+
+  /** Deterministic stratified sampling: per stratum (e.g. language) keep a
+    * fixed permille of documents, chosen by a salted md5 bucket of the doc
+    * id — reproducible across runs, engines, and cluster sizes (no RNG,
+    * no partition dependence). Pure filter: no shuffle at all. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      ratesPermille: Map[String, Int], defaultPermille: Int,
+      salt: String = "smp1"): DataFrame = {
+    require((ratesPermille.values.toSeq :+ defaultPermille)
+      .forall(r => r >= 0 && r <= 1000))
+    val bucket = TextOps.wordHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % 1000
+    val rate = ratesPermille.foldRight(lit(defaultPermille)) {
+      case ((s, r), e) => when(col(stratumCol) === s, r).otherwise(e)
+    }
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("rate_permille", rate)
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col(idCol), col(stratumCol), col("bucket"), col("rate_permille"))
+  }
+
+  /** Per-document repetition statistics (the Gopher-class repetition
+    * filters): duplicate-word fraction and the most-frequent-bigram
+    * fraction, plus a composite flag. Two aggregates over one exchange on
+    * the doc id: word stats, and bigram counts via posexplode + window
+    * lead (codegen'd — the array-HOF form evaluates interpreted). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxTopBigramFrac: Double = 0.06, maxDupWordFrac: Double = 0.55): DataFrame = {
+    val words = wordRows(docs, idCol, textCol)
+    val wordStats = words.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("word")).as("n_distinct"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val bigramStats = words
+      .withColumn("__next", lead(col("word"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(idCol), concat_ws(" ", col("word"), col("__next")).as("bigram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_bigrams"),
+        max(col("__c")).as("max_bigram_n"))
+    wordStats.join(bigramStats, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "max_bigram_n"))
+      .withColumn("dup_word_frac", round(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0, round(
+          col("max_bigram_n").cast("double") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged",
+        (col("top_bigram_frac") > maxTopBigramFrac) ||
+          (col("dup_word_frac") > maxDupWordFrac))
+      .select(idCol, "n_words", "n_distinct", "n_bigrams", "max_bigram_n",
+        "dup_word_frac", "top_bigram_frac", "flagged")
+  }
+
+  /** Deterministic corpus sharding — the reproducible "global shuffle"
+    * before training: shard = salted hash of the id mod `numShards`,
+    * position within the shard = rank by (hash, id). One shuffle on the
+    * shard key; shard sizes are balanced by the uniform hash, so the
+    * per-shard window does not skew. */
+  def shardAssign(docs: DataFrame, idCol: String, numShards: Int,
+      salt: String = "shard1"): DataFrame = {
+    require(numShards > 0)
+    val h = TextOps.wordHash60(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    docs
+      .select(col(idCol))
+      .withColumn("__h", h)
+      .withColumn("shard", col("__h") % numShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+}

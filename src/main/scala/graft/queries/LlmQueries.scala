@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operator suite over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -123,8 +123,36 @@ object LlmQueries {
           col("n_words").between(10, 500) &&
           (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
         .select("doc_id", "source", "pred_lang", "quality_score", "n_words")
-    })
+    }),
+
+    "q75_tfidf" -> ((s, dir) =>
+      Pipeline.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)),
+
+    "q76_bm25" -> ((s, dir) =>
+      Pipeline.bm25(Tables.documents(s, dir), "doc_id", "text",
+        terms = Bm25Terms)),
+
+    "q77_seq_pack" -> ((s, dir) =>
+      Pipeline.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        streamCol = "source", ctxLen = 2048L)),
+
+    "q78_strat_sample" -> ((s, dir) =>
+      Pipeline.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        ratesPermille = SampleRates, defaultPermille = 50)),
+
+    "q79_repetition" -> ((s, dir) =>
+      Pipeline.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q80_shards" -> ((s, dir) =>
+      Pipeline.shardAssign(Tables.documents(s, dir), "doc_id", numShards = 16))
   )
+
+  /** Fixed BM25 query-term set (must stay in sync with the q76 oracle). */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "vector")
+
+  /** q78 per-language sampling rates, permille. */
+  val SampleRates: Map[String, Int] =
+    Map("en" -> 500, "fr" -> 250, "es" -> 250, "de" -> 125)
 
   /** Shared SQL fragments for the oracle. */
   private val WORDS =
@@ -469,6 +497,108 @@ object LlmQueries {
          |  FROM cand JOIN n q ON cand.query_id = q.vec_id
          |            JOIN n c ON cand.cand_id = c.vec_id)
          |WHERE rnk <= 3""".stripMargin,
+
+    "q75_tfidf" ->
+      s"""WITH wr AS (SELECT doc_id, unnest($WORDS) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wr GROUP BY 1, 2),
+         |dfx AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM wr GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, word, tf, tfidf, rnk FROM (
+         |  SELECT doc_id, word, tf,
+         |    ROUND(tf * ROUND(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) AS tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY ROUND(tf * ROUND(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) DESC,
+         |               word) AS rnk
+         |  FROM tf JOIN dfx USING (word) CROSS JOIN n)
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Mirrors Pipeline.bm25 term by term: every double op is written in
+    // the same association order, so only ln needs the 6-digit pin.
+    "q76_bm25" -> {
+      val ts = Bm25Terms
+      val tfCols = ts.indices.map(i =>
+        s"CAST(SUM(CASE WHEN word = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i")
+        .mkString(",\n  ")
+      val dfCols = ts.indices.map(i =>
+        s"COUNT(DISTINCT CASE WHEN word = '${ts(i)}' THEN doc_id END) AS df$i")
+        .mkString(", ")
+      val contribs = ts.indices.map(i =>
+        s"""ROUND(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)), 6)
+           | * (tf$i::DOUBLE * (1.2 + 1.0))
+           | / (tf$i::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))"""
+          .stripMargin.replace("\n", ""))
+        .mkString(" + ")
+      val outTfs = ts.indices.map(i => s"tf$i AS tf_${ts(i)}").mkString(", ")
+      s"""WITH wr AS (SELECT doc_id, unnest($WORDS) AS word FROM documents),
+         |pd AS (SELECT doc_id, COUNT(*) AS dl,
+         |  $tfCols
+         |  FROM wr GROUP BY 1),
+         |ts AS (SELECT $dfCols FROM wr),
+         |c AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM pd)
+         |SELECT doc_id, dl, $outTfs, score FROM (
+         |  SELECT doc_id, dl, ${ts.indices.map(i => s"tf$i").mkString(", ")},
+         |    ROUND($contribs, 6) AS score
+         |  FROM pd CROSS JOIN ts CROSS JOIN c
+         |       CROSS JOIN (SELECT sum_dl::DOUBLE / n AS avgdl FROM c) a)
+         |WHERE score > 0""".stripMargin
+    },
+
+    "q77_seq_pack" ->
+      """SELECT source, doc_id, n_tok, start_off,
+        |  start_off // 2048 AS pack_id,
+        |  start_off % 2048 AS pack_off,
+        |  ((start_off + n_tok - 1) // 2048 > start_off // 2048)
+        |    AND n_tok > 0 AS spans_boundary
+        |FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        |  FROM (SELECT source, doc_id,
+        |          len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tok
+        |        FROM documents))""".stripMargin,
+
+    "q78_strat_sample" -> {
+      val arms = SampleRates.toSeq
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, bucket, rate_permille FROM (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5('smp1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000 AS bucket,
+         |    CASE $arms ELSE 50 END AS rate_permille
+         |  FROM documents)
+         |WHERE bucket < rate_permille""".stripMargin
+    },
+
+    "q79_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |ws AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+         |       FROM w WHERE len(w) > 0),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+         |       FROM w),
+         |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |         MAX(c) AS max_bigram_n FROM bc GROUP BY 1)
+         |SELECT doc_id, n_words, n_distinct,
+         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(max_bigram_n, 0) AS max_bigram_n,
+         |  ROUND(1.0 - n_distinct::DOUBLE / n_words, 6) AS dup_word_frac,
+         |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+         |    THEN ROUND(COALESCE(max_bigram_n, 0)::DOUBLE / n_bigrams, 6)
+         |    ELSE 0.0 END AS top_bigram_frac,
+         |  (CASE WHEN COALESCE(n_bigrams, 0) > 0
+         |    THEN ROUND(COALESCE(max_bigram_n, 0)::DOUBLE / n_bigrams, 6)
+         |    ELSE 0.0 END > 0.06)
+         |  OR (ROUND(1.0 - n_distinct::DOUBLE / n_words, 6) > 0.55) AS flagged
+         |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q80_shards" ->
+      """SELECT doc_id, shard, pos FROM (
+        |  SELECT doc_id, h % 16 AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5('shard1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |        FROM documents))""".stripMargin,
 
     "q61_embed_dup" -> {
       s"""WITH n AS (

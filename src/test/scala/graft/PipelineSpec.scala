@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Pipeline
+
+/** Training-pipeline operators: TF-IDF, BM25, sequence packing, stratified
+  * sampling, repetition stats, deterministic sharding. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs(rows: (Long, String, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("tfIdfTopK ranks rare terms above common ones and breaks ties by word") {
+    // 'rare' appears in 1 of 3 docs, 'the' in all 3: idf(rare) > idf(the).
+    val d = docs(
+      (1L, "the rare rare term", "en", "s"),
+      (2L, "the common words here", "en", "s"),
+      (3L, "the other words", "en", "s"))
+    val out = Pipeline.tfIdfTopK(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.head.getString(1) == "rare") // tf=2, highest idf
+    assert(d1.map(_.getInt(4)).toSeq == Seq(1, 2))
+    // Within doc 3, 'other' and 'words' both have tf=1 and df=2 -> equal
+    // weight; tie resolves alphabetically.
+    val d3 = out.filter(_.getLong(0) == 3L).map(_.getString(1)).toSeq
+    assert(d3 == Seq("other", "words"))
+  }
+
+  test("bm25 scores docs containing query terms and drops zero-score docs") {
+    val d = docs(
+      (1L, "spark join spark", "en", "s"),
+      (2L, "join vector", "en", "s"),
+      (3L, "nothing relevant here", "en", "s"))
+    val out = Pipeline.bm25(d, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // Doc 1 hits both terms (spark twice); doc 2 only 'join' -> lower score.
+    assert(out(1L) > out(2L))
+  }
+
+  test("packSequences lays docs end-to-end per stream and marks boundary spans") {
+    // Stream s: 1000 + 1000 + 100 tokens with ctx 2048: doc 3 starts at
+    // 2000, ends at 2099 -> spans the 2048 boundary.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = docs(
+      (1L, words(1000), "en", "s"),
+      (2L, words(1000), "en", "s"),
+      (3L, words(100), "en", "s"),
+      (4L, words(10), "en", "t"))
+    val out = Pipeline.packSequences(d, "doc_id", "text", "source", ctxLen = 2048L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 1000L, 2000L, 0L))
+    assert(out.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 0L, 0L))
+    assert(out.map(_.getAs[Boolean]("spans_boundary")).toSeq ==
+      Seq(false, false, true, false))
+    assert(out(2).getAs[Long]("pack_off") == 2000L)
+  }
+
+  test("stratifiedSample is deterministic and honors per-stratum rates") {
+    val d = docs((0L until 400L).map(i =>
+      (i, "x", if (i % 2 == 0) "en" else "zz", "s")): _*)
+    val sampled = Pipeline.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 0)
+    val rows = sampled.collect()
+    // Rate 0 strata vanish entirely; en docs keep only bucket < 500.
+    assert(rows.forall(_.getString(1) == "en"))
+    assert(rows.forall(_.getLong(2) < 500))
+    // Partitioning must not change membership (pure hash filter).
+    val again = Pipeline.stratifiedSample(d.repartition(7), "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 0).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("repetitionStats flags looped text and passes diverse text") {
+    val d = docs(
+      (1L, Seq.fill(30)("buy now").mkString(" "), "en", "s"), // one bigram dominates
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "s"), // all distinct
+      (3L, "single", "en", "s")) // no bigrams at all
+    val out = Pipeline.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("flagged"))
+    assert(!out(2L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
+  test("shardAssign gives every doc one shard and dense 1..n positions") {
+    val d = docs((0L until 257L).map(i => (i, "x", "en", "s")): _*)
+    val out = Pipeline.shardAssign(d, "doc_id", numShards = 16).collect()
+    assert(out.length == 257)
+    assert(out.map(_.getLong(1)).forall(s => s >= 0 && s < 16))
+    out.groupBy(_.getLong(1)).values.foreach { shard =>
+      assert(shard.map(_.getInt(2)).sorted.toSeq == (1 to shard.length).toSeq)
+    }
+    // Deterministic under re-partitioning.
+    val again = Pipeline.shardAssign(d.repartition(5), "doc_id", 16).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq)
+  }
+}
