@@ -37,8 +37,11 @@ object Pipeline {
       k: Int = 5): DataFrame = {
     val words = wordRows(docs, idCol, textCol)
     val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-    val dfTab = words.groupBy(col("word"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    // Document frequency from the tf rows, not a second pass over the raw
+    // word rows: tf is already distinct (id, word), so COUNT(*) per word
+    // equals COUNT(DISTINCT id), and both tf consumers hang off the one
+    // repartition exchange — the corpus is scanned and exploded once.
+    val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("__n_docs"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("word"))
     tf.join(dfTab, Seq("word"))
@@ -66,16 +69,18 @@ object Pipeline {
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("word") === t, 1L).otherwise(0L)).as(s"__tf$i")
     }
+    // Per-doc state is the thing that is always safe to pin at scale:
+    // one row per document carrying dl + the per-term tfs. EVERY corpus
+    // statistic derives from it (df_t = docs with tf_t > 0), so the word
+    // rows are scanned exactly once.
     val perDoc = words.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfAggs: _*)
-    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
-      countDistinct(when(col("word") === t, col(idCol))).as(s"__df$i")
-    }
-    val termStats = words.agg(dfAggs.head, dfAggs.tail: _*)
-    val corpus = perDoc.agg(count(lit(1)).as("__n"),
-      sum(col("dl")).as("__sum_dl"))
+      .localCheckpoint()
+    val statAggs = Seq(count(lit(1)).as("__n"), sum(col("dl")).as("__sum_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val corpus = perDoc.agg(statAggs.head, statAggs.tail: _*)
     val scored = perDoc
-      .crossJoin(broadcast(termStats))
       .crossJoin(broadcast(corpus))
       .withColumn("__avgdl", col("__sum_dl").cast("double") / col("__n"))
     val contribs = terms.indices.map { i =>
