@@ -184,6 +184,37 @@ object Pipeline {
         "dup_word_frac", "top_bigram_frac", "flagged")
   }
 
+  /** Train/test decontamination — the benchmark-leakage check run before
+    * any evaluation split ships: the corpus is split by a salted hash
+    * bucket (train = bucket < trainPermille), and every test document is
+    * scored by its exact word-n-gram overlap with ANY train document.
+    * Output: one row per contaminated test doc with the number of shared
+    * distinct shingles and of distinct train docs sharing them.
+    *
+    * Shape: one shingle pipeline over the tagged corpus (the split tag
+    * rides through [[Dedup.shingleRows]] as an extra column), then an
+    * equi-join on the shingle key — test shingles never meet train
+    * shingles they don't equal, so the comparison is confined to hash
+    * buckets exactly like MinHash candidate generation. At 100 TB the
+    * train side dominates; the join shuffles (shingle, id) pairs once and
+    * aggregates map-side. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, trainPermille: Int = 900,
+      salt: String = "split1"): DataFrame = {
+    val bucket = TextOps.wordHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % 1000
+    val tagged = docs.withColumn("__is_train", bucket < trainPermille)
+    val rows = Dedup.shingleRows(tagged, idCol, textCol, shingleN,
+      extraCols = Seq("__is_train"))
+    val train = rows.filter(col("__is_train"))
+      .select(col("shingle"), col(idCol).as("__tid"))
+    val test = rows.filter(!col("__is_train")).select(col(idCol), col("shingle"))
+    test.join(train, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("__tid")).as("n_train_docs"))
+  }
+
   /** Deterministic corpus sharding — the reproducible "global shuffle"
     * before training: shard = salted hash of the id mod `numShards`,
     * position within the shard = rank by (hash, id). One shuffle on the

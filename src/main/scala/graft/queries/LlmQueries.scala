@@ -144,7 +144,11 @@ object LlmQueries {
       Pipeline.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
 
     "q80_shards" -> ((s, dir) =>
-      Pipeline.shardAssign(Tables.documents(s, dir), "doc_id", numShards = 16))
+      Pipeline.shardAssign(Tables.documents(s, dir), "doc_id", numShards = 16)),
+
+    "q81_decontam" -> ((s, dir) =>
+      Pipeline.decontaminate(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 5, trainPermille = 900))
   )
 
   /** Fixed BM25 query-term set (must stay in sync with the q76 oracle). */
@@ -591,6 +595,20 @@ object LlmQueries {
          |    ELSE 0.0 END > 0.06)
          |  OR (ROUND(1.0 - n_distinct::DOUBLE / n_words, 6) > 0.55) AS flagged
          |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q81_decontam" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000 < 900 AS is_train,
+         |    unnest(${shinglesSql(5)}) AS shingle
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |tr AS (SELECT shingle, doc_id AS tid FROM sh WHERE is_train),
+         |te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train)
+         |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared_shingles,
+         |  COUNT(DISTINCT tid) AS n_train_docs
+         |FROM te JOIN tr USING (shingle)
+         |GROUP BY 1""".stripMargin,
 
     "q80_shards" ->
       """SELECT doc_id, shard, pos FROM (

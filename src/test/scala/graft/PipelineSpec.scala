@@ -96,6 +96,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("decontaminate finds test docs sharing n-grams with the train split") {
+    // Force the split with trainPermille boundaries: with permille 1000
+    // everything is train -> no test rows; with 0 everything is test -> no
+    // train rows. Either way the overlap join is empty.
+    val base = docs(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s"),
+      (2L, "alpha beta gamma delta epsilon eta", "en", "s"),
+      (3L, "one two three four five six", "en", "s"))
+    assert(Pipeline.decontaminate(base, "doc_id", "text", shingleN = 5,
+      trainPermille = 1000).count() == 0)
+    assert(Pipeline.decontaminate(base, "doc_id", "text", shingleN = 5,
+      trainPermille = 0).count() == 0)
+    // Deterministic split at 500: whichever side each doc lands on, docs
+    // 1 and 2 share exactly one 5-gram ("alpha beta gamma delta epsilon")
+    // and doc 3 shares none, so a contamination row exists iff 1 and 2
+    // land on opposite sides, and it reports exactly one shared shingle.
+    val out = Pipeline.decontaminate(base, "doc_id", "text", shingleN = 5,
+      trainPermille = 500).collect()
+    assert(out.length <= 1)
+    out.foreach { r =>
+      assert(Set(1L, 2L).contains(r.getLong(0)))
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    }
+  }
+
   test("shardAssign gives every doc one shard and dense 1..n positions") {
     val d = docs((0L until 257L).map(i => (i, "x", "en", "s")): _*)
     val out = Pipeline.shardAssign(d, "doc_id", numShards = 16).collect()
