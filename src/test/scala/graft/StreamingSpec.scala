@@ -90,4 +90,37 @@ class StreamingSpec extends AnyFunSuite {
     // duplicate "alpha" suppressed; one row per distinct text survives
     assert(kept.toSeq == Seq("alpha", "beta", "gamma"))
   }
+
+  test("stateless corpus-prep operators run unchanged on a stream") {
+    // quality scoring and stratified sampling are pure expression/filter
+    // transforms — the ingest-time half of the training-data pipeline —
+    // so the SAME operator code serves batch and streaming.
+    val tmp = Files.createTempDirectory("graft_corpus_stream").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+
+    val docsBatch = spark.read.parquet(tmp)
+    val rates = Map("en" -> 500); val dflt = 50
+    val qSample = graft.llm.Pipeline
+      .stratifiedSample(stream, "doc_id", "lang", rates, dflt)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sample_stream").start()
+    val qQuality = graft.llm.TextAnalysis.quality(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quality_stream").start()
+    qSample.processAllAvailable(); qSample.stop()
+    qQuality.processAllAvailable(); qQuality.stop()
+
+    val sampleBatch = graft.llm.Pipeline
+      .stratifiedSample(docsBatch, "doc_id", "lang", rates, dflt)
+    assert(spark.table("sample_stream").count() == sampleBatch.count())
+    assert(spark.table("sample_stream").exceptAll(sampleBatch).count() == 0)
+
+    val qualityBatch = graft.llm.TextAnalysis.quality(docsBatch, "doc_id", "text")
+    assert(spark.table("quality_stream").count() == qualityBatch.count())
+    assert(spark.table("quality_stream").exceptAll(qualityBatch).count() == 0)
+  }
 }
