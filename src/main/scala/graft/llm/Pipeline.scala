@@ -17,12 +17,11 @@ object Pipeline {
 
   /** One (id, word) row per word occurrence, pre-partitioned on the doc id
     * so the downstream window/aggregate reuse one exchange. */
-  private def wordRows(docs: DataFrame, idCol: String, textCol: String,
-      extraCols: Seq[String] = Nil): DataFrame =
+  private def wordRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .repartition(col(idCol))
-      .select((extraCols :+ idCol).map(col) :+
-        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")): _*)
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")))
 
   /** TF-IDF top-k terms per document.
     *
@@ -115,6 +114,7 @@ object Pipeline {
     * unit real pipelines pack and shuffle independently. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       streamCol: String, ctxLen: Long = 2048L): DataFrame = {
+    require(ctxLen > 0, "context length must be positive")
     val w = Window.partitionBy(streamCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -191,24 +191,23 @@ object Pipeline {
     * Output: one row per contaminated test doc with the number of shared
     * distinct shingles and of distinct train docs sharing them.
     *
-    * Shape: one shingle pipeline over the tagged corpus (the split tag
-    * rides through [[Dedup.shingleRows]] as an extra column), then an
-    * equi-join on the shingle key — test shingles never meet train
-    * shingles they don't equal, so the comparison is confined to hash
-    * buckets exactly like MinHash candidate generation. At 100 TB the
-    * train side dominates; the join shuffles (shingle, id) pairs once and
-    * aggregates map-side. */
+    * Shape: the split filter is applied to DOCUMENTS, below the shingle
+    * explode, so the two sides are disjoint halves of the corpus and every
+    * document is shingled exactly once; the equi-join on the shingle key
+    * then confines comparison to equal shingles (no cross join), exactly
+    * like MinHash candidate generation. The join shuffles (shingle, id)
+    * pairs once and aggregates map-side. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, trainPermille: Int = 900,
       salt: String = "split1"): DataFrame = {
     val bucket = TextOps.wordHash60(
       concat(lit(salt), col(idCol).cast("string"))) % 1000
-    val tagged = docs.withColumn("__is_train", bucket < trainPermille)
-    val rows = Dedup.shingleRows(tagged, idCol, textCol, shingleN,
-      extraCols = Seq("__is_train"))
-    val train = rows.filter(col("__is_train"))
+    val train = Dedup.shingleRows(docs.filter(bucket < trainPermille),
+      idCol, textCol, shingleN)
       .select(col("shingle"), col(idCol).as("__tid"))
-    val test = rows.filter(!col("__is_train")).select(col(idCol), col("shingle"))
+    val test = Dedup.shingleRows(docs.filter(bucket >= trainPermille),
+      idCol, textCol, shingleN)
+      .select(col(idCol), col("shingle"))
     test.join(train, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
