@@ -214,6 +214,41 @@ object Pipeline {
         countDistinct(col("__tid")).as("n_train_docs"))
   }
 
+  /** Corpus mixture expansion — the per-source epoch weighting applied
+    * before training: given target mixture weights and a total token
+    * budget, each source's repeat factor is budget*weight / source_tokens,
+    * and every document deterministically receives floor(factor) copies
+    * plus one more iff its salted hash bucket falls below the fractional
+    * part (so expected copies = factor exactly, with zero RNG).
+    *
+    * One aggregation on the source key (map-side partial sums), broadcast
+    * back — the doc-level pass is then a pure expression. */
+  def mixtureExpansion(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double], tokenBudget: Long,
+      salt: String = "mix1"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0))
+    val srcStats = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(TextOps.words(col(textCol))).cast("long")).as("__src_tokens"))
+    val weight = weights.foldRight(lit(0.0)) { case ((s, v), e) =>
+      when(col(sourceCol) === s, v).otherwise(e)
+    }
+    val bucket = TextOps.wordHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % 1000
+    docs
+      .select(col(idCol), col(sourceCol),
+        size(TextOps.words(col(textCol))).cast("long").as("n_tok"))
+      .join(broadcast(srcStats), Seq(sourceCol))
+      .withColumn("factor",
+        lit(tokenBudget) * weight / col("__src_tokens").cast("double"))
+      .withColumn("n_copies",
+        (floor(col("factor")) +
+          when((bucket.cast("double") / 1000.0) < (col("factor") - floor(col("factor"))),
+            1L).otherwise(0L)).cast("long"))
+      .select(col(idCol), col(sourceCol), col("n_tok"),
+        round(col("factor"), 6).as("factor"), col("n_copies"))
+  }
+
   /** Deterministic corpus sharding — the reproducible "global shuffle"
     * before training: shard = salted hash of the id mod `numShards`,
     * position within the shard = rank by (hash, id). One shuffle on the

@@ -148,8 +148,16 @@ object LlmQueries {
 
     "q81_decontam" -> ((s, dir) =>
       Pipeline.decontaminate(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 5, trainPermille = 900))
+        shingleN = 5, trainPermille = 900)),
+
+    "q82_mixture" -> ((s, dir) =>
+      Pipeline.mixtureExpansion(Tables.documents(s, dir), "doc_id", "text",
+        sourceCol = "source", weights = MixWeights, tokenBudget = 100000L))
   )
+
+  /** q82 target mixture weights (sources outside the map get weight 0). */
+  val MixWeights: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
 
   /** Fixed BM25 query-term set (must stay in sync with the q76 oracle). */
   val Bm25Terms: Seq[String] = Seq("spark", "join", "vector")
@@ -595,6 +603,25 @@ object LlmQueries {
          |    ELSE 0.0 END > 0.06)
          |  OR (ROUND(1.0 - n_distinct::DOUBLE / n_words, 6) > 0.55) AS flagged
          |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q82_mixture" -> {
+      val arms = MixWeights.toSeq
+        .map { case (s, v) => s"WHEN source = '$s' THEN $v" }.mkString(" ")
+      s"""WITH st AS (SELECT source, CAST(SUM(len($WORDS)) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY 1),
+         |d AS (SELECT doc_id, source, len($WORDS) AS n_tok,
+         |  ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, n_tok, ROUND(factor, 6) AS factor,
+         |  CAST(FLOOR(factor) AS BIGINT) +
+         |    CASE WHEN bucket::DOUBLE / 1000.0 < factor - FLOOR(factor)
+         |      THEN 1 ELSE 0 END AS n_copies
+         |FROM (
+         |  SELECT doc_id, source, n_tok, bucket,
+         |    100000 * CASE $arms ELSE 0.0 END / st.src_tokens::DOUBLE AS factor
+         |  FROM d JOIN st USING (source))""".stripMargin
+    },
 
     "q81_decontam" ->
       s"""WITH sh AS (

@@ -121,6 +121,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureExpansion repeats sources toward target token weights") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // Source a: 100 tokens total, weight 0.8 of a 1000-token budget ->
+    // factor 8.0 exactly; source b: 100 tokens, weight 0.2 -> factor 2.0;
+    // source c unlisted -> factor 0.
+    val d = docs(
+      (1L, words(60), "en", "a"), (2L, words(40), "en", "a"),
+      (3L, words(100), "en", "b"), (4L, words(50), "en", "c"))
+    val out = Pipeline.mixtureExpansion(d, "doc_id", "text", "source",
+      Map("a" -> 0.8, "b" -> 0.2), tokenBudget = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("factor")), r.getLong(r.fieldIndex("n_copies")))).toMap
+    // Integral factors have zero fractional part -> copies are exact.
+    assert(out(1L) == (8.0, 8L) && out(2L) == (8.0, 8L))
+    assert(out(3L) == (2.0, 2L))
+    assert(out(4L) == (0.0, 0L))
+    // Fractional factor: copies differ by at most 1 around the factor and
+    // are deterministic under repartitioning.
+    val frac = Pipeline.mixtureExpansion(d, "doc_id", "text", "source",
+      Map("a" -> 0.25), tokenBudget = 1000L) // factor 2.5 on source a
+    val c1 = frac.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(Seq(1L, 2L).forall(id => c1(id) == 2L || c1(id) == 3L))
+    val c2 = Pipeline.mixtureExpansion(d.repartition(5), "doc_id", "text",
+      "source", Map("a" -> 0.25), 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(c1 == c2)
+  }
+
   test("shardAssign gives every doc one shard and dense 1..n positions") {
     val d = docs((0L until 257L).map(i => (i, "x", "en", "s")): _*)
     val out = Pipeline.shardAssign(d, "doc_id", numShards = 16).collect()
