@@ -35,7 +35,9 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .withColumn("c", explode(split(col("s"), "a")))
         .join(broadcast(dims), Seq("k"))
-        .groupBy("k").agg(count(lit(1)), sum(col("id")), min(col("s")))
+        .groupBy("k").agg(count(lit(1)), sum(col("id")), min(col("s")),
+          sum(col("id").cast("decimal(38,12)")),
+          bround(avg(col("id").cast("double")), 6))
         .collect()
     }
     Seq("events", "lineitem", "documents", "embeddings", "orders", "customer",
@@ -77,12 +79,15 @@ object Bench {
         System.gc()
         name -> dt
       }
-    // Millisecond precision keeps the one-line JSON short enough for the
-    // driver's bounded output tail (68 queries at full double precision
-    // overflowed it in round 3 and the line failed to parse).
+    // The driver keeps only a bounded tail of this process's output, and
+    // the JSON line must fit inside it whole: millisecond precision plus
+    // the short `qNN` key form (the full names are on stderr above) keep
+    // the line ~1.1 kB at 90 queries. 68 queries at full precision and
+    // full names overflowed the tail in round 3.
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

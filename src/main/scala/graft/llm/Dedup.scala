@@ -375,4 +375,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Repeated-span detection — the bounded-window approximation of exact
+    * substring deduplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): every k-token rolling window is
+    * a span; a span is DUPLICATED when the same token window occurs in
+    * more than one document. Per document: total spans, duplicated spans,
+    * and the duplicated fraction (null when the doc has fewer than k
+    * tokens).
+    *
+    * Same scale shape as the minhash shingle path — spans ≈ corpus tokens,
+    * one groupBy on the 60-bit span hash (map-side partial), one join
+    * back on the already-hash-partitioned key, one groupBy on the doc id.
+    * Positions are NOT deduplicated: a span repeated inside one document
+    * still counts every occurrence toward that doc's span total, but only
+    * cross-document repetition marks it duplicated. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = col("__w") +: (1 until k).map(j => lead(col("__w"), j).over(w))
+    // Hash and boundary guard MUST share one projection over the unfiltered
+    // rows: a lead evaluated after the tail rows are filtered away would
+    // silently shorten the final k-1 spans of every document (concat_ws
+    // skips nulls) and make them collide across documents.
+    val spans = docs
+      .repartition(col(idCol))
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(col(idCol),
+        TextOps.wordHash60(concat_ws(" ", parts: _*)).as("__h"),
+        lead(col("__w"), k - 1).over(w).as("__last"))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__h"))
+    val docsPerSpan = spans.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val perDoc = spans.join(docsPerSpan, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans").isNotNull,
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+          .as("dup_frac"))
+  }
 }

@@ -249,6 +249,51 @@ object Pipeline {
         round(col("factor"), 6).as("factor"), col("n_copies"))
   }
 
+  /** Bigram-LM document scoring — the CCNet-class LM-quality filter
+    * (Wenzek et al. 2020): train an add-one-smoothed bigram model on the
+    * corpus itself in one scan, then score every document by its average
+    * negative log-likelihood, -1/n · Σ ln P(wᵢ | wᵢ₋₁) with
+    * P(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁·)+V). Low scores ≈ repetitive,
+    * in-distribution text; high scores ≈ noise — the standard
+    * perplexity-bucket filter signal.
+    *
+    * Shape: bigram rows via posexplode + lead (codegen), ONE hash
+    * aggregate on the bigram key (map-side partial; context counts derive
+    * from the bigram table, not a second corpus pass), V as a broadcast
+    * scalar, then a join back on the bigram key — both sides already
+    * hash-partitioned on it. Per-term ln is pinned to 6 digits (libm),
+    * the per-doc sum routes through exact decimal so reduction order
+    * cannot shift the hash. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = wordRows(docs, idCol, textCol)
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("word").as("w1"), col("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val ctx = counts.groupBy("w1").agg(sum(col("__c12")).as("__c1"))
+    val vocab = docs.select(
+      explode(TextOps.words(col(textCol))).as("word"))
+      .agg(countDistinct(col("word")).as("__v"))
+    val nll = round(-log(
+      (col("__c12") + 1.0) / (col("__c1") + col("__v")).cast("double")), 6)
+    // Context counts join the vocab²-bounded count table, not the
+    // corpus-sized bigram rows — those shuffle exactly once, on (w1, w2).
+    val model = counts.join(ctx, Seq("w1"))
+    val scored = bigrams
+      .join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.core.Det.sumDet(nll, scale = 6).as("__sum_nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum_nll") / col("n_bigrams"), 6).as("avg_nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+  }
+
   /** Deterministic corpus sharding — the reproducible "global shuffle"
     * before training: shard = salted hash of the id mod `numShards`,
     * position within the shard = rank by (hash, id). One shuffle on the

@@ -124,6 +124,46 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rnk")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer
+    * (deterministic lowest-id seeds, same quantizer as [[ivfTopK]]), then
+    * within each cell drop every item whose cosine to a LOWER-id item in
+    * the same cell reaches `threshold` — the canonical
+    * keep-one-representative rule made deterministic by id order. The
+    * pairing is an equi-join on the cell key: quadratic only within a
+    * cell, and at corpus scale `nList` grows ~sqrt(N) (the FAISS sizing
+    * rule) so cell populations stay bounded; the corpus itself never
+    * cross-joins. Output one row per input: (id, cell, max_sim = highest
+    * cosine to any lower-id cell-mate, null when none, kept flag). */
+  def semDedup(docs: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nList: Int = 16): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val cents = n.orderBy("id").limit(nList)
+      .select(col("id").as("cent_id"), col("emb").as("c_emb"),
+        col("n2").as("c_n2"))
+    val wA = Window.partitionBy("id").orderBy(col("__cc").desc, col("cent_id"))
+    val cells = n.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .withColumn("__rn", row_number().over(wA))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cent_id").as("cell"), col("emb"), col("n2"))
+    val lo = cells.select(col("cell"), col("id").as("lo_id"),
+      col("emb").as("lo_emb"), col("n2").as("lo_n2"))
+    val sims = cells.join(lo, Seq("cell"))
+      .filter(col("lo_id") < col("id"))
+      .groupBy(col("cell"), col("id"))
+      .agg(max(round(VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("lo_emb")),
+        col("n2"), col("lo_n2")), 6)).as("max_sim"))
+    cells.select("id", "cell")
+      .join(sims, Seq("cell", "id"), "left")
+      .select(col("id"), col("cell"), col("max_sim"),
+        (col("max_sim").isNull || col("max_sim") < threshold).as("kept"))
+  }
+
   /** Banded ANN: candidates restricted to rows sharing ANY of the query's
     * band keys (multi-table OR-amplification; same recall math as
     * embeddingDupPairs), then exact cosine + per-query top-k. */

@@ -100,4 +100,39 @@ object TextAnalysis {
         log((col("__n_docs") + 1.0) / (col("df") + 1.0)), 6))
       .select("word", "df", "tf", "idf")
   }
+
+  /** Per-source token-distribution drift — the corpus-QA panel that
+    * catches a source gone bad (scraper drift, encoding rot, template
+    * floods) before it trains: per source, token count, vocabulary size,
+    * unigram entropy H(s) = -Σ p ln p, and KL(source ‖ corpus)
+    * = Σ p ln(p/q), the drift measure against the corpus-wide unigram
+    * distribution.
+    *
+    * Shape: one hash aggregate on (source, word) — map-side partial —
+    * then corpus-level word totals derive from THAT table (vocabulary ×
+    * sources rows, not a second corpus pass); entropy/KL reduce
+    * vocabulary-sized inputs per source. Probabilities are exact bigint
+    * ratios, ln is pinned to 6 digits, per-term products round to 10 and
+    * sum through exact decimal — reduction order cannot move the hash. */
+  def sourceDrift(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val sw = docs.select(col(sourceCol).as("source"),
+      explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("__c"))
+    val corpus = sw.groupBy("word").agg(sum(col("__c")).as("__cw"))
+    val totals = sw.groupBy("source").agg(sum(col("__c")).as("__ts"))
+    val corpusTotal = corpus.agg(sum(col("__cw")).as("__tc"))
+    val p = col("__c").cast("double") / col("__ts").cast("double")
+    val q = col("__cw").cast("double") / col("__tc").cast("double")
+    val entTerm = round(p * round(log(p), 6), 10)
+    val klTerm = round(p * round(log(p / q), 6), 10)
+    sw.join(corpus, Seq("word"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy(col("source"))
+      .agg(max(col("__ts")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(-graft.core.Det.sumDet(entTerm, scale = 10), 6).as("entropy"),
+        round(graft.core.Det.sumDet(klTerm, scale = 10), 6).as("kl_corpus"))
+  }
 }

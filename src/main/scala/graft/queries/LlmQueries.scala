@@ -152,7 +152,21 @@ object LlmQueries {
 
     "q82_mixture" -> ((s, dir) =>
       Pipeline.mixtureExpansion(Tables.documents(s, dir), "doc_id", "text",
-        sourceCol = "source", weights = MixWeights, tokenBudget = 100000L))
+        sourceCol = "source", weights = MixWeights, tokenBudget = 100000L)),
+
+    "q83_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, nList = 16)),
+
+    "q84_rep_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)),
+
+    "q85_bigram_lm" -> ((s, dir) =>
+      Pipeline.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q86_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(Tables.documents(s, dir), "doc_id", "text",
+        "source"))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -622,6 +636,98 @@ object LlmQueries {
          |    100000 * CASE $arms ELSE 0.0 END / st.src_tokens::DOUBLE AS factor
          |  FROM d JOIN st USING (source))""".stripMargin
     },
+
+    // Mirrors Similarity.semDedup: q72's deterministic quantizer (16
+    // lowest-id seeds), within-cell lower-id max cosine, keep when below
+    // threshold. Assignment ranks UNROUNDED cosines (bit-identical dots),
+    // the verify cosine rounds to 6 like every similarity surface.
+    "q83_semdedup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+         |  FROM n ORDER BY vec_id LIMIT 16),
+         |ranked AS (
+         |  SELECT n.vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2) DESC,
+         |               cent_id) AS rn
+         |  FROM n CROSS JOIN cents),
+         |cells AS (SELECT vec_id AS id, cent_id AS cell FROM ranked WHERE rn = 1),
+         |sims AS (
+         |  SELECT hi.cell, hi.id,
+         |    MAX(ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6)) AS max_sim
+         |  FROM cells hi
+         |  JOIN cells lo ON hi.cell = lo.cell AND lo.id < hi.id
+         |  JOIN n a ON a.vec_id = hi.id
+         |  JOIN n b ON b.vec_id = lo.id
+         |  GROUP BY 1, 2)
+         |SELECT cells.id, cells.cell, sims.max_sim,
+         |  (sims.max_sim IS NULL OR sims.max_sim < 0.3) AS kept
+         |FROM cells LEFT JOIN sims ON cells.id = sims.id""".stripMargin,
+
+    "q84_rep_spans" -> {
+      val span = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w) - 8), i -> $span)) AS s
+         |        FROM wr WHERE len(w) >= 10)),
+         |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans,
+         |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM sp JOIN nd USING (h) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(n_dup, 0) AS n_dup_spans,
+         |  CASE WHEN n_spans IS NOT NULL
+         |    THEN ROUND(n_dup::DOUBLE / n_spans, 6) END AS dup_frac
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+    },
+
+    "q85_bigram_lm" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |b2 AS (
+         |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT word) AS v
+         |      FROM (SELECT unnest($WORDS) AS word FROM documents)),
+         |terms AS (
+         |  SELECT doc_id, ROUND(-ln((c12 + 1.0) / CAST(c1 + v AS DOUBLE)), 6) AS nll
+         |  FROM b2 JOIN counts USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(*), 6) AS avg_nll
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_nll
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q86_source_drift" ->
+      s"""WITH sw AS (
+         |  SELECT source, word, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |corpus AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+         |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM sw GROUP BY 1),
+         |tc AS (SELECT CAST(SUM(cw) AS BIGINT) AS tc FROM corpus),
+         |terms AS (
+         |  SELECT source, ts,
+         |    ROUND((c::DOUBLE / ts::DOUBLE)
+         |      * ROUND(ln(c::DOUBLE / ts::DOUBLE), 6), 10) AS ent_term,
+         |    ROUND((c::DOUBLE / ts::DOUBLE)
+         |      * ROUND(ln((c::DOUBLE / ts::DOUBLE) / (cw::DOUBLE / tc::DOUBLE)), 6), 10) AS kl_term
+         |  FROM sw JOIN corpus USING (word) JOIN totals USING (source) CROSS JOIN tc)
+         |SELECT source, MAX(ts) AS n_tokens, COUNT(*) AS n_vocab,
+         |  ROUND(-${graft.core.Det.sumDetSql("ent_term", 10)}, 6) AS entropy,
+         |  ROUND(${graft.core.Det.sumDetSql("kl_term", 10)}, 6) AS kl_corpus
+         |FROM terms GROUP BY 1""".stripMargin,
 
     "q81_decontam" ->
       s"""WITH sh AS (

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Pipeline, Similarity, TextAnalysis}
+
+/** Round-5 corpus-QA operators: repeated-span detection, bigram-LM
+  * scoring, semantic dedup, per-source token drift. */
+class CorpusQaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, t, src) => (id, t, src) }.toDF("doc_id", "text", "source")
+  }
+
+  test("repeatedSpans flags only cross-document k-windows, not within-doc repeats") {
+    def run(n: Int, pre: String = "") =
+      (pre + (1 to n).map(i => s"w$i").mkString(" ")).trim
+    val d = docs(
+      (1L, run(12), "a"),             // w1..w12: 3 spans of k=10
+      (2L, "x0 " + run(10), "a"),     // contains w1..w10 -> shares doc1's first span
+      (3L, run(9), "a"),              // too short: 0 spans
+      (4L, "z1 z2 z1 z2 z1 z2 z1 z2 z1 z2 z1 z2 z1 z2", "a")) // self-repeats only
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L)._1 == 3 && out(1L)._2 == 1)      // only w1..w10 is shared
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(4L)._2 == 0L)                        // within-doc repeats don't count
+  }
+
+  test("repeatedSpans does not truncate the trailing spans of a document") {
+    // Doc 5 ends with the single word 'tail'; doc 6 contains 'tail' too.
+    // A lead evaluated after the boundary filter would shorten doc 5's
+    // final spans to fragments like 'tail' and falsely match doc 6.
+    val d = docs(
+      (5L, (1 to 11).map(i => s"a$i").mkString(" ") + " tail", "a"),
+      (6L, (1 to 11).map(i => s"b$i").mkString(" ") + " tail", "a"))
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(5L -> 0L, 6L -> 0L))
+  }
+
+  test("bigramLmScore: add-one smoothed NLL on a hand-checked corpus") {
+    // Corpus: 'a b a b' + 'a b' + 'solo'. Vocab V=3 (solo counts even
+    // though it forms no bigram). c(a,b)=3, c(b,a)=1; c(a.)=3, c(b.)=1.
+    // P(b|a)=(3+1)/(3+3)=2/3, P(a|b)=(1+1)/(1+3)=1/2.
+    val d = docs((1L, "a b a b", "s"), (2L, "a b", "s"), (3L, "solo", "s"))
+    val out = Pipeline.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val nllAB = BigDecimal(-math.log(2.0 / 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllBA = BigDecimal(-math.log(1.0 / 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L)._1 == 3)
+    assert(math.abs(out(1L)._2.get - r6((2 * nllAB + nllBA) / 3)) < 1e-9)
+    assert(out(2L) == ((1L, Some(nllAB))))
+    assert(out(3L) == ((0L, None)))   // no bigrams in a 1-word doc
+  }
+
+  test("semDedup keeps the lowest-id representative of a near-duplicate cell") {
+    val s = spark
+    import s.implicits._
+    // The 2 lowest ids seed the centroids, so they must span the two
+    // directions; the near-duplicates carry higher ids and fall into the
+    // seed's cell, where the lower-id representative wins.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),    // centroid of cell A -> kept
+      (2L, Seq(0.0f, 1.0f, 0.0f)),    // centroid of cell B -> kept
+      (3L, Seq(0.99f, 0.01f, 0.0f)),  // near-dup of 1 -> dropped
+      (4L, Seq(0.0f, 0.98f, 0.02f))   // near-dup of 2 -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.9, nList = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("sourceDrift: uniform source entropy is ln(V); in-distribution KL ~ 0") {
+    // Source u: 4 tokens, all distinct -> H = ln 4. Source v is a copy of
+    // u, so both match the corpus unigram distribution exactly -> KL = 0.
+    val d = docs((1L, "p q r s", "u"), (2L, "p q r s", "v"))
+    val out = TextAnalysis.sourceDrift(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("u")._1 == 4 && out("u")._2 == 4)
+    assert(math.abs(out("u")._3 - math.log(4)) < 1e-5)
+    assert(math.abs(out("u")._4) < 1e-9)
+    assert(out("u") == out("v"))
+  }
+
+  test("sourceDrift: a skewed source has positive KL against the corpus") {
+    val d = docs(
+      (1L, "a b c d e f g h", "clean"),
+      (2L, "spam spam spam spam spam spam spam spam", "flood"))
+    val out = TextAnalysis.sourceDrift(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out("flood") > 0.5)   // concentrated mass far from corpus mix
+    assert(out("clean") > 0.0)   // corpus includes the flood, so clean drifts too
+  }
+}
