@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -22,10 +22,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are always array<float> at our call sites (graft-internal
-  // function, not user-facing SQL) — no ExpectsInputTypes coercion needed
+  // inputs are array<float> or array<double> at our call sites
+  // (graft-internal function, not user-facing SQL) — each side picks its
+  // element getter from the child's type; no ExpectsInputTypes coercion
+  // (AbstractDataType is private[sql] in Spark 4.1)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dotf"
+
+  /** "getFloat" / "getDouble" per child; both widen to double, so the
+    * fold value is identical to casting the whole array first. */
+  private def getter(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case t => throw new IllegalArgumentException(
+      s"dotf expects array<float|double>, got $t")
+  }
+  private lazy val (getL, getR) = (getter(left), getter(right))
 
   // Length mismatch -> NULL, matching both the HOF form it replaced
   // (element_at past the shorter array poisons the fold with null) and
@@ -38,10 +50,12 @@ case class DotProductF(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    def elem(d: ArrayData, g: String, i: Int): Double =
+      if (g == "getFloat") d.getFloat(i).toDouble else d.getDouble(i)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += elem(x, getL, i) * elem(y, getR, i)
       i += 1
     }
     s
@@ -55,8 +69,8 @@ case class DotProductF(left: Expression, right: Expression)
          |} else {
          |  double ${ev.value}_s = 0.0;
          |  for (int ${ev.value}_i = 0; ${ev.value}_i < $a.numElements(); ${ev.value}_i++) {
-         |    ${ev.value}_s += (double) $a.getFloat(${ev.value}_i)
-         |      * (double) $b.getFloat(${ev.value}_i);
+         |    ${ev.value}_s += (double) $a.$getL(${ev.value}_i)
+         |      * (double) $b.$getR(${ev.value}_i);
          |  }
          |  ${ev.value} = ${ev.value}_s;
          |}

@@ -311,4 +311,28 @@ object Pipeline {
       .withColumn("pos", row_number().over(w))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Cluster-balanced sampling — equal representation per cluster (the
+    * diversity-preserving selection step after k-means / SemDeDup-style
+    * clustering): keep up to `perCluster` members of each cluster, chosen
+    * by salted-hash rank (random-but-reproducible across engines and
+    * cluster sizes, like [[stratifiedSample]]). One window over the
+    * cluster key — the assignment table is (id, cluster), never the
+    * vectors, so the pass is narrow at any corpus size. Output keeps the
+    * cluster size so downstream reweighting can correct the flattening. */
+  def clusterBalancedSample(assign: DataFrame, idCol: String,
+      clusterCol: String, perCluster: Int, salt: String = "cbs1"): DataFrame = {
+    require(perCluster > 0)
+    val h = TextOps.wordHash60(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(clusterCol).orderBy(col("__h"), col(idCol))
+    assign
+      .select(col(idCol), col(clusterCol))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(clusterCol)))
+      .withColumn("__h", h)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perCluster)
+      .select(col(idCol), col(clusterCol), col("cluster_size"),
+        col("sample_rank"))
+  }
 }

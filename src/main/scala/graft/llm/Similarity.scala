@@ -164,6 +164,71 @@ object Similarity {
         (col("max_sim").isNull || col("max_sim") < threshold).as("kept"))
   }
 
+  /** Relational Lloyd k-means over an `array<float>` embedding column —
+    * the cluster-curation primitive (cluster-balanced sampling, SemDeDup
+    * cell sizing, corpus diversity audits all start from it).
+    *
+    * Deterministic by construction: seeds are the `k` lowest-id vectors
+    * (cluster j = seed rank j), assignment is argmin squared Euclidean
+    * distance ||x||² + ||c||² - 2<x,c> with the codegen dot fold (IEEE
+    * ops in a fixed order — bit-identical in any engine), ties to the
+    * lower cluster id. Centroid updates quantize coordinates to 6 digits
+    * and average through exact decimal, so the means are reduction-order
+    * independent (a raw double sum would drift with partition count);
+    * the <1e-6 quantization delta is immaterial to a heuristic
+    * quantizer. Per iteration: one broadcast-join assignment pass + one
+    * posexplode aggregation on (cluster, dim) — k×dim means come back to
+    * the driver (bounded, the Lloyd synchronization point on any
+    * cluster), never the vectors. Empty clusters drop out, matching the
+    * SQL mirror. Output: (id, cluster, d2) after `iters` assignments. */
+  def kMeans(docs: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val seeds = n.orderBy("id").limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def centsDf(cents: Array[(Int, Array[Double])]): DataFrame = {
+      import spark.implicits._
+      cents.map { case (cl, c) =>
+        (cl, c.toSeq, c.map(x => x * x).sum)
+      }.toSeq.toDF("cluster", "c_emb", "c_n2")
+    }
+    // assignment: argmin d2, ties to the lower cluster id; d2 via the
+    // same left-to-right dot fold on both engines (c_n2 is a driver-side
+    // scalar, identical to the oracle's list fold over the same values)
+    def assign(cents: Array[(Int, Array[Double])]): DataFrame = {
+      val w = Window.partitionBy("id").orderBy(col("d2"), col("cluster"))
+      n.crossJoin(broadcast(centsDf(cents)))
+        .withColumn("d2",
+          col("n2") + col("c_n2") - lit(2.0) * VectorOps.dot(col("emb"), col("c_emb")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+    }
+    var cents = seeds.zipWithIndex.map { case (c, j) => (j, c) }
+    for (_ <- 1 until iters) {
+      // update: 6-digit-quantized coordinates averaged through exact
+      // decimal per (cluster, dim) — map-side partials, order-free
+      val means = assign(cents).select(col("cluster"),
+          posexplode(col("emb")).as(Seq("pos", "__x")))
+        .groupBy("cluster", "pos")
+        .agg(round(graft.core.Det.sumDet(
+          round(col("__x").cast("double"), 6), scale = 6) / count(lit(1)), 6)
+          .as("__m"))
+        .collect()
+      cents = means.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
+        case (cl, rows) =>
+          val c = new Array[Double](rows.map(_.getInt(1)).max + 1)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+          (cl, c)
+      }
+    }
+    assign(cents)
+      .select(col("id"), col("cluster"), round(col("d2"), 6).as("d2"))
+  }
+
   /** Banded ANN: candidates restricted to rows sharing ANY of the query's
     * band keys (multi-table OR-amplification; same recall math as
     * embeddingDupPairs), then exact cosine + per-query top-k. */
@@ -192,5 +257,26 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "cos", "rnk")
+  }
+
+  /** ANN index evaluation: recall@k of the IVF index against the exact
+    * brute-force top-k, per query — the QA harness that tells you whether
+    * nList/nProbe are sized right BEFORE a 100 TB index build. The exact
+    * side is the bounded one (it only runs over the evaluation query
+    * sample, never corpus×corpus); the IVF side is the production plan
+    * under test. Output: (query_id, n_exact, n_hits, recall). */
+  def annRecall(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, nList: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(queries, candidates, idCol, embCol, k)
+      .select("query_id", "cand_id")
+    val approx = ivfTopK(queries, candidates, idCol, embCol, k, nList, nProbe)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact"), 6))
   }
 }

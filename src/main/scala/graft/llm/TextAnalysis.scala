@@ -135,4 +135,32 @@ object TextAnalysis {
         round(-graft.core.Det.sumDet(entTerm, scale = 10), 6).as("entropy"),
         round(graft.core.Det.sumDet(klTerm, scale = 10), 6).as("kl_corpus"))
   }
+
+  /** PII patterns shared by the Spark plan and the DuckDB oracle: written
+    * to the common subset of Java regex and RE2 (`[0-9]` not `\d`, `[.]`
+    * not `\.`, no lookaround), so both engines count and redact
+    * identically. Counts are over the ORIGINAL text (overlap between
+    * pattern classes is intentional and documented); redaction applies
+    * the patterns in this order. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("digit_run", "[0-9]{6,}", "<NUM>"))
+
+  /** PII scan + redaction — the policy-filter pass every training corpus
+    * goes through: per document, match counts per pattern class and the
+    * redacted text (patterns replaced by placeholder tokens, applied in
+    * [[PiiPatterns]] order). Expression-only (regexp_extract_all /
+    * regexp_replace are codegen'd), no shuffle at all — the ideal 100 TB
+    * shape: a pure map over the corpus scan. */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    docs.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
 }

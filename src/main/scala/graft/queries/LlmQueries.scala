@@ -166,7 +166,27 @@ object LlmQueries {
 
     "q86_source_drift" -> ((s, dir) =>
       TextAnalysis.sourceDrift(Tables.documents(s, dir), "doc_id", "text",
-        "source"))
+        "source")),
+
+    "q87_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    "q88_cluster_sample" -> ((s, dir) =>
+      Pipeline.clusterBalancedSample(
+        Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2),
+        "id", "cluster", perCluster = 20)),
+
+    "q89_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annRecall(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 5, nList = 16, nProbe = 4)
+    }),
+
+    "q90_pii" -> ((s, dir) =>
+      TextAnalysis.piiScan(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -278,7 +298,123 @@ object LlmQueries {
        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
        |  FROM reach GROUP BY u)""".stripMargin
 
+  /** Shared CTE chain mirroring Similarity.kMeans(k=8, iters=2): seed
+    * centroids = 8 lowest ids (cluster = seed rank), assignment by
+    * unrounded squared Euclidean distance (same IEEE op order as the
+    * Spark plan: (n2 + c_n2) - (2 * fold-dot)), centroid update = mean of
+    * 6-digit-quantized coordinates through exact DECIMAL(24,6). Used by
+    * q87 and q88. */
+  private lazy val kmeansCtes: String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cluster, d2 FROM (
+         |    SELECT n.vec_id, c.cluster,
+         |      n.n2 + c.c_n2 - 2.0 * ${dot("n.embedding", "c.c_emb")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        n.n2 + c.c_n2 - 2.0 * ${dot("n.embedding", "c.c_emb")},
+         |        c.cluster) AS rn
+         |    FROM n CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    s"""n AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |cents0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+       |    list_transform(embedding, x -> x::DOUBLE) AS c_emb, n2 AS c_n2
+       |  FROM n ORDER BY vec_id LIMIT 8),
+       |${assignCte("a1", "cents0")},
+       |m1 AS (
+       |  SELECT cluster, pos,
+       |    ROUND(CAST(SUM(CAST(ROUND(embedding[pos]::DOUBLE, 6)
+       |      AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM a1 JOIN n USING (vec_id), unnest(range(1, 65)) AS t(pos)
+       |  GROUP BY 1, 2),
+       |cents1 AS (
+       |  SELECT cluster, list(m ORDER BY pos) AS c_emb,
+       |    list_reduce(list_transform(list(m ORDER BY pos), x -> x * x),
+       |      (x, y) -> x + y) AS c_n2
+       |  FROM m1 GROUP BY cluster),
+       |${assignCte("a2", "cents1")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q87_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id AS id, cluster, ROUND(d2, 6) AS d2 FROM a2""".stripMargin,
+
+    "q88_cluster_sample" ->
+      s"""WITH $kmeansCtes
+         |SELECT id, cluster, cluster_size, sample_rank FROM (
+         |  SELECT vec_id AS id, cluster,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+         |      ('0x' || substr(md5('cbs1' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+         |      vec_id) AS sample_rank
+         |  FROM a2)
+         |WHERE sample_rank <= 20""".stripMargin,
+
+    // Exact top-5 (q30 shape, k=5) vs IVF top-5 (q72 shape, nProbe=4):
+    // recall@5 per query. Both sides rank the 6-digit-rounded cosine with
+    // the candidate-id tie-break, so the sets are deterministic.
+    "q89_ann_recall" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |        c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+         |  FROM n ORDER BY vec_id LIMIT 16),
+         |ranked AS (
+         |  SELECT n.vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2) DESC,
+         |               cent_id) AS rn
+         |  FROM n CROSS JOIN cents),
+         |cells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM ranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id AS cell
+         |  FROM ranked WHERE rn <= 4 AND vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT query_id, cand_id
+         |  FROM probes JOIN cells USING (cell)
+         |  WHERE cand_id <> query_id),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |                 cand_id) AS rnk
+         |    FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |              JOIN n c ON cand.cand_id = c.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT e.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |    / COUNT(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |GROUP BY 1""".stripMargin,
+
+    "q90_pii" -> {
+      val pats = TextAnalysis.PiiPatterns
+      val counts = pats.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+      }.mkString(",\n  ")
+      val redacted = pats.foldLeft("text") {
+        case (c, (_, pat, tok)) => s"regexp_replace($c, '$pat', '$tok', 'g')"
+      }
+      s"""SELECT doc_id, $counts,
+         |  $redacted AS redacted
+         |FROM documents""".stripMargin
+    },
+
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
