@@ -19,6 +19,15 @@ object Verify {
     // (tools/check.py fails on any missing dump, so the SQL map is
     // filtered too). The driver sets no environment: full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Loud, unmissable marker when the filter is active: a filtered dump
+    // must never be mistaken for a full verification run.
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] *** PARTIAL RUN: SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")} " +
+          s"(${names.size} of ${SparkEntry.queries.size} queries) — NOT a full verification ***")
+      Files.writeString(Paths.get(s"$outDir/PARTIAL_RUN.txt"),
+        s"SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")}\n")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -74,6 +74,13 @@ object Pipeline {
     // rows are scanned exactly once.
     val perDoc = words.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfAggs: _*)
+      // NOTE eager materialization: localCheckpoint() runs a job at plan-
+      // construction time and its blocks are not fault-tolerant (executor
+      // loss = unrecomputable). Accepted here, as in Dedup, because the
+      // per-doc table is re-read by the corpus-stats aggregate AND the
+      // scoring join — recomputing the word-row scan twice costs more than
+      // the checkpoint. Not usable from a streaming plan for the same
+      // reason (streaming parity specs cover the stateless ops only).
       .localCheckpoint()
     val statAggs = Seq(count(lit(1)).as("__n"), sum(col("dl")).as("__sum_dl")) ++
       terms.indices.map(i =>

@@ -150,6 +150,10 @@ object Similarity {
       .withColumn("__rn", row_number().over(wA))
       .filter(col("__rn") === 1)
       .select(col("id"), col("cent_id").as("cell"), col("emb"), col("n2"))
+      // referenced three times below (lo, sims, final select): pin the
+      // one-row-per-doc assignment once, like Dedup.signaturesFromRows,
+      // instead of recomputing the centroid fan-out per reference
+      .localCheckpoint()
     val lo = cells.select(col("cell"), col("id").as("lo_id"),
       col("emb").as("lo_emb"), col("n2").as("lo_n2"))
     val sims = cells.join(lo, Seq("cell"))
@@ -187,9 +191,11 @@ object Similarity {
     graft.functions.VectorExpressions.register(spark)
     val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
+    // element-generic seed read: DotProductF accepts array<float|double>,
+    // so the driver-side read must too (boxed java.lang.Number covers both)
     val seeds = n.orderBy("id").limit(k)
       .select(col("emb")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     def centsDf(cents: Array[(Int, Array[Double])]): DataFrame = {
       import spark.implicits._
       cents.map { case (cl, c) =>
