@@ -21,12 +21,17 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Loud, unmissable marker when the filter is active: a filtered dump
     // must never be mistaken for a full verification run.
-    only.foreach { names =>
-      System.err.println(
-        s"[verify] *** PARTIAL RUN: SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")} " +
-          s"(${names.size} of ${SparkEntry.queries.size} queries) — NOT a full verification ***")
-      Files.writeString(Paths.get(s"$outDir/PARTIAL_RUN.txt"),
-        s"SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")}\n")
+    only match {
+      case Some(names) =>
+        System.err.println(
+          s"[verify] *** PARTIAL RUN: SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")} " +
+            s"(${names.size} of ${SparkEntry.queries.size} queries) — NOT a full verification ***")
+        Files.writeString(Paths.get(s"$outDir/PARTIAL_RUN.txt"),
+          s"SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")}\n")
+      case None =>
+        // A full run clears any stale marker: per-query dumps overwrite in
+        // place, so a reused outDir is a complete verification again.
+        Files.deleteIfExists(Paths.get(s"$outDir/PARTIAL_RUN.txt"))
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object KernelRunner {
 
+  /** Production bucket length (samples per task): 2^20 samples ≈ 9 h at
+    * 32 Hz, 8 MB of doubles — bounds task memory regardless of recording
+    * length. Recordings shorter than this run as a single bucket (the CI
+    * data scale), longer ones split into many bounded tasks (the 100 TB
+    * scale); the execution path is identical either way. */
+  val DefaultBucketLen: Long = 1L << 20
+
+  /** Production halo: 20 s of signal. Covers every kernel lookback in the
+    * suite — 3x IIR padlen (<= 45 samples for the order-2 designs), the
+    * 2.5 s moving averages, the 6-IBI Hegarty window at the slowest
+    * plausible heart rate, and the Pan-Tompkins threshold-EMA convergence
+    * length demonstrated in BucketedKernelSpec (SURVEY §4.3). Cost at the
+    * default bucket length: <= 2*halo/bucketLen ≈ 0.5% duplicated rows. */
+  def defaultHalo(fs: Int): Int = 20 * fs
+
   case class Sample(subject: Long, idx: Long, value: Double)
   case class ValueOut(subject: Long, idx: Long, out: Double)
   case class IdxOut(subject: Long, idx: Long)

@@ -127,10 +127,15 @@ object BeatDetectors {
   }
 
   /** Pan-Tompkins over a signal frame with the reference's Butterworth
-    * 0.5-15 Hz order-2 bandpass preprocessing. */
-  def panTompkins(signal: DataFrame, fs: Int, preprocessed: Boolean = false): DataFrame = {
+    * 0.5-15 Hz order-2 bandpass preprocessing. Runs on the bucketed
+    * halo-row path (the 100 TB posture): recordings longer than
+    * `bucketLen` split into bounded tasks, the halo covering filter
+    * warm-up and the adaptive-threshold convergence length. */
+  def panTompkins(signal: DataFrame, fs: Int, preprocessed: Boolean = false,
+      bucketLen: Long = KernelRunner.DefaultBucketLen, halo: Int = -1): DataFrame = {
     val (b, a) = Iir.butter(2, Seq(0.5 / (0.5 * fs), 15.0 / (0.5 * fs)), "bandpass")
-    KernelRunner.detectIndices(signal, "value") { x =>
+    val h = if (halo >= 0) halo else KernelRunner.defaultHalo(fs)
+    KernelRunner.detectIndicesBucketed(signal, "value", bucketLen, h) { x =>
       val pre = if (preprocessed) x else Iir.filtfilt(b, a, x)
       panTompkinsKernel(fs)(pre)
     }
@@ -322,14 +327,22 @@ object BeatDetectors {
   /** Engzee over a signal frame with the reference's default filter chain
     * skipped when `preprocessed` (the events-derived frame has no powerline
     * structure worth the notch cascade). */
-  def engzee(signal: DataFrame, fs: Int): DataFrame =
-    KernelRunner.detectIndices(signal, "value")(engzeeKernel(fs))
+  def engzee(signal: DataFrame, fs: Int,
+      bucketLen: Long = KernelRunner.DefaultBucketLen, halo: Int = -1): DataFrame = {
+    val h = if (halo >= 0) halo else KernelRunner.defaultHalo(fs)
+    KernelRunner.detectIndicesBucketed(signal, "value", bucketLen, h)(engzeeKernel(fs))
+  }
 
   /** Manikandan with the reference's Chebyshev-I 6-18 Hz order-4 bandpass
-    * preprocessing. */
-  def manikandan(signal: DataFrame, fs: Int, preprocessed: Boolean = false): DataFrame = {
+    * preprocessing. Bucketed path caveat: the kernel's Hilbert envelope is
+    * FFT-based (global), so split recordings converge (the 1/t Hilbert tail
+    * is < 1/halo at the core boundary) rather than match bitwise — same
+    * contract as the adaptive-threshold FSMs. */
+  def manikandan(signal: DataFrame, fs: Int, preprocessed: Boolean = false,
+      bucketLen: Long = KernelRunner.DefaultBucketLen, halo: Int = -1): DataFrame = {
     val (b, a) = Iir.cheby1(4, 1.0, Seq(6.0 / (0.5 * fs), 18.0 / (0.5 * fs)), "bandpass")
-    KernelRunner.detectIndices(signal, "value") { x =>
+    val h = if (halo >= 0) halo else KernelRunner.defaultHalo(fs)
+    KernelRunner.detectIndicesBucketed(signal, "value", bucketLen, h) { x =>
       val pre = if (preprocessed) x else Iir.filtfilt(b, a, x)
       manikandanKernel(fs)(pre)
     }

@@ -45,7 +45,12 @@ object Decimate {
       .withColumn("value_f", col("value"))
     val cutoff = math.min(0.45 / dsFactor, 0.49)
     val b = firwin(129, cutoff)
-    val filtered = KernelRunner.transformValues(signal, "value", "value_f") { x =>
+    // Bucketed halo path: the 129-tap zero-phase FIR has a strictly finite
+    // lookback (2*taps + padlen = 645 < 1024), so split recordings match
+    // the whole-recording output exactly. Recordings short enough to hit
+    // the len<=10 / padlen guards always fit in a single bucket.
+    val filtered = KernelRunner.transformValuesBucketed(
+      signal, "value", "value_f", KernelRunner.DefaultBucketLen, halo = 1024) { x =>
       if (x.length > 10)
         Iir.filtfilt(b, Array(1.0), x, padlenOpt = math.min(3 * b.length, x.length - 1))
       else x

@@ -178,9 +178,11 @@ object PpgDetectors {
 
   /** ERMA over a signal frame with the reference's Butterworth 0.5-8 Hz
     * order-2 bandpass preprocessing. */
-  def erma(signal: DataFrame, fs: Int, preprocessed: Boolean = false): DataFrame = {
+  def erma(signal: DataFrame, fs: Int, preprocessed: Boolean = false,
+      bucketLen: Long = KernelRunner.DefaultBucketLen, halo: Int = -1): DataFrame = {
     val (b, a) = Iir.butter(2, Seq(0.5 / (0.5 * fs), 8.0 / (0.5 * fs)), "bandpass")
-    KernelRunner.detectIndices(signal, "value") { x =>
+    val h = if (halo >= 0) halo else KernelRunner.defaultHalo(fs)
+    KernelRunner.detectIndicesBucketed(signal, "value", bucketLen, h) { x =>
       val pre = if (preprocessed) x else Iir.filtfilt(b, a, x)
       ermaKernel(fs)(pre)
     }

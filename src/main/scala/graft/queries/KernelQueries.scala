@@ -22,11 +22,15 @@ object KernelQueries {
 
     // Butterworth 0.5-15 Hz order-2 bandpass filtfilt over each subject's
     // value series (the Pan-Tompkins preprocessing filter at fs=32).
-    // Sequential kernel — no SQL oracle; deterministic per recording.
+    // Bucketed halo-row path (the 100 TB posture): the halo covers the
+    // zero-phase IIR impulse-response decay, so split recordings match the
+    // whole-recording output to < 1e-9 (BucketedKernelSpec), well inside
+    // the 6-digit rounding the golden hashes.
     "q35_filtfilt" -> ((s, dir) => {
       val (b, a) = Iir.butter(2, Seq(0.5 / 16.0, 15.0 / 16.0), "bandpass")
-      KernelRunner.transformValues(
-        SignalFrame.fromEvents(s, dir), "value", "filtered")(
+      KernelRunner.transformValuesBucketed(
+        SignalFrame.fromEvents(s, dir), "value", "filtered",
+        KernelRunner.DefaultBucketLen, KernelRunner.defaultHalo(NAB_FS))(
         x => Iir.filtfilt(b, a, x))
         .withColumn("filtered", bround(col("filtered"), 6))
     }),
@@ -72,8 +76,9 @@ object KernelQueries {
     // keeps the band inside Nyquist. Rows-only check (kernel).
     "q55_ellip_filtfilt" -> ((s, dir) => {
       val (b, a) = Iir.ellip(2, 0.15, 80.0, Seq(1.0 / 32, 15.0 / 32), "bandpass")
-      KernelRunner.transformValues(
-        SignalFrame.fromEvents(s, dir), "value", "filtered")(
+      KernelRunner.transformValuesBucketed(
+        SignalFrame.fromEvents(s, dir), "value", "filtered",
+        KernelRunner.DefaultBucketLen, KernelRunner.defaultHalo(64))(
         x => Iir.filtfilt(b, a, x))
         .withColumn("filtered", bround(col("filtered"), 6))
     }),
@@ -94,7 +99,11 @@ object KernelQueries {
         .withColumn("value_rs", bround(col("value_rs"), 6))),
 
     // K2: frequency-domain Gaussian low-pass (EDA.py:95-133), cutoff
-    // 0.5 Hz at fs=4. FFT kernel, golden-fixture oracle.
+    // 0.5 Hz at fs=4. FFT kernel, golden-fixture oracle. Stays on the
+    // whole-recording runner deliberately: the reference semantics are a
+    // global DFT (like q57's Fourier resample), so a bucketed variant
+    // would be overlap-save APPROXIMATION, not the operator. EDA recordings
+    // at 4 Hz are ~345k samples/day — bounded without bucketing.
     "q67_gaussian_lowpass" -> ((s, dir) =>
       KernelRunner.transformValues(
         SignalFrame.fromEvents(s, dir), "value", "filtered")(

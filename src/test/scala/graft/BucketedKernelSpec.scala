@@ -60,4 +60,38 @@ class BucketedKernelSpec extends AnyFunSuite {
     }.collect().map(_.getLong(1)).sorted
     assert(bucketed.toSeq == whole.toSeq)
   }
+
+  test("production detector wrappers: split recording == single bucket") {
+    // The q36/q51/q54 production entry points now route through the
+    // bucketed runner with DefaultBucketLen (single bucket at test scale).
+    // Forcing a small bucketLen on the same wrappers must reproduce the
+    // single-bucket detections — the multi-task path IS the operator.
+    val fs = 32
+    val n = 4096
+    val x = Array.tabulate(n) { i =>
+      val ripple = 0.08 * math.sin(2 * math.Pi * 1.1 * i / fs)
+      if (i % 37 == 11) 8.0 + ripple else ripple
+    }
+    val df = frame(x)
+    def run(f: (Long, Int) => org.apache.spark.sql.DataFrame): (Seq[Long], Seq[Long]) = {
+      val whole = f(1L << 20, 20 * fs).collect().map(_.getLong(1)).sorted.toSeq
+      val split = f(1024L, 20 * fs).collect().map(_.getLong(1)).sorted.toSeq
+      (whole, split)
+    }
+    val (pw, ps) = run((bl, h) => BeatDetectors.panTompkins(df, fs, bucketLen = bl, halo = h))
+    assert(pw.nonEmpty && pw == ps, "panTompkins split != whole")
+    val (ew, es) = run((bl, h) => BeatDetectors.engzee(df, fs, bucketLen = bl, halo = h))
+    assert(ew == es, "engzee split != whole")
+    val (mw, ms) = run((bl, h) => graft.kernels.PpgDetectors.erma(df, fs, bucketLen = bl, halo = h))
+    assert(mw.nonEmpty && mw == ms, "erma split != whole")
+  }
+
+  test("production defaults satisfy the runner contract") {
+    for (fs <- Seq(4, 32, 64, 128)) {
+      val h = KernelRunner.defaultHalo(fs)
+      assert(h >= 0 && h < KernelRunner.DefaultBucketLen)
+      assert(h >= 3 * 5 * 3) // >= 3x padlen of the order-2 IIR designs
+      assert(h >= (2.5 * fs).toInt) // >= the 2.5 s moving-average window
+    }
+  }
 }

@@ -46,7 +46,19 @@ def cmp_cell(a, b) -> bool:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--allow-partial"]
+    allow_partial = "--allow-partial" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
+    marker = Path(out_dir) / "PARTIAL_RUN.txt"
+    if marker.exists():
+        msg = marker.read_text().strip()
+        if allow_partial:
+            print(f"WARN: partial run ({msg}) — NOT a full verification")
+        else:
+            print(f"FAIL: {marker} exists ({msg}); this dump is a filtered "
+                  "subset, not a full verification. Re-run Verify without "
+                  "SPARK_GRAFT_ONLY, or pass --allow-partial.")
+            sys.exit(1)
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
