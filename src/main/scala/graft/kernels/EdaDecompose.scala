@@ -26,9 +26,14 @@ object EdaDecompose {
       tonic: Array[Double])
 
   /** One-recording decomposition kernel. */
+  /** Default iteration budget: 1200 puts the solution within ~3e-2 (phasic)
+    * / ~8e-3 (tonic) max-abs of the exact QP optimum on the spec's Bateman
+    * trace (EdaDecomposeSpec quantifies this against a dense active-set
+    * solver); the deterministic early exit usually stops well before the
+    * cap on converged recordings. */
   def cvxEdaKernel(fs: Int, tau0: Double = 2.0, tau1: Double = 0.7,
       deltaKnot: Double = 10.0, alpha: Double = 8e-4, gamma: Double = 1e-2,
-      iters: Int = 400)(y: Array[Double]): Result = {
+      iters: Int = 1200)(y: Array[Double]): Result = {
     val n = y.length
     if (n < 8) return Result(new Array[Double](n), new Array[Double](n), y.clone())
     val delta = 1.0 / fs

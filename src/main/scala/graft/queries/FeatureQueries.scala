@@ -139,12 +139,15 @@ object FeatureQueries {
         .withColumn("tonic_scl", bround(col("tonic_scl"), 6))),
 
     // K9: cvxEDA-class phasic/tonic decomposition (EDA.py:520-688 model,
-    // deterministic FISTA solver). Kernel — rows-only check.
+    // deterministic FISTA solver). The fixed-iteration trajectory is
+    // bit-deterministic, so tools/golden.py replays it in pure Python
+    // (same operation order) → full golden oracle; EdaDecomposeSpec
+    // separately quantifies the FISTA↔exact-QP distance.
     "q59_cvxeda" -> ((s, dir) =>
       graft.kernels.EdaDecompose.decompose(SignalFrame.fromEvents(s, dir), FS)
-        .withColumn("phasic", round(col("phasic"), 6))
-        .withColumn("driver", round(col("driver"), 6))
-        .withColumn("tonic", round(col("tonic"), 6))),
+        .withColumn("phasic", bround(col("phasic"), 6))
+        .withColumn("driver", bround(col("driver"), 6))
+        .withColumn("tonic", bround(col("tonic"), 6))),
 
     // A15 fd: Lomb-Scargle periodogram band powers over the (unevenly
     // sampled) IBI series. Rows-only check (libm trig); spec-validated
@@ -260,6 +263,7 @@ object FeatureQueries {
     "q54_erma" -> KernelQueries.golden("q54_erma"),
     "q58_lomb" -> KernelQueries.golden("q58_lomb"),
     "q60_tonic_scl" -> KernelQueries.golden("q60_tonic_scl"),
+    "q59_cvxeda" -> KernelQueries.golden("q59_cvxeda"),
 
     "q37_eda_quality" ->
       s"""WITH sig AS ($EDA_SIG)

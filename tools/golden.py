@@ -296,6 +296,217 @@ def main():
         {"subject": "int64", "segment": "int64", "tonic_scl": "float64"}),
         out_dir, "q60_tonic_scl")
 
+    # ---- q59: cvxEDA-class decomposition, deterministic FISTA solver.
+    # Pure-Python mirror of graft.kernels.EdaDecompose.cvxEdaKernel with
+    # the SAME operation order (sequential reductions, same expression
+    # associativity), so the fixed-iteration trajectory — and therefore the
+    # output — is bitwise identical to the engine's. Rounding mirrors Spark
+    # bround (BigDecimal.valueOf shortest-repr, HALF_EVEN) via Decimal.
+    rows = []
+    for s in subjects:
+        vals, _ = frames[s]
+        ph, dr, tn = _cvxeda_fista_py(list(map(float, vals)), fs=4)
+        rows += [(s, i, _bround6(ph[i]), _bround6(dr[i]), _bround6(tn[i]))
+                 for i in range(len(ph))]
+    write(frames_df(rows, ["subject", "idx", "phasic", "driver", "tonic"])
+          .astype({"subject": "int64", "idx": "int64", "phasic": "float64",
+                   "driver": "float64", "tonic": "float64"}),
+          out_dir, "q59_cvxeda")
+
+
+def _bround6(x):
+    """Spark bround(col, 6) for doubles: scala BigDecimal(double) uses
+    java BigDecimal.valueOf = shortest decimal repr (same as Python repr),
+    then setScale(6, HALF_EVEN)."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_EVEN))
+
+
+def _cvxeda_fista_py(y, fs, tau0=2.0, tau1=0.7, delta_knot=10.0,
+                     alpha=8e-4, gamma=1e-2, iters=1200):
+    """Bitwise mirror of EdaDecompose.cvxEdaKernel (pure Python floats =
+    IEEE doubles; all loops and reductions in the Scala kernel's order)."""
+    import math
+    n = len(y)
+    if n < 8:
+        return [0.0] * n, [0.0] * n, list(y)
+    delta = 1.0 / fs
+    a1 = 1.0 / min(tau1, tau0)
+    a0 = 1.0 / max(tau1, tau0)
+    den = (a1 - a0) * delta * delta
+    ar = [(a1 * delta + 2.0) * (a0 * delta + 2.0) / den,
+          (2.0 * a1 * a0 * delta * delta - 8.0) / den,
+          (a1 * delta - 2.0) * (a0 * delta - 2.0) / den]
+    ma = [1.0, 2.0, 1.0]
+
+    def solve_a(p):
+        q = [0.0] * n
+        q[0] = p[0]
+        if n > 1:
+            q[1] = p[1]
+        for i in range(2, n):
+            q[i] = (p[i] - ar[1] * q[i - 1] - ar[2] * q[i - 2]) / ar[0]
+        return q
+
+    def solve_at(v):
+        x = [0.0] * n
+        for i in range(n - 1, -1, -1):
+            s = v[i]
+            if i + 1 < n and i + 1 >= 2:
+                s -= ar[1] * x[i + 1]
+            if i + 2 < n and i + 2 >= 2:
+                s -= ar[2] * x[i + 2]
+            x[i] = s / ar[0] if i >= 2 else s
+        return x
+
+    def apply_m(q):
+        out = [0.0] * n
+        out[0] = q[0]
+        if n > 1:
+            out[1] = q[1]
+        for i in range(2, n):
+            out[i] = ma[0] * q[i] + ma[1] * q[i - 1] + ma[2] * q[i - 2]
+        return out
+
+    def apply_mt(v):
+        out = [0.0] * n
+        for i in range(n):
+            s = v[i] if i < 2 else ma[0] * v[i]
+            if i + 1 < n and i + 1 >= 2:
+                s += ma[1] * v[i + 1]
+            if i + 2 < n and i + 2 >= 2:
+                s += ma[2] * v[i + 2]
+            out[i] = s
+        return out
+
+    def apply_h(p):
+        return apply_m(solve_a(p))
+
+    def apply_ht(v):
+        return solve_at(apply_mt(v))
+
+    dks = max(1, int(math.floor(delta_knot / delta + 0.5)))  # scala math.round
+    spl0 = [float(i) for i in range(1, dks)] + \
+           [float(i) for i in range(dks, 0, -1)]
+    m = len(spl0)
+    spl = [0.0] * (2 * m - 1)
+    for i in range(m):
+        for j in range(m):
+            spl[i + j] += spl0[i] * spl0[j]
+    mx = max(spl)
+    spl = [v / mx for v in spl]
+    knots = list(range(0, n, dks))
+    n_b = len(knots)
+    off = len(spl) // 2
+
+    def apply_b(l):
+        out = [0.0] * n
+        for b in range(n_b):
+            base = knots[b]
+            for s_ in range(len(spl)):
+                i = base + s_ - off
+                if 0 <= i < n:
+                    out[i] += spl[s_] * l[b]
+        return out
+
+    def apply_bt(v):
+        out = [0.0] * n_b
+        for b in range(n_b):
+            base = knots[b]
+            acc = 0.0
+            for s_ in range(len(spl)):
+                i = base + s_ - off
+                if 0 <= i < n:
+                    acc += spl[s_] * v[i]
+            out[b] = acc
+        return out
+
+    def apply_c(d):
+        return [d[0] + d[1] * (i + 1.0) / n for i in range(n)]
+
+    def apply_ct(v):
+        s0 = 0.0
+        s1 = 0.0
+        for i in range(n):
+            s0 += v[i]
+            s1 += v[i] * (i + 1.0) / n
+        return [s0, s1]
+
+    pw = [1.0] * n
+    l_est = 1.0
+    for _ in range(12):
+        w = apply_ht(apply_h(pw))
+        acc = 0.0
+        for x in w:
+            acc += x * x
+        l_est = math.sqrt(acc)
+        if l_est > 0:
+            pw = [x / max(l_est, 1e-12) for x in w]
+        else:
+            pw = [1.0] * n
+    b_norm_sq = 0.0
+    for x in spl:
+        b_norm_sq += x * x
+    step = 1.0 / (l_est + b_norm_sq + n + 1.0)
+
+    p = [0.0] * n
+    l = [0.0] * n_b
+    d = [0.0, 0.0]
+    pv = list(p)
+    lv = list(l)
+    dv = list(d)
+    p_new = [0.0] * n
+    l_new = [0.0] * n_b
+    d_new = [0.0, 0.0]
+    resid = [0.0] * n
+    tk = 1.0
+    it = 0
+    last_obj = 1.7976931348623157e308  # Double.MaxValue
+    done = False
+    while it < iters and not done:
+        hp = apply_h(pv)
+        bl = apply_b(lv)
+        c0 = dv[0]
+        c1 = dv[1]
+        for i in range(n):
+            resid[i] = hp[i] + bl[i] + c0 + c1 * (i + 1.0) / n - y[i]
+        if it % 25 == 24:
+            obj = 0.0
+            for i in range(n):
+                obj += resid[i] * resid[i]
+            if last_obj - obj < 1e-10 * max(obj, 1e-12):
+                done = True
+            last_obj = obj
+        gp = apply_ht(resid)
+        gl = apply_bt(resid)
+        gd = apply_ct(resid)
+        t_new = (1 + math.sqrt(1 + 4 * tk * tk)) / 2
+        mom = (tk - 1) / t_new
+        for i in range(n):
+            pn = max(0.0, pv[i] - step * (gp[i] + alpha))
+            p_new[i] = pn
+            pv[i] = pn + mom * (pn - p[i])
+        for i in range(n_b):
+            ln = lv[i] - step * (gl[i] + gamma * lv[i])
+            l_new[i] = ln
+            lv[i] = ln + mom * (ln - l[i])
+        d_new[0] = dv[0] - step * gd[0]
+        d_new[1] = dv[1] - step * gd[1]
+        dv[0] = d_new[0] + mom * (d_new[0] - d[0])
+        dv[1] = d_new[1] + mom * (d_new[1] - d[1])
+        p, p_new = p_new, p
+        l, l_new = l_new, l
+        d[0] = d_new[0]
+        d[1] = d_new[1]
+        tk = t_new
+        it += 1
+    phasic = apply_h(p)
+    bl = apply_b(l)
+    cd = apply_c(d)
+    tonic = [bl[i] + cd[i] for i in range(n)]
+    return phasic, p, tonic
+
 
 def _f(v):
     try:
