@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EditQueries, FeatureQueries, KernelQueries, LlmQueries, Relational, SqaQueries}
+import graft.queries.{EditQueries, FeatureQueries, IoQueries, KernelQueries, LlmQueries, Relational, SqaQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LlmQueries.queries ++ SqaQueries.queries ++
-      KernelQueries.queries ++ FeatureQueries.queries ++ EditQueries.queries
+      KernelQueries.queries ++ FeatureQueries.queries ++ EditQueries.queries ++ IoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ LlmQueries.oracleSql ++ SqaQueries.oracleSql ++
-      KernelQueries.oracleSql ++ FeatureQueries.oracleSql ++ EditQueries.oracleSql
+      KernelQueries.oracleSql ++ FeatureQueries.oracleSql ++ EditQueries.oracleSql ++ IoQueries.oracleSql
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.{Edf, Readers}
+
+/** Driver-oracle coverage for the IO layer (SURVEY S1-S6, S10): each query
+  * reads a checked-in fixture (tools/iofixtures.py, deterministic
+  * exact-binary values) through the engine's reader, and the oracle
+  * recomputes the expected frame INDEPENDENTLY in DuckDB from the same raw
+  * fixture text (read_csv/read_json + the documented conversions). The EDF
+  * fixture is binary, so its oracle is a parquet golden derived by the
+  * fixture generator from the source arrays — independent of the Scala
+  * parser.
+  *
+  * The sfDir argument is unused: IO contracts are scale-independent
+  * (format parsing + timestamp synthesis), and the fixtures are the same
+  * at every verify scale.
+  */
+object IoQueries {
+
+  private[queries] lazy val ioDir: String =
+    sys.props.getOrElse("graft.io.dir",
+      s"${sys.props("user.dir")}/src/test/resources/io")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2: E4 ZIP modality frame with the ACC unit conversion
+    // (1/64 g -> m/s²) and Magnitude (reference physioview.py:196-371).
+    "q92_e4_acc" -> ((s, _) =>
+      Readers.e4Modality(s, s"$ioDir/e4.zip", "ACC.csv")),
+
+    // S1: EDF long frame (channel, idx, ts_us, value); reference
+    // Actiwave.preprocess, physioview.py:50-159.
+    "q93_edf_frame" -> ((s, _) =>
+      Edf.read(s, s"$ioDir/actiwave.edf")),
+
+    // S6: batch-of-CSVs directory as ONE partitioned scan, subject from
+    // file name, idx from the Timestamp sample clock (reference
+    // dashboard/callbacks.py:743-892).
+    "q94_batch_csv" -> ((s, _) =>
+      Readers.batchCsvDir(s, s"$ioDir/batch",
+        Map("time_s" -> "Timestamp", "eda_uS" -> "EDA"))),
+
+    // S3: E4 IBI event file, seconds -> ms (physioview.py:487-523).
+    "q95_e4_ibi" -> ((s, _) =>
+      Readers.e4Ibi(s, s"$ioDir/e4.zip")),
+
+    // S4: column-mapped CSV upload (dashboard/utils.py:437-492).
+    "q96_mapped_csv" -> ((s, _) =>
+      Readers.mappedCsv(s, s"$ioDir/mapped.csv",
+        Map("when" -> "Timestamp", "microsiemens" -> "EDA"))),
+
+    // S10: beat-editor edit-instruction source (physioview.py:1690-1737).
+    "q97_beat_edits" -> ((s, _) =>
+      Readers.readBeatEdits(s, s"$ioDir/edited.json"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q92_e4_acc" ->
+      s"""WITH raw AS (
+         |  SELECT row_number() OVER () - 1 AS rn, c0, c1, c2
+         |  FROM read_csv('$ioDir/e4/ACC.csv', header=false,
+         |    columns={'c0':'DOUBLE','c1':'DOUBLE','c2':'DOUBLE'})),
+         |meta AS (SELECT
+         |  max(CASE WHEN rn = 0 THEN c0 END) AS tstart,
+         |  max(CASE WHEN rn = 1 THEN c0 END) AS fs FROM raw),
+         |conv AS (
+         |  SELECT rn - 2 AS idx,
+         |    CAST(trunc((tstart + (rn - 2) / fs) * 1e6) AS BIGINT) AS ts_us,
+         |    c0 / 64 * 9.81 AS "X", c1 / 64 * 9.81 AS "Y", c2 / 64 * 9.81 AS "Z"
+         |  FROM raw, meta WHERE rn >= 2)
+         |SELECT idx, ts_us, "X", "Y", "Z",
+         |  sqrt("X" * "X" + "Y" * "Y" + "Z" * "Z") AS "Magnitude"
+         |FROM conv""".stripMargin,
+
+    "q93_edf_frame" ->
+      s"SELECT * FROM read_parquet('$ioDir/edf_frame.parquet')",
+
+    "q94_batch_csv" ->
+      s"""SELECT regexp_extract(filename, '([^/]+)\\.csv', 1) AS subject,
+         |  time_s AS "Timestamp", eda_uS AS "EDA",
+         |  row_number() OVER (PARTITION BY filename ORDER BY time_s) - 1 AS idx
+         |FROM read_csv('$ioDir/batch/*.csv', header=true, filename=true)""".stripMargin,
+
+    "q95_e4_ibi" ->
+      s"""WITH raw AS (
+         |  SELECT row_number() OVER () - 1 AS rn, c0, c1
+         |  FROM read_csv('$ioDir/e4/IBI.csv', header=false,
+         |    columns={'c0':'VARCHAR','c1':'VARCHAR'})),
+         |meta AS (SELECT CAST(max(CASE WHEN rn = 0 THEN c0 END) AS DOUBLE) AS tstart
+         |  FROM raw)
+         |SELECT CAST(trunc((tstart + CAST(c0 AS DOUBLE)) * 1e6) AS BIGINT) AS ts_us,
+         |  CAST(c1 AS DOUBLE) * 1000.0 AS "IBI"
+         |FROM raw, meta WHERE rn >= 1""".stripMargin,
+
+    "q96_mapped_csv" ->
+      s"""SELECT "when" AS "Timestamp", microsiemens AS "EDA"
+         |FROM read_csv('$ioDir/mapped.csv', header=true)""".stripMargin,
+
+    "q97_beat_edits" ->
+      s"""SELECT x, y, "from", "to", editType
+         |FROM read_json('$ioDir/edited.json', format='newline_delimited',
+         |  columns={'x':'BIGINT','y':'DOUBLE','from':'BIGINT','to':'BIGINT',
+         |           'editType':'VARCHAR'})""".stripMargin
+  )
+}
