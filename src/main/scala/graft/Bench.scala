@@ -45,10 +45,14 @@ object Bench {
       try graft.core.Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    // Optional comma-separated query-name filter and repeat count (min of k)
-    // for targeted profiling; the driver sets neither.
+    // Optional comma-separated query-name filter and repeat count for
+    // targeted profiling. Default 3: single cold runs are codegen/JIT-
+    // dominated and swing ±2x on the kernel queries run-to-run (rounds 5/6
+    // chased phantom regressions from exactly this), so the reported
+    // per-query number is the MEDIAN of 3 back-to-back runs (the warm
+    // plateau) and the first-run sum is kept as `cold_total`.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -64,8 +68,9 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        val dt = times.min
-        System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+        val dt = times.sorted.apply((times.length - 1) / 2) // lower median
+        System.err.println(
+          f"[bench] $name%-22s $dt%8.2f s  (cold ${times.head}%.2f)")
         // Spark's ContextCleaner reclaims broadcast blocks and shuffle state
         // only when the JVM GCs their references; across 60+ sequential
         // queries in one local JVM the accumulated state degrades later
@@ -77,7 +82,7 @@ object Bench {
           case (id, rdd) if !cachedBefore.contains(id) => rdd.unpersist(false)
         }
         System.gc()
-        name -> dt
+        (name, dt, times.head)
       }
     // The driver keeps only a bounded tail of this process's output, and
     // the JSON line must fit inside it whole: millisecond precision plus
@@ -86,11 +91,12 @@ object Bench {
     // full names overflowed the tail in round 3.
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,6 +68,12 @@ object FeatureQueries {
         Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
         FS, windowS = 60)),
 
+    // A15 nl: per-window sample entropy (m=2, r=0.2·std, flirt defaults).
+    "q91_sampen" -> ((s, dir) =>
+      Hrv.sampleEntropy(
+        Cardio.ibis(Cardio.beatRows(SignalFrame.fromEvents(s, dir)), FS),
+        FS, windowS = 60)),
+
     // A15 stat domain: skewness/excess kurtosis of the per-window IBI
     // distribution from exact decimal power sums.
     "q68_hrv_stat" -> ((s, dir) =>
@@ -367,6 +373,44 @@ object FeatureQueries {
          |  ROUND(log10(sqrt(var_sd / 2) * (CASE WHEN 2.0 * var_nni - var_sd / 2 > 0
          |    THEN sqrt(2.0 * var_nni - var_sd / 2) END) * 16), 6) AS cvi
          |FROM v""".stripMargin,
+
+    "q91_sampen" ->
+      s"""WITH sig AS ($SIG),
+         |b AS (
+         |  SELECT subject, idx, (idx - LAG(idx) OVER w) / $FS.0 * 1000 AS ibi
+         |  FROM sig WHERE beat = 1
+         |  WINDOW w AS (PARTITION BY subject ORDER BY idx)),
+         |d AS (
+         |  SELECT subject, idx, ibi, idx // ${FS * 60} + 1 AS win
+         |  FROM b WHERE ibi IS NOT NULL),
+         |t AS (
+         |  SELECT subject, win, row_number() OVER w AS k, ibi AS x0,
+         |    LEAD(ibi, 1) OVER w AS x1, LEAD(ibi, 2) OVER w AS x2
+         |  FROM d WINDOW w AS (PARTITION BY subject, win ORDER BY idx)),
+         |tol AS (
+         |  SELECT subject, win, COUNT(*) AS n_ibi,
+         |    CAST(SUM(CAST(x0 AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(x0 * x0 AS DECIMAL(30,6))) AS DOUBLE) AS s2
+         |  FROM t GROUP BY 1, 2 HAVING COUNT(*) > 3),
+         |tr AS (
+         |  SELECT subject, win, n_ibi,
+         |    0.2 * sqrt((s2 - s1 * s1 / n_ibi) / n_ibi) AS r FROM tol),
+         |agg AS (
+         |  SELECT a.subject, a.win, tr.n_ibi,
+         |    CAST(SUM(CASE WHEN a.x1 IS NOT NULL AND bb.x1 IS NOT NULL
+         |      AND GREATEST(ABS(a.x0 - bb.x0), ABS(a.x1 - bb.x1)) <= tr.r
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+         |    CAST(SUM(CASE WHEN a.x2 IS NOT NULL AND bb.x2 IS NOT NULL
+         |      AND GREATEST(ABS(a.x0 - bb.x0), ABS(a.x1 - bb.x1),
+         |        ABS(a.x2 - bb.x2)) <= tr.r THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+         |  FROM t a
+         |  JOIN t bb ON a.subject = bb.subject AND a.win = bb.win AND bb.k > a.k
+         |  JOIN tr ON a.subject = tr.subject AND a.win = tr.win
+         |  GROUP BY 1, 2, 3)
+         |SELECT subject, win, n_ibi, b_count, a_count,
+         |  CASE WHEN a_count > 0 AND b_count > 0
+         |    THEN round_even(-ln(a_count::DOUBLE / b_count), 6) END AS sampen
+         |FROM agg""".stripMargin,
 
     "q41_acc_auc" ->
       s"""WITH sig AS ($SIG),

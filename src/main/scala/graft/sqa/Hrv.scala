@@ -129,4 +129,54 @@ object Hrv {
       .withColumn("cvi", round(log10(col("sd1") * col("sd2") * 16), 6))
       .select("subject", "win", "n_ibi", "sd1", "sd2", "csi", "cvi")
   }
+
+  /** Sample entropy of the per-window IBI series (SURVEY A15 names it;
+    * flirt's nl domain computes it — physioview.py:1078-1084). Standard
+    * Richman-Moorman SampEn with flirt/nolds defaults: template length
+    * m=2, tolerance r = 0.2 x population std of the window, Chebyshev
+    * distance, pairs i<j only; sampen = -ln(A/B) where B counts length-2
+    * template matches and A length-3.
+    *
+    * Fully relational form — templates via lead() and a self-join confined
+    * to one (subject, win) group. The per-window quadratic is BOUNDED by
+    * the window length (a fixed beat budget per 60 s), so the shape is
+    * scale-safe: 100 TB means more windows, never bigger joins, and the
+    * window/join/agg all share the (subject, win) exchange. Tolerance from
+    * exact decimal sums -> both engines compare against bit-identical r. */
+  def sampleEntropy(beats: DataFrame, fs: Int, windowS: Int): DataFrame = {
+    val windowRows = fs.toLong * windowS
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val wWin = Window.partitionBy("subject", "win").orderBy("idx")
+    val t = beats.filter(col("ibi").isNotNull)
+      .withColumn("win", (col("idx") / windowRows).cast("long") + 1)
+      .withColumn("k", row_number().over(wWin))
+      .withColumn("x1", lead(col("ibi"), 1).over(wWin))
+      .withColumn("x2", lead(col("ibi"), 2).over(wWin))
+      .select(col("subject"), col("win"), col("k"),
+        col("ibi").as("x0"), col("x1"), col("x2"))
+    val tol = t.groupBy("subject", "win")
+      .agg(count(lit(1)).as("n_ibi"),
+        dsum(col("x0")).as("__s1"), dsum(col("x0") * col("x0")).as("__s2"))
+      .filter(col("n_ibi") > 3)
+      .withColumn("r", lit(0.2) *
+        sqrt((col("__s2") - col("__s1") * col("__s1") / col("n_ibi")) / col("n_ibi")))
+      .select("subject", "win", "n_ibi", "r")
+    val lhs = t.select(col("subject"), col("win"), col("k").as("ka"),
+      col("x0").as("a0"), col("x1").as("a1"), col("x2").as("a2"))
+    val rhs = t.select(col("subject"), col("win"), col("k").as("kb"),
+      col("x0").as("b0"), col("x1").as("b1"), col("x2").as("b2"))
+    lhs.join(rhs, Seq("subject", "win")).filter(col("kb") > col("ka"))
+      .join(tol, Seq("subject", "win"))
+      .groupBy("subject", "win", "n_ibi")
+      .agg(
+        sum(when(col("a1").isNotNull && col("b1").isNotNull &&
+          greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1"))) <= col("r"),
+          1L).otherwise(0L)).as("b_count"),
+        sum(when(col("a2").isNotNull && col("b2").isNotNull &&
+          greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1")),
+            abs(col("a2") - col("b2"))) <= col("r"), 1L).otherwise(0L)).as("a_count"))
+      .withColumn("sampen", when(col("a_count") > 0 && col("b_count") > 0,
+        bround(-log(col("a_count").cast("double") / col("b_count")), 6)))
+      .select("subject", "win", "n_ibi", "b_count", "a_count", "sampen")
+  }
 }
