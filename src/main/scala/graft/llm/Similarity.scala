@@ -81,12 +81,13 @@ object Similarity {
     * band count. The assignment "cross" join is against `nList`
     * broadcast rows — bounded fan-out, not a corpus cross join. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, embCol: String, k: Int, nList: Int = 16,
+      idCol: String, embCol: String, k: Int, nList: Int = 0,
       nProbe: Int = 2): DataFrame = {
     graft.functions.VectorExpressions.register(queries.sparkSession)
     val n = candidates.select(col(idCol).as("vid"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
-    val cents = n.orderBy("vid").limit(nList)
+    val lists = if (nList > 0) nList else autoNList(n.count())
+    val cents = n.orderBy("vid").limit(lists)
       .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
     // seed-rank against an arbitrary (id, emb, n2) side — queries need
@@ -136,11 +137,11 @@ object Similarity {
     * cross-joins. Output one row per input: (id, cell, max_sim = highest
     * cosine to any lower-id cell-mate, null when none, kept flag). */
   def semDedup(docs: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nList: Int = 16): DataFrame = {
+      threshold: Double, nList: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
-    val cents = n.orderBy("id").limit(nList)
+    val cents = n.orderBy("id").limit(if (nList > 0) nList else autoNList(n.count()))
       .select(col("id").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
     val wA = Window.partitionBy("id").orderBy(col("__cc").desc, col("cent_id"))
@@ -271,8 +272,16 @@ object Similarity {
     * side is the bounded one (it only runs over the evaluation query
     * sample, never corpus×corpus); the IVF side is the production plan
     * under test. Output: (query_id, n_exact, n_hits, recall). */
+  /** FAISS sizing rule: nList ≈ √N keeps expected cell population ≈ √N,
+    * so both the per-cell quadratic (SemDeDup) and the per-probe scan
+    * (IVF) grow as √N instead of N. `nList = 0` (the default) derives it
+    * from a count of the candidate side — one cheap aggregate scan,
+    * exactly what an offline index build would do. */
+  def autoNList(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def annRecall(queries: DataFrame, candidates: DataFrame,
-      idCol: String, embCol: String, k: Int, nList: Int = 16,
+      idCol: String, embCol: String, k: Int, nList: Int = 0,
       nProbe: Int = 2): DataFrame = {
     val exact = bruteForceTopK(queries, candidates, idCol, embCol, k)
       .select("query_id", "cand_id")

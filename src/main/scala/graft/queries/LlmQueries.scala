@@ -99,7 +99,7 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-        k = 3, nList = 16, nProbe = 2)
+        k = 3, nProbe = 2) // nList auto-derived as ceil(sqrt(N))
     }),
 
     // The canonical training-data selection: English, above the quality
@@ -156,7 +156,7 @@ object LlmQueries {
 
     "q83_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.3, nList = 16)),
+        threshold = 0.3)), // nList auto-derived as ceil(sqrt(N))
 
     "q84_rep_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)),
@@ -182,7 +182,7 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.annRecall(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-        k = 5, nList = 16, nProbe = 4)
+        k = 5, nProbe = 4) // nList auto-derived as ceil(sqrt(N))
     }),
 
     "q90_pii" -> ((s, dir) =>
@@ -367,9 +367,13 @@ object LlmQueries {
          |        c.vec_id) AS rnk
          |    FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |  WHERE rnk <= 5),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-         |  FROM n ORDER BY vec_id LIMIT 16),
+         |cents AS ( -- nList = ceil(sqrt(N)), the FAISS sizing rule
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM n)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
          |ranked AS (
          |  SELECT n.vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -633,9 +637,13 @@ object LlmQueries {
       s"""WITH n AS (
          |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
          |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-         |  FROM n ORDER BY vec_id LIMIT 16),
+         |cents AS ( -- nList = ceil(sqrt(N)), the FAISS sizing rule
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM n)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
          |ranked AS (
          |  SELECT n.vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -781,9 +789,13 @@ object LlmQueries {
       s"""WITH n AS (
          |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
          |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-         |  FROM n ORDER BY vec_id LIMIT 16),
+         |cents AS ( -- nList = ceil(sqrt(N)), the FAISS sizing rule
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM n)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
          |ranked AS (
          |  SELECT n.vec_id, cent_id,
          |    ROW_NUMBER() OVER (PARTITION BY n.vec_id

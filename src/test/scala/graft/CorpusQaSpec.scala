@@ -83,6 +83,25 @@ class CorpusQaSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("vector-index nList auto-sizes to ceil(sqrt(N)) across scales") {
+    // the FAISS sizing rule, asserted at two scales plus edge cases
+    assert(Similarity.autoNList(100) == 10)
+    assert(Similarity.autoNList(101) == 11)
+    assert(Similarity.autoNList(1000000) == 1000)
+    assert(Similarity.autoNList(1) == 1)
+    assert(Similarity.autoNList(0) == 1)
+    // semDedup with the default (auto) nList on N=36 vectors must seed
+    // exactly the 6 lowest ids: every assigned cell is one of them.
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 36).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cellIds = Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.99)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cellIds.subsetOf((0L until 6L).toSet), s"cells $cellIds")
+  }
+
   test("sourceDrift: uniform source entropy is ln(V); in-distribution KL ~ 0") {
     // Source u: 4 tokens, all distinct -> H = ln 4. Source v is a copy of
     // u, so both match the corpus unigram distribution exactly -> KL = 0.
