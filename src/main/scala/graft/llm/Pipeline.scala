@@ -191,6 +191,49 @@ object Pipeline {
         "dup_word_frac", "top_bigram_frac", "flagged")
   }
 
+  /** Per-row expression form of [[repetitionStats]] for ingest-time
+    * scoring: a document is one row, so the word/bigram statistics are
+    * array expressions over it — no aggregation, no shuffle, and therefore
+    * legal in a streaming append sink (countDistinct is not). Value-equal
+    * to the batch form (StreamingSpec asserts it); the batch path keeps
+    * the explode/agg shape because array lambda HOFs evaluate interpreted,
+    * which is the wrong trade for a full-corpus scan but irrelevant for
+    * per-event ingest. */
+  def repetitionStatsExpr(docs: DataFrame, idCol: String, textCol: String,
+      maxTopBigramFrac: Double = 0.06, maxDupWordFrac: Double = 0.55): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__w", expr(s"filter(split(lower($textCol), ' '), x -> x != '')"))
+      .filter(size(col("__w")) > 0)
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__w"))).cast("long"))
+      // sequence(1, 0) descends — guard the 1-word case explicitly
+      .withColumn("__bg", expr(
+        """if(size(__w) < 2, array(),
+          |  array_sort(transform(sequence(1, size(__w) - 1),
+          |    i -> concat_ws(' ', element_at(__w, i), element_at(__w, i + 1)))))"""
+          .stripMargin))
+      .withColumn("n_bigrams", size(col("__bg")).cast("long"))
+      .withColumn("max_bigram_n", expr(
+        """aggregate(__bg,
+          |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', if(acc.prev is not null and x = acc.prev, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best,
+          |      if(acc.prev is not null and x = acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .withColumn("dup_word_frac", round(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0, round(
+          col("max_bigram_n").cast("double") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged",
+        (col("top_bigram_frac") > maxTopBigramFrac) ||
+          (col("dup_word_frac") > maxDupWordFrac))
+      .select(idCol, "n_words", "n_distinct", "n_bigrams", "max_bigram_n",
+        "dup_word_frac", "top_bigram_frac", "flagged")
+
   /** Train/test decontamination — the benchmark-leakage check run before
     * any evaluation split ships: the corpus is split by a salted hash
     * bucket (train = bucket < trainPermille), and every test document is

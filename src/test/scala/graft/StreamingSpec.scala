@@ -122,5 +122,26 @@ class StreamingSpec extends AnyFunSuite {
     val qualityBatch = graft.llm.TextAnalysis.quality(docsBatch, "doc_id", "text")
     assert(spark.table("quality_stream").count() == qualityBatch.count())
     assert(spark.table("quality_stream").exceptAll(qualityBatch).count() == 0)
+
+    // repetition stats: the batch form aggregates (countDistinct — not
+    // legal on an append stream), so ingest uses the per-row expression
+    // form; PII scan is a pure map. Both assert batch == stream.
+    val qRep = graft.llm.Pipeline
+      .repetitionStatsExpr(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rep_stream").start()
+    val qPii = graft.llm.TextAnalysis.piiScan(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_stream").start()
+    qRep.processAllAvailable(); qRep.stop()
+    qPii.processAllAvailable(); qPii.stop()
+
+    val repBatch = graft.llm.Pipeline.repetitionStats(docsBatch, "doc_id", "text")
+    assert(spark.table("rep_stream").count() == repBatch.count())
+    assert(spark.table("rep_stream").exceptAll(repBatch).count() == 0)
+
+    val piiBatch = graft.llm.TextAnalysis.piiScan(docsBatch, "doc_id", "text")
+    assert(spark.table("pii_stream").count() == piiBatch.count())
+    assert(spark.table("pii_stream").exceptAll(piiBatch).count() == 0)
   }
 }
