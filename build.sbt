@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through unprefixed: sbt's default
+// LoggedOutput tags every stdout line with "[info] ", which corrupts the
+// single JSON line Bench prints for the driver (json.loads fails on
+// "[info] {...}" — every round's BENCH parsed field was null because of
+// this). StdoutOutput inherits the parent streams verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,9 +128,14 @@ object Readers {
   def batchCsvDir(spark: SparkSession, dir: String,
       mapping: Map[String, String]): DataFrame = {
     val hasTs = mapping.values.exists(_ == "Timestamp")
+    // Directory + pathGlobFilter, not "$dir/*.csv": a glob path makes
+    // DataSource's FileStreamSink.hasMetadata probe stat the literal glob
+    // string and log a WARN with a full FileNotFoundException stack trace
+    // on every read (observed polluting the bench stderr tail).
     val raw = spark.read.option("header", "true").option("inferSchema", "true")
       .option("multiLine", (!hasTs).toString)
-      .csv(s"$dir/*.csv")
+      .option("pathGlobFilter", "*.csv")
+      .csv(dir)
     val w = Window.partitionBy("subject").orderBy(
       (if (hasTs) Seq(col("Timestamp"), monotonically_increasing_id())
        else Seq(monotonically_increasing_id())): _*)
