@@ -86,12 +86,47 @@ object KernelRunner {
       .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
         val (subj, b) = key
         val rows = it.toArray.sortBy(_._3)
-        val out = kernel(rows.map(_._4))
-        rows.iterator.zip(out.iterator)
-          .filter { case (r, _) => r._3 / bucketLen == b }
-          .map { case (r, v) => ValueOut(subj, r._3, v) }
+        // Phantom bucket: a recording ending within halo of the next
+        // boundary spills halo rows into a bucket with no core samples.
+        // It would emit nothing — skip the kernel entirely.
+        if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
+        else {
+          val out = kernel(rows.map(_._4))
+          rows.iterator.zip(out.iterator)
+            .filter { case (r, _) => r._3 / bucketLen == b }
+            .map { case (r, v) => ValueOut(subj, r._3, v) }
+        }
       }
       .toDF("subject", "idx", outCol)
+  }
+
+  case class TripleOut(subject: Long, idx: Long, o1: Double, o2: Double, o3: Double)
+
+  /** Bucketed variant for kernels emitting THREE aligned output series per
+    * input sample (e.g., the K9 phasic/driver/tonic decomposition). Same
+    * range-bucket + halo contract as [[transformValuesBucketed]]; each
+    * (subject, bucket) slice is solved independently and only bucket-core
+    * outputs are emitted. */
+  def transformTripleBucketed(signal: DataFrame, valueCol: String,
+      outCols: (String, String, String), bucketLen: Long, halo: Int)(
+      kernel: Array[Double] => (Array[Double], Array[Double], Array[Double])): DataFrame = {
+    require(halo >= 0 && halo < bucketLen, "need 0 <= halo < bucketLen")
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val ds = bucketed(signal, valueCol, bucketLen, halo)
+    ds.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
+        val (subj, b) = key
+        val rows = it.toArray.sortBy(_._3)
+        if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
+        else {
+          val (o1, o2, o3) = kernel(rows.map(_._4))
+          rows.iterator.zipWithIndex
+            .filter { case (r, _) => r._3 / bucketLen == b }
+            .map { case (r, i) => TripleOut(subj, r._3, o1(i), o2(i), o3(i)) }
+        }
+      }
+      .toDF("subject", "idx", outCols._1, outCols._2, outCols._3)
   }
 
   /** Bucketed detector variant: kernel positions map back to sample idx;
@@ -108,7 +143,8 @@ object KernelRunner {
       .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
         val (subj, b) = key
         val rows = it.toArray.sortBy(_._3)
-        kernel(rows.map(_._4)).iterator
+        if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
+        else kernel(rows.map(_._4)).iterator
           .map(p => rows(p)._3)
           .filter(_ / bucketLen == b)
           .map(ix => IdxOut(subj, ix))

@@ -39,7 +39,8 @@ object Decimate {
   /** Zero-phase anti-alias + stride: (subject, idx, ds_idx, value_f) for
     * samples with `idx % f == 0`. Recordings shorter than 11 samples pass
     * through unfiltered (reference guard `len(y) > 10`). */
-  def antiAliasStride(signal: DataFrame, dsFactor: Int): DataFrame = {
+  def antiAliasStride(signal: DataFrame, dsFactor: Int,
+      bucketLen: Long = KernelRunner.DefaultBucketLen, halo: Int = 1024): DataFrame = {
     require(dsFactor >= 1)
     if (dsFactor == 1) return signal.withColumn("ds_idx", col("idx"))
       .withColumn("value_f", col("value"))
@@ -47,10 +48,11 @@ object Decimate {
     val b = firwin(129, cutoff)
     // Bucketed halo path: the 129-tap zero-phase FIR has a strictly finite
     // lookback (2*taps + padlen = 645 < 1024), so split recordings match
-    // the whole-recording output exactly. Recordings short enough to hit
-    // the len<=10 / padlen guards always fit in a single bucket.
+    // the whole-recording output exactly (forced-split parity in
+    // BucketedKernelSpec). Recordings short enough to hit the len<=10 /
+    // padlen guards always fit in a single bucket.
     val filtered = KernelRunner.transformValuesBucketed(
-      signal, "value", "value_f", KernelRunner.DefaultBucketLen, halo = 1024) { x =>
+      signal, "value", "value_f", bucketLen, halo) { x =>
       if (x.length > 10)
         Iir.filtfilt(b, Array(1.0), x, padlenOpt = math.min(3 * b.length, x.length - 1))
       else x

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.core.SignalFrame
 import graft.kernels.{BeatDetectors, Iir}
 import graft.core.KernelRunner
@@ -14,6 +16,30 @@ import graft.core.KernelRunner
 object KernelQueries {
 
   private val NAB_FS = 32 // w = int(0.4*32) = 12
+
+  /** Long quasi-periodic ECG-like recordings for the genuinely-SPLIT
+    * bucketed-kernel oracle check (q98): the per-subject event series are
+    * concatenated into 4 recordings of ~2.5k samples (sf0.01) / ~25k
+    * (sf0.1) — far beyond the split-forcing bucketLen — carrying a clean
+    * pulse train (period 30+g samples, slowly ramping amplitude) plus an
+    * events-derived fractional noise floor. Every arithmetic op is exact
+    * IEEE (no transcendentals), so tools/golden.py rebuilds the identical
+    * doubles and runs the REFERENCE Pan-Tompkins whole-recording on them. */
+  private[graft] def longEcgFrame(s: SparkSession, dir: String): DataFrame = {
+    val sig = SignalFrame.fromEvents(s, dir)
+    val counts = sig.groupBy("subject").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("subject") % 4).orderBy("subject")
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val grp = col("subject") % 4
+    val gidx = col("__off") + col("idx")
+    val period = lit(30) + grp
+    val pulse = when(gidx % period === 11,
+      lit(8.0) + lit(2.0) * ((gidx % 977).cast("double") / 977.0)).otherwise(0.0)
+    val noise = lit(0.05) * (col("value") / 7.0 - floor(col("value") / 7.0))
+    sig.join(offsets, "subject")
+      .select(grp.as("subject"), gidx.as("idx"), (pulse + noise).as("value"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_nabian" -> ((s, dir) =>
@@ -38,6 +64,19 @@ object KernelQueries {
     // Full Pan-Tompkins FSM detection (filter + MWA + adaptive thresholds).
     "q36_pantompkins" -> ((s, dir) =>
       BeatDetectors.panTompkins(SignalFrame.fromEvents(s, dir), NAB_FS)),
+
+    // GENUINELY-SPLIT bucketed path under the driver's oracle: long
+    // quasi-periodic recordings (see longEcgFrame) run with a
+    // split-forcing bucketLen (1024 => 3+ buckets at sf0.01, 25 at sf0.1)
+    // and the production 20 s halo; the golden is the REFERENCE
+    // Pan-Tompkins on the same recordings solved WHOLE. A hash match here
+    // proves the multi-task halo path — not just its single-bucket
+    // degenerate — reproduces reference detections. (At CI scale the tiny
+    // 2-3 s per-subject recordings of q36 cannot split honestly: the 20 s
+    // convergence halo exceeds the whole recording.)
+    "q98_pantompkins_split" -> ((s, dir) =>
+      BeatDetectors.panTompkins(longEcgFrame(s, dir), NAB_FS,
+        bucketLen = 1024L, halo = KernelRunner.defaultHalo(NAB_FS))),
 
     // Berntson/Hoemann criterion-beat-difference artifacts (sequential
     // kernel; reference SQA.py:391-475). Rows-only check.
@@ -133,6 +172,7 @@ object KernelQueries {
     Map(
       "q35_filtfilt" -> golden("q35_filtfilt"),
       "q36_pantompkins" -> golden("q36_pantompkins"),
+      "q98_pantompkins_split" -> golden("q98_pantompkins_split"),
       "q44_cbd" -> golden("q44_cbd"),
       "q49_correct_interval" -> golden("q49_correct_interval"),
       "q50_correct_summary" -> golden("q50_correct_summary"),

@@ -98,6 +98,33 @@ def main():
     write(frames_df(rows, ["subject", "idx"]).astype("int64"),
           out_dir, "q36_pantompkins")
 
+    # ---- q98: Pan-Tompkins on LONG quasi-periodic recordings, solved
+    # WHOLE by the reference. The engine runs the same recordings on the
+    # bucketed halo path with a split-forcing bucketLen (1024), so the
+    # driver's hash compare certifies the genuinely-split multi-task path.
+    # Construction mirrors graft.queries.KernelQueries.longEcgFrame
+    # bit-for-bit: group g = subject % 4, series concatenated by subject
+    # order, pulse train of period 30+g with a ramping amplitude, plus an
+    # events-derived fractional noise floor — exact IEEE ops only.
+    rows = []
+    for g in range(4):
+        vals_parts = []
+        for s in subjects:
+            if s % 4 != g:
+                continue
+            vals_parts.append(frames[s][0])
+        long_vals = [v for part in vals_parts for v in map(float, part)]
+        period = 30 + g
+        sig = []
+        for i, v in enumerate(long_vals):
+            pulse = (8.0 + 2.0 * ((i % 977) / 977.0)) if i % period == 11 else 0.0
+            noise = 0.05 * (v / 7.0 - math.floor(v / 7.0))
+            sig.append(pulse + noise)
+        for p in det32.pantompkins(np.asarray(sig, dtype=float)):
+            rows.append((g, int(p)))
+    write(frames_df(rows, ["subject", "idx"]).astype("int64"),
+          out_dir, "q98_pantompkins_split")
+
     # ---- q51: Engzee at fs=32 on the raw frame (preprocessed=True)
     rows = []
     det32p = ECG.BeatDetectors(fs=32, preprocessed=True)
