@@ -6,14 +6,15 @@ import graft.kernels.EdaDecompose
 
 class EdaDecomposeSpec extends AnyFunSuite {
 
+  private def bateman(t: Double): Double =
+    if (t < 0) 0.0 else math.exp(-t / 2.0) - math.exp(-t / 0.7)
+
   test("cvxEDA-class decomposition separates Bateman bumps from a slow baseline") {
     val fs = 4
     val n = 480 // 2 minutes
     // baseline: 2 µS with slow linear rise to 2.5
     val tonicTrue = Array.tabulate(n)(i => 2.0 + 0.5 * i / n)
     // two Bateman-shaped SCRs at 30 s and 75 s
-    def bateman(t: Double): Double =
-      if (t < 0) 0.0 else math.exp(-t / 2.0) - math.exp(-t / 0.7)
     val bumps = Array.tabulate(n) { i =>
       val t = i.toDouble / fs
       0.6 * bateman(t - 30) + 0.8 * bateman(t - 75)
@@ -37,24 +38,16 @@ class EdaDecomposeSpec extends AnyFunSuite {
     assert(inBump > 2 * math.max(outBump, 0.1), s"in=$inBump out=$outBump")
   }
 
-  test("FISTA solution is within quantified distance of the exact QP optimum") {
-    // Independent exact solver for the same objective
-    //   min_{p>=0,l,d} 0.5||Hp + Bl + Cd - y||^2 + alpha 1'p + 0.5 gamma||l||^2
-    // via Lawson-Hanson active-set NNLS on dense model matrices (feasible
-    // at spec scale; n=480). This pins the FISTA<->interior-point delta the
-    // reference's cvxopt solver would exhibit — the number ARCHITECTURE.md
-    // and the q59 golden tolerance are based on.
-    val fs = 4
-    val n = 480
-    val tonicTrue = Array.tabulate(n)(i => 2.0 + 0.5 * i / n)
-    def bateman(t: Double): Double =
-      if (t < 0) 0.0 else math.exp(-t / 2.0) - math.exp(-t / 0.7)
-    val y = Array.tabulate(n) { i =>
-      val t = i.toDouble / fs
-      tonicTrue(i) + 0.6 * bateman(t - 30) + 0.8 * bateman(t - 75)
-    }
-    val alpha = 8e-4; val gamma = 1e-2
-
+  /** Independent exact solver for the kernel's objective
+    *   min_{p>=0,l,d} 0.5||Hp + Bl + Cd - y||^2 + alpha 1'p + 0.5 gamma||l||^2
+    * via Lawson-Hanson active-set NNLS on dense model matrices. This pins
+    * the FISTA<->interior-point delta the reference's cvxopt solver would
+    * exhibit — the number ARCHITECTURE.md and the q59 golden tolerance are
+    * based on. Returns (phasic, tonic). */
+  private def exactQpSolve(y: Array[Double], fs: Int,
+      alpha: Double = 8e-4, gamma: Double = 1e-2,
+      maxIter: Int = 400): (Array[Double], Array[Double]) = {
+    val n = y.length
     // dense H = M A^{-1}, B (spline), C (trend) — same closed forms as the kernel
     val delta = 1.0 / fs
     val a1 = 1.0 / 0.7; val a0 = 1.0 / 2.0
@@ -74,7 +67,7 @@ class EdaDecomposeSpec extends AnyFunSuite {
       for (i <- 2 until n) out(i) = q(i) + 2.0 * q(i - 1) + q(i - 2)
       out
     }
-    val dks = 40
+    val dks = math.max(1, math.round(10.0 / delta).toInt)
     val spl0 = ((1 until dks) ++ (dks to 1 by -1)).map(_.toDouble).toArray
     val spl = {
       val m = spl0.length
@@ -153,7 +146,7 @@ class EdaDecomposeSpec extends AnyFunSuite {
     }
     var iter = 0
     var converged = false
-    while (!converged && iter < 200) {
+    while (!converged && iter < maxIter) {
       val r = residual()
       var best = -1; var bestW = 1e-8
       for (j <- 0 until n if !inF(j)) {
@@ -187,7 +180,7 @@ class EdaDecomposeSpec extends AnyFunSuite {
       }
       iter += 1
     }
-    assert(converged, "active-set solver did not converge")
+    assert(converged, s"active-set solver did not converge in $maxIter iterations")
 
     val pQp = z.slice(0, n)
     val phasicQp = applyM(solveA(pQp))
@@ -200,7 +193,18 @@ class EdaDecomposeSpec extends AnyFunSuite {
       for (i <- 0 until n) out(i) += z(n + nB) + z(n + nB + 1) * (i + 1.0) / n
       out
     }
+    (phasicQp, tonicQp)
+  }
 
+  test("FISTA solution is within quantified distance of the exact QP optimum") {
+    val fs = 4
+    val n = 480
+    val tonicTrue = Array.tabulate(n)(i => 2.0 + 0.5 * i / n)
+    val y = Array.tabulate(n) { i =>
+      val t = i.toDouble / fs
+      tonicTrue(i) + 0.6 * bateman(t - 30) + 0.8 * bateman(t - 75)
+    }
+    val (phasicQp, tonicQp) = exactQpSolve(y, fs)
     val fista = EdaDecompose.cvxEdaKernel(fs)(y)
     val dPhasic = (0 until n).map(i => math.abs(fista.phasic(i) - phasicQp(i))).max
     val dTonic = (0 until n).map(i => math.abs(fista.tonic(i) - tonicQp(i))).max
@@ -211,5 +215,34 @@ class EdaDecomposeSpec extends AnyFunSuite {
     // caught while fp noise is not.
     assert(dPhasic < 0.05, s"phasic delta $dPhasic")
     assert(dTonic < 0.02, s"tonic delta $dTonic")
+  }
+
+  test("FISTA-QP delta holds on a second, longer fixture-shaped trace") {
+    // Round-7 verdict: the 3.3e-2/7.9e-3 bound rested on ONE clean
+    // 480-sample 2-bump trace. This trace is shaped like the golden-input
+    // recordings the q59 oracle actually solves: longer (21 min), a dozen
+    // irregular SCRs of varying amplitude, a curved (non-basis-aligned)
+    // drift, and a deterministic sub-1% noise floor. Both numbers are
+    // recorded in FIXTURES.md.
+    val fs = 4
+    val n = 5120
+    val onsets = Seq(35.0, 110.0, 170.0, 260.0, 330.0, 415.0, 520.0, 600.0,
+      690.0, 800.0, 910.0, 1050.0, 1150.0, 1230.0)
+    val y = Array.tabulate(n) { i =>
+      val t = i.toDouble / fs
+      val scrs = onsets.zipWithIndex.map { case (t0, k) =>
+        (0.3 + 0.07 * (k % 5)) * bateman(t - t0)
+      }.sum
+      // deterministic pseudo-noise via a Weyl sequence (no RNG in specs)
+      val noise = 0.008 * (((i * 2654435761L) % 1000L) / 1000.0 - 0.5)
+      2.0 + 0.8 * i / n + 0.3 * math.sin(math.Pi * i.toDouble / n) + scrs + noise
+    }
+    val (phasicQp, tonicQp) = exactQpSolve(y, fs)
+    val fista = EdaDecompose.cvxEdaKernel(fs)(y)
+    val dPhasic = (0 until n).map(i => math.abs(fista.phasic(i) - phasicQp(i))).max
+    val dTonic = (0 until n).map(i => math.abs(fista.tonic(i) - tonicQp(i))).max
+    info(f"long trace: max|dPhasic| = $dPhasic%.2e, max|dTonic| = $dTonic%.2e")
+    assert(dPhasic < 0.1, s"phasic delta $dPhasic")
+    assert(dTonic < 0.05, s"tonic delta $dTonic")
   }
 }
