@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.core.SignalFrame
 import graft.io.{Edf, Readers}
 
 /** Driver-oracle coverage for the IO layer (SURVEY S1-S6, S10): each query
@@ -22,6 +25,25 @@ object IoQueries {
   private[queries] lazy val ioDir: String =
     sys.props.getOrElse("graft.io.dir",
       s"${sys.props("user.dir")}/src/test/resources/io")
+
+  /** Where the sink round-trip queries (q99/q100) materialize their
+    * output. The oracle reads the SAME files back with DuckDB, so a green
+    * row certifies the sink's on-disk format, not a re-computation. */
+  private[queries] lazy val sinkDir: String =
+    sys.props.getOrElse("graft.sink.dir",
+      s"${sys.props("user.dir")}/target/sink_roundtrip")
+
+  private val metricsSchema = StructType(Seq(
+    StructField("subject", LongType), StructField("segment", LongType),
+    StructField("first_ts_us", LongType), StructField("n_detected", LongType),
+    StructField("n_expected", LongType), StructField("n_missing", LongType),
+    StructField("pct_missing", DoubleType), StructField("n_artifact", LongType),
+    StructField("pct_artifact", DoubleType), StructField("invalid", DoubleType)))
+
+  private val beatJsonSchema = StructType(Seq(
+    StructField("Segment", LongType), StructField("Timestamp", LongType),
+    StructField("Signal", DoubleType), StructField("Beat", LongType),
+    StructField("Artifact", LongType)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: E4 ZIP modality frame with the ACC unit conversion
@@ -52,7 +74,29 @@ object IoQueries {
 
     // S10: beat-editor edit-instruction source (physioview.py:1690-1737).
     "q97_beat_edits" -> ((s, _) =>
-      Readers.readBeatEdits(s, s"$ioDir/edited.json"))
+      Readers.readBeatEdits(s, s"$ioDir/edited.json")),
+
+    // S8 round-trip: flagship q19 metrics table through the CSV sink
+    // (reference dashboard/callbacks.py:794-1101 temp-CSV export), read
+    // back with an explicit schema. The oracle DuckDB-reads the same CSV
+    // files, so hash-green certifies the written format end to end.
+    "q99_sink_csv" -> ((s, dir) => {
+      val out = s"$sinkDir/q99_metrics_csv"
+      Readers.writeCsv(SqaQueries.queries("q19_sqa_metrics")(s, dir), out)
+      s.read.schema(metricsSchema).option("header", "true").csv(out)
+    }),
+
+    // S9 round-trip: beat-editor JSON export (physioview.py:1594-1688) of
+    // the canonical signal frame, read back; oracle = DuckDB read_json
+    // over the same files.
+    "q100_sink_beatjson" -> ((s, dir) => {
+      val sig = SignalFrame.fromEvents(s, dir)
+        .withColumn("segment",
+          SignalFrame.segment(col("idx"), SqaQueries.FS, SqaQueries.SEG))
+      val out = s"$sinkDir/q100_beatjson"
+      Readers.writeBeatEditorJson(sig, "value", out)
+      s.read.schema(beatJsonSchema).json(out)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -101,6 +145,20 @@ object IoQueries {
       s"""SELECT x, y, "from", "to", editType
          |FROM read_json('$ioDir/edited.json', format='newline_delimited',
          |  columns={'x':'BIGINT','y':'DOUBLE','from':'BIGINT','to':'BIGINT',
-         |           'editType':'VARCHAR'})""".stripMargin
+         |           'editType':'VARCHAR'})""".stripMargin,
+
+    "q99_sink_csv" ->
+      s"""SELECT * FROM read_csv('$sinkDir/q99_metrics_csv/*.csv',
+         |  header=true, types={'subject':'BIGINT','segment':'BIGINT',
+         |    'first_ts_us':'BIGINT','n_detected':'BIGINT',
+         |    'n_expected':'BIGINT','n_missing':'BIGINT',
+         |    'pct_missing':'DOUBLE','n_artifact':'BIGINT',
+         |    'pct_artifact':'DOUBLE','invalid':'DOUBLE'})""".stripMargin,
+
+    "q100_sink_beatjson" ->
+      s"""SELECT * FROM read_json('$sinkDir/q100_beatjson/*.json',
+         |  format='newline_delimited',
+         |  columns={'Segment':'BIGINT','Timestamp':'BIGINT',
+         |    'Signal':'DOUBLE','Beat':'BIGINT','Artifact':'BIGINT'})""".stripMargin
   )
 }

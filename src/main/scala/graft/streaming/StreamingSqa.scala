@@ -35,6 +35,31 @@ object StreamingSqa {
         count(when(col("event_type") === "error", 1)).as("n_error"),
         sum(col("value").cast("decimal(24,4)")).cast("double").as("sum_value"))
 
+  /** Streaming form of the A4 rolling SQA metrics (reference
+    * SQA.py:199-268 window shape): per-subject sliding event-time windows
+    * carrying the beat/artifact counts, artifact percentage, and the
+    * invalid flag of the batch metrics table. Every aggregate is
+    * distributive (counts + a ratio of counts), so the plan is an
+    * incremental stateful window aggregation — no per-window re-scan —
+    * and the SAME function body runs on a batch frame for parity. */
+  def rollingSqaMetrics(events: DataFrame, windowDur: String = "10 minutes",
+      slideDur: String = "5 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val beatTypes = graft.core.SignalFrame.BEAT_TYPES
+    val isBeat = col("event_type").isin(beatTypes: _*)
+    val isArtifact = isBeat && col("value") > 150
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("user_id"))
+      .agg(
+        count(when(isBeat, 1)).as("n_detected"),
+        count(when(isArtifact, 1)).as("n_artifact"),
+        bround(lit(100.0) * count(when(isArtifact, 1)) /
+          greatest(count(when(isBeat, 1)), lit(1L)), 2).as("pct_artifact"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      .withColumn("invalid",
+        when(col("n_detected") === 0 || col("pct_artifact") > lit(50.0), 1))
+  }
+
   /** Per-subject inter-beat intervals over a live event feed — the
     * streaming analog of the batch lag-diff (W1). Custom state via
     * `flatMapGroupsWithState`: each subject's state is the timestamp of
@@ -100,14 +125,21 @@ object StreamingSqa {
   /** Run the streaming plan over a static parquet directory through the
     * memory sink until exhausted; returns the materialized result. Used by
     * tests and as the backfill demonstration. */
-  def runBatchViaStream(spark: SparkSession, parquetDir: String): DataFrame = {
+  def runBatchViaStream(spark: SparkSession, parquetDir: String): DataFrame =
+    runStreamToMemory(spark, parquetDir, "sqa_stream")(qualityCounts(_))
+
+  /** Run any streaming aggregation plan over a static parquet directory
+    * through the memory sink until exhausted; returns the materialized
+    * result. Used by tests and as the backfill demonstration. */
+  def runStreamToMemory(spark: SparkSession, parquetDir: String,
+      name: String)(plan: DataFrame => DataFrame): DataFrame = {
     val stream = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(parquetDir)
-    val q = qualityCounts(stream)
+    val q = plan(stream)
       .writeStream.outputMode("complete").format("memory")
-      .queryName("sqa_stream").start()
+      .queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    spark.table("sqa_stream")
+    spark.table(name)
   }
 }

@@ -34,6 +34,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming A4 rolling SQA metrics match the batch plan") {
+    // The round-7 verdict's requested stateful-operator increment: the A4
+    // sliding-window SQA metrics (beat/artifact counts, pct, invalid flag)
+    // under window(ts, w, step) + watermark, batch parity exact.
+    val tmp = Files.createTempDirectory("graft_a4_stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+
+    val streamed = StreamingSqa.runStreamToMemory(spark, tmp, "a4_stream")(
+      StreamingSqa.rollingSqaMetrics(_))
+    val batch = StreamingSqa.rollingSqaMetrics(spark.read.parquet(tmp))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful streaming IBIs carry last-beat state across micro-batches") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_ibi_stream").toString
