@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.reflect.ClassTag
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,15 +11,24 @@ import org.apache.spark.sql.functions._
   *
   * Each recording `(subject)` becomes one idx-sorted in-memory array that a
   * pure Scala kernel transforms — the Spark-native equivalent of a scipy
-  * kernel over a numpy array. One shuffle on `subject` (groupByKey); the
-  * kernel is a deterministic function, so the operator stays a narrow
-  * typed transformation in the plan.
+  * kernel over a numpy array. One shuffle on the group key; the kernel is
+  * a deterministic function, so the operator stays a narrow typed
+  * transformation in the plan.
   *
   * Memory contract: one recording per task. At 100 TB, long recordings are
   * range-bucketed by idx with halo rows equal to the kernel's warm-up
   * length (filter padlen / detector refractory window), so no task ever
   * materializes an unbounded group; the bucketed variant reuses these same
   * kernels on each (bucket + halo) slice.
+  *
+  * Fan-out contract: kernel stages are CPU-bound with tiny rows, so the
+  * shuffle uses an EXPLICIT numbered repartition on the group key —
+  * which AQE respects — rather than `groupByKey`'s plain exchange. AQE's
+  * partition coalescing optimizes for shuffle BYTES; on a kernel stage it
+  * would fold a ~MB shuffle into one task and serialize minutes of CPU
+  * (measured: q59's 1500 solver runs collapsed to a single task, 5x
+  * wall-clock on 8 cores). Rows arrive sorted per group via
+  * `sortWithinPartitions`, so kernels also skip the per-group sort.
   */
 object KernelRunner {
 
@@ -39,6 +50,38 @@ object KernelRunner {
   case class Sample(subject: Long, idx: Long, value: Double)
   case class ValueOut(subject: Long, idx: Long, out: Double)
   case class IdxOut(subject: Long, idx: Long)
+  case class TripleOut(subject: Long, idx: Long, o1: Double, o2: Double, o3: Double)
+
+  /** Consecutive-run grouping over a partition iterator: emits one
+    * (key, rows) pair per maximal run of equal keys. Requires the
+    * partition to be sorted by the key (sortWithinPartitions upstream);
+    * buffers ONE group at a time — the same memory contract as
+    * flatMapGroups' sort-based grouping. */
+  private def runs[T: ClassTag, K](it: Iterator[T])(key: T => K): Iterator[(K, Array[T])] =
+    new Iterator[(K, Array[T])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (K, Array[T]) = {
+        val k = key(buf.head)
+        val acc = collection.mutable.ArrayBuilder.make[T]
+        while (buf.hasNext && key(buf.head) == k) acc += buf.next()
+        (k, acc.result())
+      }
+    }
+
+  /** (subject, idx, value) rows hash-repartitioned on subject with a
+    * PINNED partition count and sorted (subject, idx) within partitions. */
+  private def bySubjectSorted(signal: DataFrame, valueCol: String): Dataset[Sample] = {
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    signal
+      .select(col("subject").cast("long"), col("idx").cast("long"),
+        col(valueCol).cast("double").as("value"))
+      .repartition(parts, col("subject"))
+      .sortWithinPartitions("subject", "idx")
+      .as[Sample]
+  }
 
   /** Run an array→array kernel per recording (e.g., filtfilt): emits one
     * output value per input sample. Input needs columns
@@ -47,17 +90,55 @@ object KernelRunner {
       kernel: Array[Double] => Array[Double]): DataFrame = {
     val spark = signal.sparkSession
     import spark.implicits._
-    val ds: Dataset[Sample] = signal
-      .select(col("subject").cast("long"), col("idx").cast("long"),
-        col(valueCol).cast("double").as("value"))
-      .as[Sample]
-    ds.groupByKey(_.subject)
-      .flatMapGroups { (subj, it) =>
-        val rows = it.toArray.sortBy(_.idx)
-        val out = kernel(rows.map(_.value))
-        rows.iterator.zip(out.iterator).map { case (r, v) => ValueOut(subj, r.idx, v) }
+    bySubjectSorted(signal, valueCol)
+      .mapPartitions { it =>
+        runs(it)(_.subject).flatMap { case (subj, rows) =>
+          val out = kernel(rows.map(_.value))
+          rows.iterator.zip(out.iterator).map { case (r, v) => ValueOut(subj, r.idx, v) }
+        }
       }
       .toDF("subject", "idx", outCol)
+  }
+
+  /** Run an array→indices kernel per recording (e.g., a beat detector):
+    * emits the sample indices the kernel selects (positions into the
+    * idx-sorted array are mapped back to `idx` values). */
+  def detectIndices(signal: DataFrame, valueCol: String)(
+      kernel: Array[Double] => Array[Int]): DataFrame = {
+    val spark = signal.sparkSession
+    import spark.implicits._
+    bySubjectSorted(signal, valueCol)
+      .mapPartitions { it =>
+        runs(it)(_.subject).flatMap { case (subj, rows) =>
+          kernel(rows.map(_.value)).iterator.map(p => IdxOut(subj, rows(p).idx))
+        }
+      }
+      .toDF("subject", "idx")
+  }
+
+  /** (subject, bucket, idx, value) rows: every sample lands in its own
+    * bucket plus — within `halo` of a boundary — the neighbor bucket. The
+    * bounded explode costs <= (1 + 2*halo/bucketLen)x rows. Output is
+    * pinned-repartitioned on (subject, bucket) and sorted within
+    * partitions, so downstream kernels see idx-sorted group runs. */
+  private def bucketedSorted(signal: DataFrame, valueCol: String, bucketLen: Long,
+      halo: Int): Dataset[(Long, Long, Long, Double)] = {
+    val spark = signal.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val b = (col("idx") / bucketLen).cast("long")
+    val pos = col("idx") % bucketLen
+    signal
+      .select(col("subject").cast("long"), col("idx").cast("long"),
+        col(valueCol).cast("double").as("value"))
+      .withColumn("__b", explode(array_distinct(array(
+        b,
+        when(pos < halo && b > 0, b - 1).otherwise(b),
+        when(pos >= bucketLen - halo, b + 1).otherwise(b)))))
+      .select(col("subject"), col("__b"), col("idx"), col("value"))
+      .repartition(parts, col("subject"), col("__b"))
+      .sortWithinPartitions("subject", "__b", "idx")
+      .as[(Long, Long, Long, Double)]
   }
 
   /** The 100 TB posture: range-bucket each recording by `idx div
@@ -81,26 +162,23 @@ object KernelRunner {
     require(halo >= 0 && halo < bucketLen, "need 0 <= halo < bucketLen")
     val spark = signal.sparkSession
     import spark.implicits._
-    val ds = bucketed(signal, valueCol, bucketLen, halo)
-    ds.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
-        val (subj, b) = key
-        val rows = it.toArray.sortBy(_._3)
-        // Phantom bucket: a recording ending within halo of the next
-        // boundary spills halo rows into a bucket with no core samples.
-        // It would emit nothing — skip the kernel entirely.
-        if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
-        else {
-          val out = kernel(rows.map(_._4))
-          rows.iterator.zip(out.iterator)
-            .filter { case (r, _) => r._3 / bucketLen == b }
-            .map { case (r, v) => ValueOut(subj, r._3, v) }
+    bucketedSorted(signal, valueCol, bucketLen, halo)
+      .mapPartitions { it =>
+        runs(it)(r => (r._1, r._2)).flatMap { case ((subj, b), rows) =>
+          // Phantom bucket: a recording ending within halo of the next
+          // boundary spills halo rows into a bucket with no core samples.
+          // It would emit nothing — skip the kernel entirely.
+          if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
+          else {
+            val out = kernel(rows.map(_._4))
+            rows.iterator.zip(out.iterator)
+              .filter { case (r, _) => r._3 / bucketLen == b }
+              .map { case (r, v) => ValueOut(subj, r._3, v) }
+          }
         }
       }
       .toDF("subject", "idx", outCol)
   }
-
-  case class TripleOut(subject: Long, idx: Long, o1: Double, o2: Double, o3: Double)
 
   /** Bucketed variant for kernels emitting THREE aligned output series per
     * input sample (e.g., the K9 phasic/driver/tonic decomposition). Same
@@ -113,17 +191,16 @@ object KernelRunner {
     require(halo >= 0 && halo < bucketLen, "need 0 <= halo < bucketLen")
     val spark = signal.sparkSession
     import spark.implicits._
-    val ds = bucketed(signal, valueCol, bucketLen, halo)
-    ds.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
-        val (subj, b) = key
-        val rows = it.toArray.sortBy(_._3)
-        if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
-        else {
-          val (o1, o2, o3) = kernel(rows.map(_._4))
-          rows.iterator.zipWithIndex
-            .filter { case (r, _) => r._3 / bucketLen == b }
-            .map { case (r, i) => TripleOut(subj, r._3, o1(i), o2(i), o3(i)) }
+    bucketedSorted(signal, valueCol, bucketLen, halo)
+      .mapPartitions { it =>
+        runs(it)(r => (r._1, r._2)).flatMap { case ((subj, b), rows) =>
+          if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
+          else {
+            val (o1, o2, o3) = kernel(rows.map(_._4))
+            rows.iterator.zipWithIndex
+              .filter { case (r, _) => r._3 / bucketLen == b }
+              .map { case (r, i) => TripleOut(subj, r._3, o1(i), o2(i), o3(i)) }
+          }
         }
       }
       .toDF("subject", "idx", outCols._1, outCols._2, outCols._3)
@@ -138,55 +215,15 @@ object KernelRunner {
     require(halo >= 0 && halo < bucketLen, "need 0 <= halo < bucketLen")
     val spark = signal.sparkSession
     import spark.implicits._
-    val ds = bucketed(signal, valueCol, bucketLen, halo)
-    ds.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
-        val (subj, b) = key
-        val rows = it.toArray.sortBy(_._3)
-        if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
-        else kernel(rows.map(_._4)).iterator
-          .map(p => rows(p)._3)
-          .filter(_ / bucketLen == b)
-          .map(ix => IdxOut(subj, ix))
-      }
-      .toDF("subject", "idx")
-  }
-
-  /** (subject, bucket, idx, value) rows: every sample lands in its own
-    * bucket plus — within `halo` of a boundary — the neighbor bucket. The
-    * bounded explode costs <= (1 + 2*halo/bucketLen)x rows. */
-  private def bucketed(signal: DataFrame, valueCol: String, bucketLen: Long,
-      halo: Int): Dataset[(Long, Long, Long, Double)] = {
-    val spark = signal.sparkSession
-    import spark.implicits._
-    val b = (col("idx") / bucketLen).cast("long")
-    val pos = col("idx") % bucketLen
-    signal
-      .select(col("subject").cast("long"), col("idx").cast("long"),
-        col(valueCol).cast("double").as("value"))
-      .withColumn("__b", explode(array_distinct(array(
-        b,
-        when(pos < halo && b > 0, b - 1).otherwise(b),
-        when(pos >= bucketLen - halo, b + 1).otherwise(b)))))
-      .select(col("subject"), col("__b"), col("idx"), col("value"))
-      .as[(Long, Long, Long, Double)]
-  }
-
-  /** Run an array→indices kernel per recording (e.g., a beat detector):
-    * emits the sample indices the kernel selects (positions into the
-    * idx-sorted array are mapped back to `idx` values). */
-  def detectIndices(signal: DataFrame, valueCol: String)(
-      kernel: Array[Double] => Array[Int]): DataFrame = {
-    val spark = signal.sparkSession
-    import spark.implicits._
-    val ds: Dataset[Sample] = signal
-      .select(col("subject").cast("long"), col("idx").cast("long"),
-        col(valueCol).cast("double").as("value"))
-      .as[Sample]
-    ds.groupByKey(_.subject)
-      .flatMapGroups { (subj, it) =>
-        val rows = it.toArray.sortBy(_.idx)
-        kernel(rows.map(_.value)).iterator.map(p => IdxOut(subj, rows(p).idx))
+    bucketedSorted(signal, valueCol, bucketLen, halo)
+      .mapPartitions { it =>
+        runs(it)(r => (r._1, r._2)).flatMap { case ((subj, b), rows) =>
+          if (!rows.exists(_._3 / bucketLen == b)) Iterator.empty
+          else kernel(rows.map(_._4)).iterator
+            .map(p => rows(p)._3)
+            .filter(_ / bucketLen == b)
+            .map(ix => IdxOut(subj, ix))
+        }
       }
       .toDF("subject", "idx")
   }

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
 /** S11: JSON parameter-configuration round-trip (reference
   * `_create_configs` / `_load_config`, dashboard/utils.py:327-372). The
@@ -34,5 +34,12 @@ object EngineConfig {
   def load(spark: SparkSession, path: String): EngineConfig = {
     val enc = Encoders.product[EngineConfig]
     spark.read.schema(enc.schema).json(path).as[EngineConfig](enc).head()
+  }
+
+  /** One-row frame view of a config (scalar fields; the optional headers
+    * map is a separate surface) — the oracle-comparable shape. */
+  def toFrame(spark: SparkSession, cfg: EngineConfig): DataFrame = {
+    import spark.implicits._
+    Seq(cfg).toDS().toDF().drop("headers")
   }
 }

@@ -96,6 +96,29 @@ object IoQueries {
       val out = s"$sinkDir/q100_beatjson"
       Readers.writeBeatEditorJson(sig, "value", out)
       s.read.schema(beatJsonSchema).json(out)
+    }),
+
+    // S5: CSV header probe (dashboard/utils.py:422-428) as a row set;
+    // oracle = DuckDB sniff_csv over the same fixture.
+    "q101_csv_headers" -> ((s, _) => {
+      import s.implicits._
+      Readers.csvHeaders(s, s"$ioDir/mapped.csv").zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }.toDF("pos", "name")
+    }),
+
+    // S11 round-trip: EngineConfig JSON save -> load -> frame view
+    // (reference _create_configs/_load_config, dashboard/utils.py:327-372);
+    // oracle = DuckDB read_json of the same written file.
+    "q102_sink_config" -> ((s, _) => {
+      val out = s"$sinkDir/q102_config"
+      val cfg = graft.io.EngineConfig(
+        source = "E4", dataType = "EDA", samplingRate = 4, segmentSize = 10,
+        filters = true, scrDetection = true, scrAmplitude = 0.1,
+        artifactMethod = "hegarty", artifactTolerance = 0.5,
+        useTemperature = false, temperatureVariable = None,
+        minEda = Some(0.05), maxEda = Some(60.0), headers = None)
+      graft.io.EngineConfig.save(s, cfg, out)
+      graft.io.EngineConfig.toFrame(s, graft.io.EngineConfig.load(s, out))
     })
   )
 
@@ -159,6 +182,22 @@ object IoQueries {
       s"""SELECT * FROM read_json('$sinkDir/q100_beatjson/*.json',
          |  format='newline_delimited',
          |  columns={'Segment':'BIGINT','Timestamp':'BIGINT',
-         |    'Signal':'DOUBLE','Beat':'BIGINT','Artifact':'BIGINT'})""".stripMargin
+         |    'Signal':'DOUBLE','Beat':'BIGINT','Artifact':'BIGINT'})""".stripMargin,
+
+    "q101_csv_headers" ->
+      s"""SELECT generate_subscripts(columns, 1) - 1 AS pos,
+         |  unnest(columns).name AS name
+         |FROM sniff_csv('$ioDir/mapped.csv')""".stripMargin,
+
+    "q102_sink_config" ->
+      s"""SELECT * FROM read_json('$sinkDir/q102_config/*.json',
+         |  format='newline_delimited',
+         |  columns={'source':'VARCHAR','dataType':'VARCHAR',
+         |    'samplingRate':'BIGINT','segmentSize':'BIGINT',
+         |    'filters':'BOOLEAN','scrDetection':'BOOLEAN',
+         |    'scrAmplitude':'DOUBLE','artifactMethod':'VARCHAR',
+         |    'artifactTolerance':'DOUBLE','useTemperature':'BOOLEAN',
+         |    'temperatureVariable':'VARCHAR','minEda':'DOUBLE',
+         |    'maxEda':'DOUBLE'})""".stripMargin
   )
 }
