@@ -83,6 +83,21 @@ object KernelRunner {
       .as[Sample]
   }
 
+  /** Pinned-fan-out per-recording runner for kernels with arbitrary
+    * output shape: `f(subject, idxs, values)` receives the recording's
+    * idx-sorted parallel arrays and emits any rows. The substrate every
+    * whole-recording kernel site shares (CBD, correction FSM, Fourier
+    * resample, tonic SCL) so none pays groupByKey's per-row encoder
+    * overhead or risks a byte-based fan-in. */
+  def perRecording[R: org.apache.spark.sql.Encoder](signal: DataFrame,
+      valueCol: String)(
+      f: (Long, Array[Long], Array[Double]) => Iterator[R]): Dataset[R] =
+    bySubjectSorted(signal, valueCol).mapPartitions { it =>
+      runs(it)(_.subject).flatMap { case (subj, rows) =>
+        f(subj, rows.map(_.idx), rows.map(_.value))
+      }
+    }
+
   /** Run an array→array kernel per recording (e.g., filtfilt): emits one
     * output value per input sample. Input needs columns
     * (subject, idx, `valueCol`). Output: (subject, idx, `outCol`). */

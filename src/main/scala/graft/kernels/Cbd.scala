@@ -86,14 +86,9 @@ object Cbd {
       tol: Double = 1.0): DataFrame = {
     val spark = beats.sparkSession
     import spark.implicits._
-    val ds: Dataset[(Long, Long)] = beats
-      .select(col("subject").cast("long"), col("idx").cast("long"))
-      .as[(Long, Long)]
-    ds.groupByKey(_._1)
-      .flatMapGroups { (subj, it) =>
-        val ix = it.map(_._2).toArray.sorted
-        kernel(ix, fs, neighbors, tol).iterator.map(i => (subj, i))
-      }
-      .toDF("subject", "idx")
+    // beat tables carry no value column; the runner's value slot is unused
+    graft.core.KernelRunner.perRecording(beats, "idx") { (subj, ix, _) =>
+      kernel(ix, fs, neighbors, tol).iterator.map(i => (subj, i))
+    }.toDF("subject", "idx")
   }
 }

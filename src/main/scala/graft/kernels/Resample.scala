@@ -127,16 +127,10 @@ object Resample {
   def fourierResample(signal: DataFrame, fs: Int, newFs: Int): DataFrame = {
     val spark = signal.sparkSession
     import spark.implicits._
-    signal.select(col("subject").cast("long"), col("idx").cast("long"),
-      col("value").cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (subj, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val num = math.round(rows.length.toDouble * newFs / fs).toInt
-        fourierResampleKernel(num)(rows.map(_._3)).iterator.zipWithIndex
-          .map { case (v, i) => (subj, i.toLong, v) }
-      }
-      .toDF("subject", "ridx", "value_rs")
+    graft.core.KernelRunner.perRecording(signal, "value") { (subj, _, vals) =>
+      val num = math.round(vals.length.toDouble * newFs / fs).toInt
+      fourierResampleKernel(num)(vals).iterator.zipWithIndex
+        .map { case (v, i) => (subj, i.toLong, v) }
+    }.toDF("subject", "ridx", "value_rs")
   }
 }

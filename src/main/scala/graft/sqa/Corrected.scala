@@ -22,18 +22,15 @@ object Corrected {
       p: Correction.Params = Correction.Params()): DataFrame = {
     val spark = beatRows.sparkSession
     import spark.implicits._
-    val ds: Dataset[BeatIn] = beatRows
-      .select(col("subject").cast("long"), col("idx").cast("long")).as[BeatIn]
-    ds.groupByKey(_.subject)
-      .flatMapGroups { (subj, it) =>
-        val beats = it.map(_.idx).toArray.sorted.map(_.toDouble)
-        val (orig, corr) = Correction.correctInterval(fs, p)(beats)
-        orig.iterator.map(r =>
-          Out(subj, 0, r.pos, r.ibiMs, r.ibi, r.beat, Some(r.correction), None)) ++
-          corr.iterator.map(r =>
-            Out(subj, 1, r.pos, r.ibiMs, r.ibi, r.beat, None, r.flag))
-      }
-      .toDF()
+    // beat tables carry no value column; the runner's value slot is unused
+    graft.core.KernelRunner.perRecording(beatRows, "idx") { (subj, ix, _) =>
+      val beats = ix.map(_.toDouble)
+      val (orig, corr) = Correction.correctInterval(fs, p)(beats)
+      orig.iterator.map(r =>
+        Out(subj, 0, r.pos, r.ibiMs, r.ibi, r.beat, Some(r.correction), None)) ++
+        corr.iterator.map(r =>
+          Out(subj, 1, r.pos, r.ibiMs, r.ibi, r.beat, None, r.flag))
+    }.toDF()
   }
 
   /** Per-segment flag summary (`get_corrected`'s `combined` frame): counts

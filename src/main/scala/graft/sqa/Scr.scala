@@ -176,15 +176,9 @@ object Scr {
   def tonicScl(signal: DataFrame, fs: Int, segSize: Int): DataFrame = {
     val spark = signal.sparkSession
     import spark.implicits._
-    signal.select(col("subject").cast("long"), col("idx").cast("long"),
-      col("value").cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (subj, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        tonicSclKernel(fs, segSize)(rows.map(_._3)).iterator.zipWithIndex
-          .map { case (v, k) => (subj, (k + 1).toLong, v) }
-      }
-      .toDF("subject", "segment", "tonic_scl")
+    graft.core.KernelRunner.perRecording(signal, "value") { (subj, _, vals) =>
+      tonicSclKernel(fs, segSize)(vals).iterator.zipWithIndex
+        .map { case (v, k) => (subj, (k + 1).toLong, v) }
+    }.toDF("subject", "segment", "tonic_scl")
   }
 }
