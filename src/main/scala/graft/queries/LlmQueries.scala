@@ -161,6 +161,11 @@ object LlmQueries {
     "q84_rep_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)),
 
+    // Lee et al. 2021 cross-doc duplicate 5-gram fraction — the corpus-
+    // level dedup-pressure metric complementing q84's within-doc spans.
+    "q103_dup_ngrams" -> ((s, dir) =>
+      Dedup.dupNgramFraction(Tables.documents(s, dir), "doc_id", "text")),
+
     "q85_bigram_lm" -> ((s, dir) =>
       Pipeline.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -889,6 +894,17 @@ object LlmQueries {
          |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared_shingles,
          |  COUNT(DISTINCT tid) AS n_train_docs
          |FROM te JOIN tr USING (shingle)
+         |GROUP BY 1""".stripMargin,
+
+    "q103_dup_ngrams" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${shinglesSql(5)}) AS shingle
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |c AS (SELECT shingle, COUNT(*) AS n FROM sh GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  COUNT(*) FILTER (WHERE n > 1) AS n_dup_shingles,
+         |  round_even(COUNT(*) FILTER (WHERE n > 1) / COUNT(*), 6) AS dup_frac
+         |FROM sh JOIN c USING (shingle)
          |GROUP BY 1""".stripMargin,
 
     "q80_shards" ->

@@ -38,25 +38,30 @@ object Corrected {
     * beats. Segment = ceil(beat / (segSize*fs)); the flag columns are the
     * fixed four-flag superset (the reference pivots only flags present). */
   def summary(rows: DataFrame, fs: Int, segSize: Int): DataFrame = {
+    // ONE conditional aggregation over the union-tagged FSM output. The
+    // former shape (filter side 0 / side 1 into separate aggregates +
+    // inner join) planned the upstream correction kernel TWICE — the two
+    // branches diverge above the kernel's exchange, so exchange reuse
+    // cannot dedupe the FSM run. The inner-join semantics (segments
+    // present on BOTH sides) survive as a post-aggregation filter.
     val seg = ceil(col("beat") / (segSize.toLong * fs)).cast("long").as("segment")
-    val orig = rows.filter(col("side") === 0)
+    def flagCount(f: String) =
+      count(when(col("side") === 1 && col("flag") === f, 1))
+    val origCorrection = sum(when(col("side") === 0, col("correction")))
+    rows
       .withColumn("segment", seg)
       .groupBy("subject", "segment")
       .agg(
-        sum(col("correction")).as("n_corrected"),
-        bround(sum(col("correction")).cast("double") / count(lit(1)) * 100, 2)
-          .as("pct_corrected"))
-    val corr = rows.filter(col("side") === 1)
-      .withColumn("segment", seg)
-      .groupBy("subject", "segment")
-      .pivot("flag", Seq("Correct", "Short", "Long", "Extra Long"))
-      .count()
-      .na.fill(0L, Seq("Correct", "Short", "Long", "Extra Long"))
-      .withColumnRenamed("Correct", "n_correct")
-      .withColumnRenamed("Short", "n_short")
-      .withColumnRenamed("Long", "n_long")
-      .withColumnRenamed("Extra Long", "n_extra_long")
-    corr.join(orig, Seq("subject", "segment"))
+        flagCount("Correct").as("n_correct"),
+        flagCount("Short").as("n_short"),
+        flagCount("Long").as("n_long"),
+        flagCount("Extra Long").as("n_extra_long"),
+        origCorrection.as("n_corrected"),
+        bround(origCorrection.cast("double") /
+          count(when(col("side") === 0, 1)) * 100, 2).as("pct_corrected"),
+        count(when(col("side") === 0, 1)).as("__n0"),
+        count(when(col("side") === 1, 1)).as("__n1"))
+      .filter(col("__n0") > 0 && col("__n1") > 0)
       .select("subject", "segment", "n_correct", "n_short", "n_long",
         "n_extra_long", "n_corrected", "pct_corrected")
   }
