@@ -106,6 +106,27 @@ object IoQueries {
         .map { case (h, i) => (i.toLong, h) }.toDF("pos", "name")
     }),
 
+    // S13: Actiwave-EDF validity probe + parsed header facts
+    // (reference _check_edf, dashboard/utils.py:289-296) over one valid
+    // EDF and one non-EDF file. The oracle is a VALUES literal of the
+    // fixture GENERATOR's construction constants (tools/iofixtures.py:
+    // 2 channels, 12 records, 1 s records, 2020-09-14T12:26:40Z) —
+    // independent of the Scala parser.
+    "q104_edf_validity" -> ((s, _) => {
+      import s.implicits._
+      def probe(name: String) = {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$ioDir/$name"))
+        val hdr = try Some(Edf.parse(bytes)) catch { case _: Throwable => None }
+        (name, Edf.isValidActiwave(bytes), hdr.map(_.channels.size),
+          hdr.map(_.nRecords), hdr.map(_.recordDurationS),
+          hdr.map(_.startEpochUs))
+      }
+      Seq(probe("actiwave.edf"), probe("e4.zip"))
+        .toDF("file", "valid", "n_channels", "n_records",
+          "record_duration_s", "start_epoch_us")
+    }),
+
     // S11 round-trip: EngineConfig JSON save -> load -> frame view
     // (reference _create_configs/_load_config, dashboard/utils.py:327-372);
     // oracle = DuckDB read_json of the same written file.
@@ -183,6 +204,13 @@ object IoQueries {
          |  format='newline_delimited',
          |  columns={'Segment':'BIGINT','Timestamp':'BIGINT',
          |    'Signal':'DOUBLE','Beat':'BIGINT','Artifact':'BIGINT'})""".stripMargin,
+
+    "q104_edf_validity" ->
+      """SELECT * FROM (VALUES
+        |  ('actiwave.edf', true, 2, 12, 1.0, 1600086400000000),
+        |  ('e4.zip', false, NULL, NULL, NULL, NULL))
+        |  AS t(file, valid, n_channels, n_records,
+        |       record_duration_s, start_epoch_us)""".stripMargin,
 
     "q101_csv_headers" ->
       s"""SELECT generate_subscripts(columns, 1) - 1 AS pos,
