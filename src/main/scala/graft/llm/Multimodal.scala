@@ -21,6 +21,8 @@ object Multimodal {
   case class MediaRow(id: Long, payload: Array[Byte], width: Int, height: Int)
   case class FeatureRow(id: Long, kind: String, dim: Int,
       features: Array[Float], checksum: Long)
+  case class FrameRow(id: Long, frame_idx: Long, n_frames: Long,
+      mean_byte: Double, checksum: Long)
 
   val FEATURE_DIM = 8
 
@@ -204,6 +206,44 @@ object Multimodal {
       (length(col(textCol)) % 64 + 1).cast("int").as("width"),
       (length(col(textCol)) % 48 + 1).cast("int").as("height"))
       .as[MediaRow]
+  }
+
+  /** Video frame sampling over opaque binary payloads (the multimodal
+    * frame-sample operation): the payload is treated as a raw stream of
+    * `frameBytes`-byte frames — the codec stub; a real build swaps an
+    * MJPEG/MP4 decoder behind the same signature — and every
+    * max(1, nFrames/targetFrames)-th frame is sampled. Per sampled frame:
+    * mean byte value and a modular byte-fold checksum. Memory stays
+    * bounded at one payload row per iterator step; emitted rows carry
+    * only frame-level scalars, never pixel data, so a 100 TB video
+    * column reduces to a narrow frame-stats table in one pass. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 96,
+      targetFrames: Int = 4): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(frameBytes > 0 && targetFrames > 0)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = (r.payload.length / frameBytes).toLong
+        if (n == 0L) Iterator.empty
+        else {
+          val k = math.max(1L, n / targetFrames)
+          (0L until n by k).iterator.map { fi =>
+            var sum = 0L
+            var ck = 17L
+            var j = (fi * frameBytes).toInt
+            val end = j + frameBytes
+            while (j < end) {
+              val b = r.payload(j) & 0xff
+              sum += b
+              ck = (ck * 31 + b) % 1000000007L
+              j += 1
+            }
+            FrameRow(r.id, fi, n, sum.toDouble / frameBytes, ck)
+          }
+        }
+      }
+    }
   }
 
   /** Batched decode + feature extraction: executed partition-at-a-time so

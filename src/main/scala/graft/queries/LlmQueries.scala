@@ -93,6 +93,18 @@ object LlmQueries {
         .select(col("id"), col("kind"), col("dim"), col("checksum"))
     }),
 
+    // Multimodal frame sampling: documents' bytes as a raw 96-byte-frame
+    // video stream (the codec stub), every max(1, n/4)-th frame sampled;
+    // per-frame mean byte + modular fold checksum. The oracle recomputes
+    // the identical arithmetic from the same bytes in SQL.
+    "q105_frame_sample" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Multimodal.frameSample(
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+    }),
+
     // IVF ANN: disjoint inverted-file cells from a deterministic
     // sample-seeded coarse quantizer; queries probe nProbe nearest cells.
     "q72_ann_ivf" -> ((s, dir) => {
@@ -627,6 +639,26 @@ object LlmQueries {
          |  CAST(list_reduce(list_prepend(17.0::DOUBLE, f),
          |    (a, c) -> a * 31 + round(c * 1000)) AS BIGINT) AS checksum
          |FROM lanes""".stripMargin,
+
+    "q105_frame_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) // 96 AS n_frames
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_frames, hx,
+         |    unnest(range(0, n_frames, greatest(1, n_frames // 4))) AS frame_idx
+         |  FROM b WHERE n_frames > 0),
+         |fb AS (
+         |  SELECT doc_id, frame_idx, n_frames,
+         |    list_transform(range(0, 96), i ->
+         |      ('0x' || substr(hx, (2 * (frame_idx * 96 + i) + 1)::INT, 2))::BIGINT) AS bytes
+         |  FROM f)
+         |SELECT doc_id AS id, frame_idx, n_frames,
+         |  list_reduce(bytes, (a, c) -> a + c) / 96.0 AS mean_byte,
+         |  list_reduce(list_prepend(17::BIGINT, bytes),
+         |    (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+         |FROM fb""".stripMargin,
 
     "q73_vocab" ->
       s"""SELECT word, df, tf,

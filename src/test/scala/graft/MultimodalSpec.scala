@@ -84,6 +84,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f2.length == Multimodal.FEATURE_DIM) // decoded-short or opaque, never a crash
   }
 
+  test("frame sampling: stride, bounds, and sub-frame payloads") {
+    import spark.implicits._
+    // 10 frames of 4 bytes each: frame i = [i, i+1, i+2, i+3]
+    val vid = Array.tabulate(40)(j => (j / 4 + j % 4).toByte)
+    val short = Array[Byte](1, 2) // shorter than one frame -> no rows
+    val rows = Seq(
+      Multimodal.MediaRow(1L, vid, 0, 0),
+      Multimodal.MediaRow(2L, short, 0, 0)).toDS()
+    val frames = Multimodal.frameSample(rows, frameBytes = 4, targetFrames = 4)
+      .collect().sortBy(f => (f.id, f.frame_idx))
+    assert(frames.forall(_.id == 1L)) // sub-frame payload emits nothing
+    // n=10, target=4 -> stride k=2 -> frames 0,2,4,6,8
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(frames.forall(_.n_frames == 10L))
+    // frame 2 bytes = [2,3,4,5] -> mean 3.5
+    assert(frames.find(_.frame_idx == 2L).get.mean_byte == 3.5)
+    // checksum is the documented modular fold
+    val expect = Array(2, 3, 4, 5).foldLeft(17L)((a, b) => (a * 31 + b) % 1000000007L)
+    assert(frames.find(_.frame_idx == 2L).get.checksum == expect)
+  }
+
   test("magic-byte dispatch through the batched extraction path") {
     import spark.implicits._
     val wav = wavBytes(Array.tabulate(100)(i => (i * 300).toShort), 8000, 1)
