@@ -65,6 +65,29 @@ object LlmQueries {
       Similarity.embeddingDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3)),
 
+    // Label-noise detection by neighbor agreement (the Cleanlab-style
+    // corpus-QA signal): the near-dup pair set joined to labels on both
+    // sides, rolled up into a neighbor-label co-occurrence matrix. An
+    // off-diagonal cell with high mass = two labels whose examples are
+    // near-duplicates of each other — mislabeled or leaky classes.
+    // sum_cos routes through the exact DECIMAL cast (core.Det rule) so
+    // the aggregate is reduction-order independent.
+    "q106_label_agreement" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.embeddingDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.3)
+      val lab = emb.select(col("vec_id"), col("label"))
+      pairs
+        .join(lab.select(col("vec_id").as("id_a"), col("label").as("label_a")), "id_a")
+        .join(lab.select(col("vec_id").as("id_b"), col("label").as("label_b")), "id_b")
+        .groupBy(
+          least(col("label_a"), col("label_b")).as("label_lo"),
+          greatest(col("label_a"), col("label_b")).as("label_hi"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("cos").cast("decimal(24,6)")).cast("double").as("sum_cos"))
+    }),
+
     "q69_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
@@ -961,6 +984,31 @@ object LlmQueries {
          |FROM cand JOIN n a ON cand.id_a = a.vec_id
          |          JOIN n b ON cand.id_b = b.vec_id
          |WHERE ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) >= 0.3""".stripMargin
+    },
+
+    "q106_label_agreement" -> {
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |bands AS ($bandKeysSql),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) AS cos
+         |  FROM cand JOIN n a ON cand.id_a = a.vec_id
+         |            JOIN n b ON cand.id_b = b.vec_id
+         |  WHERE ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) >= 0.3)
+         |SELECT least(la.label, lb.label) AS label_lo,
+         |  greatest(la.label, lb.label) AS label_hi,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(cos AS DECIMAL(24,6))) AS DOUBLE) AS sum_cos
+         |FROM pairs
+         |JOIN embeddings la ON pairs.id_a = la.vec_id
+         |JOIN embeddings lb ON pairs.id_b = lb.vec_id
+         |GROUP BY 1, 2""".stripMargin
     }
   )
 
