@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: language ID, quality scoring, token counting.
@@ -87,6 +88,33 @@ object TextAnalysis {
     * occurrences, and smoothed IDF. One explode + one hash-aggregate
     * shuffle on the word key (map-side partial counts); the corpus size
     * rides in as a broadcast scalar. */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      minCount: Long = 10): DataFrame = {
+    // BPE tokenizer-training seed (Sennrich et al. 2016): corpus-wide
+    // counts of adjacent symbol pairs at iteration 0 (symbols = chars,
+    // '_' end-of-word marker). Computed over the DISTINCT-word table
+    // weighted by word frequency — the pair explode runs once per unique
+    // word, not once per corpus occurrence, which is what makes the
+    // first merge scan tractable at 100 TB (vocabulary << corpus). Two
+    // narrow-key shuffles: word-count aggregate, pair-count aggregate.
+    val wordCounts = docs
+      .select(explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__wc"))
+    wordCounts
+      // split("") keeps a trailing empty under Java regex semantics —
+      // drop empties so the '_' marker is the true last symbol
+      .withColumn("__sym",
+        filter(split(concat(col("word"), lit("_")), ""), s => length(s) > 0))
+      .select(col("word"), col("__wc"),
+        posexplode(col("__sym")).as(Seq("__p", "__a")))
+      .withColumn("__b", lead(col("__a"), 1).over(
+        Window.partitionBy("word").orderBy("__p")))
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__a").as("sym_a"), col("__b").as("sym_b"))
+      .agg(sum(col("__wc")).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+  }
+
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 25): DataFrame = {
     val words = docs.select(col(idCol),

@@ -201,6 +201,12 @@ object LlmQueries {
     "q103_dup_ngrams" -> ((s, dir) =>
       Dedup.dupNgramFraction(Tables.documents(s, dir), "doc_id", "text")),
 
+    // BPE tokenizer-training seed (Sennrich 2016): corpus-wide adjacent
+    // symbol-pair counts at iteration 0, computed over the distinct-word
+    // table weighted by frequency (vocabulary << corpus at scale).
+    "q107_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text")),
+
     "q85_bigram_lm" -> ((s, dir) =>
       Pipeline.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -950,6 +956,18 @@ object LlmQueries {
          |  COUNT(DISTINCT tid) AS n_train_docs
          |FROM te JOIN tr USING (shingle)
          |GROUP BY 1""".stripMargin,
+
+    "q107_bpe_pairs" ->
+      s"""WITH wc AS (
+         |  SELECT word, COUNT(*) AS c
+         |  FROM (SELECT unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1),
+         |sym AS (SELECT c, string_split(word || '_', '') AS s FROM wc),
+         |pairs AS (
+         |  SELECT c, s[i] AS sym_a, s[i + 1] AS sym_b
+         |  FROM sym, unnest(range(1, len(s))) AS t(i))
+         |SELECT sym_a, sym_b, CAST(SUM(c) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY 1, 2 HAVING SUM(c) >= 10""".stripMargin,
 
     "q103_dup_ngrams" ->
       s"""WITH sh AS (

@@ -27,6 +27,21 @@ class BucketedTableSpec extends AnyFunSuite {
 
   test("bucketed writes make the doc-key join exchange-free") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    // Another suite may have created the shared session first, putting the
+    // warehouse at the DEFAULT location — a fresh in-memory catalog then
+    // collides with managed-table dirs left by a previous JVM. Drop both
+    // the catalog entries and the on-disk locations before writing.
+    for (t <- Seq("q_bucketed", "l_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists) rm(loc)
+    }
     // two derived per-doc tables, bucketed by the join key at write time
     graft.llm.TextAnalysis.quality(docs, "doc_id", "text")
       .write.mode("overwrite").bucketBy(4, "doc_id").sortBy("doc_id")
