@@ -76,8 +76,11 @@ object Bench {
         // queries in one local JVM the accumulated state degrades later
         // queries (observed: q23/q24 4-6x slower mid-suite than isolated).
         // An explicit GC between queries keeps each measurement honest.
-        // Only state the just-finished query created is unpersisted, so a
-        // deliberately shared cache would survive the sweep.
+        // clearCache drops CacheManager-registered persists (the shared
+        // edit-frame memo re-persists on demand, so the next query that
+        // needs it starts cold — same as isolation); the RDD loop drops
+        // localCheckpoint state, which the CacheManager does not track.
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.collect {
           case (id, rdd) if !cachedBefore.contains(id) => rdd.unpersist(false)
         }
