@@ -248,19 +248,28 @@ object EdaDecompose {
   def defaultOverlap(fs: Int): Int = 240 * fs
 
   /** Frame-level decomposition: (subject, idx, phasic, driver, tonic).
+    * Recordings LONGER than `chunkLen` are solved as independent
+    * overlapping chunks — a bounded APPROXIMATION of the whole-recording
+    * solve (max-abs delta quantified by BucketedKernelSpec's forced-split
+    * case, ~7e-2 on the spec trace); recordings within one chunk solve
+    * whole, bitwise identical to [[cvxEdaKernel]].
     *
     * Runs on the chunked halo path (the 100 TB posture): each recording is
     * range-bucketed into `chunkLen`-sample solver chunks with `overlap`
     * halo samples on each side, each chunk solved independently, and only
-    * chunk-core outputs emitted. Recordings shorter than `chunkLen` solve
-    * as a single chunk — bitwise identical to the whole-recording solve
-    * (the kernel sees the identical array), which keeps the q59 golden
-    * trajectory valid at CI scale while bounding task size at 100 TB. */
+    * chunk-core outputs emitted. The q108 oracle query certifies the
+    * genuinely-split path against a chunk-exact golden.
+    *
+    * The Bateman-support halo grows with fs while `chunkLen` does not, so
+    * the chunk length is raised (minimally) to keep `overlap < chunkLen` —
+    * the bucketed runner's contract — instead of throwing at fs >= 274;
+    * callers that pass a consistent (chunkLen, overlap) are untouched. */
   def decompose(signal: DataFrame, fs: Int,
       chunkLen: Long = DefaultChunkLen, overlap: Int = -1): DataFrame = {
     val ov = if (overlap >= 0) overlap else defaultOverlap(fs)
+    val len = math.max(chunkLen, ov + 1L)
     KernelRunner.transformTripleBucketed(
-      signal, "value", ("phasic", "driver", "tonic"), chunkLen, ov) { y =>
+      signal, "value", ("phasic", "driver", "tonic"), len, ov) { y =>
       val r = cvxEdaKernel(fs)(y)
       (r.phasic, r.driver, r.tonic)
     }

@@ -78,6 +78,21 @@ object KernelQueries {
       BeatDetectors.panTompkins(longEcgFrame(s, dir), NAB_FS,
         bucketLen = 1024L, halo = KernelRunner.defaultHalo(NAB_FS))),
 
+    // GENUINELY-SPLIT chunked cvxEDA under the driver's oracle (the K9
+    // mirror of q98): the q98 long recordings (~2.5k samples at sf0.01)
+    // run through the chunked solver with chunkLen 1024 (3 chunks per
+    // recording) and a 48 s halo — e^(-96) Bateman decay at the core
+    // boundary, 2x the 20 s spline support. The golden replays the SAME
+    // chunk slices through the pure-Python bitwise kernel mirror, so a
+    // hash match certifies the chunk/halo/core-emission plumbing itself
+    // (q59 stays the whole-recording trajectory at CI scale).
+    "q108_cvxeda_split" -> ((s, dir) =>
+      graft.kernels.EdaDecompose.decompose(longEcgFrame(s, dir), fs = 4,
+        chunkLen = 1024L, overlap = 192)
+        .withColumn("phasic", bround(col("phasic"), 6))
+        .withColumn("driver", bround(col("driver"), 6))
+        .withColumn("tonic", bround(col("tonic"), 6))),
+
     // Berntson/Hoemann criterion-beat-difference artifacts (sequential
     // kernel; reference SQA.py:391-475). Rows-only check.
     "q44_cbd" -> ((s, dir) =>
@@ -173,6 +188,7 @@ object KernelQueries {
       "q35_filtfilt" -> golden("q35_filtfilt"),
       "q36_pantompkins" -> golden("q36_pantompkins"),
       "q98_pantompkins_split" -> golden("q98_pantompkins_split"),
+      "q108_cvxeda_split" -> golden("q108_cvxeda_split"),
       "q44_cbd" -> golden("q44_cbd"),
       "q49_correct_interval" -> golden("q49_correct_interval"),
       "q50_correct_summary" -> golden("q50_correct_summary"),

@@ -106,7 +106,7 @@ def main():
     # bit-for-bit: group g = subject % 4, series concatenated by subject
     # order, pulse train of period 30+g with a ramping amplitude, plus an
     # events-derived fractional noise floor — exact IEEE ops only.
-    rows = []
+    long_sigs = {}
     for g in range(4):
         vals_parts = []
         for s in subjects:
@@ -120,10 +120,37 @@ def main():
             pulse = (8.0 + 2.0 * ((i % 977) / 977.0)) if i % period == 11 else 0.0
             noise = 0.05 * (v / 7.0 - math.floor(v / 7.0))
             sig.append(pulse + noise)
-        for p in det32.pantompkins(np.asarray(sig, dtype=float)):
+        long_sigs[g] = sig
+    rows = []
+    for g in range(4):
+        for p in det32.pantompkins(np.asarray(long_sigs[g], dtype=float)):
             rows.append((g, int(p)))
     write(frames_df(rows, ["subject", "idx"]).astype("int64"),
           out_dir, "q98_pantompkins_split")
+
+    # ---- q108: CHUNKED cvxEDA on the same long recordings. Mirrors
+    # graft.core.KernelRunner.transformTripleBucketed exactly: chunk b's
+    # input slice is idx in [b*L - halo, (b+1)*L + halo) clipped to the
+    # recording, solved independently by the bitwise FISTA mirror, and only
+    # chunk-core outputs (idx div L == b) are emitted. A hash match against
+    # the engine's chunkLen=1024/overlap=192 run certifies the genuinely-
+    # split chunk/halo/core plumbing of the K9 path.
+    CHUNK, HALO = 1024, 192
+    rows = []
+    for g in range(4):
+        sig = long_sigs[g]
+        n = len(sig)
+        for b in range((n + CHUNK - 1) // CHUNK):
+            lo = max(0, b * CHUNK - HALO)
+            hi = min(n, (b + 1) * CHUNK + HALO)
+            ph, dr, tn = _cvxeda_fista_py(sig[lo:hi], fs=4)
+            for i in range(b * CHUNK, min(n, (b + 1) * CHUNK)):
+                rows.append((g, i, _bround6(ph[i - lo]), _bround6(dr[i - lo]),
+                             _bround6(tn[i - lo])))
+    write(frames_df(rows, ["subject", "idx", "phasic", "driver", "tonic"])
+          .astype({"subject": "int64", "idx": "int64", "phasic": "float64",
+                   "driver": "float64", "tonic": "float64"}),
+          out_dir, "q108_cvxeda_split")
 
     # ---- q51: Engzee at fs=32 on the raw frame (preprocessed=True)
     rows = []
