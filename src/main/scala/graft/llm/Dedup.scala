@@ -72,20 +72,30 @@ object Dedup {
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleN)
-    // corpus frequency via a window over the shingle partition — one
-    // exchange on the shingle key, versus aggregate+self-join which
-    // shuffles the shingle rows twice (measured 4.5x at sf0.1). Skew
-    // note: a pathologically hot shingle becomes one spill-capable sort
-    // group here; if top-frequency shingles matter at extreme scale, the
-    // escape is groupBy(shingle).count + AQE skew-join (the q22 band-join
-    // shape) or dropping stopword shingles up front.
-    val withFreq = sh.withColumn("__docs",
-      count(lit(1)).over(Window.partitionBy("shingle")))
-    withFreq
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        count(when(col("__docs") > 1, 1)).as("n_dup_shingles"))
+    // Skew-immune by algebra: n_dup = n_shingles - n_unique, and a
+    // UNIQUE shingle (corpus doc-count == 1) identifies its sole document
+    // via min(id) inside the same aggregate — no join back to the shingle
+    // rows, no per-shingle window sort group (the round-8 window form put
+    // a hot shingle's whole group in one task). A pathologically hot
+    // shingle (one in 50% of all documents) collapses to <= one partial
+    // row per input partition in the map-side count, so it costs the
+    // same as a rare one; SkewSpec rehearses exactly that corpus, pins
+    // the plan shape, and reads the partial-aggregate row metric.
+    // Cost shape: the two consumers replan the shingle subtree, but both
+    // branches share the canonically-identical scan+repartition exchange
+    // (reused, one corpus read); the duplicated explode+distinct is
+    // map-side CPU only. The per-doc total aggregates exchange-free on
+    // the id partitioning; the unique-shingle branch pays one exchange
+    // of COLLAPSED partials on the shingle key and one on min(id).
+    val total = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val uniq = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__id"))
+      .filter(col("__c") === 1)
+      .groupBy(col("__id")).agg(count(lit(1)).as("__n_uniq"))
+    total.join(uniq, total(idCol) === uniq("__id"), "left")
+      .select(total(idCol).as(idCol), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("__n_uniq"), lit(0L)))
+          .as("n_dup_shingles"))
       .withColumn("dup_frac",
         bround(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
   }
