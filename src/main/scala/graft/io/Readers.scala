@@ -25,6 +25,82 @@ import scala.jdk.CollectionConverters._
   */
 object Readers {
 
+  /** S7: source family a dropped file routes to (reference
+    * `db_get_file_types`, dashboard/callbacks.py:43-157). */
+  sealed abstract class FileSource(val name: String)
+  object FileSource {
+    /** Valid Actiwave EDF (has an ECG0 channel). */
+    case object Actiwave extends FileSource("Actiwave")
+    /** Empatica E4 session archive (full per-modality CSV set). */
+    case object E4 extends FileSource("E4")
+    /** ZIP of per-subject CSVs under a session folder. */
+    case object Batch extends FileSource("batch")
+    /** Single CSV, schema resolved by user column mapping (S4). */
+    case object Csv extends FileSource("csv")
+    /** Recognized extension, failed the content probe. */
+    case object Invalid extends FileSource("invalid")
+    /** Extension outside the dispatch table (reference: PreventUpdate). */
+    case object Unknown extends FileSource("unknown")
+  }
+
+  /** The complete E4 session archive manifest the reference requires
+    * before treating a ZIP as Empatica data (callbacks.py:82-90). */
+  private val E4_MANIFEST = Seq("ACC.csv", "EDA.csv", "BVP.csv", "TEMP.csv",
+    "IBI.csv", "HR.csv", "info.txt", "tags.csv")
+
+  /** S7: file-type dispatcher. Routes by extension + content probe,
+    * mirroring callbacks.py:60-147: `.edf` must parse as EDF and carry an
+    * ECG0 channel (S13 probe); `.zip` is E4 when the full manifest is
+    * present at the archive root, otherwise batch when every non-metadata
+    * inner-folder entry is a CSV (vacuously true for an empty filtered
+    * list, as in the reference's `all(...)`); `.csv` always routes to the
+    * mapped-CSV reader. Driver-side by design — it stats ONE file; the
+    * reader it selects does the distributed work. */
+  def dispatch(path: String): FileSource = {
+    val ext = path.toLowerCase.split('.').last
+    ext match {
+      case "edf" =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        if (Edf.isValidActiwave(bytes)) FileSource.Actiwave else FileSource.Invalid
+      case "zip" =>
+        val zf = new ZipFile(path)
+        try {
+          val names = zf.entries.asScala.map(_.getName).toVector
+          if (E4_MANIFEST.forall(names.contains)) FileSource.E4
+          else {
+            val inner = names.filter(n => n.contains("/") &&
+              !n.startsWith("__MACOSX/") && !n.endsWith(".DS_Store") &&
+              !n.contains("/._") && !n.endsWith("/"))
+              .map(_.split("/", 2)(1))
+            if (inner.forall(_.endsWith(".csv"))) FileSource.Batch
+            else FileSource.Invalid
+          }
+        } finally zf.close()
+      case "csv" => FileSource.Csv
+      case _ => FileSource.Unknown
+    }
+  }
+
+  /** O3: most-recently-modified entry of a directory — the reference's
+    * "the drop just finished, which file is it" probe
+    * (callbacks.py:49-53). Ties break on name for determinism. */
+  def latestFile(dir: String): Option[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).flatMap(_.sortBy(f => (-f.lastModified, f.getName))
+      .headOption.map(_.getPath))
+  }
+
+  /** O6: sorted visible-CSV listing of a batch directory — the iteration
+    * order the reference processes (and names) batch subjects in
+    * (callbacks.py:747-750). */
+  def sortedBatchCsvs(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        f.getName.endsWith(".csv"))
+      .map(_.getPath).sorted.toSeq
+  }
+
   /** E4 archive entry names -> (columns, canonical name). */
   private val E4_LAYOUT = Map(
     "ACC.csv" -> Seq("X", "Y", "Z"),
