@@ -26,12 +26,32 @@ object IoQueries {
     sys.props.getOrElse("graft.io.dir",
       s"${sys.props("user.dir")}/src/test/resources/io")
 
-  /** Where the sink round-trip queries (q99/q100) materialize their
+  /** Where the sink round-trip queries (q99/q100/q102) materialize their
     * output. The oracle reads the SAME files back with DuckDB, so a green
-    * row certifies the sink's on-disk format, not a re-computation. */
-  private[queries] lazy val sinkDir: String =
-    sys.props.getOrElse("graft.sink.dir",
+    * row certifies the sink's on-disk format, not a re-computation.
+    *
+    * Namespaced per JVM: building a sink query's plan WRITES here (the
+    * write IS the operator under test), and every harness builds plans —
+    * Verify, Bench, PlanContractSpec — so two concurrent runs sharing one
+    * directory would interleave output and the oracle would read mixed
+    * files. The oracle SQL below renders from the same value inside the
+    * same JVM, so the driver's DuckDB pass always reads this run's files.
+    * Sibling dirs idle for over an hour are swept so target/ does not
+    * accumulate dead runs (a live concurrent run keeps a fresh mtime). */
+  private[queries] lazy val sinkDir: String = {
+    val base = sys.props.getOrElse("graft.sink.dir",
       s"${sys.props("user.dir")}/target/sink_roundtrip")
+    val mine = s"run_${ProcessHandle.current().pid()}"
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
+      f.delete()
+    }
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != mine && f.lastModified < cutoff)
+      .foreach(del)
+    new java.io.File(base, mine).getPath
+  }
 
   private val metricsSchema = StructType(Seq(
     StructField("subject", LongType), StructField("segment", LongType),
