@@ -88,7 +88,15 @@ object KernelRunner {
     * idx-sorted parallel arrays and emits any rows. The substrate every
     * whole-recording kernel site shares (CBD, correction FSM, Fourier
     * resample, tonic SCL) so none pays groupByKey's per-row encoder
-    * overhead or risks a byte-based fan-in. */
+    * overhead or risks a byte-based fan-in.
+    *
+    * Task-size contract: one recording = one task, so callers must be
+    * kernels whose INPUT is already sub-sample-rate or whose semantics
+    * require the whole recording (use the bucketed runners otherwise).
+    * For the beat-table kernels (CBD, correction FSM) the practical
+    * bound is beats-per-recording: a YEAR of continuous 48 bpm is ~25M
+    * beats ~ 200 MB of longs and an O(n) FSM pass — large but bounded,
+    * and LongRecordingSpec pins the linear growth on a 1M-beat train. */
   def perRecording[R: org.apache.spark.sql.Encoder](signal: DataFrame,
       valueCol: String)(
       f: (Long, Array[Long], Array[Double]) => Iterator[R]): Dataset[R] =
@@ -97,6 +105,25 @@ object KernelRunner {
         f(subj, rows.map(_.idx), rows.map(_.value))
       }
     }
+
+  /** Index-only [[perRecording]] for beat/event tables, which carry no
+    * value column: `f(subject, idxs)` gets the recording's sorted sample
+    * indices directly instead of smuggling them through a double value
+    * slot (lossy above 2^53, and misleading at the call site). */
+  def perRecordingIdx[R: org.apache.spark.sql.Encoder](rows: DataFrame)(
+      f: (Long, Array[Long]) => Iterator[R]): Dataset[R] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    rows
+      .select(col("subject").cast("long"), col("idx").cast("long"))
+      .repartition(parts, col("subject"))
+      .sortWithinPartitions("subject", "idx")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        runs(it)(_._1).flatMap { case (subj, rs) => f(subj, rs.map(_._2)) }
+      }
+  }
 
   /** Run an array→array kernel per recording (e.g., filtfilt): emits one
     * output value per input sample. Input needs columns

@@ -86,8 +86,7 @@ object Cbd {
       tol: Double = 1.0): DataFrame = {
     val spark = beats.sparkSession
     import spark.implicits._
-    // beat tables carry no value column; the runner's value slot is unused
-    graft.core.KernelRunner.perRecording(beats, "idx") { (subj, ix, _) =>
+    graft.core.KernelRunner.perRecordingIdx(beats) { (subj, ix) =>
       kernel(ix, fs, neighbors, tol).iterator.map(i => (subj, i))
     }.toDF("subject", "idx")
   }

@@ -22,8 +22,7 @@ object Corrected {
       p: Correction.Params = Correction.Params()): DataFrame = {
     val spark = beatRows.sparkSession
     import spark.implicits._
-    // beat tables carry no value column; the runner's value slot is unused
-    graft.core.KernelRunner.perRecording(beatRows, "idx") { (subj, ix, _) =>
+    graft.core.KernelRunner.perRecordingIdx(beatRows) { (subj, ix) =>
       val beats = ix.map(_.toDouble)
       val (orig, corr) = Correction.correctInterval(fs, p)(beats)
       orig.iterator.map(r =>

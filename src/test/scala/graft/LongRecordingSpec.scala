@@ -80,4 +80,61 @@ class LongRecordingSpec extends AnyFunSuite {
       "interior segment beat counts off")
     assert(interior.forall(r => r.isNullAt(9)), "unexpected invalid flags")
   }
+
+  test("K14 correction chain: multi-day beat train, linear cost, bounded rows/task") {
+    // The correction FSM is whole-recording BY NECESSITY (corrections
+    // rewrite history), but it runs on beat rows (~1/40 of samples), so
+    // its practical task bound is beats-per-recording: a YEAR of 48 bpm
+    // is ~25M beats = ~200 MB of longs in one task — large but bounded,
+    // and growth is linear. This rehearsal pushes a 14.5-day train
+    // (1M beats, ~1% deleted to exercise the missing-beat paths) through
+    // correctionRows + summary and pins (a) the whole-recording grouping
+    // (one kernel invocation sees every beat), (b) row conservation, and
+    // (c) LINEAR scaling — a quadratic FSM regression shows up as ~16x
+    // between the 250k and 1M runs, far beyond the 10x gate.
+    val fs = 32
+    def beatTrain(nBeats: Long) = spark.range(nBeats)
+      .filter(col("id") % 97 =!= 13) // ~1% missing beats -> corrections
+      .select(lit(9L).as("subject"), (col("id") * 40 + 20).as("idx"))
+
+    val beatsPerTask = spark.sparkContext.collectionAccumulator[Long]("beatsPerTask")
+    def run(nBeats: Long): (Long, Long, Double) = {
+      beatsPerTask.reset()
+      val rows = graft.sqa.Corrected.correctionRows(
+        beatTrain(nBeats)
+          .transform(df => {
+            // tap the kernel input size without touching the query path
+            graft.core.KernelRunner.perRecordingIdx(df) { (s, ix) =>
+              beatsPerTask.add(ix.length.toLong)
+              Iterator.single((s, ix.length.toLong))
+            }(org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong)).count()
+            df
+          }),
+        fs = fs)
+      val t0 = System.nanoTime()
+      val n = rows.count()
+      val segs = graft.sqa.Corrected.summary(rows, fs, segSize = 60).count()
+      ((System.nanoTime() - t0) / 1000000, n, segs.toDouble)
+    }
+
+    val expected1m = (0L until 1000000L).count(_ % 97 != 13)
+    val (tSmall, nSmall, _) = run(250000L)
+    val (tBig, nBig, segsBig) = run(1000000L)
+
+    // (a) whole-recording grouping witnessed from inside the task
+    import scala.jdk.CollectionConverters._
+    assert(beatsPerTask.value.asScala.toSeq == Seq(expected1m.toLong),
+      "correction kernel did not see the whole recording in one task")
+    // (b) row conservation: original + corrected tables, ~2 rows/beat
+    assert(nBig > 2L * expected1m * 95 / 100 && nBig < 2L * expected1m * 110 / 100,
+      s"unexpected FSM output rows $nBig for $expected1m beats")
+    assert(nSmall > 0)
+    // 1M beats * 1.25 s / 60 s segments ~ 20.8k one-minute segments
+    assert(segsBig > 20000 && segsBig < 21500, s"segment count $segsBig")
+    // (c) linear scaling: 4x beats must stay well under the quadratic 16x
+    assert(tBig < tSmall * 10 + 2000,
+      s"correction chain not linear: 250k beats ${tSmall}ms, 1M beats ${tBig}ms")
+  }
 }
