@@ -48,4 +48,66 @@ class PlanContractSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // ---- golden plan shapes (round-8 verdict #6): the ≤10-scan cap above
+  // catches catastrophe; this ratchet catches DRIFT. Every query's scan /
+  // shuffle-exchange / broadcast-exchange counts are pinned to a checked-in
+  // golden, so a multiplicative-replanning regression (q63 once grew
+  // 1 -> 16 scans) fails CI the round it lands, not a round later.
+  // Intentional plan changes regenerate the golden in the same commit:
+  //   sbt -batch "testOnly graft.PlanContractSpec" -Dgraft.plan.regen=true
+
+  private val shapesPath =
+    s"${sys.props("user.dir")}/src/test/resources/golden/plan_shapes.tsv"
+
+  private def shapeOf(plan: String): (Int, Int, Int) = (
+    "(File)?Scan parquet".r.findAllIn(plan).size,
+    "Exchange (hash|range|Single)".r.findAllIn(plan).size,
+    "BroadcastExchange".r.findAllIn(plan).size)
+
+  test("golden plan shapes: per-query scan and exchange counts are pinned") {
+    // Plans are built in a dedicated session with the shape-relevant confs
+    // PINNED: the suite's shared getOrCreate session picks up conf
+    // mutations from other specs (e.g. a disabled broadcast threshold
+    // flips joins and the golden would depend on suite order).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    // The CacheManager is SHARED-state: a materialized (or merely
+    // registered) cache from earlier suites changes join statistics and
+    // flips broadcast decisions, making shape counts depend on suite
+    // order. Start from an empty cache — the edit-frame memo re-persists
+    // on demand, so every run sees the same unmaterialized registration.
+    s2.catalog.clearCache()
+    val observed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (s, e, b) = shapeOf(fn(s2, dir).queryExecution.executedPlan.toString)
+      f"$name\tscans=$s\texchanges=$e\tbroadcasts=$b"
+    }
+    val f = new java.io.File(shapesPath)
+    if (sys.props.get("graft.plan.regen").contains("true") || !f.exists()) {
+      java.nio.file.Files.writeString(f.toPath,
+        observed.mkString("", "\n", "\n"))
+      info(s"wrote ${observed.size} plan shapes to $shapesPath")
+    } else {
+      val golden = scala.io.Source.fromFile(f).getLines()
+        .filter(_.nonEmpty).toSeq
+      val goldenMap = golden.map(l => l.split("\t", 2) match {
+        case Array(n, rest) => n -> rest }).toMap
+      val diffs = observed.flatMap { l =>
+        val Array(n, rest) = l.split("\t", 2)
+        goldenMap.get(n) match {
+          case None => Some(s"NEW QUERY  $l (regenerate the golden)")
+          case Some(g) if g != rest => Some(s"DRIFT      $n: golden[$g] now[$rest]")
+          case _ => None
+        }
+      } ++ goldenMap.keys.filterNot(n => observed.exists(_.startsWith(n + "\t")))
+        .map(n => s"REMOVED    $n (regenerate the golden)")
+      assert(diffs.isEmpty,
+        ("plan shape drift — if intentional, regenerate with " +
+          "-Dgraft.plan.regen=true and commit the golden:\n") +
+          diffs.mkString("\n"))
+    }
+  }
 }
