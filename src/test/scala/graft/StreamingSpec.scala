@@ -109,6 +109,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("watermark semantics: late data into a closed window drops, open window keeps") {
+    // The A4 parity tests feed in-order data; this pins the LATE-arrival
+    // contract of rollingSqaMetrics in append mode (1-minute tumbling
+    // windows, 1-minute watermark):
+    //  - a beat arriving after its window was EMITTED AND EVICTED is
+    //    dropped (no duplicate window row, no resurrected state),
+    //  - a beat arriving late but into a still-open window is kept,
+    //  - a window the watermark never passes is never emitted.
+    // Timing note (empirical, Spark 4.1): a batch aggregates its input
+    // FIRST and then emits/evicts windows the current watermark passed,
+    // so a late row landing in the SAME batch as the close is still
+    // aggregated — the drop guarantee starts one batch later. The feed
+    // below puts one filler batch between the advance and the late row.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_late_stream").toString
+    def write(batch: String, rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .withColumn("props", lit(null).cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$tmp/$batch")
+      Thread.sleep(1100) // distinct mtimes: the file source orders by them
+    }
+    val B = "click" // a beat type (SignalFrame.BEAT_TYPES)
+    write("b1", Seq( // window [00:00, 00:01): two beats
+      (1L, "2026-01-01 00:00:10", 1L, B, 1.0),
+      (2L, "2026-01-01 00:00:20", 1L, B, 1.0)))
+    write("b2", Seq( // advances the watermark to 00:04
+      (3L, "2026-01-01 00:05:00", 1L, B, 1.0)))
+    write("b3", Seq( // runs with wm=00:04 -> emits + evicts [00:00, 00:01)
+      (4L, "2026-01-01 00:05:30", 1L, B, 1.0)))
+    write("b4", Seq( // late into EVICTED window -> dropped; into open -> kept
+      (5L, "2026-01-01 00:00:30", 1L, B, 1.0),
+      (6L, "2026-01-01 00:04:30", 1L, B, 1.0)))
+    write("b5", Seq( // advances watermark to 00:09 -> emits [4,5) and [5,6)
+      (7L, "2026-01-01 00:10:00", 1L, B, 1.0)))
+
+    val stream = spark.readStream.schema(StreamingSqa.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.rollingSqaMetrics(stream,
+      windowDur = "1 minute", slideDur = "1 minute", watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_stream").start()
+    q.processAllAvailable()
+    q.recentProgress.foreach(p => info(
+      s"batch ${p.batchId}: rows=${p.numInputRows} watermark=${p.eventTime.get("watermark")}"))
+    q.stop()
+
+    val got = spark.table("late_stream")
+      .select(col("window.start").cast("string"), col("n_detected"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(
+      // ONE row with 2 beats: event 5 arrived after emission+eviction and
+      // was dropped — a resurrected state would emit a duplicate window
+      ("2026-01-01 00:00:00", 2L),
+      // event 6 was late but its window was still open: kept
+      ("2026-01-01 00:04:00", 1L),
+      ("2026-01-01 00:05:00", 2L)),
+      // and [00:10, 00:11) is absent: the watermark never passed it
+      s"late-data contract violated: $got")
+  }
+
   test("stateless corpus-prep operators run unchanged on a stream") {
     // quality scoring and stratified sampling are pure expression/filter
     // transforms — the ingest-time half of the training-data pipeline —
