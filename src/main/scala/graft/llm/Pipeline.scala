@@ -135,6 +135,73 @@ object Pipeline {
           col("n_tok") > 0)
   }
 
+  /** Fixed-window document chunking — the context-window preparation step
+    * that precedes packing when documents must NOT cross example
+    * boundaries (the SFT/eval layout, vs [[packSequences]]' concatenated
+    * pre-training layout): each document is cut into `chunkWords`-word
+    * windows every `strideWords` words, plus one tail chunk flush with
+    * the document end so no suffix is dropped; documents shorter than
+    * one window yield a single whole-document chunk.
+    *
+    * Pure per-row expression work (split + sequence + explode + slice):
+    * zero shuffle, whole-stage codegen, embarrassingly parallel at
+    * 100 TB — output grows by ~chunkWords/strideWords x. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 64, strideWords: Int = 32): DataFrame = {
+    require(chunkWords > 0 && strideWords > 0 && strideWords <= chunkWords,
+      "need 0 < strideWords <= chunkWords")
+    docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .withColumn("start", explode(
+        when(col("__n") <= chunkWords, array(lit(0)))
+          .otherwise(array_distinct(concat(
+            sequence(lit(0), col("__n") - chunkWords - 1, lit(strideWords)),
+            array(col("__n") - chunkWords))))))
+      .select(
+        col(idCol),
+        col("start").cast("long").as("start_word"),
+        least(lit(chunkWords), col("__n") - col("start"))
+          .cast("long").as("n_words"),
+        concat_ws(" ", slice(col("__ws"), col("start") + 1, lit(chunkWords)))
+          .as("chunk"))
+  }
+
+  /** Length-bucketed batching — the padding-minimizing batch layout for
+    * variable-length examples: each document lands in the smallest
+    * power-of-two length bucket holding it, and consecutive documents of
+    * one (stream, bucket) fill fixed-capacity batches
+    * (`capacity div bucket` rows each). Per-document padding waste is
+    * `(bucket - n_words) / bucket` — exact binary arithmetic (power-of-
+    * two denominator), so the oracle hash-matches without pinning.
+    *
+    * The batch numbering window partitions by (stream, bucket) — like
+    * [[packSequences]], streams (source shards) are the unit real
+    * pipelines batch independently, so no global sort group forms. */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, capacity: Int = 2048): DataFrame = {
+    require(capacity >= 16, "capacity must hold at least one max-size row")
+    val buckets = Iterator.iterate(16)(_ * 2).takeWhile(_ <= capacity).toSeq
+    val n = col("n_words")
+    // smallest power-of-two bucket >= n_words (floor 16); oversize rows
+    // get their own bucket == capacity truncation bucket
+    val bucket = buckets.init.foldRight(lit(buckets.last)) {
+      case (b, e) => when(n <= b, b).otherwise(e)
+    }
+    val w = Window.partitionBy(col(streamCol), col("bucket")).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(streamCol),
+        size(TextOps.words(col(textCol))).cast("long").as("n_words"))
+      .filter(n > 0)
+      .withColumn("bucket", bucket.cast("long"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(__rn - 1) div ($capacity div bucket)"))
+      .withColumn("pad_frac",
+        (col("bucket") - least(n, col("bucket"))).cast("double") / col("bucket"))
+      .drop("__rn")
+  }
+
   /** Deterministic stratified sampling: per stratum (e.g. language) keep a
     * fixed permille of documents, chosen by a salted md5 bucket of the doc
     * id — reproducible across runs, engines, and cluster sizes (no RNG,

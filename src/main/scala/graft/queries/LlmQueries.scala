@@ -207,6 +207,20 @@ object LlmQueries {
     "q107_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text")),
 
+    // Fixed-window document chunking with stride + flush tail — the
+    // context-window prep for layouts where documents must not cross
+    // example boundaries (vs q77's concatenated packing).
+    "q109_doc_chunks" -> ((s, dir) =>
+      Pipeline.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkWords = 24, strideWords = 16)),
+
+    // Length-bucketed batching: smallest power-of-two bucket per doc,
+    // fixed-capacity batches filled per (source, bucket) in id order;
+    // padding waste is exact binary arithmetic.
+    "q110_length_buckets" -> ((s, dir) =>
+      Pipeline.lengthBucketedBatches(Tables.documents(s, dir), "doc_id",
+        "text", "source", capacity = 256)),
+
     "q85_bigram_lm" -> ((s, dir) =>
       Pipeline.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -979,6 +993,36 @@ object LlmQueries {
          |  round_even(COUNT(*) FILTER (WHERE n > 1) / COUNT(*), 6) AS dup_frac
          |FROM sh JOIN c USING (shingle)
          |GROUP BY 1""".stripMargin,
+
+    "q109_doc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |nn AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+         |st AS (
+         |  SELECT doc_id, w, n,
+         |    unnest(CASE WHEN n <= 24 THEN [CAST(0 AS BIGINT)]
+         |      ELSE list_distinct(list_append(range(0, n - 24, 16), n - 24))
+         |      END) AS start
+         |  FROM nn)
+         |SELECT doc_id, CAST(start AS BIGINT) AS start_word,
+         |  CAST(LEAST(24, n - start) AS BIGINT) AS n_words,
+         |  array_to_string(w[start + 1 : start + 24], ' ') AS chunk
+         |FROM st""".stripMargin,
+
+    "q110_length_buckets" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($WORDS) AS BIGINT) AS n_words
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, n_words,
+         |    CAST(CASE WHEN n_words <= 16 THEN 16 WHEN n_words <= 32 THEN 32
+         |      WHEN n_words <= 64 THEN 64 WHEN n_words <= 128 THEN 128
+         |      ELSE 256 END AS BIGINT) AS bucket
+         |  FROM d WHERE n_words > 0)
+         |SELECT doc_id, source, n_words, bucket,
+         |  (ROW_NUMBER() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1)
+         |    // (256 // bucket) AS batch_id,
+         |  CAST(bucket - LEAST(n_words, bucket) AS DOUBLE) / bucket AS pad_frac
+         |FROM b""".stripMargin,
 
     "q80_shards" ->
       """SELECT doc_id, shard, pos FROM (

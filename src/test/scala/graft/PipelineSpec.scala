@@ -20,6 +20,44 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang", "source")
   }
 
+  test("chunkDocuments: stride windows, flush tail, short-doc passthrough") {
+    def ws(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, ws(3), "en", "a"),   // shorter than one chunk -> one whole chunk
+      (2L, ws(4), "en", "a"),   // exactly chunkWords -> one chunk
+      (3L, ws(9), "en", "a"),   // strided + tail flush with the end
+      (4L, ws(8), "en", "a"),   // tail start (n-size=4) on the stride grid
+      (5L, "", "en", "a"))      // empty -> no rows
+    val got = Pipeline.chunkDocuments(d, "doc_id", "text",
+      chunkWords = 4, strideWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, "w1 w2 w3"),
+      (2L, 0L, 4L, "w1 w2 w3 w4"),
+      (3L, 0L, 4L, "w1 w2 w3 w4"), (3L, 2L, 4L, "w3 w4 w5 w6"),
+      (3L, 4L, 4L, "w5 w6 w7 w8"), (3L, 5L, 4L, "w6 w7 w8 w9"),
+      (4L, 0L, 4L, "w1 w2 w3 w4"), (4L, 2L, 4L, "w3 w4 w5 w6"),
+      (4L, 4L, 4L, "w5 w6 w7 w8")))
+    // every word of every doc is covered by at least one chunk
+    assert(got.filter(_._1 == 3L).flatMap(t => t._2 until (t._2 + t._3))
+      .toSet == (0L until 9L).toSet)
+  }
+
+  test("lengthBucketedBatches: pow2 buckets, capacity batches, exact padding") {
+    def ws(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // capacity 64: bucket 16 holds 4 rows/batch, bucket 32 holds 2
+    val d = docs((1L to 7L).map(i => (i, ws(if (i <= 5) 10 else 20), "en", "a")): _*)
+    val got = Pipeline.lengthBucketedBatches(d, "doc_id", "text", "source",
+      capacity = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 16L, 0L, 0.375), (2L, 16L, 0L, 0.375), (3L, 16L, 0L, 0.375),
+      (4L, 16L, 0L, 0.375), (5L, 16L, 1L, 0.375), // 5th 16-row -> batch 1
+      (6L, 32L, 0L, 0.375), (7L, 32L, 0L, 0.375)))
+  }
+
   test("tfIdfTopK ranks rare terms above common ones and breaks ties by word") {
     // 'rare' appears in 1 of 3 docs, 'the' in all 3: idf(rare) > idf(the).
     val d = docs(
