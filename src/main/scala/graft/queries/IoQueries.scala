@@ -147,6 +147,26 @@ object IoQueries {
           "record_duration_s", "start_epoch_us")
     }),
 
+    // Audio pipeline composition: binaryFile scan -> executor-side
+    // RIFF/WAVE PCM decode (Multimodal.decodeWav, one task per file — the
+    // batch-audio shape at 100 TB) -> K15a polyphase 2x resample. The
+    // oracle convolves the same Kaiser-sinc taps in SQL over the fixture
+    // GENERATOR's decode (wav_frame.parquet, sample/32768 exact binary),
+    // so green certifies decoder AND resampler end to end.
+    "q111_wav_resample" -> ((s, _) => {
+      import s.implicits._
+      val frame = s.read.format("binaryFile").load(s"$ioDir/tone.wav")
+        .select(col("content")).as[Array[Byte]]
+        .mapPartitions(_.flatMap { bytes =>
+          val w = graft.llm.Multimodal.decodeWav(bytes)
+            .getOrElse(throw new IllegalArgumentException("undecodable WAV"))
+          w.samples.iterator.zipWithIndex
+            .map { case (v, i) => (0L, i.toLong, v) }
+        }).toDF("subject", "idx", "value")
+      graft.kernels.Resample.resamplePoly(frame, up = 2, down = 1)
+        .withColumn("value_rs", bround(col("value_rs"), 6))
+    }),
+
     // S11 round-trip: EngineConfig JSON save -> load -> frame view
     // (reference _create_configs/_load_config, dashboard/utils.py:327-372);
     // oracle = DuckDB read_json of the same written file.
@@ -236,6 +256,10 @@ object IoQueries {
       s"""SELECT generate_subscripts(columns, 1) - 1 AS pos,
          |  unnest(columns).name AS name
          |FROM sniff_csv('$ioDir/mapped.csv')""".stripMargin,
+
+    "q111_wav_resample" -> KernelQueries.polyResampleSql(
+      s"""SELECT CAST(0 AS BIGINT) AS subject, idx, value
+         |FROM read_parquet('$ioDir/wav_frame.parquet')""".stripMargin),
 
     "q102_sink_config" ->
       s"""SELECT * FROM read_json('$sinkDir/q102_config/*.json',

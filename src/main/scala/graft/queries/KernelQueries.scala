@@ -210,29 +210,36 @@ object KernelQueries {
            |      ROWS BETWEEN $w PRECEDING AND ${w - 1} FOLLOWING) AS lst
            |  FROM sig)""".stripMargin,
 
-      "q56_resample_poly" -> {
-        val h = graft.kernels.Resample.polyTaps(2, 1)
-        val half = (h.length - 1) / 2
-        val taps = h.indices.map { j =>
-          val o = half - j
-          val v =
-            if (o > 0) s"COALESCE(LAG(value, $o) OVER w, 0)"
-            else if (o < 0) s"COALESCE(LEAD(value, ${-o}) OVER w, 0)"
-            else "value"
-          s"${h(j)} * $v"
-        }.mkString(" + ")
-        s"""WITH sig AS (${SignalFrame.fromEventsSql}),
-           |cnt AS (SELECT subject, COUNT(*) AS n FROM sig GROUP BY subject),
-           |grid AS (
-           |  SELECT subject, ui FROM cnt, unnest(range(0, n * 2)) AS t(ui)),
-           |stuffed AS (
-           |  SELECT g.subject, g.ui, COALESCE(s.value, 0) AS value
-           |  FROM grid g LEFT JOIN (SELECT subject, idx * 2 AS ui, value FROM sig) s
-           |    ON g.subject = s.subject AND g.ui = s.ui)
-           |SELECT subject, ui AS ridx, round_even($taps, 6) AS value_rs
-           |FROM stuffed
-           |WINDOW w AS (PARTITION BY subject ORDER BY ui)""".stripMargin
-      }
+      "q56_resample_poly" -> polyResampleSql(SignalFrame.fromEventsSql)
     )
+  }
+
+  /** Polyphase up=2 resample oracle over any `(subject, idx, value)`
+    * relation: the Kaiser-sinc taps (public scipy resample_poly design,
+    * exported as literals) convolved in pure SQL over the zero-stuffed
+    * grid — an implementation independent of the engine's window plan.
+    * Shared by q56 (events frame) and q111 (decoded WAV frame). */
+  private[queries] def polyResampleSql(sigSql: String): String = {
+    val h = graft.kernels.Resample.polyTaps(2, 1)
+    val half = (h.length - 1) / 2
+    val taps = h.indices.map { j =>
+      val o = half - j
+      val v =
+        if (o > 0) s"COALESCE(LAG(value, $o) OVER w, 0)"
+        else if (o < 0) s"COALESCE(LEAD(value, ${-o}) OVER w, 0)"
+        else "value"
+      s"${h(j)} * $v"
+    }.mkString(" + ")
+    s"""WITH sig AS ($sigSql),
+       |cnt AS (SELECT subject, COUNT(*) AS n FROM sig GROUP BY subject),
+       |grid AS (
+       |  SELECT subject, ui FROM cnt, unnest(range(0, n * 2)) AS t(ui)),
+       |stuffed AS (
+       |  SELECT g.subject, g.ui, COALESCE(s.value, 0) AS value
+       |  FROM grid g LEFT JOIN (SELECT subject, idx * 2 AS ui, value FROM sig) s
+       |    ON g.subject = s.subject AND g.ui = s.ui)
+       |SELECT subject, ui AS ridx, round_even($taps, 6) AS value_rs
+       |FROM stuffed
+       |WINDOW w AS (PARTITION BY subject ORDER BY ui)""".stripMargin
   }
 }

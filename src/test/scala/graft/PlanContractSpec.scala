@@ -54,8 +54,9 @@ class PlanContractSpec extends AnyFunSuite {
   // shuffle-exchange / broadcast-exchange counts are pinned to a checked-in
   // golden, so a multiplicative-replanning regression (q63 once grew
   // 1 -> 16 scans) fails CI the round it lands, not a round later.
-  // Intentional plan changes regenerate the golden in the same commit:
-  //   sbt -batch "testOnly graft.PlanContractSpec" -Dgraft.plan.regen=true
+  // Intentional plan changes regenerate the golden in the same commit
+  // (tests run in a forked JVM, so use the env var, or delete the file):
+  //   GRAFT_PLAN_REGEN=1 sbt -batch "testOnly graft.PlanContractSpec"
 
   private val shapesPath =
     s"${sys.props("user.dir")}/src/test/resources/golden/plan_shapes.tsv"
@@ -86,7 +87,7 @@ class PlanContractSpec extends AnyFunSuite {
       f"$name\tscans=$s\texchanges=$e\tbroadcasts=$b"
     }
     val f = new java.io.File(shapesPath)
-    if (sys.props.get("graft.plan.regen").contains("true") || !f.exists()) {
+    if (sys.env.contains("GRAFT_PLAN_REGEN") || !f.exists()) {
       java.nio.file.Files.writeString(f.toPath,
         observed.mkString("", "\n", "\n"))
       info(s"wrote ${observed.size} plan shapes to $shapesPath")
@@ -106,7 +107,7 @@ class PlanContractSpec extends AnyFunSuite {
         .map(n => s"REMOVED    $n (regenerate the golden)")
       assert(diffs.isEmpty,
         ("plan shape drift — if intentional, regenerate with " +
-          "-Dgraft.plan.regen=true and commit the golden:\n") +
+          "GRAFT_PLAN_REGEN=1 and commit the golden:\n") +
           diffs.mkString("\n"))
     }
   }

@@ -169,6 +169,27 @@ def main():
                          f'"editType":"{kind}"}}')
     (out / "edited.json").write_text("\n".join(edits) + "\n")
 
+    # ---- tone.wav (q111): canonical 44-byte RIFF/WAVE PCM, mono 16-bit
+    # 8 kHz, 400 deterministic int16 samples. wav_frame.parquet is the
+    # GENERATOR's decode (sample/32768, exact binary) — the oracle frame,
+    # independent of the Scala decoder.
+    import struct
+    n_wav = 400
+    samples = [((i * 37 + 11) % 2048 - 1024) * 13 for i in range(n_wav)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" +
+           b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16) +
+           b"data" + struct.pack("<I", len(data)))
+    (out / "tone.wav").write_bytes(hdr + data)
+    try:
+        import pandas as pd
+        pd.DataFrame({
+            "idx": pd.array(range(n_wav), dtype="int64"),
+            "value": [s / 32768.0 for s in samples],
+        }).to_parquet(out / "wav_frame.parquet", index=False)
+    except ImportError:
+        print("pandas unavailable; wav_frame.parquet NOT regenerated")
+
     print(f"io fixtures -> {out}")
 
 
