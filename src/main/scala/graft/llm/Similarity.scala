@@ -280,6 +280,82 @@ object Similarity {
   def autoNList(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Product quantization (Jegou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search") — the billion-vector ANN memory layout:
+    * the embedding splits into `m` subspaces of dim/m coordinates, each
+    * k-means-quantized independently (`k` codes, [[kMeans]]'s
+    * deterministic conventions — first-k-by-id seeds, ties to the lower
+    * code, empty codes drop — but with BINARY-quantized centroid means,
+    * see the loop comment), so a vector stores as m small codes instead
+    * of dim floats (64 floats -> 8 nibbles at the defaults, 64x smaller).
+    *
+    * Codebooks are m*k*(dim/m) doubles synced at the driver per Lloyd
+    * iteration — the same bounded state as kMeans; the vectors never
+    * leave the executors. One exchange on (id, sub) for the assignment
+    * window; everything else is broadcast. Output is the LONG code
+    * table (id, sub, code, d2) — d2 is the subspace reconstruction
+    * error, so `sum(d2) group by id` is the vector's total squared
+    * quantization error. */
+  def productQuantize(docs: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, "dim must split evenly into m subspaces")
+    val d = dim / m
+    val spark = docs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val subs = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .select(col("id"), posexplode(array((0 until m).map(j =>
+        slice(col("emb"), j * d + 1, d)): _*)).as(Seq("sub", "e")))
+      .withColumn("n2", VectorOps.normSq(col("e")))
+    val seedRows = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .orderBy(idCol).limit(k).collect()
+    var code: Array[(Int, Int, Array[Double])] =
+      (for (j <- 0 until m; (r, cl) <- seedRows.zipWithIndex) yield {
+        val full = r.getSeq[Number](1).map(_.doubleValue).toArray
+        (j, cl, full.slice(j * d, (j + 1) * d))
+      }).toArray
+    def centsDf(cs: Array[(Int, Int, Array[Double])]) =
+      cs.map { case (s, cl, c) => (s, cl, c.toSeq, c.map(x => x * x).sum) }
+        .toSeq.toDF("sub", "cluster", "c_emb", "c_n2")
+    def assign(cs: Array[(Int, Int, Array[Double])]): DataFrame = {
+      val w = Window.partitionBy("id", "sub").orderBy(col("d2"), col("cluster"))
+      subs.join(broadcast(centsDf(cs)), Seq("sub"))
+        .withColumn("d2", col("n2") + col("c_n2") -
+          lit(2.0) * VectorOps.dot(col("e"), col("c_emb")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+    }
+    for (_ <- 1 until iters) {
+      // Binary-quantized centroid means (vs kMeans' decimal route):
+      // coordinates snap to multiples of 2^-20, so the double SUM is
+      // EXACT in any order (every partial sum needs < 53 significand
+      // bits) and the mean is one IEEE division — bit-identical across
+      // engines with no decimal casts and no end rounding, which is what
+      // lets d2 ship unrounded below.
+      val q = 1L << 20
+      val means = assign(code)
+        .select(col("sub"), col("cluster"),
+          posexplode(col("e")).as(Seq("pos", "__x")))
+        .groupBy("sub", "cluster", "pos")
+        .agg((sum(floor(col("__x").cast("double") * q) / q) / count(lit(1)))
+          .as("__m"))
+        .collect()
+      code = means.groupBy(r => (r.getInt(0), r.getInt(1))).toArray
+        .sortBy(_._1).map { case ((s, cl), rows) =>
+          val c = new Array[Double](d)
+          rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+          (s, cl, c)
+        }
+    }
+    // d2 ships UNROUNDED: every op in the chain (float->double widening,
+    // left-to-right fold, 6-digit-decimal centroid coordinates) is
+    // IEEE-identical across engines, so the raw doubles hash-match —
+    // while a final 6-digit round can straddle the cross-engine
+    // double-rounding boundary (ARCHITECTURE.md), observed at sf0.01.
+    assign(code).select(col("id"), col("sub").cast("long").as("sub"),
+      col("cluster").cast("long").as("code"), col("d2"))
+  }
+
   def annRecall(queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int, nList: Int = 0,
       nProbe: Int = 2): DataFrame = {

@@ -232,6 +232,12 @@ object LlmQueries {
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
 
+    // Product quantization (Jegou 2011): per-subspace k-means codes +
+    // reconstruction error — the billion-vector ANN compression layout.
+    "q112_pq_codes" -> ((s, dir) =>
+      Similarity.productQuantize(Tables.embeddings(s, dir), "vec_id",
+        "embedding", m = 8, k = 16, iters = 2)),
+
     "q88_cluster_sample" -> ((s, dir) =>
       Pipeline.clusterBalancedSample(
         Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -396,7 +402,59 @@ object LlmQueries {
        |${assignCte("a2", "cents1")}""".stripMargin
   }
 
+  /** CTE chain mirroring Similarity.productQuantize(m=8, k=16, iters=2):
+    * the kMeans conventions applied per subspace — subvector view with
+    * its own n2 fold, per-sub first-16-by-id seeds, two assignments with
+    * a BINARY-quantized (floor(x*2^20)/2^20) centroid mean between them:
+    * the double sum of 2^-20 multiples is exact in any order, so the
+    * centroids — and therefore every d2 — are bit-identical across
+    * engines with no rounding anywhere in the query. */
+  private lazy val pqCtes: String = {
+    val m = 8; val d = 8; val k = 16
+    def dotSub(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${d + 1}), " +
+        s"i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE), (x, y) -> x + y)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, cluster, d2 FROM (
+         |    SELECT n.vec_id, n.sub, c.cluster,
+         |      n.n2 + c.c_n2 - 2.0 * ${dotSub("n.e", "c.c_emb")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, n.sub ORDER BY
+         |        n.n2 + c.c_n2 - 2.0 * ${dotSub("n.e", "c.c_emb")},
+         |        c.cluster) AS rn
+         |    FROM subn n JOIN $cents c USING (sub)) WHERE rn = 1)""".stripMargin
+    s"""sub AS (
+       |  SELECT vec_id, s.sub,
+       |    list_transform(embedding[s.sub * $d + 1 : s.sub * $d + $d],
+       |      x -> x::DOUBLE) AS e
+       |  FROM embeddings, (SELECT unnest(range(0, $m)) AS sub) s),
+       |subn AS (SELECT vec_id, sub, e, ${dotSub("e", "e")} AS n2 FROM sub),
+       |cents0 AS (
+       |  SELECT sub, cluster, e AS c_emb, n2 AS c_n2 FROM (
+       |    SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+       |      AS cluster, e, n2
+       |    FROM subn) WHERE cluster < $k),
+       |${assignCte("a1", "cents0")},
+       |m1 AS (
+       |  SELECT a1.sub, cluster, pos,
+       |    SUM(floor(e[pos] * 1048576.0) / 1048576.0) / COUNT(*) AS mn
+       |  FROM a1 JOIN subn n ON a1.vec_id = n.vec_id AND a1.sub = n.sub,
+       |       unnest(range(1, ${d + 1})) AS t(pos)
+       |  GROUP BY 1, 2, 3),
+       |cents1 AS (
+       |  SELECT sub, cluster, list(mn ORDER BY pos) AS c_emb,
+       |    list_reduce(list_transform(list(mn ORDER BY pos), x -> x * x),
+       |      (x, y) -> x + y) AS c_n2
+       |  FROM m1 GROUP BY sub, cluster),
+       |${assignCte("a2", "cents1")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q112_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id AS id, sub, cluster AS code, d2
+         |FROM a2""".stripMargin,
+
     "q87_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id AS id, cluster, ROUND(d2, 6) AS d2 FROM a2""".stripMargin,
