@@ -295,9 +295,11 @@ object Similarity {
     * window; everything else is broadcast. Output is the LONG code
     * table (id, sub, code, d2) — d2 is the subspace reconstruction
     * error, so `sum(d2) group by id` is the vector's total squared
-    * quantization error. */
-  def productQuantize(docs: DataFrame, idCol: String, embCol: String,
-      m: Int = 8, k: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    * quantization error. Also returns the trained codebook
+    * (sub, cluster, c_emb, c_n2) for ADC search ([[pqTopK]]). */
+  def productQuantizeFull(docs: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2,
+      dim: Int = 64): (DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, "dim must split evenly into m subspaces")
     val d = dim / m
     val spark = docs.sparkSession
@@ -348,12 +350,58 @@ object Similarity {
         }
     }
     // d2 ships UNROUNDED: every op in the chain (float->double widening,
-    // left-to-right fold, 6-digit-decimal centroid coordinates) is
+    // left-to-right fold, binary-quantized centroid coordinates) is
     // IEEE-identical across engines, so the raw doubles hash-match —
     // while a final 6-digit round can straddle the cross-engine
     // double-rounding boundary (ARCHITECTURE.md), observed at sf0.01.
-    assign(code).select(col("id"), col("sub").cast("long").as("sub"),
+    val codes = assign(code).select(col("id"), col("sub").cast("long").as("sub"),
       col("cluster").cast("long").as("code"), col("d2"))
+    (codes, centsDf(code))
+  }
+
+  /** [[productQuantizeFull]] keeping only the code table (q112). */
+  def productQuantize(docs: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame =
+    productQuantizeFull(docs, idCol, embCol, m, k, iters, dim)._1
+
+  /** PQ asymmetric-distance search (ADC, Jegou 2011 §IV): each query
+    * subvector precomputes its distance to every codebook centroid (the
+    * m*k lookup table — tiny, broadcast), then a candidate's approximate
+    * squared distance is the SUM of its m codes' table entries. The
+    * corpus side touches only the code table — never the vectors — which
+    * is the point: at 10^9 vectors the codes are ~100x smaller than the
+    * embeddings and the scan is one broadcast-join + sum per probe.
+    *
+    * LUT terms are binary-quantized (floor(x*2^20)/2^20) so the m-addend
+    * sum is exact in any order — adc is bit-identical across engines
+    * unrounded, same determinism route as the centroid means. Output:
+    * (query_id, cand_id, adc, rnk <= k) per query. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int = 8, codebookK: Int = 16,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val d = dim / m
+    val spark = queries.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val (codes, codebook) = productQuantizeFull(
+      candidates, idCol, embCol, m, codebookK, iters, dim)
+    val qsubs = queries.select(col(idCol).as("query_id"), col(embCol).as("emb"))
+      .select(col("query_id"), posexplode(array((0 until m).map(j =>
+        slice(col("emb"), j * d + 1, d)): _*)).as(Seq("sub", "qe")))
+      .withColumn("qn2", VectorOps.normSq(col("qe")))
+    val q = 1L << 20
+    val lut = qsubs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("term", floor((col("qn2") + col("c_n2") -
+        lit(2.0) * VectorOps.dot(col("qe"), col("c_emb"))) * q) / q)
+      .select(col("query_id"), col("sub").cast("long").as("sub"),
+        col("cluster").cast("long").as("code"), col("term"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("cand_id"))
+      .agg(sum(col("term")).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "adc", "rnk")
   }
 
   def annRecall(queries: DataFrame, candidates: DataFrame,

@@ -238,6 +238,16 @@ object LlmQueries {
       Similarity.productQuantize(Tables.embeddings(s, dir), "vec_id",
         "embedding", m = 8, k = 16, iters = 2)),
 
+    // PQ asymmetric-distance search (ADC): per-query LUT against the
+    // trained codebook, candidates scored from their codes alone — the
+    // search half of the PQ story (the corpus scan never touches the
+    // embeddings).
+    "q113_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id",
+        "embedding", k = 5)
+    }),
+
     "q88_cluster_sample" -> ((s, dir) =>
       Pipeline.clusterBalancedSample(
         Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -409,11 +419,13 @@ object LlmQueries {
     * the double sum of 2^-20 multiples is exact in any order, so the
     * centroids — and therefore every d2 — are bit-identical across
     * engines with no rounding anywhere in the query. */
+  /** d-element left-to-right dot fold (the sub-dimensional [[DOT]]). */
+  private def dotSub(a: String, b: String, d: Int = 8) =
+    s"list_reduce(list_transform(range(1, ${d + 1}), " +
+      s"i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE), (x, y) -> x + y)"
+
   private lazy val pqCtes: String = {
     val m = 8; val d = 8; val k = 16
-    def dotSub(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${d + 1}), " +
-        s"i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE), (x, y) -> x + y)"
     def assignCte(name: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, sub, cluster, d2 FROM (
@@ -454,6 +466,34 @@ object LlmQueries {
       s"""WITH $pqCtes
          |SELECT vec_id AS id, sub, cluster AS code, d2
          |FROM a2""".stripMargin,
+
+    // ADC over the q112 chain: binary-quantized LUT terms make the
+    // m-addend sum exact in any order — adc hashes raw, unrounded.
+    "q113_pq_ann" ->
+      s"""WITH $pqCtes,
+         |qsub AS (
+         |  SELECT vec_id AS query_id, s.sub,
+         |    list_transform(embedding[s.sub * 8 + 1 : s.sub * 8 + 8],
+         |      x -> x::DOUBLE) AS qe
+         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+         |  WHERE vec_id < 20),
+         |qsubn AS (SELECT query_id, sub, qe, ${dotSub("qe", "qe")} AS qn2
+         |  FROM qsub),
+         |lut AS (
+         |  SELECT query_id, q.sub, c.cluster AS code,
+         |    floor((qn2 + c.c_n2 - 2.0 * ${dotSub("q.qe", "c.c_emb")})
+         |      * 1048576.0) / 1048576.0 AS term
+         |  FROM qsubn q JOIN cents1 c USING (sub)),
+         |scores AS (
+         |  SELECT l.query_id, a.vec_id AS cand_id, SUM(term) AS adc
+         |  FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cluster = l.code
+         |  WHERE l.query_id <> a.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, cand_id, adc, rnk FROM (
+         |  SELECT query_id, cand_id, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
+         |      AS rnk
+         |  FROM scores) WHERE rnk <= 5""".stripMargin,
 
     "q87_kmeans" ->
       s"""WITH $kmeansCtes
