@@ -220,6 +220,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("rep_stream").count() == repBatch.count())
     assert(spark.table("rep_stream").exceptAll(repBatch).count() == 0)
 
+    // document chunking (q109) is pure explode/slice expressions — the
+    // ingest-side context-window prep also runs unchanged on a stream
+    val qChunk = graft.llm.Pipeline.chunkDocuments(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    qChunk.processAllAvailable(); qChunk.stop()
+    val chunkBatch = graft.llm.Pipeline.chunkDocuments(docsBatch, "doc_id", "text")
+    assert(spark.table("chunk_stream").count() == chunkBatch.count())
+    assert(spark.table("chunk_stream").exceptAll(chunkBatch).count() == 0)
+
     val piiBatch = graft.llm.TextAnalysis.piiScan(docsBatch, "doc_id", "text")
     assert(spark.table("pii_stream").count() == piiBatch.count())
     assert(spark.table("pii_stream").exceptAll(piiBatch).count() == 0)
