@@ -176,12 +176,17 @@ object Pipeline {
     * `(bucket - n_words) / bucket` — exact binary arithmetic (power-of-
     * two denominator), so the oracle hash-matches without pinning.
     *
-    * The batch numbering window partitions by (stream, bucket) — like
-    * [[packSequences]], streams (source shards) are the unit real
-    * pipelines batch independently, so no global sort group forms. */
+    * The batch numbering window partitions by (stream, shard, bucket):
+    * the salted-hash shard key (same convention as [[shardAssign]])
+    * bounds every sort group to ~N/(streams*shards*buckets) rows, so a
+    * single giant source never becomes one window task — the exposure
+    * class the round-9 dup-n-gram rework removed. Batches never mix
+    * shards, which is how real pipelines batch anyway. */
   def lengthBucketedBatches(docs: DataFrame, idCol: String, textCol: String,
-      streamCol: String, capacity: Int = 2048): DataFrame = {
+      streamCol: String, capacity: Int = 2048, shards: Int = 16,
+      salt: String = "lbb1"): DataFrame = {
     require(capacity >= 16, "capacity must hold at least one max-size row")
+    require(shards > 0)
     val buckets = Iterator.iterate(16)(_ * 2).takeWhile(_ <= capacity).toSeq
     val n = col("n_words")
     // smallest power-of-two bucket >= n_words (floor 16); oversize rows
@@ -189,12 +194,15 @@ object Pipeline {
     val bucket = buckets.init.foldRight(lit(buckets.last)) {
       case (b, e) => when(n <= b, b).otherwise(e)
     }
-    val w = Window.partitionBy(col(streamCol), col("bucket")).orderBy(col(idCol))
+    val w = Window.partitionBy(col(streamCol), col("shard"), col("bucket"))
+      .orderBy(col(idCol))
     docs
       .select(col(idCol), col(streamCol),
         size(TextOps.words(col(textCol))).cast("long").as("n_words"))
       .filter(n > 0)
       .withColumn("bucket", bucket.cast("long"))
+      .withColumn("shard", TextOps.wordHash60(
+        concat(lit(salt), col(idCol).cast("string"))) % shards)
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("batch_id", expr(s"(__rn - 1) div ($capacity div bucket)"))
       .withColumn("pad_frac",

@@ -215,11 +215,12 @@ object LlmQueries {
         chunkWords = 24, strideWords = 16)),
 
     // Length-bucketed batching: smallest power-of-two bucket per doc,
-    // fixed-capacity batches filled per (source, bucket) in id order;
+    // fixed-capacity batches filled per (source, shard, bucket) in id
+    // order (the shard key bounds window sort groups at corpus scale);
     // padding waste is exact binary arithmetic.
     "q110_length_buckets" -> ((s, dir) =>
       Pipeline.lengthBucketedBatches(Tables.documents(s, dir), "doc_id",
-        "text", "source", capacity = 256)),
+        "text", "source", capacity = 256, shards = 4)),
 
     "q85_bigram_lm" -> ((s, dir) =>
       Pipeline.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
@@ -1114,11 +1115,13 @@ object LlmQueries {
          |  SELECT doc_id, source, n_words,
          |    CAST(CASE WHEN n_words <= 16 THEN 16 WHEN n_words <= 32 THEN 32
          |      WHEN n_words <= 64 THEN 64 WHEN n_words <= 128 THEN 128
-         |      ELSE 256 END AS BIGINT) AS bucket
+         |      ELSE 256 END AS BIGINT) AS bucket,
+         |    ('0x' || substr(md5('lbb1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 4 AS shard
          |  FROM d WHERE n_words > 0)
-         |SELECT doc_id, source, n_words, bucket,
-         |  (ROW_NUMBER() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1)
-         |    // (256 // bucket) AS batch_id,
+         |SELECT doc_id, source, n_words, bucket, shard,
+         |  (ROW_NUMBER() OVER (PARTITION BY source, shard, bucket
+         |     ORDER BY doc_id) - 1) // (256 // bucket) AS batch_id,
          |  CAST(bucket - LEAST(n_words, bucket) AS DOUBLE) / bucket AS pad_frac
          |FROM b""".stripMargin,
 

@@ -49,13 +49,22 @@ class PipelineSpec extends AnyFunSuite {
     // capacity 64: bucket 16 holds 4 rows/batch, bucket 32 holds 2
     val d = docs((1L to 7L).map(i => (i, ws(if (i <= 5) 10 else 20), "en", "a")): _*)
     val got = Pipeline.lengthBucketedBatches(d, "doc_id", "text", "source",
-      capacity = 64)
-      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
-        r.getDouble(5))).sortBy(_._1).toSeq
+      capacity = 64, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5),
+        r.getDouble(6))).sortBy(_._1).toSeq
     assert(got == Seq(
       (1L, 16L, 0L, 0.375), (2L, 16L, 0L, 0.375), (3L, 16L, 0L, 0.375),
       (4L, 16L, 0L, 0.375), (5L, 16L, 1L, 0.375), // 5th 16-row -> batch 1
       (6L, 32L, 0L, 0.375), (7L, 32L, 0L, 0.375)))
+    // with sharding on, batches never mix shards and never exceed capacity
+    val many = docs((1L to 200L).map(i => (i, ws(10), "en", "a")): _*)
+    val sharded = Pipeline.lengthBucketedBatches(many, "doc_id", "text",
+      "source", capacity = 64, shards = 4)
+      .collect().map(r => (r.getLong(4), r.getLong(3), r.getLong(5)))
+    assert(sharded.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    sharded.groupBy(identity).foreach { case ((_, bucket, _), rows) =>
+      assert(rows.length <= 64 / bucket, "batch over capacity")
+    }
   }
 
   test("tfIdfTopK ranks rare terms above common ones and breaks ties by word") {
