@@ -24,6 +24,15 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Correction {
 
+  /** Cumulative FSM work units since JVM start: one unit per main-loop
+    * iteration plus the FIFO length touched that iteration (so an
+    * unbounded-FIFO regression shows up), plus one per inserted split
+    * interval. Monotone and thread-safe; the per-kernel-call overhead is a
+    * single LongAdder.add. Exists so tests can witness the FSM's linear
+    * cost by WORK rather than wall clock (wall clock is nondeterministic
+    * under shared-JVM suite pressure). */
+  val workUnits = new java.util.concurrent.atomic.LongAdder
+
   case class Params(
       initialHr: Option[Double] = None,
       prevN: Int = 6,
@@ -76,6 +85,7 @@ object Correction {
     }
     val ibis = beatsIx.sliding(2).map(w => w(1) - w(0)).toArray
     val beats = beatsIx.drop(1)
+    var ops = 0L // accumulated locally, published to workUnits once at the end
 
     // Initial IBI estimate: the hr_estimate_window consecutive IBIs with
     // the smallest mean absolute successive difference.
@@ -208,6 +218,7 @@ object Correction {
       if (acceptanceCheck(ibi, fifo.q.drop(1).toSeq)) {
         var i = 0
         while (i < nSplit - 2) {
+          ops += 1
           corrIbis += ibi
           corrFlags += returnFlag(ibi, fifo.q.drop(1).toSeq)
           if ((n == 1 && i == 0) || corrBeats.isEmpty)
@@ -251,6 +262,7 @@ object Correction {
 
     var n = 0
     while (n < ibis.length) {
+      ops += 1L + fifo.q.length
       curIbi = ibis(n)
       curBeat = beats(n)
       if (n == 0) {
@@ -283,6 +295,7 @@ object Correction {
       n += 1
     }
     corrIbis += curIbi; corrBeats += curBeat; corrFlags += curFlag
+    workUnits.add(ops)
 
     val orig = OrigRow(0, None, None, beatsIx(0), 0) +:
       ibis.indices.map(i => OrigRow(i + 1,
