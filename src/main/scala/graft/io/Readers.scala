@@ -57,7 +57,10 @@ object Readers {
     * mapped-CSV reader. Driver-side by design — it stats ONE file; the
     * reader it selects does the distributed work. */
   def dispatch(path: String): FileSource = {
-    val ext = path.toLowerCase.split('.').last
+    // Extension comes from the BASENAME (the reference rsplits the
+    // filename, callbacks.py:60-147): a dotless filename under a dotted
+    // directory must not yield a path-fragment "extension".
+    val ext = new java.io.File(path).getName.toLowerCase.split('.').last
     ext match {
       case "edf" =>
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))

@@ -10,8 +10,8 @@ import graft.core.KernelRunner
   *
   *  - Nabian 2018 (K6): pure window expression — no kernel needed.
   *  - Pan-Tompkins 1985 (K7): sequential FSM kernel via KernelRunner.
-  *  Others (Engzee, Manikandan, PPG ERMA/van Gent) follow the same two
-  *  shapes and land in later rounds.
+  *  - Engzee (K4) and Manikandan-Soman (K5): bucketed kernels below;
+  *    the PPG detectors (K8, ERMA/van Gent) live in PpgDetectors.scala.
   */
 object BeatDetectors {
 

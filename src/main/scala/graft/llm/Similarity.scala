@@ -334,6 +334,13 @@ object Similarity {
       // bits) and the mean is one IEEE division — bit-identical across
       // engines with no decimal casts and no end rounding, which is what
       // lets d2 ship unrounded below.
+      // BOUND: exactness holds while the running sum stays under 2^53
+      // units of 2^-20, i.e. rowsPerCluster * max|coord| < 2^33 (~8.6B
+      // unit-magnitude rows in one cluster). Beyond that — a pathological
+      // hot cluster at true billion-vector scale — aggregate per-partition
+      // sums as scaled longs (sum of floor(x*2^20) as LONG, divide once)
+      // to make it unconditional; at any plausible k>=16 split this path
+      // never gets within 3 orders of magnitude of the bound.
       val q = 1L << 20
       val means = assign(code)
         .select(col("sub"), col("cluster"),

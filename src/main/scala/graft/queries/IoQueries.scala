@@ -36,8 +36,12 @@ object IoQueries {
     * directory would interleave output and the oracle would read mixed
     * files. The oracle SQL below renders from the same value inside the
     * same JVM, so the driver's DuckDB pass always reads this run's files.
-    * Sibling dirs idle for over an hour are swept so target/ does not
-    * accumulate dead runs (a live concurrent run keeps a fresh mtime). */
+    * Sibling dirs are swept by PID LIVENESS, not mtime: each dir name
+    * encodes its owner's pid, so a dir is dead exactly when that process
+    * is gone. (The former 1-hour-mtime sweep could delete a live run's
+    * files mid-oracle: sink files are written at plan-build time and
+    * DuckDB reads do not refresh mtime.) A pid recycled by an unrelated
+    * process keeps a dead dir alive; the 24h mtime fallback reaps those. */
   private[queries] lazy val sinkDir: String = {
     val base = sys.props.getOrElse("graft.sink.dir",
       s"${sys.props("user.dir")}/target/sink_roundtrip")
@@ -46,9 +50,13 @@ object IoQueries {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
       f.delete()
     }
-    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    def ownerAlive(name: String): Boolean =
+      name.stripPrefix("run_").toLongOption.exists(pid =>
+        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+    val fallbackCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName != mine && f.lastModified < cutoff)
+      .filter(f => f.isDirectory && f.getName != mine &&
+        (!ownerAlive(f.getName) || f.lastModified < fallbackCutoff))
       .foreach(del)
     new java.io.File(base, mine).getPath
   }
