@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 113 queries' whole-stage-codegen classes fill the default 240 MB code
+  // cache mid-suite; once full the JIT stops compiling and the pure-Scala
+  // solver kernels (cvxEDA, FFT, detectors) run interpreted — round 9
+  // measured q59 at 4.6x its isolated cost from exactly this.
+  "-XX:ReservedCodeCacheSize=512m",
 )

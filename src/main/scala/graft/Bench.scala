@@ -40,6 +40,27 @@ object Bench {
           bround(avg(col("id").cast("double")), 6))
         .collect()
     }
+    // Scalar-kernel warm-up (round-9 verdict #2): the solver-bound queries
+    // (q59/q108 cvxEDA, q67 FFT, the detector chains) reported up to 4.6x
+    // their isolated cost mid-suite because their pure-Scala hot loops
+    // compete for JIT attention with 113 queries' generated codegen
+    // classes. One small driver-side solve per kernel family compiles the
+    // hot loops up front, while the code cache is empty, so the suite-
+    // context number measures the query, not the compiler.
+    locally {
+      val n = 4096
+      val sig = Array.tabulate(n)(i =>
+        5.0 + math.sin(2 * math.Pi * 0.05 * i) + 0.01 * (i % 7))
+      graft.kernels.EdaDecompose.cvxEdaKernel(4)(sig)
+      val re = sig.clone(); val im = new Array[Double](n)
+      graft.kernels.Fft.fft(re, im, invert = false)
+      graft.kernels.Fft.hilbertImag(sig)
+      val (b, a) = graft.kernels.Iir.butter(2, Seq(0.5 / 16, 15.0 / 16), "bandpass")
+      val filtered = graft.kernels.Iir.filtfilt(b, a, sig)
+      graft.kernels.BeatDetectors.panTompkinsKernel(32)(filtered)
+      graft.kernels.Correction.correctInterval(32)(
+        Array.tabulate(256)(i => i * 40.0 + 20))
+    }
     Seq("events", "lineitem", "documents", "embeddings", "orders", "customer",
       "nation", "region", "part", "supplier").foreach { t =>
       try graft.core.Tables.table(spark, sfDir, t).count()
