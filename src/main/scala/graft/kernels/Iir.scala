@@ -11,9 +11,9 @@ package graft.kernels
   * (scipy.signal; reference pipeline/ECG.py:140-189, 685-757,
   * pipeline/PPG.py:76-128, pipeline/EDA.py:33-93).
   *
-  * Elliptic (Cauer) design needs Jacobi elliptic functions and lands in a
-  * later round; until then callers fall back to Chebyshev II at the same
-  * stopband attenuation (documented approximation delta).
+  * Elliptic (Cauer) design lives in Ellip.scala (Jacobi cd/sn via Landen
+  * transformations) and feeds `ellip` below — the reference's default ECG
+  * bandpass (oracle query q55).
   */
 object Iir {
 

@@ -64,6 +64,75 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("dispatch-routed mixed directory: EDF + E4 zip + mapped CSV lifecycle") {
+    assume(new java.io.File(EDF).exists() && new java.io.File(E4).exists())
+    val dir = java.nio.file.Files.createTempDirectory("mixed").toFile
+    val temp = new java.io.File(dir, "temp")
+    val render = new java.io.File(dir, "_render")
+    try {
+      // assemble the mixed directory: real device files + a mapped CSV
+      java.nio.file.Files.copy(java.nio.file.Paths.get(EDF),
+        new java.io.File(dir, "subjA.edf").toPath)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(E4),
+        new java.io.File(dir, "subjB.zip").toPath)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        "src/test/resources/io/mapped.csv"),
+        new java.io.File(dir, "subjC.csv").toPath)
+      // and two files the dispatcher must skip
+      java.nio.file.Files.write(new java.io.File(dir, "notes.txt").toPath,
+        "not physiological".getBytes)
+      java.nio.file.Files.write(new java.io.File(dir, "bad.edf").toPath,
+        Array.fill[Byte](64)(7))
+
+      val opts = graft.ops.RunPipeline.Options(
+        segSize = 10, e4Dtype = "EDA", csvDtype = "EDA", csvFs = 1,
+        csvMapping = Map("when" -> "Timestamp", "microsiemens" -> "EDA",
+          "temp_c" -> "TEMP"))
+      val outs = graft.ops.RunPipeline.runDirectory(
+        spark, dir.getPath, temp.getPath, render.getPath, opts)
+
+      // all three modality chains ran; the undispatchable files did not
+      assert(outs.map(o => (o.file, o.source.name, o.dtype)) == Seq(
+        ("subjA", "Actiwave", "ECG"),
+        ("subjB", "E4", "EDA"),
+        ("subjC", "csv", "EDA")))
+
+      // each chain's metrics table is non-trivial
+      val byFile = outs.map(o => o.file -> o).toMap
+      val ecgMetrics = byFile("subjA").metrics.collect()
+      assert(ecgMetrics.length > 5)
+      assert(ecgMetrics.forall(r => r.getAs[Long]("n_detected") >= 0))
+      val interiorBeats = ecgMetrics.dropRight(1).map(_.getAs[Long]("n_detected"))
+      assert(interiorBeats.exists(_ > 0), "EDF cardiac chain found no beats")
+      val edaMetrics = byFile("subjB").metrics.collect()
+      assert(edaMetrics.nonEmpty)
+      assert(byFile("subjB").metrics.columns.contains("pct_temp_out_of_range"))
+      val csvMetrics = byFile("subjC").metrics.collect()
+      assert(csvMetrics.nonEmpty)
+
+      // the reference's output surface landed through the real sinks
+      def nonEmptyCsvDir(p: String): Boolean = {
+        val fl = Option(new java.io.File(p).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+        fl.exists(f => f.getName.endsWith(".csv") && f.length > 0)
+      }
+      outs.foreach { o =>
+        assert(nonEmptyCsvDir(o.outFiles("signal")), s"${o.file} signal sink")
+        assert(nonEmptyCsvDir(o.outFiles("sqa")), s"${o.file} sqa sink")
+        assert(nonEmptyCsvDir(o.outFiles("render")), s"${o.file} render sink")
+      }
+      assert(byFile("subjA").outFiles.contains("ibi"))
+      assert(nonEmptyCsvDir(byFile("subjA").outFiles("ibi")))
+      assert(byFile("subjB").outFiles.contains("acc"))
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
+        f.delete()
+      }
+      del(dir)
+    }
+  }
+
   test("E4 ZIP archive: all modalities + IBI parse with real device data") {
     assume(new java.io.File(E4).exists())
     val eda = Readers.e4Modality(spark, E4, "EDA.csv")
