@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,18 +411,112 @@ object Similarity {
       .select("query_id", "cand_id", "adc", "rnk")
   }
 
-  def annRecall(queries: DataFrame, candidates: DataFrame,
-      idCol: String, embCol: String, k: Int, nList: Int = 0,
-      nProbe: Int = 2): DataFrame = {
+  /** Recall@k of any approximate top-k result against the exact
+    * brute-force cosine top-k — the harness half shared by the IVF (q89)
+    * and IVF-PQ (q115) recall rows. */
+  def recallVsExact(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, approx: DataFrame): DataFrame = {
     val exact = bruteForceTopK(queries, candidates, idCol, embCol, k)
       .select("query_id", "cand_id")
-    val approx = ivfTopK(queries, candidates, idCol, embCol, k, nList, nProbe)
+    val hits = approx
       .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("query_id", "cand_id"), "left")
+    exact.join(hits, Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
       .withColumn("recall",
         round(col("n_hits").cast("double") / col("n_exact"), 6))
+  }
+
+  def annRecall(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, nList: Int = 0,
+      nProbe: Int = 2): DataFrame =
+    recallVsExact(queries, candidates, idCol, embCol, k,
+      ivfTopK(queries, candidates, idCol, embCol, k, nList, nProbe))
+
+  /** IVF-PQ / IVFADC (Jegou, Douze, Schmid 2011 §IV-A — the actual
+    * billion-vector layout): the IVF coarse quantizer assigns every
+    * candidate to a cell, ONE shared PQ codebook is trained on the cell
+    * RESIDUALS (x − coarse centroid), and search runs [[pqTopK]]'s ADC
+    * against a per-(query, probed-cell) residual LUT, confined to the
+    * nProbe nearest cells.
+    *
+    * Composition of the two halves already proven separately: [[ivfTopK]]'s
+    * deterministic coarse cells (lowest-id seeds, cosine assignment) and
+    * [[productQuantizeFull]]'s binary-quantized codebook. Determinism
+    * carries through because the residual is one IEEE double subtraction
+    * per coordinate (floats widened exactly), so codes, LUT terms, and the
+    * m-addend ADC sums stay bit-identical across engines, unrounded.
+    *
+    * Scale shape: the corpus-side scan touches only (cell, sub, code) —
+    * codes are ~dim/m·log2(k')/32 of the embedding bytes — and the
+    * LUT broadcast is |Q|·nProbe·m·k' rows. Per-cell candidate scoring is
+    * an equi-join on (cell, sub, code); nothing ever cross-joins the
+    * corpus. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      embCol: String, k: Int, nList: Int = 0, nProbe: Int = 2,
+      m: Int = 8, codebookK: Int = 16, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val d = dim / m
+    val spark = queries.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val dbl = (c: Column) => transform(c, x => x.cast("double"))
+
+    // ---- coarse quantizer: identical shape to ivfTopK's
+    val n = candidates.select(col(idCol).as("vid"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val lists = if (nList > 0) nList else autoNList(n.count())
+    val cents = n.orderBy("vid").limit(lists)
+      .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
+        col("n2").as("c_n2"))
+    def seedRanked(side: DataFrame) = {
+      val wA = Window.partitionBy("vid")
+        .orderBy(col("__cc").desc, col("cent_id"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("__cc", VectorOps.cosine(
+          VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+        .withColumn("__rn", row_number().over(wA))
+    }
+
+    // ---- residual encoding: r = x − c(cell), widened to double first so
+    // the per-coordinate subtraction is the same IEEE op the oracle runs
+    val assigned = seedRanked(n).filter(col("__rn") === 1)
+      .select(col("vid"), col("cent_id").as("cell"),
+        zip_with(dbl(col("emb")), dbl(col("c_emb")), (x, y) => x - y)
+          .as("r_emb"))
+    val (codes, codebook) = productQuantizeFull(
+      assigned.select(col("vid").as("id"), col("r_emb")),
+      "id", "r_emb", m, codebookK, iters, dim)
+    val cellOf = assigned.select(col("vid").as("cand_id"), col("cell"))
+
+    // ---- search: per (query, probed cell) residual LUT, ADC confined to
+    // the probed cells' members
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val probes = seedRanked(q.withColumnRenamed("query_id", "vid"))
+      .filter(col("__rn") <= nProbe)
+      .select(col("vid").as("query_id"), col("cent_id").as("cell"),
+        zip_with(dbl(col("emb")), dbl(col("c_emb")), (x, y) => x - y)
+          .as("qr"))
+    val qsubs = probes
+      .select(col("query_id"), col("cell"), posexplode(array((0 until m).map(j =>
+        slice(col("qr"), j * d + 1, d)): _*)).as(Seq("sub", "qe")))
+      .withColumn("qn2", VectorOps.normSq(col("qe")))
+    val qq = 1L << 20
+    val lut = qsubs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("term", floor((col("qn2") + col("c_n2") -
+        lit(2.0) * VectorOps.dot(col("qe"), col("c_emb"))) * qq) / qq)
+      .select(col("query_id"), col("cell"),
+        col("sub").cast("long").as("sub"),
+        col("cluster").cast("long").as("code"), col("term"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.join(cellOf, codes("id") === cellOf("cand_id"))
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("term")).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "adc", "rnk")
   }
 }

@@ -262,6 +262,25 @@ object LlmQueries {
         k = 5, nProbe = 4) // nList auto-derived as ceil(sqrt(N))
     }),
 
+    // IVF-PQ (IVFADC): coarse cells + shared residual codebook + ADC
+    // search confined to nProbe cells — q72's IVF and q112's PQ composed
+    // into the actual billion-vector layout.
+    "q114_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id",
+        "embedding", k = 5, nProbe = 4)
+    }),
+
+    // Recall@5 of the IVF-PQ search against exact cosine — the harness
+    // row that tells you what the compressed layout costs in recall.
+    "q115_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallVsExact(q, emb, "vec_id", "embedding", k = 5,
+        Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+          nProbe = 4))
+    }),
+
     "q90_pii" -> ((s, dir) =>
       TextAnalysis.piiScan(Tables.documents(s, dir), "doc_id", "text"))
   )
@@ -425,8 +444,12 @@ object LlmQueries {
     s"list_reduce(list_transform(range(1, ${d + 1}), " +
       s"i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE), (x, y) -> x + y)"
 
-  private lazy val pqCtes: String = {
-    val m = 8; val d = 8; val k = 16
+  /** PQ training tail (cents0 → a1 → m1 → cents1 → a2): expects a CTE
+    * `subn(vec_id, sub, e, n2)` of per-subspace double vectors upstream —
+    * shared verbatim by the flat-PQ chain (q112/q113, subvectors of the
+    * raw embeddings) and the IVF-PQ chain (q114/q115, subvectors of the
+    * coarse-cell residuals). */
+  private def pqTrainTail(d: Int = 8, k: Int = 16): String = {
     def assignCte(name: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, sub, cluster, d2 FROM (
@@ -436,13 +459,7 @@ object LlmQueries {
          |        n.n2 + c.c_n2 - 2.0 * ${dotSub("n.e", "c.c_emb")},
          |        c.cluster) AS rn
          |    FROM subn n JOIN $cents c USING (sub)) WHERE rn = 1)""".stripMargin
-    s"""sub AS (
-       |  SELECT vec_id, s.sub,
-       |    list_transform(embedding[s.sub * $d + 1 : s.sub * $d + $d],
-       |      x -> x::DOUBLE) AS e
-       |  FROM embeddings, (SELECT unnest(range(0, $m)) AS sub) s),
-       |subn AS (SELECT vec_id, sub, e, ${dotSub("e", "e")} AS n2 FROM sub),
-       |cents0 AS (
+    s"""cents0 AS (
        |  SELECT sub, cluster, e AS c_emb, n2 AS c_n2 FROM (
        |    SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
        |      AS cluster, e, n2
@@ -460,6 +477,85 @@ object LlmQueries {
        |      (x, y) -> x + y) AS c_n2
        |  FROM m1 GROUP BY sub, cluster),
        |${assignCte("a2", "cents1")}""".stripMargin
+  }
+
+  private lazy val pqCtes: String = {
+    val m = 8; val d = 8
+    s"""sub AS (
+       |  SELECT vec_id, s.sub,
+       |    list_transform(embedding[s.sub * $d + 1 : s.sub * $d + $d],
+       |      x -> x::DOUBLE) AS e
+       |  FROM embeddings, (SELECT unnest(range(0, $m)) AS sub) s),
+       |subn AS (SELECT vec_id, sub, e, ${dotSub("e", "e")} AS n2 FROM sub),
+       |${pqTrainTail()}""".stripMargin
+  }
+
+  /** IVF-PQ chain: q89's coarse quantizer (n/cents/ranked/cellsr), full-
+    * vector residuals vs the assigned cell centroid, then [[pqTrainTail]]
+    * over residual subvectors. Residuals subtract in DOUBLE (floats widen
+    * exactly), mirroring the engine's zip_with. */
+  private lazy val ivfPqCtes: String = {
+    val m = 8; val d = 8
+    s"""n AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT cent_id, c_emb, c_n2 FROM (
+       |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+       |      COUNT(*) OVER () AS ccnt
+       |    FROM n)
+       |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+       |ranked AS (
+       |  SELECT n.vec_id, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2) DESC,
+       |               cent_id) AS rn
+       |  FROM n CROSS JOIN cents),
+       |cellsr AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+       |resid AS (
+       |  SELECT n.vec_id, cl.cell,
+       |    list_transform(range(1, ${m * d + 1}),
+       |      i -> (n.embedding[i])::DOUBLE - (c.c_emb[i])::DOUBLE) AS r
+       |  FROM n JOIN cellsr cl ON n.vec_id = cl.vec_id
+       |       JOIN cents c ON cl.cell = c.cent_id),
+       |sub AS (
+       |  SELECT vec_id, s.sub, r[s.sub * $d + 1 : s.sub * $d + $d] AS e
+       |  FROM resid, (SELECT unnest(range(0, $m)) AS sub) s),
+       |subn AS (SELECT vec_id, sub, e, ${dotSub("e", "e")} AS n2 FROM sub),
+       |${pqTrainTail()},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell
+       |  FROM ranked WHERE rn <= 4 AND vec_id < 20),
+       |qresid AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range(1, ${m * d + 1}),
+       |      i -> (n.embedding[i])::DOUBLE - (c.c_emb[i])::DOUBLE) AS qr
+       |  FROM probes p JOIN n ON p.query_id = n.vec_id
+       |       JOIN cents c ON p.cell = c.cent_id),
+       |qsubn AS (
+       |  SELECT query_id, cell, sub, qe, ${dotSub("qe", "qe")} AS qn2 FROM (
+       |    SELECT query_id, cell, s.sub,
+       |      qr[s.sub * $d + 1 : s.sub * $d + $d] AS qe
+       |    FROM qresid, (SELECT unnest(range(0, $m)) AS sub) s)),
+       |lut AS (
+       |  SELECT query_id, cell, q.sub, c.cluster AS code,
+       |    floor((qn2 + c.c_n2 - 2.0 * ${dotSub("q.qe", "c.c_emb")})
+       |      * 1048576.0) / 1048576.0 AS term
+       |  FROM qsubn q JOIN cents1 c USING (sub)),
+       |scores AS (
+       |  SELECT l.query_id, a.vec_id AS cand_id, SUM(term) AS adc
+       |  FROM a2 a JOIN cellsr cl ON a.vec_id = cl.vec_id
+       |       JOIN lut l ON cl.cell = l.cell AND a.sub = l.sub
+       |            AND a.cluster = l.code
+       |  WHERE l.query_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |ivfpq AS (
+       |  SELECT query_id, cand_id, adc, rnk FROM (
+       |    SELECT query_id, cand_id, adc,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
+       |        AS rnk
+       |    FROM scores) WHERE rnk <= 5)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -495,6 +591,30 @@ object LlmQueries {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
          |      AS rnk
          |  FROM scores) WHERE rnk <= 5""".stripMargin,
+
+    "q114_ivfpq_ann" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, cand_id, adc, rnk FROM ivfpq""".stripMargin,
+
+    // Recall@5 of IVF-PQ vs exact cosine (the q89 harness over the q114
+    // approximate set).
+    "q115_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |        c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT e.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |    / COUNT(*), 6) AS recall
+         |FROM exact e LEFT JOIN ivfpq a
+         |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |GROUP BY 1""".stripMargin,
 
     "q87_kmeans" ->
       s"""WITH $kmeansCtes

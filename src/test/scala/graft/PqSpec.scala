@@ -71,4 +71,33 @@ class PqSpec extends AnyFunSuite {
     assert(top.head._2 < 1e-6 && top.head._2 < top(1)._2 / 1000,
       s"twin not separated: ${top.toSeq}")
   }
+
+  test("IVF-PQ: residual ADC finds an exact twin through the coarse cells") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    // two well-separated blobs around +8 and -8 so the coarse quantizer
+    // has real cells to route through; the twin pair lives in blob A
+    val twinVec = Seq.fill(64)(8.5f)
+    val all = ((0 until 40).map { i =>
+      val center = if (i % 2 == 0) 8.0f else -8.0f
+      val id = if (i == 6) 201L else i.toLong
+      val v = if (i == 6) twinVec
+        else Seq.fill(64)(center + rnd.nextFloat() - 0.5f)
+      (id, v)
+    } :+ (6L, twinVec)).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqTopK(
+      all.filter($"vec_id" === 6L), all, "vec_id", "embedding",
+      k = 3, nList = 4, nProbe = 2, m = 8, codebookK = 8, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    assert(top.nonEmpty, "IVF-PQ returned nothing")
+    assert(top.head._1 == 201L, s"twin not ranked first: ${top.toSeq}")
+    // ADC to the twin is residual-quantization noise only
+    assert(top.head._2 < top(1)._2,
+      s"twin not separated: ${top.toSeq}")
+    // candidates come only from probed cells: every returned id is in the
+    // query's blob or a probed neighbor — never more than the corpus
+    assert(top.length <= 3)
+  }
 }
