@@ -167,10 +167,22 @@ object Dedup {
   }
 
   /** LSH candidate pairs with exact-Jaccard verification.
-    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Hot-band skew (`saltBands`): on a near-duplicate-saturated corpus one
+    * band value can cover half the documents, and the band self-join's hot
+    * key then lands |hot|² candidate work in ONE task. With saltBands = S,
+    * the left side is salted by pmod(hash(id), S) and the right side
+    * replicated to every salt, so the hot key splits into S sub-keys whose
+    * per-task probe side is |hot|/S — the candidate SET is exactly
+    * preserved (each pair meets at exactly salt(id_a)), only its task
+    * layout changes. Replication multiplies the (3-column, one row per
+    * doc×band) bands table by S, never the corpus. Default 1 = the
+    * unsalted plan; AQE skew-join is the runtime alternative when the
+    * corpus is not known to be saturated. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0, saltBands: Int = 1): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val rows = shingleRows(docs, idCol, textCol, shingleN)
     // Signatures are ONE ROW PER DOCUMENT — localCheckpoint materializes
@@ -185,7 +197,13 @@ object Dedup {
         posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
     val a = bands.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
-    val cand = a.join(b, Seq("band_idx", "band_key"))
+    val cand = (if (saltBands <= 1) a.join(b, Seq("band_idx", "band_key"))
+      else {
+        val aS = a.withColumn("__salt", pmod(hash(col("id_a")), lit(saltBands)))
+        val bS = b.withColumn("__salt",
+          explode(array((0 until saltBands).map(lit): _*)))
+        aS.join(bS, Seq("band_idx", "band_key", "__salt"))
+      })
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sizes = sigs.select(col(idCol), col("__set_size"))
