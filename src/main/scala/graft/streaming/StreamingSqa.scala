@@ -122,6 +122,50 @@ object StreamingSqa {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** §3.3 incremental edit-chain refresh (round-9 verdict item 8): the
+    * Beat-Editor round-trip S10 → K17/K18 → metrics driven by a STREAM of
+    * edit instructions. Each micro-batch of edits appends to a parquet
+    * edit log and triggers a refresh — re-apply the ACCUMULATED edits to
+    * the static signal frame and recompute the flagship per-segment
+    * metrics — i.e. a stream-driven materialized view of the edited
+    * metrics, the dashboard's edit-then-recompute flow without replaying
+    * the signal.
+    *
+    * The edit schema is the Beat-Editor instruction shape (S10: x /
+    * from / to / editType) plus `subject`, since a streaming feed is a
+    * multi-recording log. ADD/DELETE rows are point edits; UNUSABLE rows
+    * carry [from, to] spans. The refresh is batch recompute BY DESIGN:
+    * edit application is an as-of join against history (K17 semantics),
+    * so arrivals can rewrite any earlier sample's flags — the correct
+    * incremental unit is the refresh, not the row. Signal scan cost per
+    * refresh is one pass; callers persist `signal` when refreshing often.
+    *
+    * `onRefresh(batchId, metrics)` fires after each micro-batch with the
+    * refreshed metrics frame. Returns the started query (caller awaits /
+    * stops). */
+  def editRefreshStream(signal: DataFrame, edits: DataFrame,
+      editLogDir: String, fs: Int, segSize: Int)(
+      onRefresh: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = signal.sparkSession
+    edits.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(editLogDir)
+        val log = spark.read.parquet(editLogDir)
+        val point = log.filter(col("editType").isin("ADD", "DELETE"))
+          .select(col("subject"), col("x"), col("editType"))
+        val range = log.filter(col("editType") === "UNUSABLE")
+          .select(col("subject"), col("from"), col("to"))
+        val ed = graft.ops.BeatEdits.applyEdits(signal, point, range)
+        // q63's edited-metrics projection: edited becomes the beat flag,
+        // artifacts survive only where still a beat
+        val sig2 = ed.select(col("subject"), col("idx"), col("ts_us"),
+          col("value"), col("edited").cast("int").as("beat"),
+          when(col("edited") === 1, col("artifact")).as("artifact"))
+        onRefresh(batchId, graft.sqa.Cardio.computeMetrics(sig2, fs, segSize))
+      }
+      .start()
+  }
+
   /** Run the streaming plan over a static parquet directory through the
     * memory sink until exhausted; returns the materialized result. Used by
     * tests and as the backfill demonstration. */

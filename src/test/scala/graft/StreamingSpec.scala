@@ -171,6 +171,79 @@ class StreamingSpec extends AnyFunSuite {
       s"late-data contract violated: $got")
   }
 
+  test("streaming edit feed refreshes edited metrics to batch-q63 parity") {
+    // §3.3 as an incremental recompute: the q63 edit set arrives as a
+    // rate-limited stream (3 json files -> 3 micro-batches); every batch
+    // appends to the edit log and refreshes the edited-metrics view over
+    // the static frame. The final refresh must equal the batch q63 result
+    // EXACTLY — same edits, same chain, different arrival schedule.
+    val dir = "/root/testdata/sf0.001"
+    val sig = graft.core.SignalFrame.fromEvents(spark, dir).persist()
+    try {
+      // q63's derived edit set, serialized in the S10-plus-subject log shape
+      val edits =
+        sig.filter(col("beat") === 1 && col("idx") % 29 === 3)
+          .select(col("subject"), col("idx").as("x"),
+            lit(null).cast("long").as("from"), lit(null).cast("long").as("to"),
+            lit("DELETE").as("editType"))
+        .unionByName(sig.filter(col("beat").isNull && col("idx") % 31 === 7)
+          .select(col("subject"), col("idx").as("x"),
+            lit(null).cast("long").as("from"), lit(null).cast("long").as("to"),
+            lit("ADD").as("editType")))
+        .unionByName(sig.filter(col("artifact") === 1 && col("idx") % 37 === 5)
+          .select(col("subject"), lit(null).cast("long").as("x"),
+            col("idx").as("from"), (col("idx") + 5).as("to"),
+            lit("UNUSABLE").as("editType")))
+        .collect()
+      assert(edits.length > 10, s"edit fixture too small: ${edits.length}")
+
+      val feedDir = Files.createTempDirectory("graft_edit_feed").toFile
+      val logDir = Files.createTempDirectory("graft_edit_log").toString + "/log"
+      def js(r: org.apache.spark.sql.Row): String = {
+        def f(i: Int, n: String) =
+          if (r.isNullAt(i)) None else Some(s""""$n":${r.getLong(i)}""")
+        (f(0, "subject") ++ f(1, "x") ++ f(2, "from") ++ f(3, "to") ++
+          Some(s""""editType":"${r.getString(4)}"""")).mkString("{", ",", "}")
+      }
+      edits.grouped((edits.length + 2) / 3).zipWithIndex.foreach {
+        case (chunk, i) =>
+          val w = new java.io.PrintWriter(
+            new java.io.File(feedDir, s"edits_$i.json"), "UTF-8")
+          try chunk.foreach(r => w.println(js(r))) finally w.close()
+      }
+
+      val editSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subject",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("from",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("to",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("editType",
+          org.apache.spark.sql.types.StringType)))
+      val feed = spark.readStream.schema(editSchema)
+        .option("maxFilesPerTrigger", "1").json(feedDir.getPath)
+
+      val refreshes = collection.mutable.ArrayBuffer.empty[Long]
+      @volatile var lastMetrics: Array[org.apache.spark.sql.Row] = Array.empty
+      val q = StreamingSqa.editRefreshStream(sig, feed, logDir,
+        fs = 4, segSize = 10) { (batchId, metrics) =>
+        refreshes.synchronized { refreshes += batchId }
+        lastMetrics = metrics.collect()
+      }
+      try q.processAllAvailable() finally q.stop()
+
+      assert(refreshes.size == 3, s"expected 3 refreshes, got $refreshes")
+      val batch = SparkEntry.queries("q63_edited_metrics")(spark, dir).collect()
+      val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+      assert(lastMetrics.map(key).sorted.toSeq == batch.map(key).sorted.toSeq,
+        s"streamed refresh diverged from batch q63: " +
+          s"${lastMetrics.length} vs ${batch.length} rows")
+    } finally sig.unpersist()
+  }
+
   test("stateless corpus-prep operators run unchanged on a stream") {
     // quality scoring and stratified sampling are pure expression/filter
     // transforms — the ingest-time half of the training-data pipeline —
