@@ -175,6 +175,32 @@ object IoQueries {
         .withColumn("value_rs", bround(col("value_rs"), 6))
     }),
 
+    // Image pipeline composition: binaryFile scan -> executor-side P6 PPM
+    // decode (Multimodal.decodePpm) -> nearest-neighbor resize 11x7 -> 5x3
+    // (the 'resize' transform of the multimodal brief; one task per image
+    // at 100 TB, pure integer index math, zero shuffle) -> pixel rows. The
+    // oracle replays the identical integer index arithmetic
+    // (least(H-1, y*H/h)) in SQL over the fixture GENERATOR's decode
+    // (ppm_pixels.parquet), so green certifies decoder AND resize end to
+    // end, independent of the Scala decoder.
+    "q116_image_resize" -> ((s, _) => {
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$ioDir/img.ppm")
+        .select(col("content")).as[Array[Byte]]
+        .mapPartitions(_.flatMap { bytes =>
+          val full = graft.llm.Multimodal.decodePpm(bytes)
+            .getOrElse(throw new IllegalArgumentException("undecodable PPM"))
+          val img = graft.llm.Multimodal.resizeNearest(full, 5, 3)
+          (0 until img.height).iterator.flatMap { y =>
+            (0 until img.width).iterator.map { x =>
+              val p = img.rgb(y * img.width + x)
+              (y.toLong, x.toLong, ((p >> 16) & 0xff).toLong,
+                ((p >> 8) & 0xff).toLong, (p & 0xff).toLong)
+            }
+          }
+        }).toDF("y", "x", "r", "g", "b")
+    }),
+
     // S11 round-trip: EngineConfig JSON save -> load -> frame view
     // (reference _create_configs/_load_config, dashboard/utils.py:327-372);
     // oracle = DuckDB read_json of the same written file.
@@ -268,6 +294,20 @@ object IoQueries {
     "q111_wav_resample" -> KernelQueries.polyResampleSql(
       s"""SELECT CAST(0 AS BIGINT) AS subject, idx, value
          |FROM read_parquet('$ioDir/wav_frame.parquet')""".stripMargin),
+
+    // Same integer index math as Multimodal.resizeNearest: source pixel
+    // (least(6, y*7//3), least(10, x*11//5)) for target grid 5x3 of an
+    // 11x7 source. All-integer, exact on both engines.
+    "q116_image_resize" ->
+      s"""WITH src AS (
+         |  SELECT * FROM read_parquet('$ioDir/ppm_pixels.parquet')),
+         |grid AS (
+         |  SELECT gy.generate_series AS y, gx.generate_series AS x
+         |  FROM generate_series(0, 2) gy CROSS JOIN generate_series(0, 4) gx)
+         |SELECT gr.y, gr.x, src.r, src.g, src.b
+         |FROM grid gr JOIN src
+         |  ON src.y = least(6, (gr.y * 7) // 3)
+         | AND src.x = least(10, (gr.x * 11) // 5)""".stripMargin,
 
     "q102_sink_config" ->
       s"""SELECT * FROM read_json('$sinkDir/q102_config/*.json',

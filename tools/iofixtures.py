@@ -173,7 +173,6 @@ def main():
     # 8 kHz, 400 deterministic int16 samples. wav_frame.parquet is the
     # GENERATOR's decode (sample/32768, exact binary) — the oracle frame,
     # independent of the Scala decoder.
-    import struct
     n_wav = 400
     samples = [((i * 37 + 11) % 2048 - 1024) * 13 for i in range(n_wav)]
     data = b"".join(struct.pack("<h", s) for s in samples)
@@ -181,14 +180,27 @@ def main():
            b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16) +
            b"data" + struct.pack("<I", len(data)))
     (out / "tone.wav").write_bytes(hdr + data)
-    try:
-        import pandas as pd
-        pd.DataFrame({
-            "idx": pd.array(range(n_wav), dtype="int64"),
-            "value": [s / 32768.0 for s in samples],
-        }).to_parquet(out / "wav_frame.parquet", index=False)
-    except ImportError:
-        print("pandas unavailable; wav_frame.parquet NOT regenerated")
+    pd.DataFrame({
+        "idx": pd.array(range(n_wav), dtype="int64"),
+        "value": [s / 32768.0 for s in samples],
+    }).to_parquet(out / "wav_frame.parquet", index=False)
+
+    # ---- img.ppm (q116): binary P6 PPM, 11x7 RGB, maxval 255, with a
+    # header comment line (exercises the '#' skip). ppm_pixels.parquet is
+    # the GENERATOR's decode (y, x, r, g, b from the same arrays) — the
+    # oracle frame, independent of the Scala decoder. All-integer values,
+    # so the resize oracle (pure int index math) is exact on both engines.
+    iw, ih = 11, 7
+    pix = [((i * 7 + 3) % 256, (i * 13 + 5) % 256, (i * 29 + 11) % 256)
+           for i in range(iw * ih)]
+    ppm = (f"P6\n# graft fixture\n{iw} {ih}\n255\n".encode("ascii") +
+           bytes(v for p in pix for v in p))
+    (out / "img.ppm").write_bytes(ppm)
+    pd.DataFrame(
+        [(i // iw, i % iw, p[0], p[1], p[2])
+         for i, p in enumerate(pix)],
+        columns=["y", "x", "r", "g", "b"]).astype("int64").to_parquet(
+        out / "ppm_pixels.parquet", index=False)
 
     print(f"io fixtures -> {out}")
 
