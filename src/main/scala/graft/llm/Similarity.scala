@@ -519,4 +519,39 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "adc", "rnk")
   }
+
+  /** IVFADC+R (Jegou, Douze, Schmid 2011 §IV-B): exact re-ranking of the
+    * ADC shortlist. [[ivfPqTopK]] produces an R-deep shortlist from
+    * compressed codes only; this stage fetches the TRUE embeddings for
+    * just those |Q|·R candidates and re-ranks by exact cosine (6-dp
+    * round, cand-id tie-break — the [[bruteForceTopK]] determinism
+    * route).
+    *
+    * Scale shape: the shortlist (|Q|·R id pairs) broadcasts into ONE pass
+    * over the corpus, so full embeddings are fetched for shortlisted rows
+    * only — the corpus-wide scan stays codes-only inside the ADC stage.
+    * This is the production billion-vector layout: compressed first pass,
+    * exact second pass over |Q|·R rows. */
+  def ivfPqRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
+      embCol: String, k: Int, shortlist: Int = 10, nList: Int = 0,
+      nProbe: Int = 2, m: Int = 8, codebookK: Int = 16, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val short = ivfPqTopK(queries, candidates, idCol, embCol, shortlist,
+      nList, nProbe, m, codebookK, iters, dim)
+      .select("query_id", "cand_id")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+      .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(
+        VectorOps.cosine(VectorOps.dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos", "rnk")
+  }
 }

@@ -281,6 +281,16 @@ object LlmQueries {
           nProbe = 4))
     }),
 
+    // IVFADC+R: exact-cosine re-rank of a 10-deep ADC shortlist down to
+    // top-5 — the refinement stage that recovers recall lost to code
+    // compression while still touching full embeddings for only |Q|*10
+    // rows.
+    "q117_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqRerank(emb.filter(col("vec_id") < 20), emb, "vec_id",
+        "embedding", k = 5, shortlist = 10, nProbe = 4)
+    }),
+
     "q90_pii" -> ((s, dir) =>
       TextAnalysis.piiScan(Tables.documents(s, dir), "doc_id", "text"))
   )
@@ -494,7 +504,7 @@ object LlmQueries {
     * vector residuals vs the assigned cell centroid, then [[pqTrainTail]]
     * over residual subvectors. Residuals subtract in DOUBLE (floats widen
     * exactly), mirroring the engine's zip_with. */
-  private lazy val ivfPqCtes: String = {
+  private def ivfPqCtes(cut: Int = 5): String = {
     val m = 8; val d = 8
     s"""n AS (
        |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
@@ -555,7 +565,7 @@ object LlmQueries {
        |    SELECT query_id, cand_id, adc,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
        |        AS rnk
-       |    FROM scores) WHERE rnk <= 5)""".stripMargin
+       |    FROM scores) WHERE rnk <= $cut)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -593,13 +603,30 @@ object LlmQueries {
          |  FROM scores) WHERE rnk <= 5""".stripMargin,
 
     "q114_ivfpq_ann" ->
-      s"""WITH $ivfPqCtes
+      s"""WITH ${ivfPqCtes()}
          |SELECT query_id, cand_id, adc, rnk FROM ivfpq""".stripMargin,
+
+    // IVFADC+R: the q114 chain cut at a 10-deep shortlist, re-ranked by
+    // exact cosine (same 6-dp round + cand-id tie-break as the q30/q89
+    // exact route).
+    "q117_ivfpq_rerank" ->
+      s"""WITH ${ivfPqCtes(10)},
+         |rer AS (
+         |  SELECT i.query_id, i.cand_id,
+         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6)
+         |      AS cos
+         |  FROM ivfpq i JOIN n q ON i.query_id = q.vec_id
+         |       JOIN n c ON i.cand_id = c.vec_id)
+         |SELECT query_id, cand_id, cos, rnk FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC,
+         |      cand_id) AS rnk
+         |  FROM rer) WHERE rnk <= 5""".stripMargin,
 
     // Recall@5 of IVF-PQ vs exact cosine (the q89 harness over the q114
     // approximate set).
     "q115_ivfpq_recall" ->
-      s"""WITH $ivfPqCtes,
+      s"""WITH ${ivfPqCtes()},
          |exact AS (
          |  SELECT query_id, cand_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

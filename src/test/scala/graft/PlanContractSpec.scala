@@ -28,7 +28,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q83_semdedup", "q87_kmeans", "q88_cluster_sample", "q89_ann_recall",
     "q86_source_drift", "q75_tfidf", "q76_bm25", "q82_mixture",
     "q85_bigram_lm", "q71_corpus_select", "q70_embed_clusters",
-    "q73_vocab", "q114_ivfpq_ann", "q115_ivfpq_recall")
+    "q73_vocab", "q114_ivfpq_ann", "q115_ivfpq_recall",
+    "q117_ivfpq_rerank")
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]

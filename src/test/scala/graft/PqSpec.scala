@@ -100,4 +100,32 @@ class PqSpec extends AnyFunSuite {
     // query's blob or a probed neighbor — never more than the corpus
     assert(top.length <= 3)
   }
+
+  test("IVFADC+R: exact re-rank never loses recall vs the raw ADC ranking") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11L)
+    // one blob so every vector shares a cell and ADC ordering is pure
+    // code-quantization noise — exactly the regime re-ranking repairs
+    val all = (0 until 48).map { i =>
+      (i.toLong, Seq.fill(64)(2.0f + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val q = all.filter($"vec_id" < 8)
+
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = Similarity.recallVsExact(q, all, "vec_id", "embedding",
+        k = 3, approx).collect()
+      hits.map(_.getAs[Double]("recall")).sum / hits.length
+    }
+    val plain = recallOf(Similarity.ivfPqTopK(q, all, "vec_id", "embedding",
+      k = 3, nList = 2, nProbe = 2, m = 8, codebookK = 8, iters = 2))
+    val rer = recallOf(Similarity.ivfPqRerank(q, all, "vec_id", "embedding",
+      k = 3, shortlist = 20, nList = 2, nProbe = 2, m = 8, codebookK = 8,
+      iters = 2))
+    // the re-ranked top-3 is the exact-cosine best of a 20-deep shortlist
+    // that contains the ADC top-3, so per-query recall can only go up
+    assert(rer >= plain, s"rerank recall $rer < plain $plain")
+    // and in the noise regime it should actually help, not just tie
+    assert(rer > 0.5, s"rerank recall $rer suspiciously low")
+  }
 }
