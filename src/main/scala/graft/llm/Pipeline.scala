@@ -339,6 +339,56 @@ object Pipeline {
         countDistinct(col("__tid")).as("n_train_docs"))
   }
 
+  /** [[decontaminate]] with a Bloom pre-filter on the train side — the
+    * 100 TB shape of test-set decontamination. The plain form shuffles
+    * EVERY train shingle into the equi-join even though only the tiny
+    * fraction colliding with test shingles can ever match. Here a Bloom
+    * filter is built over the test-side shingles (the small side: a
+    * benchmark suite, not the corpus) and probed map-side inside the
+    * train scan, so the shuffle carries only probable matches plus an
+    * fpp-bounded trickle of false positives.
+    *
+    * Output is EXACTLY [[decontaminate]]'s: the Bloom probe admits every
+    * true match (put and probe both use the shingle's UTF-8 bytes, so a
+    * present key cannot probe false) and the exact equi-join after the
+    * filter discards the false positives it let through. At 1% fpp the
+    * broadcast state is ~1.2 bytes/shingle versus ~50 for the raw
+    * broadcast-join alternative — the regime where the test set is too
+    * big to broadcast raw but its sketch is not. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, trainPermille: Int = 900, salt: String = "split1",
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.BloomExpressions.register(spark)
+    import spark.implicits._
+    val bucket = TextOps.wordHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % 1000
+    val train = Dedup.shingleRows(docs.filter(bucket < trainPermille),
+      idCol, textCol, shingleN)
+      .select(col("shingle"), col(idCol).as("__tid"))
+    val test = Dedup.shingleRows(docs.filter(bucket >= trainPermille),
+      idCol, textCol, shingleN)
+      .select(col(idCol), col("shingle"))
+    // Sketch build: per-partition put + driver merge (treeAggregate — the
+    // same shape DataFrameStatFunctions.bloomFilter runs). Sized by the
+    // test-side row count (an overestimate of distincts: more bits,
+    // lower fpp — never fewer).
+    val shingles = test.select(col("shingle")).as[String]
+    val expected = math.max(1L, shingles.count())
+    val filter = shingles.rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
+      (f, s) => { f.putBinary(s.getBytes("UTF-8")); f },
+      (a, b) => a.mergeInPlace(b))
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    val pruned = train.filter(graft.functions.BloomExpressions.mightContain(
+      col("shingle"), lit(bos.toByteArray)))
+    test.join(pruned, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("__tid")).as("n_train_docs"))
+  }
+
   /** Corpus mixture expansion — the per-source epoch weighting applied
     * before training: given target mixture weights and a total token
     * budget, each source's repeat factor is budget*weight / source_tokens,

@@ -185,6 +185,14 @@ object LlmQueries {
       Pipeline.decontaminate(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 5, trainPermille = 900)),
 
+    // Bloom-pre-filtered decontamination: same result set as q81 (the
+    // probe admits every true match; the exact join discards the fpp
+    // trickle), but the train-side shuffle carries only probable matches
+    // — the 100 TB shape. Shares q81's oracle SQL verbatim.
+    "q118_decontam_bloom" -> ((s, dir) =>
+      Pipeline.decontaminateBloom(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 5, trainPermille = 900)),
+
     "q82_mixture" -> ((s, dir) =>
       Pipeline.mixtureExpansion(Tables.documents(s, dir), "doc_id", "text",
         sourceCol = "source", weights = MixWeights, tokenBudget = 100000L)),
@@ -504,6 +512,22 @@ object LlmQueries {
     * vector residuals vs the assigned cell centroid, then [[pqTrainTail]]
     * over residual subvectors. Residuals subtract in DOUBLE (floats widen
     * exactly), mirroring the engine's zip_with. */
+  /** Shared by q81 (plain) and q118 (Bloom-pre-filtered): the pre-filter
+    * is result-invariant, so both queries verify against one SQL. */
+  private lazy val decontamSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 1000 < 900 AS is_train,
+       |    unnest(${shinglesSql(5)}) AS shingle
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+       |tr AS (SELECT shingle, doc_id AS tid FROM sh WHERE is_train),
+       |te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train)
+       |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared_shingles,
+       |  COUNT(DISTINCT tid) AS n_train_docs
+       |FROM te JOIN tr USING (shingle)
+       |GROUP BY 1""".stripMargin
+
   private def ivfPqCtes(cut: Int = 5): String = {
     val m = 8; val d = 8
     s"""n AS (
@@ -1203,19 +1227,11 @@ object LlmQueries {
          |  ROUND(${graft.core.Det.sumDetSql("kl_term", 10)}, 6) AS kl_corpus
          |FROM terms GROUP BY 1""".stripMargin,
 
-    "q81_decontam" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-         |      % 1000 < 900 AS is_train,
-         |    unnest(${shinglesSql(5)}) AS shingle
-         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
-         |tr AS (SELECT shingle, doc_id AS tid FROM sh WHERE is_train),
-         |te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train)
-         |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared_shingles,
-         |  COUNT(DISTINCT tid) AS n_train_docs
-         |FROM te JOIN tr USING (shingle)
-         |GROUP BY 1""".stripMargin,
+    "q81_decontam" -> decontamSql,
+
+    // q118 is q81 with a Spark-side Bloom pre-filter that provably does
+    // not change the result set — the oracle is the identical SQL.
+    "q118_decontam_bloom" -> decontamSql,
 
     "q107_bpe_pairs" ->
       s"""WITH wc AS (

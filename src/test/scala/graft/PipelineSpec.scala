@@ -168,6 +168,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom: pre-filtered result equals the plain join exactly") {
+    // 40 docs with planted cross-split 5-gram overlaps plus unique tails
+    val base = docs((0 until 40).map { i =>
+      val shared = if (i % 3 == 0) "alpha beta gamma delta epsilon " else ""
+      (i.toLong, s"${shared}w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f",
+        "en", "s")
+    }: _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val plain = canon(Pipeline.decontaminate(base, "doc_id", "text",
+      shingleN = 5, trainPermille = 700))
+    val bloom = Pipeline.decontaminateBloom(base, "doc_id", "text",
+      shingleN = 5, trainPermille = 700)
+    // the probe is actually in the plan (map-side, not optimized away)
+    assert(bloom.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"))
+    assert(canon(bloom) == plain)
+    // false positives cannot leak rows: even a sieve-grade filter (50%
+    // fpp) yields the identical result because the exact join re-checks
+    val sieve = canon(Pipeline.decontaminateBloom(base, "doc_id", "text",
+      shingleN = 5, trainPermille = 700, fpp = 0.5))
+    assert(sieve == plain)
+  }
+
   test("mixtureExpansion repeats sources toward target token weights") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
     // Source a: 100 tokens total, weight 0.8 of a 1000-token budget ->
