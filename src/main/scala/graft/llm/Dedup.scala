@@ -210,6 +210,38 @@ object Dedup {
     verifyJaccard(cand, rows, sizes, idCol, threshold)
   }
 
+  /** Incremental MinHash-LSH dedup: newly-arrived documents against an
+    * already-indexed corpus — the nightly-crawl shape at 100 TB. Unlike
+    * [[minhashPairs]]' self-join, only the NEW batch is shingled fresh
+    * each run; in production the index side's signatures and band keys
+    * are computed once and persisted, so each increment costs
+    * O(|new| + |collisions|), never a corpus rescan. The band join is
+    * new x index (no self-pairs), and exact-Jaccard verification is
+    * confined to colliding candidates exactly as in the self-join form.
+    *
+    * Caller guarantees the two sides' ids are disjoint. Output
+    * (id_a = index doc, id_b = new doc, jaccard >= threshold). */
+  def minhashPairsIncremental(newDocs: DataFrame, indexDocs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 8,
+      numBands: Int = 4, threshold: Double = 0.0): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val newRows = shingleRows(newDocs, idCol, textCol, shingleN)
+    val idxRows = shingleRows(indexDocs, idCol, textCol, shingleN)
+    val newSigs = signaturesFromRows(newRows, idCol, numHashes).localCheckpoint()
+    val idxSigs = signaturesFromRows(idxRows, idCol, numHashes).localCheckpoint()
+    def bandsOf(sigs: DataFrame, as: String) = sigs
+      .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
+      .select(col(idCol).as(as),
+        posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+    val cand = bandsOf(idxSigs, "id_a")
+      .join(bandsOf(newSigs, "id_b"), Seq("band_idx", "band_key"))
+      .select("id_a", "id_b").distinct()
+    val rows = newRows.union(idxRows)
+    val sizes = newSigs.select(col(idCol), col("__set_size"))
+      .union(idxSigs.select(col(idCol), col("__set_size")))
+    verifyJaccard(cand, rows, sizes, idCol, threshold)
+  }
+
   /** Per-document 60-bit SimHash fingerprints.
     *
     * Explode-side formulation: one 60-bit hash per word row, then 60

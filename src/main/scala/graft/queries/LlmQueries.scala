@@ -26,6 +26,17 @@ object LlmQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.0)),
 
+    // Incremental dedup: the upper-id half of the corpus arrives as the
+    // "new batch" and dedups against the lower-id half as the persisted
+    // index — band join is new x index, never a corpus self-join.
+    "q119_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val k = docs.count() / 2
+      Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") >= k), docs.filter(col("doc_id") < k),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4)
+    }),
+
     "q23_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -781,6 +792,33 @@ object LlmQueries {
          |  ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
          |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b""".stripMargin,
+
+    // q22's chain restricted to index(lower half) x new(upper half)
+    // candidates — the incremental form; same signature and verification
+    // arithmetic, so the shared-prefix CTEs match q22's verbatim.
+    "q119_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
+         |  FROM sh WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, shingles, b AS band_idx,
+         |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
+         |  FROM sig, unnest(range(0, 4)) AS t(b)),
+         |k AS (SELECT COUNT(*) // 2 AS k FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key, k
+         |  WHERE a.doc_id < k.k AND b.doc_id >= k.k)
+         |SELECT id_a, id_b,
+         |  ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b""".stripMargin,
 
     "q23_simhash" ->
       s"""WITH h AS (
