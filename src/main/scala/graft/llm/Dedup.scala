@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,6 +208,38 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sizes = sigs.select(col(idCol), col("__set_size"))
     verifyJaccard(cand, rows, sizes, idCol, threshold)
+  }
+
+  /** Expression-only per-row MinHash signature over the shingle ARRAY —
+    * no groupBy, so it is stateless and runs unchanged on a STREAM where
+    * each arriving row carries its whole document. Arithmetic matches
+    * [[signaturesFromRows]] exactly (same md5-prefix base hash, same
+    * (a·h+b) mod p family, min per hash index) because shingles are
+    * distinct in both forms and min ignores multiplicity. NULL (empty
+    * array_min) when the document has no shingles — filter on
+    * `size(TextOps.shingles(...)) > 0` first, as the groupBy form
+    * implicitly does by having no rows. */
+  def signatureExpr(textCol: Column, shingleN: Int, numHashes: Int): Column = {
+    require(numHashes <= HASH_A.size, s"at most ${HASH_A.size} hash functions")
+    val sh = TextOps.shingles(TextOps.words(textCol), shingleN)
+    def base(s: Column) =
+      conv(substr(md5(s), lit(1), lit(8)), 16, 10).cast("long")
+    array((0 until numHashes).map(j =>
+      array_min(transform(sh,
+        s => (lit(HASH_A(j)) * base(s) + lit(HASH_B(j))) % MINHASH_P))): _*)
+  }
+
+  /** (id, band_idx, band_key) rows — the persisted form of an LSH index
+    * side: compute once for the corpus, store, and equi-join each new
+    * batch (or stream) against it. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    signaturesFromRows(shingleRows(docs, idCol, textCol, shingleN), idCol,
+      numHashes)
+      .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
+      .select(col(idCol),
+        posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
   }
 
   /** Incremental MinHash-LSH dedup: newly-arrived documents against an

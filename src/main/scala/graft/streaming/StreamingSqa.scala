@@ -122,6 +122,33 @@ object StreamingSqa {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming incremental near-dup detection: the arriving document
+    * stream is signed STATELESSLY per row ([[graft.llm.Dedup
+    * .signatureExpr]] — the whole document travels in one row, so no
+    * groupBy state), banded, and stream-static equi-joined against the
+    * persisted index's band rows ([[graft.llm.Dedup.bandRows]], computed
+    * once for the corpus). Emits one collision event per matching
+    * (index doc, new doc, band); downstream dedups and exact-verifies the
+    * tiny candidate set in batch ([[graft.llm.Dedup
+    * .minhashPairsIncremental]] semantics). Stream-static joins need no
+    * watermark — the index is a lookup table, the stream side carries no
+    * state across micro-batches. */
+  def incrementalDedupStream(newDocs: DataFrame, indexBands: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 8,
+      numBands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    import graft.llm.{Dedup, TextOps}
+    newDocs
+      .filter(size(TextOps.shingles(TextOps.words(col(textCol)), shingleN)) > 0)
+      .withColumn("mh", Dedup.signatureExpr(col(textCol), shingleN, numHashes))
+      .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
+      .select(col(idCol).as("id_b"),
+        posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+      .join(indexBands.select(col(idCol).as("id_a"), col("band_idx"),
+        col("band_key")), Seq("band_idx", "band_key"))
+      .select("id_a", "id_b", "band_idx")
+  }
+
   /** §3.3 incremental edit-chain refresh (round-9 verdict item 8): the
     * Beat-Editor round-trip S10 → K17/K18 → metrics driven by a STREAM of
     * edit instructions. Each micro-batch of edits appends to a parquet

@@ -244,6 +244,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally sig.unpersist()
   }
 
+  test("stream-static incremental dedup flags the same pairs as the batch operator") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val k = docs.count() / 2
+    val index = docs.filter(col("doc_id") < k)
+    val fresh = docs.filter(col("doc_id") >= k)
+    val tmp = Files.createTempDirectory("graft_dedup_stream").toString
+    // several files -> several micro-batches under maxFilesPerTrigger=1
+    fresh.repartition(3).write.mode("overwrite").parquet(tmp)
+
+    val indexBands = Dedup.bandRows(index, "doc_id", "text").cache()
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamingSqa.incrementalDedupStream(stream, indexBands,
+      "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("inc_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("inc_dedup").select("id_a", "id_b")
+      .distinct().as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashPairsIncremental(fresh, index, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "vacuous corpus: no cross-half collisions")
+    assert(streamed == batch)
+    indexBands.unpersist()
+  }
+
   test("stateless corpus-prep operators run unchanged on a stream") {
     // quality scoring and stratified sampling are pure expression/filter
     // transforms — the ingest-time half of the training-data pipeline —
