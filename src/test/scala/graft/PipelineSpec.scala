@@ -193,6 +193,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(sieve == plain)
   }
 
+  test("bloom probe prunes disjoint keys at ~fpp while keeping every member") {
+    import spark.implicits._
+    graft.functions.BloomExpressions.register(spark)
+    val members = (0 until 500).map(i => s"member $i")
+    val filter = org.apache.spark.util.sketch.BloomFilter.create(500, 0.01)
+    members.foreach(m => filter.putBinary(m.getBytes("UTF-8")))
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    val probe = (c: org.apache.spark.sql.Column) =>
+      graft.functions.BloomExpressions.mightContain(c, lit(bos.toByteArray))
+    // every put key probes true — no false negatives, ever
+    assert(members.toDF("s").filter(probe(col("s"))).count() == 500)
+    // disjoint keys survive at roughly the configured fpp (1% of 20k,
+    // generous 5x headroom against hash unluck)
+    val strangers = (0 until 20000).map(i => s"stranger $i").toDF("s")
+    val leaked = strangers.filter(probe(col("s"))).count()
+    assert(leaked < 1000, s"bloom leaked $leaked of 20000 disjoint keys")
+  }
+
   test("mixtureExpansion repeats sources toward target token weights") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
     // Source a: 100 tokens total, weight 0.8 of a 1000-token budget ->
