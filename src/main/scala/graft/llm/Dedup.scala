@@ -274,6 +274,45 @@ object Dedup {
     verifyJaccard(cand, rows, sizes, idCol, threshold)
   }
 
+  /** Chunk-level corpus dedup — the CCNet-style removal unit adapted to
+    * disjoint word blocks: each document splits into `blockWords`-word
+    * blocks, and a block survives iff this (doc, offset) is the block
+    * content's FIRST occurrence corpus-wide (lowest doc id, then lowest
+    * offset — a total order, so exactly one copy of every distinct block
+    * remains). Emits per-document block counts plus the cleaned text
+    * (surviving blocks re-joined in order) — the remove-and-rewrite
+    * step, not just a score.
+    *
+    * Scale shape: one groupBy on the block string for the global
+    * first-occurrence table (min over a (doc, offset) struct —
+    * map-side partial) and one equi-join back on the block key: the same
+    * two-exchange budget as exact dedup, applied at sub-document
+    * granularity. */
+  def dedupBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockWords: Int = 10): DataFrame = {
+    val blocks = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), col("__n") - 1, lit(blockWords))))
+      .select(col(idCol), col("start").cast("long").as("start"),
+        concat_ws(" ",
+          slice(col("__ws"), col("start") + 1, lit(blockWords))).as("block"))
+    val first = blocks.groupBy("block")
+      .agg(min(struct(col(idCol), col("start"))).as("__first"))
+    blocks.join(first, Seq("block"))
+      .withColumn("__keep", col("__first")(idCol) === col(idCol) &&
+        col("__first")("start") === col("start"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("start"), col("block"))))),
+          s => s("block")), " "), lit("")).as("clean_text"))
+  }
+
   /** Per-document 60-bit SimHash fingerprints.
     *
     * Explode-side formulation: one 60-bit hash per word row, then 60

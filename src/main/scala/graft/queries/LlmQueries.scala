@@ -37,6 +37,12 @@ object LlmQueries {
         "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4)
     }),
 
+    // Chunk-level keep-first dedup with cleaned-text rewrite: disjoint
+    // 10-word blocks, first occurrence corpus-wide survives.
+    "q120_block_dedup" -> ((s, dir) =>
+      Dedup.dedupBlocks(Tables.documents(s, dir), "doc_id", "text",
+        blockWords = 10)),
+
     "q23_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -819,6 +825,28 @@ object LlmQueries {
          |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = id_a
          |  JOIN sh sb ON sb.doc_id = id_b""".stripMargin,
+
+    // Disjoint 10-word blocks; rn=1 in (doc_id, start) order marks the
+    // corpus-wide first occurrence; clean_text re-joins survivors in
+    // offset order (COALESCE for the all-blocks-dropped doc, which the
+    // Spark side renders as '').
+    "q120_block_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, s.start,
+         |    array_to_string(w[s.start + 1 : s.start + 10], ' ') AS block
+         |  FROM w, unnest(range(0, len(w), 10)) AS s(start)
+         |  WHERE len(w) > 0),
+         |f AS (
+         |  SELECT doc_id, start, block,
+         |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, start)
+         |      AS rn
+         |  FROM b)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         |  COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+         |    ORDER BY start), '') AS clean_text
+         |FROM f GROUP BY 1""".stripMargin,
 
     "q23_simhash" ->
       s"""WITH h AS (
