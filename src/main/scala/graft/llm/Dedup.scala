@@ -287,7 +287,10 @@ object Dedup {
     * first-occurrence table (min over a (doc, offset) struct —
     * map-side partial) and one equi-join back on the block key: the same
     * two-exchange budget as exact dedup, applied at sub-document
-    * granularity. */
+    * granularity. A block repeated across half the corpus makes its join
+    * key hot (every copy must meet the one first-occurrence row); the
+    * aggregate side collapses map-side, and the join side is the AQE
+    * skew-join case — same mitigation note as [[minhashPairs]]. */
   def dedupBlocks(docs: DataFrame, idCol: String, textCol: String,
       blockWords: Int = 10): DataFrame = {
     val blocks = docs

@@ -193,6 +193,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(sieve == plain)
   }
 
+  test("dedupBlocks keeps the first occurrence and rewrites clean text") {
+    import graft.llm.Dedup
+    // doc 1 and doc 2 share their FIRST 3-word block; doc 2 also repeats
+    // doc 1's second block; doc 3 is unique. blockWords=3.
+    val base = docs(
+      (1L, "a b c d e f", "en", "s"),
+      (2L, "a b c x y z", "en", "s"),
+      (3L, "p q r", "en", "s"))
+    val out = Dedup.dedupBlocks(base, "doc_id", "text", blockWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d e f")), s"doc1: ${out(1L)}")
+    // doc 2 loses "a b c" (doc 1 owns it) but keeps its unique tail
+    assert(out(2L) == ((2L, 1L, "x y z")), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, "p q r")), s"doc3: ${out(3L)}")
+  }
+
   test("bloom probe prunes disjoint keys at ~fpp while keeping every member") {
     import spark.implicits._
     graft.functions.BloomExpressions.register(spark)
