@@ -181,6 +181,37 @@ object TextAnalysis {
     * [[PiiPatterns]] order). Expression-only (regexp_extract_all /
     * regexp_replace are codegen'd), no shuffle at all — the ideal 100 TB
     * shape: a pure map over the corpus scan. */
+  /** Sketch-accelerated EXACT heavy hitters: all words whose corpus
+    * count meets `minCount`. A Count-Min sketch (one treeAggregate pass,
+    * ~depth·width·8 bytes of driver state) pre-filters the word stream
+    * map-side; CMS never under-estimates, so every true heavy word
+    * survives the probe, and the exact groupBy that follows counts ONLY
+    * the surviving candidates and re-applies the threshold — over-
+    * estimated light words die there. Same prune-then-verify contract as
+    * the Bloom decontamination path, aimed at the long-tail regime: at
+    * corpus scale the vocabulary is billions of near-unique tokens, and
+    * the exact aggregation shuffles the few plausibly-heavy ones instead
+    * of all of them. Output (word, cnt), exact. */
+  def heavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 17): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.CmsExpressions.register(spark)
+    import spark.implicits._
+    val words = docs.select(explode(TextOps.words(col(textCol))).as("word"))
+    val sketch = words.as[String].rdd.treeAggregate(
+      org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed))(
+      (s, w) => { s.addBinary(w.getBytes("UTF-8")); s },
+      (a, b) => a.mergeInPlace(b))
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    words
+      .filter(graft.functions.CmsExpressions.atLeast(col("word"),
+        lit(bos.toByteArray), lit(minCount)))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col(textCol), lit(pat), lit(0)))

@@ -316,6 +316,13 @@ object LlmQueries {
         "embedding", k = 5, shortlist = 10, nProbe = 4)
     }),
 
+    // CMS-pruned exact heavy hitters: the sketch pre-filter is a
+    // superset (CMS never under-estimates), the exact count re-applies
+    // the threshold, so output is exact — oracle is the plain SQL count.
+    "q121_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "text",
+        minCount = 900L)),
+
     "q90_pii" -> ((s, dir) =>
       TextAnalysis.piiScan(Tables.documents(s, dir), "doc_id", "text"))
   )
@@ -825,6 +832,13 @@ object LlmQueries {
          |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = id_a
          |  JOIN sh sb ON sb.doc_id = id_b""".stripMargin,
+
+    // The sketch stage is result-invariant (superset prune + exact
+    // re-count), so the oracle is the exact count alone.
+    "q121_heavy_hitters" ->
+      s"""SELECT word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($WORDS) AS word FROM documents)
+         |GROUP BY 1 HAVING COUNT(*) >= 900""".stripMargin,
 
     // Disjoint 10-word blocks; rn=1 in (doc_id, start) order marks the
     // corpus-wide first occurrence; clean_text re-joins survivors in

@@ -229,6 +229,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked < 1000, s"bloom leaked $leaked of 20000 disjoint keys")
   }
 
+  test("heavyHitters: CMS prune + exact count equals the plain count") {
+    import graft.llm.TextAnalysis
+    // long-tail corpus: 2 planted heavy words (>= 30 each) over a tail
+    // of 2000 words appearing exactly once
+    val base = docs((0 until 100).map { i =>
+      val tail = (0 until 20).map(j => s"tail${i}x$j").mkString(" ")
+      val heavy = if (i < 40) "hot cold" else if (i < 70) "hot" else ""
+      (i.toLong, s"$heavy $tail", "en", "s")
+    }: _*)
+    val out = TextAnalysis.heavyHitters(base, "text", minCount = 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("hot" -> 70L, "cold" -> 40L), s"got $out")
+    // plain-count cross-check with a different threshold that excludes
+    // 'cold' — the exact re-count applies the threshold, not the sketch
+    val strict = TextAnalysis.heavyHitters(base, "text", minCount = 41L)
+      .collect().map(_.getString(0)).toSet
+    assert(strict == Set("hot"))
+  }
+
   test("mixtureExpansion repeats sources toward target token weights") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
     // Source a: 100 tokens total, weight 0.8 of a 1000-token budget ->
