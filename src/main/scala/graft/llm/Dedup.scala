@@ -346,14 +346,24 @@ object Dedup {
     * Hamming distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       numBands: Int = 4, maxHamming: Int = 10): DataFrame = {
-    val bitsPerBand = 60 / numBands
     // One row per document: localCheckpoint the 60-sum fingerprint
     // aggregation so banding and the two verification re-joins read it
     // instead of re-running the word explosion three times.
     val fps = simhashFingerprints(docs, idCol, textCol).localCheckpoint()
+    fingerprintPairs(fps, idCol, "simhash", numBands, maxHamming)
+  }
+
+  /** Banded near-duplicate pairing over ANY 60-bit fingerprint column
+    * (SimHash text fingerprints, dHash image fingerprints, ...): pigeonhole
+    * candidate generation over `numBands` bit-bands, Hamming verification
+    * confined to candidates — never an all-pairs scan. `fps` must be one
+    * row per id. */
+  def fingerprintPairs(fps: DataFrame, idCol: String, fpCol: String,
+      numBands: Int = 4, maxHamming: Int = 10): DataFrame = {
+    val bitsPerBand = 60 / numBands
     val bandExprs = (0 until numBands).map(b =>
-      shiftright(col("simhash"), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1L))
-    val bands = fps.select(col(idCol), col("simhash"),
+      shiftright(col(fpCol), b * bitsPerBand).bitwiseAND((1L << bitsPerBand) - 1L))
+    val bands = fps.select(col(idCol), col(fpCol),
       posexplode(array(bandExprs: _*)).as(Seq("band_idx", "band_val")))
     val a = bands.select(col(idCol).as("id_a"), col("band_idx"), col("band_val"))
     val b = bands.select(col(idCol).as("id_b"), col("band_idx"), col("band_val"))
@@ -365,8 +375,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(fps.select(col(idCol).as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
-      .join(fps.select(col(idCol).as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
+      .join(fps.select(col(idCol).as("id_a"), col(fpCol).as("fp_a")), Seq("id_a"))
+      .join(fps.select(col(idCol).as("id_b"), col(fpCol).as("fp_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

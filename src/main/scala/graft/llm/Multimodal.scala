@@ -127,6 +127,42 @@ object Multimodal {
     Image(w, h, out)
   }
 
+  /** Integer luma plane: (299 r + 587 g + 114 b) / 1000 with floor
+    * division — all-integer arithmetic so any oracle recomputing it from
+    * the raw pixels lands on the identical value, no float rounding. */
+  def grayLuma(img: Image): Array[Int] = img.rgb.map { p =>
+    (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+  }
+
+  /** 60-bit difference hash (dHash): nearest-resize the integer-luma plane
+    * to an 11x6 grid (same index mapping as `resizeNearest`) and set bit
+    * `y*10 + x` iff lum(y, x+1) > lum(y, x). Uniform brightness shifts
+    * leave every comparison — hence the hash — unchanged. 60 bits rather
+    * than the classic 64 keeps the fingerprint inside the engine's
+    * sign-safe 60-bit convention (TextOps.wordHash60, SimHash) so
+    * `Dedup.fingerprintPairs` banding is shared between text and image
+    * near-dup detection. */
+  def dhash60(img: Image): Long = {
+    val gw = 11; val gh = 6
+    val lum = grayLuma(img)
+    val small = Array.tabulate(gh, gw) { (y, x) =>
+      val sy = math.min(img.height - 1, y * img.height / gh)
+      val sx = math.min(img.width - 1, x * img.width / gw)
+      lum(sy * img.width + sx)
+    }
+    var h = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (small(y)(x + 1) > small(y)(x)) h |= 1L << (y * 10 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   // ------------------------------------------------------------ features
   /** Audio features: duration, RMS, zero-crossing rate, peak, mean,
     * normalized rate/channels/bits. */

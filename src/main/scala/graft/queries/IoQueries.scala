@@ -201,6 +201,80 @@ object IoQueries {
         }).toDF("y", "x", "r", "g", "b")
     }),
 
+    // Audio spectral features via the Walsh-Hadamard transform: decoded
+    // WAV -> 64-sample windows -> 64-point WHT (coef k = sum of
+    // x[n] * (-1)^popcount(k AND n)) -> per-sequency-band energies.
+    // Sequency band energy is the WHT analog of DFT band power
+    // (Beauchamp, "Walsh Functions and Their Applications") and is
+    // ALL-INTEGER: int16 samples recovered exactly from the normalized
+    // doubles, +/-1 kernel, long sums — bit-identical on any engine, no
+    // cross-engine libm trig in play. Shape: ONE shuffle (window
+    // grouping); the transform itself is a pure expression over the
+    // collected 64-array, so windows parallelize embarrassingly at 100 TB
+    // and no 64x row blow-up ever reaches an exchange.
+    "q124_wav_wht" -> ((s, _) => {
+      import s.implicits._
+      val win = 64
+      val frame = s.read.format("binaryFile").load(s"$ioDir/tone.wav")
+        .select(col("content")).as[Array[Byte]]
+        .mapPartitions(_.flatMap { bytes =>
+          val w = graft.llm.Multimodal.decodeWav(bytes)
+            .getOrElse(throw new IllegalArgumentException("undecodable WAV"))
+          // samples are int16/32768 — *32768 recovers the integer exactly
+          w.samples.iterator.zipWithIndex.map { case (v, i) =>
+            (i.toLong / win, i.toLong % win, math.round(v * 32768))
+          }
+        }).toDF("win", "n", "raw")
+        .filter(col("win") < lit(400L / win)) // drop the partial tail
+      val arr = frame.groupBy("win")
+        .agg(array_sort(collect_list(struct(col("n"), col("raw")))).as("__s"))
+        .withColumn("__x", transform(col("__s"), e => e("raw")))
+      val coefs = transform(sequence(lit(0), lit(win - 1)), k =>
+        aggregate(sequence(lit(0), lit(win - 1)), lit(0L), (acc, n) =>
+          acc + when(bit_count(k.bitwiseAND(n)) % 2 === 0,
+            element_at(col("__x"), n + 1))
+            .otherwise(-element_at(col("__x"), n + 1))))
+      arr.withColumn("__c", coefs)
+        .select(col("win"), posexplode(col("__c")).as(Seq("k", "coef")))
+        .groupBy(col("win"), shiftright(col("k"), 4).as("band"))
+        .agg(sum(col("coef") * col("coef")).as("energy"))
+    }),
+
+    // Perceptual image hashing (dHash): binaryFile scan over a directory
+    // of PPMs -> executor-side decode -> integer luma -> 11x6 nearest
+    // resize -> 60-bit difference hash. One task per image at 100 TB,
+    // all-integer, zero shuffle. The oracle replays the identical
+    // luma/resize/compare/shift arithmetic in SQL over the fixture
+    // GENERATOR's pixel decode (imgset_pixels.parquet), so green
+    // certifies decoder, luma, resize mapping and bit packing end to end.
+    "q122_image_dhash" -> ((s, _) => {
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$ioDir/imgset/*.ppm")
+        .select(regexp_extract(col("path"), "([^/]+)\\.ppm$", 1).as("img"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (name, bytes) =>
+          val img = graft.llm.Multimodal.decodePpm(bytes)
+            .getOrElse(throw new IllegalArgumentException("undecodable PPM"))
+          (name, graft.llm.Multimodal.dhash60(img))
+        }).toDF("img", "dhash")
+    }),
+
+    // Image near-duplicate pairs over the dHash fingerprints via the SAME
+    // banded pigeonhole layer text SimHash uses (Dedup.fingerprintPairs):
+    // candidates share one of four 15-bit bands, Hamming verification is
+    // confined to candidates — never an all-pairs scan. At billions of
+    // images this is one equi-join on (band_idx, band_val). The fixture
+    // plants a brightness-shifted exact dup (hamming 0) and a local patch
+    // edit (low hamming) among independent images.
+    "q123_image_dup_pairs" -> ((s, _) => {
+      val hashes = queries("q122_image_dhash")(s, "")
+      graft.llm.Dedup.fingerprintPairs(hashes, "img", "dhash",
+        numBands = 4, maxHamming = 12)
+        .select(col("id_a").as("img_a"), col("id_b").as("img_b"),
+          col("hamming"))
+    }),
+
     // S11 round-trip: EngineConfig JSON save -> load -> frame view
     // (reference _create_configs/_load_config, dashboard/utils.py:327-372);
     // oracle = DuckDB read_json of the same written file.
@@ -217,7 +291,67 @@ object IoQueries {
     })
   )
 
+  /** Shared dHash CTE chain for q122/q123: identical integer luma, nearest
+    * 11x6 index mapping (least(H-1, y*H/6)), neighbor compare and bit
+    * packing as Multimodal.dhash60 — recomputed from the generator's
+    * pixel decode, independent of the Scala decoder. */
+  private def dhashSql: String =
+    s"""WITH px AS (
+       |  SELECT img, y, x, (299*r + 587*g + 114*b) // 1000 AS lum
+       |  FROM read_parquet('$ioDir/imgset_pixels.parquet')),
+       |grid AS (
+       |  SELECT gy.generate_series AS y, gx.generate_series AS x
+       |  FROM generate_series(0, 5) gy CROSS JOIN generate_series(0, 10) gx),
+       |small AS (
+       |  SELECT p.img, g.y, g.x, p.lum
+       |  FROM grid g JOIN px p
+       |    ON p.y = least(11, (g.y * 12) // 6)
+       |   AND p.x = least(15, (g.x * 16) // 11)),
+       |bits AS (
+       |  SELECT a.img, a.y, a.x,
+       |    CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+       |  FROM small a JOIN small b
+       |    ON b.img = a.img AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 10),
+       |hashes AS (
+       |  SELECT img,
+       |    CAST(SUM(CAST(bit AS BIGINT) << (y * 10 + x)) AS BIGINT) AS dhash
+       |  FROM bits GROUP BY img)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q124_wav_wht" ->
+      s"""WITH s AS (
+         |  SELECT idx // 64 AS win, idx % 64 AS n,
+         |    CAST(round(value * 32768) AS BIGINT) AS raw
+         |  FROM read_parquet('$ioDir/wav_frame.parquet') WHERE idx < 384),
+         |coef AS (
+         |  SELECT win, k,
+         |    SUM(CASE WHEN bit_count(k & n) % 2 = 0 THEN raw ELSE -raw END) AS c
+         |  FROM s, unnest(range(0, 64)) AS t(k)
+         |  GROUP BY win, k)
+         |SELECT win, CAST(k // 16 AS INTEGER) AS band,
+         |  CAST(SUM(c * c) AS BIGINT) AS energy
+         |FROM coef GROUP BY 1, 2""".stripMargin,
+
+    "q122_image_dhash" ->
+      s"""$dhashSql
+         |SELECT img, dhash FROM hashes""".stripMargin,
+
+    "q123_image_dup_pairs" ->
+      s"""$dhashSql,
+         |bands AS (
+         |  SELECT img, dhash, b AS band_idx,
+         |    (dhash >> (b * 15)) & 32767 AS band_val
+         |  FROM hashes, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.img AS img_a, a.dhash AS fp_a,
+         |    b.img AS img_b, b.dhash AS fp_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  WHERE a.img < b.img)
+         |SELECT img_a, img_b, bit_count(xor(fp_a, fp_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 12""".stripMargin,
+
     "q92_e4_acc" ->
       s"""WITH raw AS (
          |  SELECT row_number() OVER () - 1 AS rn, c0, c1, c2

@@ -122,4 +122,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(p(3) - 20f / 255) < 1e-6)
     assert(math.abs(p(4) - 30f / 255) < 1e-6)
   }
+
+  test("dHash: brightness invariance, patch locality, checked-in fixtures") {
+    def img(f: (Int, Int) => (Int, Int, Int)) =
+      Multimodal.decodePpm(ppmBytes(16, 12, f)).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same deterministic image family as tools/iofixtures.py imgset
+    val base = (x: Int, y: Int) => {
+      val i = y * 16 + x
+      ((i * 7 + 3) % 236, (i * 13 + 5) % 236, (i * 29 + 11) % 236)
+    }
+    val h0 = Multimodal.dhash60(img(base))
+    // uniform +10 per channel shifts integer luma by exactly +10 -> every
+    // neighbor comparison, hence the hash, is unchanged
+    val h1 = Multimodal.dhash60(img((x, y) => {
+      val (r, g, b) = base(x, y); (r + 10, g + 10, b + 10)
+    }))
+    assert(h0 == h1)
+    // a localized white patch flips a few comparisons, not the whole hash
+    val h2 = Multimodal.dhash60(img((x, y) =>
+      if (y >= 4 && y <= 8 && x >= 4 && x <= 7) (255, 255, 255) else base(x, y)))
+    assert(ham(h0, h2) > 0 && ham(h0, h2) <= 12)
+    // an unrelated image is far (random hashes: expected hamming 30)
+    val h3 = Multimodal.dhash60(img((x, y) =>
+      ((x * 11 + y * 53) % 236, (x * 3 + y * 41) % 236, (x * 19 + y * 5) % 236)))
+    assert(ham(h0, h3) > 12)
+    // the checked-in fixture set reproduces the same relationships through
+    // the binaryFile scan path (q122/q123's exact pipeline)
+    val dir = s"${sys.props("user.dir")}/src/test/resources/io/imgset"
+    val hashes = graft.queries.IoQueries.queries("q122_image_dhash")(spark, "")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hashes.size == 8 && new java.io.File(dir).list().length == 8)
+    assert(hashes("img0") == hashes("img1"))
+    assert(ham(hashes("img0"), hashes("img2")) <= 12)
+    val pairs = graft.queries.IoQueries.queries("q123_image_dup_pairs")(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(pairs(("img0", "img1")) == 0)
+    assert(pairs.contains(("img0", "img2")) && pairs(("img0", "img2")) > 0)
+  }
+
+  test("WHT band energies: integer-exact and Parseval-consistent") {
+    val rows = graft.queries.IoQueries.queries("q124_wav_wht")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 6 * 4) // 6 full windows x 4 sequency bands
+    // Parseval for the +/-1 WHT kernel: sum_k coef_k^2 = 64 * sum_n x_n^2,
+    // so per window the band energies must add up to exactly 64 * energy
+    // of the raw int16 samples — an integer identity, no tolerance.
+    val samples = (0 until 384).map(i => (((i * 37 + 11) % 2048) - 1024) * 13L)
+    (0 until 6).foreach { w =>
+      val raw = samples.slice(w * 64, w * 64 + 64)
+      val lhs = (0 until 4).map(b => rows((w.toLong, b))).sum
+      assert(lhs == 64L * raw.map(s => s * s).sum)
+    }
+  }
 }

@@ -202,6 +202,48 @@ def main():
         columns=["y", "x", "r", "g", "b"]).astype("int64").to_parquet(
         out / "ppm_pixels.parquet", index=False)
 
+    # ---- imgset/ (q122/q123): eight 16x12 P6 PPMs for perceptual-hash
+    # dedup. img1 = img0 + uniform +10 per channel (no clamp: base values
+    # are <= 235, and integer luma shifts by exactly +10, so the dHash is
+    # IDENTICAL — the brightness-invariance witness). img2 = img0 with a
+    # small localized patch rewrite (a near-duplicate at low Hamming
+    # distance). img3..img7 are independent pseudo-random images (far
+    # hashes). imgset_pixels.parquet is the GENERATOR's decode (img, y, x,
+    # r, g, b) — the oracle frame, independent of the Scala decoder;
+    # all-integer, so the luma/resize/compare oracle is exact everywhere.
+    sw, sh = 16, 12
+
+    def ppm_bytes(pix):
+        return (f"P6\n{sw} {sh}\n255\n".encode("ascii") +
+                bytes(v for p in pix for v in p))
+
+    def base_pix(seed):
+        return [(((i * 7 + seed * 31 + 3) % 236),
+                 ((i * 13 + seed * 17 + 5) % 236),
+                 ((i * 29 + seed * 11 + 7) % 236))
+                for i in range(sw * sh)]
+
+    imgset = out / "imgset"
+    imgset.mkdir(exist_ok=True)
+    img0 = base_pix(0)
+    variants = {
+        "img0": img0,
+        "img1": [(r + 10, g + 10, b + 10) for (r, g, b) in img0],
+        "img2": [(255, 255, 255) if (4 <= i // sw <= 8 and 4 <= i % sw <= 7)
+                 else p for i, p in enumerate(img0)],
+    }
+    for s in range(3, 8):
+        variants[f"img{s}"] = base_pix(s * 97 + 13)
+    rows = []
+    for name, pix in variants.items():
+        (imgset / f"{name}.ppm").write_bytes(ppm_bytes(pix))
+        rows += [(name, i // sw, i % sw, p[0], p[1], p[2])
+                 for i, p in enumerate(pix)]
+    df = pd.DataFrame(rows, columns=["img", "y", "x", "r", "g", "b"])
+    for c in ["y", "x", "r", "g", "b"]:
+        df[c] = df[c].astype("int64")
+    df.to_parquet(out / "imgset_pixels.parquet", index=False)
+
     print(f"io fixtures -> {out}")
 
 
