@@ -316,6 +316,52 @@ object Dedup {
           s => s("block")), " "), lit("")).as("clean_text"))
   }
 
+  /** Asymmetric containment pairs (Broder 1997's c(A,B) = |A∩B| / |A|):
+    * detects a document EMBEDDED in another — the quote/boilerplate/
+    * superset dup that Jaccard (and therefore MinHash-LSH) structurally
+    * misses when the sizes differ (a doc 10% the size of its container
+    * caps Jaccard at ~0.1 however perfect the containment).
+    *
+    * Candidate generation is rare-shingle blocking: only shingles with
+    * document frequency <= maxDf generate candidates, which (a) bounds the
+    * per-shingle self-join fan-out to maxDf² — a ubiquitous boilerplate
+    * shingle can never create a quadratic hot key — and (b) still catches
+    * any contained pair that shares one rare shingle. Exact containment is
+    * then computed ONLY over candidate documents (the verifyJaccard
+    * confinement pattern): at 100 TB the corpus-sized tables see one
+    * narrow-key shuffle each, and the quadratic surface is capped by
+    * construction. Output: (id_a, id_b, cont_a, cont_b) with id_a < id_b,
+    * where cont_a = |A∩B|/|A|, keeping pairs whose larger containment
+    * clears `threshold`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 10, threshold: Double = 0.5): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
+    val sizes = shingleSetSizes(rows, idCol)
+    val dfs = rows.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val rare = rows.join(dfs.filter(col("__df") <= maxDf), Seq("shingle"))
+    val cand = rare.select(col(idCol).as("id_a"), col("shingle"))
+      .join(rare.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // Confine the exact-intersection join to candidate documents' shingles
+    // (broadcast semi-join prune), mirroring verifyJaccard.
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val candRows = rows.join(broadcast(candIds), Seq(idCol), "leftsemi")
+      .localCheckpoint()
+    val inter = cand
+      .join(candRows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(candRows.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__int"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__set_size").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__set_size").as("__nb")), Seq("id_b"))
+      .withColumn("cont_a", round(col("__int").cast("double") / col("__na"), 6))
+      .withColumn("cont_b", round(col("__int").cast("double") / col("__nb"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+  }
+
   /** Per-document 60-bit SimHash fingerprints.
     *
     * Explode-side formulation: one 60-bit hash per word row, then 60

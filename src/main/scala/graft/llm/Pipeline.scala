@@ -469,6 +469,20 @@ object Pipeline {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
 
+  /** Perplexity-style quality filtering over the corpus-trained bigram LM
+    * (the CCNet/Gopher "LM filter" stage re-expressed on the in-engine
+    * model): every document gets its [[bigramLmScore]] average NLL, an
+    * integer histogram bucket (floor of avg_nll), and a keep flag at
+    * `cutoff` nats. Documents with no bigrams score null and are dropped
+    * (kept = false) — same semantics as a reference pipeline that filters
+    * on a score only defined for scoreable docs. Adds only per-row
+    * expressions on top of the LM score's plan: no new shuffle. */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+      cutoff: Double = 6.0): DataFrame =
+    bigramLmScore(docs, idCol, textCol)
+      .withColumn("bucket", floor(col("avg_nll")))
+      .withColumn("kept", coalesce(col("avg_nll") <= cutoff, lit(false)))
+
   /** Deterministic corpus sharding — the reproducible "global shuffle"
     * before training: shard = salted hash of the id mod `numShards`,
     * position within the shard = rank by (hash, id). One shuffle on the

@@ -254,6 +254,20 @@ object LlmQueries {
       TextAnalysis.sourceDrift(Tables.documents(s, dir), "doc_id", "text",
         "source")),
 
+    // LM quality filtering on top of the q85 bigram model: per-doc NLL,
+    // integer histogram bucket, keep flag at the cutoff — the
+    // CCNet/Gopher perplexity-filter stage.
+    "q125_perplexity_filter" -> ((s, dir) =>
+      Pipeline.perplexityFilter(Tables.documents(s, dir), "doc_id", "text",
+        cutoff = 6.0)),
+
+    // Asymmetric containment dedup (Broder): rare-shingle-blocked
+    // candidates, exact |A∩B|/|A| and /|B| confined to candidates — the
+    // doc-embedded-in-doc dup class MinHash-LSH misses.
+    "q127_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, maxDf = 10, threshold = 0.3)),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -341,6 +355,29 @@ object LlmQueries {
   /** Shared SQL fragments for the oracle. */
   private val WORDS =
     "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+
+  /** q85's add-one-smoothed bigram-LM scoring SQL, shared by the q125
+    * perplexity-filter oracle (which wraps it with bucket/keep columns). */
+  private def bigramLmSql: String =
+    s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |b2 AS (
+       |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+       |        FROM wr WHERE len(w) >= 2)),
+       |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+       |v AS (SELECT COUNT(DISTINCT word) AS v
+       |      FROM (SELECT unnest($WORDS) AS word FROM documents)),
+       |terms AS (
+       |  SELECT doc_id, ROUND(-ln((c12 + 1.0) / CAST(c1 + v AS DOUBLE)), 6) AS nll
+       |  FROM b2 JOIN counts USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+       |pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(*), 6) AS avg_nll
+       |  FROM terms GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_nll
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
   private def shinglesSql(n: Int): String = {
     val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
@@ -1266,26 +1303,43 @@ object LlmQueries {
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
     },
 
-    "q85_bigram_lm" ->
-      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
-         |b2 AS (
-         |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
-         |  FROM (SELECT doc_id, unnest(list_transform(
-         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
-         |        FROM wr WHERE len(w) >= 2)),
-         |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
-         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1),
-         |v AS (SELECT COUNT(DISTINCT word) AS v
-         |      FROM (SELECT unnest($WORDS) AS word FROM documents)),
-         |terms AS (
-         |  SELECT doc_id, ROUND(-ln((c12 + 1.0) / CAST(c1 + v AS DOUBLE)), 6) AS nll
-         |  FROM b2 JOIN counts USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
-         |pd AS (
-         |  SELECT doc_id, COUNT(*) AS n_bigrams,
-         |    ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(*), 6) AS avg_nll
-         |  FROM terms GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_nll
-         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q85_bigram_lm" -> bigramLmSql,
+
+    "q125_perplexity_filter" ->
+      s"""SELECT doc_id, n_bigrams, avg_nll,
+         |  CAST(floor(avg_nll) AS BIGINT) AS bucket,
+         |  COALESCE(avg_nll <= 6.0, false) AS kept
+         |FROM ($bigramLmSql)""".stripMargin,
+
+    "q127_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS s
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |r2 AS (
+         |  SELECT DISTINCT doc_id, unnest(s) AS shingle
+         |  FROM sh WHERE len(s) > 0),
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM r2 GROUP BY 1),
+         |rare AS (SELECT r2.doc_id, r2.shingle
+         |         FROM r2 JOIN dfq USING (shingle) WHERE df <= 10),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rare a JOIN rare b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN r2 ra ON ra.doc_id = c.id_a
+         |  JOIN r2 rb ON rb.doc_id = c.id_b AND rb.shingle = ra.shingle
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM r2 GROUP BY 1)
+         |SELECT id_a, id_b,
+         |  ROUND(i::DOUBLE / za.n, 6) AS cont_a,
+         |  ROUND(i::DOUBLE / zb.n, 6) AS cont_b
+         |FROM inter
+         |JOIN sz za ON za.doc_id = id_a
+         |JOIN sz zb ON zb.doc_id = id_b
+         |WHERE greatest(ROUND(i::DOUBLE / za.n, 6),
+         |               ROUND(i::DOUBLE / zb.n, 6)) >= 0.3""".stripMargin,
 
     "q86_source_drift" ->
       s"""WITH sw AS (

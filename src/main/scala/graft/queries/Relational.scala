@@ -210,6 +210,30 @@ object Relational {
         .agg(sum(col("__norm").cast(DecimalType(18, 6))).cast("double").as("sum_norm"))
     }),
 
+    // Robust outlier detection via median absolute deviation (the
+    // Hampel-identifier counterpart of the reference's IQR spread checks,
+    // pipeline/SQA.py quartile deviation family): per event_type, exact
+    // median, exact MAD, and the count of values beyond 3 sigma-equivalents
+    // (|x - med| > 3 * 1.4826 * mad). The med/mad tables are
+    // group-cardinality-sized, so both re-joins broadcast; the value rows
+    // shuffle once per aggregate on the narrow type key.
+    "q126_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("__med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("__absdev", abs(col("value") - col("__med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("__absdev"), lit(0.5)).as("__mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__absdev") > col("__mad") * 4.4478, 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(max(col("__med")), 4).as("med"),
+          round(max(col("__mad")), 4).as("mad"))
+    }),
+
     // O4: deterministic arg-max per group (window-max beat pick, reference
     // pipeline/ECG.py:612-649).
     "q16_argmax" -> ((s, dir) => {
@@ -224,6 +248,20 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q126_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, MEDIAN(absdev) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.absdev > m2.mad * 4.4478 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  ROUND(MAX(d.med), 4) AS med, ROUND(MAX(m2.mad), 4) AS mad
+        |FROM dev d JOIN mad m2 USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
     "q01_seg_agg" ->
       s"""SELECT user_id, epoch_us(ts) // $HOUR_US AS seg, COUNT(*) AS n,
          |${Det.sumDetSql("value")} AS sum_value, MIN(epoch_us(ts)) AS first_us

@@ -124,4 +124,52 @@ class CorpusQaSpec extends AnyFunSuite {
     assert(out("flood") > 0.5)   // concentrated mass far from corpus mix
     assert(out("clean") > 0.0)   // corpus includes the flood, so clean drifts too
   }
+
+  test("containmentPairs catches a doc embedded in a much larger one") {
+    // doc 1 (12 words) verbatim inside doc 2 (62 words): containment of 1
+    // in 2 is 1.0 while Jaccard is ~0.17 — below any useful LSH threshold.
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 50).map(i => s"z$i").mkString(" ")
+    val far = (1 to 30).map(i => s"q$i").mkString(" ")
+    val out = Dedup.containmentPairs(docs(
+      (1L, small, "a"), (2L, big, "a"), (3L, far, "a")),
+      "doc_id", "text", shingleN = 3, maxDf = 10, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    val (contA, contB) = out((1L, 2L))
+    assert(contA == 1.0)            // every shingle of 1 is in 2
+    assert(contB < 0.2)             // 2 is mostly NOT doc 1
+    // sanity: symmetric Jaccard on the same pair stays below 0.2, i.e.
+    // this pair is invisible to a Jaccard-thresholded dedup
+    assert(10.0 / 60.0 < 0.2)
+  }
+
+  test("containmentPairs: ubiquitous shingles never generate candidates") {
+    // the same 3-shingle in every doc, but df > maxDf -> no candidates at
+    // all, so no quadratic blow-up on boilerplate
+    val d = docs((1 to 8).map(i =>
+      (i.toLong, s"common header line unique$i tail$i", "a")): _*)
+    val out = Dedup.containmentPairs(d, "doc_id", "text",
+      shingleN = 3, maxDf = 4, threshold = 0.1)
+    assert(out.count() == 0)
+  }
+
+  test("perplexityFilter: repetitive text scores low NLL, rare text high") {
+    val rep = Array.fill(20)("the cat sat").mkString(" ")
+    val d = docs(
+      (1L, rep, "a"), (2L, rep, "a"), (3L, rep, "a"),
+      (4L, "zephyr quixotic vorpal brillig slithy toves", "a"),
+      (5L, "", "a"))
+    val out = Pipeline.perplexityFilter(d, "doc_id", "text", cutoff = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toMap
+    val rep1 = out(1L)._1.get
+    val rare = out(4L)._1.get
+    assert(rep1 < rare)                       // the LM prefers corpus-typical text
+    assert(out(1L)._3 && !out(4L)._3)         // cutoff separates them
+    assert(out(5L)._1.isEmpty && !out(5L)._3) // unscoreable -> dropped
+    assert(out(1L)._2.get == math.floor(rep1).toLong)
+  }
 }
