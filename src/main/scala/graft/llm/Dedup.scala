@@ -322,27 +322,44 @@ object Dedup {
     * misses when the sizes differ (a doc 10% the size of its container
     * caps Jaccard at ~0.1 however perfect the containment).
     *
-    * Candidate generation is rare-shingle blocking: only shingles with
-    * document frequency <= maxDf generate candidates, which (a) bounds the
-    * per-shingle self-join fan-out to maxDf² — a ubiquitous boilerplate
-    * shingle can never create a quadratic hot key — and (b) still catches
-    * any contained pair that shares one rare shingle. Exact containment is
-    * then computed ONLY over candidate documents (the verifyJaccard
-    * confinement pattern): at 100 TB the corpus-sized tables see one
-    * narrow-key shuffle each, and the quadratic surface is capped by
-    * construction. Output: (id_a, id_b, cont_a, cont_b) with id_a < id_b,
-    * where cont_a = |A∩B|/|A|, keeping pairs whose larger containment
-    * clears `threshold`. */
+    * Candidate generation is prefix-filtered rare-shingle blocking
+    * (rarest-first prefix filtering in the AllPairs/PPJoin family, Bayardo
+    * 2007): only shingles with document frequency <= maxDf are blocking-
+    * eligible, and each document contributes only its `prefixK` RAREST
+    * eligible shingles (ordered by (df, shingle) — deterministic) as
+    * blocking keys — joined against the FULL rare index of the other
+    * side, the asymmetric index shape containment needs (a container's
+    * own prefix is dominated by its unique df=1 shingles; the shared
+    * shingles live in its full set). Hard bounds a 100 TB corpus needs:
+    * per-shingle join fan-out <= maxDf² (a ubiquitous boilerplate shingle
+    * can never create a quadratic hot key) and total candidates <=
+    * N·prefixK·maxDf — linear in corpus size even when every rare shingle
+    * saturates at maxDf docs. Recall: a contained pair is caught when
+    * either side's prefixK rarest eligible shingles include one shared
+    * shingle — guaranteed for genuine containment A ⊆ B (ALL of A's
+    * shingles are shared, so A's whole prefix is), approximate for
+    * partial overlaps and for dup-clusters wider than maxDf (MinHash-LSH
+    * territory, documented). Exact containment is then computed ONLY over
+    * candidate documents (the verifyJaccard confinement pattern). Output:
+    * (id_a, id_b, cont_a, cont_b) with id_a < id_b, where cont_a =
+    * |A∩B|/|A|, keeping pairs whose larger containment clears
+    * `threshold`. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, maxDf: Int = 10, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, maxDf: Int = 10, threshold: Double = 0.5,
+      prefixK: Int = 5): DataFrame = {
     val rows = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
     val sizes = shingleSetSizes(rows, idCol)
     val dfs = rows.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val rare = rows.join(dfs.filter(col("__df") <= maxDf), Seq("shingle"))
-    val cand = rare.select(col(idCol).as("id_a"), col("shingle"))
-      .join(rare.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val prefix = rare.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixK)
+    val cand = prefix.select(col(idCol).as("__pa"), col("shingle"))
+      .join(rare.select(col(idCol).as("__pb"), col("shingle")), Seq("shingle"))
+      .filter(col("__pa") =!= col("__pb"))
+      .select(least(col("__pa"), col("__pb")).as("id_a"),
+        greatest(col("__pa"), col("__pb")).as("id_b"))
+      .distinct()
     // Confine the exact-intersection join to candidate documents' shingles
     // (broadcast semi-join prune), mirroring verifyJaccard.
     val candIds = cand.select(col("id_a").as(idCol))

@@ -483,6 +483,68 @@ object Pipeline {
       .withColumn("bucket", floor(col("avg_nll")))
       .withColumn("kept", coalesce(col("avg_nll") <= cutoff, lit(false)))
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): estimate target and raw
+    * distributions over HASHED bigram features (`numBuckets` buckets of
+    * the portable 60-bit md5 hash), then weight every document by its
+    * log-likelihood ratio log p_target(x) − log p_raw(x)
+    * = Σ_b c_x(b) · [ln p̂_t(b) − ln p̂_r(b)] with add-one smoothing.
+    * `targetPred` marks the in-target rows (e.g. `col("lang") === "en"` —
+    * the high-quality / in-domain sample the corpus is being filtered
+    * toward).
+    *
+    * Shape: the corpus is exploded to bigram rows ONCE (reusing the
+    * id-partitioned word rows); both bucket histograms (raw and target)
+    * aggregate from those same rows onto the `numBuckets`-sized key, so
+    * each is a fixed-size table that broadcasts back onto the per-doc
+    * bucket counts — at 100 TB the only corpus-sized shuffle is the one
+    * (id, bucket) hash-aggregate, which rides the existing id exchange
+    * (HashPartitioning(id) satisfies the (id, bucket) clustering).
+    * Per-term log-ratios are pinned to 6 digits; the per-doc weighted sum
+    * routes through exact decimal so reduction order cannot shift the
+    * oracle hash. Docs with no bigrams get logw = null, kept = false. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, numBuckets: Int = 4096,
+      cutoff: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = docs
+      .repartition(col(idCol))
+      .select(col(idCol), targetPred.as("__tgt"),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")))
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("__tgt"),
+        pmod(TextOps.wordHash60(concat_ws(" ", col("word"), col("w2"))),
+          lit(numBuckets.toLong)).as("__b"))
+    val perDoc = bigrams.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val raw = bigrams.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgt = bigrams.filter(col("__tgt"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val totals = bigrams.agg(
+      count(lit(1)).as("__nr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__nt"))
+    // Full bucket table (raw left-joined with target: a bucket absent from
+    // the target sample still contributes its smoothed ln(1/(Nt+B)) term).
+    val ratio = raw.join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"), round(
+        log((coalesce(col("__ct"), lit(0L)) + 1.0) /
+          (col("__nt") + numBuckets).cast("double")) -
+        log((col("__cr") + 1.0) /
+          (col("__nr") + numBuckets).cast("double")), 6).as("__lr"))
+    val scored = perDoc.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_feat"),
+        graft.core.Det.sumDet(col("__c") * col("__lr"), scale = 6).as("__s"))
+      .select(col(idCol), col("n_feat"), round(col("__s"), 6).as("logw"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        col("logw"),
+        coalesce(col("logw") >= cutoff, lit(false)).as("kept"))
+  }
+
   /** Deterministic corpus sharding — the reproducible "global shuffle"
     * before training: shard = salted hash of the id mod `numShards`,
     * position within the shard = rank by (hash, id). One shuffle on the

@@ -554,4 +554,47 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "cos", "rnk")
   }
+
+  /** Deterministic Achlioptas sparse random-projection matrix
+    * (Achlioptas 2003: entries +1/−1 with probability 1/6 each, 0 with
+    * probability 2/3, scaled by sqrt(3/outDim)): entry (i, j) is derived
+    * from the portable md5 hash of "rp:i:j", so BOTH engines receive the
+    * same matrix as plan-time literals — no runtime hashing, no weight
+    * table to ship. */
+  def rpMatrix(inDim: Int, outDim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim, outDim) { (i, j) =>
+      val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 6) match {
+        case 0 => 1
+        case 1 => -1
+        case _ => 0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection of the embedding column,
+    * `inDim` → `outDim`, via [[rpMatrix]]. Each output coordinate is a
+    * fixed LEFT-TO-RIGHT ±sum of ~inDim/3 input floats (matrix zeros are
+    * skipped in the same order in the oracle SQL) times the
+    * sqrt(3/outDim) scale pinned to 6 digits, rounded to 6 — bit-identical
+    * across engines. Pure map over the embedding scan: zero shuffles,
+    * whole-stage codegen; at 100 TB this is the dimensionality-reduction
+    * front of any ANN/clustering pipeline (4× fewer bytes into every
+    * downstream shuffle at distance-preservation guaranteed by JL). */
+  def randomProjection(df: DataFrame, idCol: String, embCol: String,
+      inDim: Int = 64, outDim: Int = 16): DataFrame = {
+    val m = rpMatrix(inDim, outDim)
+    val scale = math.rint(math.sqrt(3.0 / outDim) * 1e6) / 1e6
+    val proj = (0 until outDim).map { j =>
+      val terms = (0 until inDim).filter(i => m(i)(j) != 0).map { i =>
+        val e = element_at(col(embCol), i + 1).cast("double")
+        if (m(i)(j) > 0) e else -e
+      }
+      val s = if (terms.isEmpty) lit(0.0d) else terms.reduceLeft(_ + _)
+      round(s * scale, 6)
+    }
+    df.select(col(idCol), array(proj: _*).as("proj"))
+  }
 }

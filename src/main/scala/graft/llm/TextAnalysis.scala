@@ -222,4 +222,30 @@ object TextAnalysis {
     }
     docs.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
+
+  /** fastText-style linear quality classifier over hashed word features
+    * (Joulin et al. 2017's bag-of-words architecture; the quality-model
+    * stage of GPT-3/LLaMA-class pipelines). Weights are pseudo-random but
+    * fully deterministic — w(word) = (h60("clf:"+word) mod 2001 − 1000)
+    * / 1000 ∈ [−1, 1] — standing in for a trained model while exercising
+    * the production plan shape: margin = Σ w(wordᵢ) / n folded LEFT-TO-
+    * RIGHT over the word array (identical association order in the
+    * oracle), probability through a logistic link. Pure per-row
+    * expression — zero shuffles, zero joins, whole-stage codegen; at
+    * 100 TB this is a map-only scan, the cheapest possible plan class.
+    * Empty docs: margin/prob null, label false. */
+  def hashClassifier(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    def weight(x: Column): Column =
+      (pmod(TextOps.wordHash60(concat(lit("clf:"), x)), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0
+    val margin = round(
+      aggregate(w, lit(0.0d), (acc, x) => acc + weight(x)) / size(w), 6)
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-margin)), 6)
+    docs.select(col(idCol), size(w).cast("long").as("n_words"),
+        when(size(w) > 0, margin).as("margin"),
+        when(size(w) > 0, prob).as("prob"))
+      .withColumn("label", coalesce(col("prob") >= threshold, lit(false)))
+  }
 }

@@ -266,7 +266,30 @@ object LlmQueries {
     // doc-embedded-in-doc dup class MinHash-LSH misses.
     "q127_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, maxDf = 10, threshold = 0.3)),
+        shingleN = 3, maxDf = 5, threshold = 0.3, prefixK = 5)),
+
+    // DSIR importance weights (Xie 2023): hashed-bigram bucket histograms
+    // for target (lang='en') vs raw, per-doc log-likelihood ratio.
+    "q128_dsir" -> ((s, dir) =>
+      Pipeline.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", numBuckets = 4096, cutoff = 0.0)),
+
+    // fastText-style hashed linear quality classifier: map-only scan,
+    // deterministic hash weights, logistic link.
+    "q129_hash_classifier" -> ((s, dir) =>
+      TextAnalysis.hashClassifier(Tables.documents(s, dir), "doc_id",
+        "text", threshold = 0.5)),
+
+    // Johnson-Lindenstrauss sparse random projection 64 -> 16: plan-time
+    // literal Achlioptas matrix, pure map over the embedding scan
+    // (exploded to (vec_id, dim, val) rows for the scalar-cell oracle
+    // compare; the operator itself returns the array column).
+    "q130_rand_projection" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir), "vec_id",
+        "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("dim", "val")))
+        .withColumn("dim", col("dim").cast("long"))),
 
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1311,6 +1334,65 @@ object LlmQueries {
          |  COALESCE(avg_nll <= 6.0, false) AS kept
          |FROM ($bigramLmSql)""".stripMargin,
 
+    "q128_dsir" ->
+      s"""WITH wr AS (SELECT doc_id, lang = 'en' AS tgt, $WORDS AS w
+         |            FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tgt,
+         |    ('0x' || substr(md5(bgs), 1, 15))::BIGINT % 4096 AS b
+         |  FROM (SELECT doc_id, tgt, unnest(list_transform(
+         |          range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bgs
+         |        FROM wr WHERE len(w) >= 2)),
+         |perdoc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |rawh AS (SELECT b, COUNT(*) AS cr FROM bg GROUP BY 1),
+         |tgth AS (SELECT b, COUNT(*) AS ct FROM bg WHERE tgt GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS nr,
+         |  CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt FROM bg),
+         |ratio AS (
+         |  SELECT rawh.b, ROUND(
+         |    ln((COALESCE(ct, 0) + 1.0) / CAST(nt + 4096 AS DOUBLE)) -
+         |    ln((cr + 1.0) / CAST(nr + 4096 AS DOUBLE)), 6) AS lr
+         |  FROM rawh LEFT JOIN tgth USING (b) CROSS JOIN tot),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+         |    ROUND(${graft.core.Det.sumDetSql("c * lr", 6)}, 6) AS logw
+         |  FROM perdoc JOIN ratio USING (b) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_feat, 0) AS n_feat, logw,
+         |  COALESCE(logw >= 0.0, false) AS kept
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q129_hash_classifier" ->
+      s"""SELECT doc_id, n_words, margin,
+         |  CASE WHEN margin IS NOT NULL
+         |    THEN ROUND(1.0 / (1.0 + exp(-margin)), 6) END AS prob,
+         |  COALESCE(CASE WHEN margin IS NOT NULL
+         |    THEN ROUND(1.0 / (1.0 + exp(-margin)), 6) END >= 0.5,
+         |    false) AS label
+         |FROM (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CASE WHEN len(w) > 0 THEN ROUND(list_reduce(
+         |      list_transform(w, x ->
+         |        ((('0x' || substr(md5('clf:' || x), 1, 15))::BIGINT % 2001)
+         |          - 1000) / 1000.0),
+         |      (a, b) -> a + b) / len(w), 6) END AS margin
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents))""".stripMargin,
+
+    "q130_rand_projection" -> {
+      val m = graft.llm.Similarity.rpMatrix(64, 16)
+      val scale = math.rint(math.sqrt(3.0 / 16) * 1e6) / 1e6
+      (0 until 16).map { j =>
+        val terms = (0 until 64).filter(i => m(i)(j) != 0).map { i =>
+          val sign = if (m(i)(j) > 0) "+" else "-"
+          s"$sign (embedding[${i + 1}])::DOUBLE"
+        }
+        val body =
+          if (terms.isEmpty) "0.0"
+          else terms.mkString(" ").stripPrefix("+ ")
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS dim,
+           |  ROUND(($body) * $scale, 6) AS val FROM embeddings""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     "q127_containment" ->
       s"""WITH sh AS (
          |  SELECT doc_id, ${shinglesSql(3)} AS s
@@ -1319,12 +1401,17 @@ object LlmQueries {
          |  SELECT DISTINCT doc_id, unnest(s) AS shingle
          |  FROM sh WHERE len(s) > 0),
          |dfq AS (SELECT shingle, COUNT(*) AS df FROM r2 GROUP BY 1),
-         |rare AS (SELECT r2.doc_id, r2.shingle
-         |         FROM r2 JOIN dfq USING (shingle) WHERE df <= 10),
+         |rare AS (SELECT r2.doc_id, r2.shingle, df
+         |         FROM r2 JOIN dfq USING (shingle) WHERE df <= 5),
+         |pref AS (SELECT doc_id, shingle FROM (
+         |  SELECT doc_id, shingle, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY df, shingle) AS rn FROM rare)
+         |  WHERE rn <= 5),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM rare a JOIN rare b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id),
+         |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+         |    GREATEST(a.doc_id, b.doc_id) AS id_b
+         |  FROM pref a JOIN rare b USING (shingle)
+         |  WHERE a.doc_id <> b.doc_id),
          |inter AS (
          |  SELECT c.id_a, c.id_b, COUNT(*) AS i
          |  FROM cand c

@@ -172,4 +172,91 @@ class CorpusQaSpec extends AnyFunSuite {
     assert(out(5L)._1.isEmpty && !out(5L)._3) // unscoreable -> dropped
     assert(out(1L)._2.get == math.floor(rep1).toLong)
   }
+
+  test("containmentPairs: prefix cap bounds per-doc blocking keys") {
+    // Docs 1/2 genuinely contain each other's text start (true containment
+    // -> always caught: the contained doc's rarest shingles are in the
+    // container by definition). Docs 3/4 share ONE rare shingle but each
+    // has >prefixK rarer (df=1) unique shingles, so with prefixK=2 the
+    // shared shingle is outside both prefixes -> documented candidate miss.
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 30).map(i => s"z$i").mkString(" ")
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val d3 = (1 to 9).map(i => s"a$i").mkString(" ") + " " + shared
+    val d4 = (1 to 9).map(i => s"b$i").mkString(" ") + " " + shared
+    val out = Dedup.containmentPairs(docs(
+      (1L, small, "a"), (2L, big, "a"), (3L, d3, "a"), (4L, d4, "a")),
+      "doc_id", "text", shingleN = 3, maxDf = 10, threshold = 0.3,
+      prefixK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.contains((3L, 4L)))
+    // raising prefixK past the unique-shingle count restores the pair
+    val full = Dedup.containmentPairs(docs(
+      (3L, d3, "a"), (4L, d4, "a")),
+      "doc_id", "text", shingleN = 3, maxDf = 10, threshold = 0.3,
+      prefixK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((3L, 4L)))
+  }
+
+  test("dsirWeights: docs matching the target distribution score higher") {
+    // target = source 't' docs, which repeat a distinctive bigram pattern;
+    // doc 10 (target-like) must outscore doc 11 (raw-typical filler).
+    val tgtText = Array.fill(8)("alpha beta gamma").mkString(" ")
+    val rawText = Array.fill(8)("noise junk filler").mkString(" ")
+    val rows = (1L to 4L).map(i => (i, tgtText, "t")) ++
+      (5L to 9L).map(i => (i, rawText, "r")) :+
+      (10L, "alpha beta gamma alpha beta", "r") :+
+      (11L, "noise junk filler noise junk", "r") :+
+      (12L, "", "r")
+    val d = docs(rows: _*)
+    val out = Pipeline.dsirWeights(d, "doc_id", "text",
+      org.apache.spark.sql.functions.col("source") === "t",
+      numBuckets = 256, cutoff = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getBoolean(3))).toMap
+    assert(out(10L)._2.get > out(11L)._2.get)
+    assert(out(10L)._3 && !out(11L)._3)         // cutoff separates them
+    assert(out(12L)._1 == 0L && out(12L)._2.isEmpty && !out(12L)._3)
+  }
+
+  test("hashClassifier: deterministic margins, logistic link, empty docs") {
+    val d = docs((1L, "alpha beta", "a"), (2L, "beta alpha", "a"),
+      (3L, "alpha beta alpha beta", "a"), (4L, "", "a"))
+    val out = TextAnalysis.hashClassifier(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    // bag-of-words: order-invariant, and duplication preserves the mean
+    assert(out(1L)._2 == out(2L)._2)
+    assert(out(1L)._2 == out(3L)._2)
+    val (m, p) = (out(1L)._2.get, out(1L)._3.get)
+    assert(math.abs(p - 1.0 / (1.0 + math.exp(-m))) < 2e-6)
+    assert(out(1L)._4 == (p >= 0.5))
+    assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty && !out(4L)._4)
+  }
+
+  test("randomProjection: linearity, sparsity, and determinism") {
+    val s = spark
+    import s.implicits._
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val d = Seq((1L, v), (2L, v.map(_ * 2)), (3L, Array.fill(64)(0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L).length == 16)
+    // linearity: proj(2x) == 2*proj(x) up to the 1e-6 rounding
+    out(1L).zip(out(2L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 3e-6) }
+    assert(out(3L).forall(_ == 0.0))
+    // Achlioptas density: ~1/3 of 64x16 entries nonzero, both signs
+    val m = Similarity.rpMatrix(64, 16)
+    val flat = m.flatten
+    assert(m.map(_.length).sum == 1024 && flat.count(_ != 0) > 250 &&
+      flat.count(_ != 0) < 450 && flat.contains(1) && flat.contains(-1))
+    // deterministic across invocations
+    assert(Similarity.rpMatrix(64, 16).flatten.toSeq == flat.toSeq)
+  }
 }
