@@ -43,25 +43,135 @@ object TextAnalysis {
   }
 
   /** Quality metrics: word counts, uniqueness, average word length,
-    * stopword ratio, and a composite score in [0,1]. */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * stopword ratio, and a composite score in [0,1]. `extraCols` are
+    * carried through untouched (e.g. the source for [[sourceReport]]). */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val en = stopwords.head._2
     docs
       .withColumn("__words", TextOps.words(col(textCol)))
       .withColumn("n_words", size(col("__words")).cast("long"))
       .withColumn("n_unique", size(array_distinct(col("__words"))).cast("long"))
-      .withColumn("uniq_ratio", round(col("n_unique").cast("double") / col("n_words"), 6))
-      .withColumn("avg_word_len", round(
+      // empty docs: every ratio is NULL (ANSI-safe, and DuckDB's x/0 is
+      // NULL too, so the oracle agrees without special-casing)
+      .withColumn("uniq_ratio", when(col("n_words") > 0L,
+        round(col("n_unique").cast("double") / col("n_words"), 6)))
+      .withColumn("avg_word_len", when(col("n_words") > 0L, round(
         aggregate(col("__words"), lit(0L), (a, w) => a + length(w)).cast("double") /
-          col("n_words"), 6))
-      .withColumn("stop_ratio", round(
-        hitCount(col("__words"), en).cast("double") / col("n_words"), 6))
+          col("n_words"), 6)))
+      .withColumn("stop_ratio", when(col("n_words") > 0L, round(
+        hitCount(col("__words"), en).cast("double") / col("n_words"), 6)))
       .withColumn("quality_score", round(
         lit(0.4) * col("uniq_ratio") +
           lit(0.3) * least(col("n_words").cast("double") / 50.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
-      .select(idCol, "n_words", "n_unique", "uniq_ratio", "avg_word_len",
-        "stop_ratio", "quality_score")
+      .select((extraCols :+ idCol) ++ Seq("n_words", "n_unique",
+        "uniq_ratio", "avg_word_len", "stop_ratio", "quality_score")
+        map col: _*)
+  }
+
+  /** Per-source dataset report card (the "Datasheets for Datasets" /
+    * dataset-card summary a curation pipeline publishes per shard):
+    * document count, empty-doc count, exact-decimal mean words and mean
+    * quality score (over scoreable docs only — avg skips nulls in both
+    * engines), and the low-quality fraction below `lowCutoff`. ONE
+    * map-only scan (the [[quality]] expressions) into one hash-aggregate
+    * on the source key — per-source partials collapse map-side, so a
+    * 100 TB corpus pays a shuffle of (#sources × #partitions) rows. */
+  def sourceReport(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, lowCutoff: Double = 0.5): DataFrame =
+    quality(docs, idCol, textCol, extraCols = Seq(sourceCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_words") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        round(graft.core.Det.avgDet(col("n_words").cast("double"), 0), 6)
+          .as("avg_words"),
+        round(graft.core.Det.avgDet(
+          when(col("n_words") > 0L, col("quality_score")), 6), 6)
+          .as("avg_quality"),
+        round(sum(when(col("n_words") > 0L && col("quality_score") < lowCutoff,
+            1L).otherwise(0L)).cast("double") /
+          count(when(col("n_words") > 0L, col("quality_score"))), 6)
+          .as("low_quality_rate"))
+
+  /** Gopher-rule document filtering (Rae et al. 2021, table A1 subset —
+    * the heuristic rule stage run before any model-based filter): word
+    * count in [minWords, maxWords], mean word length in [3, 10],
+    * symbol-to-word ratio ('#' and '…'-as-'...') <= 0.1, bullet-start
+    * lines <= 90%, ellipsis-end lines <= 30%, >= 80% of words containing
+    * an alphabetic character, and >= 2 distinct English stopwords. Pure
+    * per-row expressions (map-only scan, zero shuffles); empty docs fail
+    * closed (keep = false, ratios null). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val en = stopwords.head._2
+    val w = TextOps.words(col(textCol))
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val nHash = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val nDots = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val nEllipsis = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]")))
+    val nStop = size(array_intersect(array_distinct(w),
+      array(en.map(lit): _*)))
+    docs
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("mean_word_len", when(size(w) > 0, round(
+        aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") /
+          size(w), 6)))
+      .withColumn("symbol_ratio", when(size(w) > 0,
+        round((nHash + nDots).cast("double") / size(w), 6)))
+      .withColumn("bullet_ratio", when(size(lines) > 0,
+        round(nBullet.cast("double") / size(lines), 6)))
+      .withColumn("ellipsis_ratio", when(size(lines) > 0,
+        round(nEllipsis.cast("double") / size(lines), 6)))
+      .withColumn("alpha_ratio", when(size(w) > 0,
+        round(nAlpha.cast("double") / size(w), 6)))
+      .withColumn("n_stop_distinct", nStop.cast("long"))
+      .withColumn("keep", coalesce(
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("n_stop_distinct") >= 2L, lit(false)))
+      .select(idCol, "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_ratio", "ellipsis_ratio", "alpha_ratio", "n_stop_distinct",
+        "keep")
+  }
+
+  /** Zipf power-law fit over the corpus word-frequency distribution —
+    * the distributional-health statistic of corpus QA (natural text shows
+    * ln cnt ≈ intercept + slope·ln rank with slope ≈ −1; template/spam
+    * floods flatten it). Least squares over the `topR` most frequent
+    * words: the word-count aggregate is the only corpus-sized shuffle
+    * (map-side partials on the word key); top-R selection is a
+    * distributed TakeOrdered (never a global sort materialization), and
+    * the rank window + moment sums then run on R bounded rows. Per-term
+    * logs pinned to 6 digits, moment sums exact-decimal — the slope and
+    * intercept are bit-identical cross-engine. */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int = 1000): DataFrame = {
+    val counts = docs.select(explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topR)
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    val t = counts.withColumn("rnk", row_number().over(w))
+      .withColumn("x", round(log(col("rnk").cast("double")), 6))
+      .withColumn("y", round(log(col("cnt").cast("double")), 6))
+    val s = t.agg(count(lit(1)).as("n"),
+      graft.core.Det.sumDet(col("x"), 6).as("sx"),
+      graft.core.Det.sumDet(col("y"), 6).as("sy"),
+      graft.core.Det.sumDet(col("x") * col("y"), 6).as("sxy"),
+      graft.core.Det.sumDet(col("x") * col("x"), 6).as("sxx"))
+    val nd = col("n").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nd, 6).as("intercept"))
   }
 
   /** Token counting: whitespace tokens, regex tokens (letters / digits /

@@ -291,6 +291,23 @@ object LlmQueries {
           posexplode(col("proj")).as(Seq("dim", "val")))
         .withColumn("dim", col("dim").cast("long"))),
 
+    // Zipf power-law fit over the top-1000 word frequencies — corpus
+    // distributional-health statistic (slope ~ -1 for natural text).
+    "q131_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "text", topR = 1000)),
+
+    // Gopher heuristic rule filter (Rae 2021): map-only scan, ratios +
+    // keep flag. minWords=10 fits the synthetic corpus length range.
+    "q133_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+        minWords = 10)),
+
+    // Per-source dataset report card: one map-only scan into one
+    // hash-aggregate on the source key.
+    "q132_source_report" -> ((s, dir) =>
+      TextAnalysis.sourceReport(Tables.documents(s, dir), "doc_id", "text",
+        "source", lowCutoff = 0.5)),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -1360,6 +1377,86 @@ object LlmQueries {
          |SELECT d.doc_id, COALESCE(n_feat, 0) AS n_feat, logw,
          |  COALESCE(logw >= 0.0, false) AS kept
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q133_gopher_rules" -> {
+      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+      s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, n_stop_distinct,
+         |  COALESCE(n_words BETWEEN 10 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+         |    AND n_stop_distinct >= 2, false) AS keep
+         |FROM (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CASE WHEN len(w) > 0 THEN ROUND(
+         |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |        / len(w), 6) END AS mean_word_len,
+         |    CASE WHEN len(w) > 0 THEN ROUND(
+         |      ((length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) / 3)
+         |        / len(w), 6) END AS symbol_ratio,
+         |    CASE WHEN len(lines) > 0 THEN ROUND(
+         |      len(list_filter(lines, l -> starts_with(l, '- ')
+         |        OR starts_with(l, '* ') OR starts_with(l, '•')))::DOUBLE
+         |        / len(lines), 6) END AS bullet_ratio,
+         |    CASE WHEN len(lines) > 0 THEN ROUND(
+         |      len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+         |        / len(lines), 6) END AS ellipsis_ratio,
+         |    CASE WHEN len(w) > 0 THEN ROUND(
+         |      len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |        / len(w), 6) END AS alpha_ratio,
+         |    CAST(len(list_intersect(list_distinct(w), [$en])) AS BIGINT)
+         |      AS n_stop_distinct
+         |  FROM (SELECT doc_id, text, $WORDS AS w,
+         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+         |    FROM documents))""".stripMargin
+    },
+
+    "q131_zipf" -> {
+      val sd = (e: String) => graft.core.Det.sumDetSql(e, 6)
+      s"""WITH wc AS (
+         |  SELECT word, COUNT(*) AS cnt
+         |  FROM (SELECT unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1000),
+         |t AS (
+         |  SELECT ROUND(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)), 6) AS x,
+         |    ROUND(ln(cnt), 6) AS y
+         |  FROM wc),
+         |s AS (
+         |  SELECT COUNT(*) AS n, ${sd("x")} AS sx, ${sd("y")} AS sy,
+         |    ${sd("x * y")} AS sxy, ${sd("x * x")} AS sxx
+         |  FROM t)
+         |SELECT n,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+         |    6) AS intercept
+         |FROM s""".stripMargin
+    },
+
+    "q132_source_report" ->
+      s"""WITH q AS (
+         |  SELECT source, n_words, quality_score FROM (
+         |    SELECT source, len(w) AS n_words,
+         |      ROUND(0.4 * ROUND(len(list_distinct(w))::DOUBLE / len(w), 6)
+         |        + 0.3 * LEAST(len(w)::DOUBLE / 50.0, 1.0)
+         |        + 0.3 * (1.0 - ROUND(len(list_filter(w, x -> x IN
+         |            (${TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")})))::DOUBLE
+         |          / len(w), 6)), 6) AS quality_score
+         |    FROM (SELECT source, $WORDS AS w FROM documents)))
+    |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_words = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_empty,
+         |  ROUND(${graft.core.Det.avgDetSql("n_words::DOUBLE", 0)}, 6)
+         |    AS avg_words,
+         |  ROUND(${graft.core.Det.avgDetSql(
+              "CASE WHEN n_words > 0 THEN quality_score END", 6)}, 6)
+         |    AS avg_quality,
+         |  ROUND(SUM(CASE WHEN n_words > 0 AND quality_score < 0.5
+         |      THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(CASE WHEN n_words > 0 THEN quality_score END), 6)
+         |    AS low_quality_rate
+         |FROM q GROUP BY 1""".stripMargin,
 
     "q129_hash_classifier" ->
       s"""SELECT doc_id, n_words, margin,

@@ -238,6 +238,57 @@ class CorpusQaSpec extends AnyFunSuite {
     assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty && !out(4L)._4)
   }
 
+  test("gopherRules: each rule fires on its designed violation") {
+    val okWords = "the of and " + (1 to 30).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      (1L, okWords, "a"),                                   // passes all
+      (2L, "the of " + Seq.fill(30)("## # ##").mkString(" "), "a"), // symbols
+      (3L, (1 to 40).map(i => s"x$i").mkString(" "), "a"),  // no stopwords
+      (4L, "the of " + (1 to 30).map(_ => "999").mkString(" "), "a"), // non-alpha
+      (5L, "short the", "a"),                               // too few words
+      (6L, (1 to 15).map(i => s"- bullet the of item$i line$i\n").mkString, "a"),
+      (7L, "", "a"))                                        // empty
+    val out = TextAnalysis.gopherRules(d, "doc_id", "text", minWords = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(out(1L))
+    assert(!out(2L) && !out(3L) && !out(4L) && !out(5L) && !out(7L))
+    assert(!out(6L))        // >90% bullet-start lines
+  }
+
+  test("zipfFit recovers the exponent of a synthetic power law") {
+    // word w_i occurs floor(1000/i) times -> cnt ~ rank^-1 exactly
+    val text = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"w$i")).mkString(" ")
+    val out = TextAnalysis.zipfFit(docs((1L, text, "a")), "text", topR = 50)
+      .collect().head
+    assert(out.getLong(0) == 50)
+    val slope = out.getDouble(1)
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope not ~ -1")
+    // flood corpus (every word equally frequent) flattens the slope
+    val flat = (1 to 50).flatMap(i => Seq.fill(20)(s"f$i")).mkString(" ")
+    val s2 = TextAnalysis.zipfFit(docs((1L, flat, "a")), "text", topR = 50)
+      .collect().head.getDouble(1)
+    assert(s2 == 0.0)
+  }
+
+  test("sourceReport: per-source counts, means, empty-doc exclusion") {
+    val good = (1 to 60).map(i => s"unique$i").mkString(" ") // long, diverse
+    val bad = Array.fill(40)("the").mkString(" ")            // stopword flood
+    val d = docs(
+      (1L, good, "web"), (2L, good, "web"), (3L, bad, "web"),
+      (4L, "", "web"),
+      (5L, good, "wiki"))
+    val out = TextAnalysis.sourceReport(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val web = out("web")
+    assert(web._1 == 4 && web._2 == 1)            // 4 docs, 1 empty
+    assert(web._3 == (60 + 60 + 40 + 0) / 4.0)    // empty doc counts as 0 words
+    assert(math.abs(web._5 - 0.333333) < 1e-6)
+    assert(out("wiki")._1 == 1 && out("wiki")._5 == 0.0)
+    assert(out("wiki")._4 > web._4)               // wiki mean quality higher
+  }
+
   test("randomProjection: linearity, sparsity, and determinism") {
     val s = spark
     import s.implicits._
