@@ -1,0 +1,173 @@
+package graft.llm
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich,
+  * Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units" — the published algorithm, not any specific library's
+  * implementation).
+  *
+  * Training never touches the corpus after the first scan: merges are
+  * learned over the DISTINCT-WORD table weighted by word count (the
+  * standard formulation — pair statistics over word types x frequency),
+  * so a 100 TB corpus pays exactly one word-count shuffle and every one
+  * of the `numMerges` iterations runs on the bounded vocabulary table.
+  * Each iteration is one pair-count hash aggregate (map-side partials on
+  * the pair key) + a driver-side top-1; the symbol rewrite is a pure
+  * codegen'd fold. Vocabulary state is re-materialized as a flat
+  * LogicalRDD per round (same reasoning as Dedup.materializeRound: a
+  * plan that nests per-iteration grows Catalyst stats multiplicatively).
+  *
+  * Determinism contract (the oracle-parity requirement): pair counts are
+  * exact long sums; ties break on (count DESC, left ASC, right ASC);
+  * merges apply greedily left-to-right within a word (a fold — "aaa"
+  * under (a,a) becomes [aa, a]); encoding applies the learned merges
+  * sequentially in rank order with the same fold, which reproduces the
+  * training-time segmentation exactly. Words are [[TextOps.words]]
+  * (lowercased, space-split); symbols start as single characters with no
+  * end-of-word marker (documented deviation from Sennrich's `</w>`; the
+  * marker only matters when detokenizing, which this table never does).
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), the adjacent pair, its weighted
+    * count at merge time. */
+  final case class Merge(rank: Long, left: String, right: String, pairCnt: Long)
+
+  /** Empty array<string> literal (array() alone types as array<null>). */
+  private def emptyStrings: Column = slice(array(lit("")), 1, 0)
+
+  /** Greedy left-to-right single-merge fold: every non-overlapping
+    * occurrence of (left, right) collapses to left+right in one pass. */
+  private[llm] def applyMergeExpr(symbols: Column, left: String, right: String): Column =
+    aggregate(symbols, emptyStrings, (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(left) && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merges from the corpus. Stops early when no
+    * adjacent pair reaches `minCount`. */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 1 && minCount >= 1)
+    val spark = docs.sparkSession
+
+    val wordCounts = docs
+      .select(explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val charsOf = transform(
+      sequence(lit(1), length(col("word"))),
+      i => substr(col("word"), i, lit(1)))
+    var vocab = wordCounts.select(charsOf.as("syms"), col("cnt"))
+
+    val cached = ArrayBuffer.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.cache()
+      cached += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    vocab = materialize(vocab)
+
+    // sequence(0, size-2) DESCENDS when size < 2 — guard to an empty list
+    val adjacentPairs = when(size(col("syms")) >= 2,
+      transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(
+          element_at(col("syms"), (i + 1).cast("int")).as("l"),
+          element_at(col("syms"), (i + 2).cast("int")).as("r"))))
+      .otherwise(slice(array(struct(lit("").as("l"), lit("").as("r"))), 1, 0))
+
+    val merges = ArrayBuffer.empty[Merge]
+    var done = false
+    var rank = 1
+    while (!done && rank <= numMerges) {
+      val top = vocab
+        .select(explode(adjacentPairs).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += Merge(rank.toLong, l, r, c)
+        vocab = materialize(vocab.withColumn("syms", applyMergeExpr(col("syms"), l, r)))
+        rank += 1
+      }
+    }
+    cached.foreach(_.unpersist(false))
+    merges.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (rank, left, right, pair_cnt). */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, textCol, numMerges, minCount)
+      .map(m => (m.rank, m.left, m.right, m.pairCnt))
+      .toDF("rank", "left", "right", "pair_cnt")
+  }
+
+  /** JVM mirror of [[applyMergeExpr]], used on the encode path. */
+  private[llm] def applyMerge(syms: Array[String], left: String, right: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == left && syms(i) == right) {
+        out(out.length - 1) = left + right
+      } else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** 60-bit-free portable token hash: first 8 hex chars of md5, mod
+    * [[TextOps.FP_MOD]] — the same arithmetic as
+    * [[TextOps.rollingFingerprint]], computed on the JVM. */
+  private def tokenHash(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % TextOps.FP_MOD
+  }
+
+  /** Encode every document with a learned merge list: merges apply in
+    * rank order, each as the greedy fold — identical segmentation to the
+    * training-time vocabulary state. Broadcast merge table, map-only,
+    * zero shuffle (the billion-document shape: the merge list is a few
+    * KB regardless of corpus size). Output keeps the full token stream
+    * compressed to an order-sensitive rolling fingerprint plus the first
+    * 10 tokens for human inspection. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          val words = Option(text).getOrElse("").toLowerCase
+            .split(' ').filter(_.nonEmpty)
+          var nTok = 0L
+          var fp = 0L
+          val head = ArrayBuffer.empty[String]
+          words.foreach { w =>
+            var syms = w.map(_.toString).toArray
+            ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+            syms.foreach { t =>
+              nTok += 1
+              fp = (fp * 31L + tokenHash(t)) % TextOps.FP_MOD
+              if (head.length < 10) head += t
+            }
+          }
+          (id, words.length.toLong, nTok, head.mkString("|"), fp)
+        }
+      }
+      .toDF(idCol, "n_words", "n_tokens", "tokens_head", "tokens_fp")
+  }
+}

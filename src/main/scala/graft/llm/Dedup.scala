@@ -659,4 +659,45 @@ object Dedup {
           round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
           .as("dup_frac"))
   }
+
+  /** Cross-document exact line deduplication with document rewrite — the
+    * boilerplate-removal pass of web-corpus curation (CCNet / RefinedWeb
+    * class: navigation bars, cookie banners, and footer lines repeat
+    * verbatim across millions of pages). Every line of at least
+    * `minChars` characters keeps only its FIRST occurrence corpus-wide
+    * (first = lexicographic minimum of (doc id, line index)); shorter
+    * lines are exempt (deduping "" or "-" would splice unrelated
+    * documents together). Output per document: original line count,
+    * removed count, and the rewritten text.
+    *
+    * Scale shape: the keeper table is a hash AGGREGATE on the line (one
+    * row per distinct line, map-side partial min — a 50%-hot boilerplate
+    * line collapses map-side, the dup-n-gram skew-immunity argument),
+    * joined back on the line key where the build side is one row per key
+    * so a hot key fans out without row explosion; the rebuild is one
+    * groupBy on the doc id with an in-group sort by line index. Three
+    * shuffles total, all on keys with bounded group payloads. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 5): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    val keepers = lines
+      .filter(length(col("line")) >= minChars)
+      .groupBy("line")
+      .agg(min(struct(col(idCol).as("kd"), col("line_idx").as("ki"))).as("k"))
+    lines
+      .join(keepers, Seq("line"), "left")
+      .withColumn("__keep", length(col("line")) < minChars ||
+        (col("k.kd") === col(idCol) && col("k.ki") === col("line_idx")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("line_idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("cleaned_text"))
+  }
 }
