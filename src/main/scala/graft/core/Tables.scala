@@ -19,14 +19,29 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with `ts` (µs timestamp), `ts_us` (epoch micros, BIGINT). */
+  /** events with `ts` (µs timestamp), `ts_us` (epoch micros, BIGINT).
+    *
+    * The driver has shipped `events.parquet` with two physical `ts`
+    * encodings across rounds — TIMESTAMP(NANOS) (arrives as BIGINT nanos
+    * under `nanosAsLong`) and TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ
+    * or TIMESTAMP depending on `inferTimestampNTZ`) — so the loader
+    * branches on the arrived type instead of assuming one. All µs-epoch
+    * math is integer-exact: epoch-ns (~1.7e18) exceeds double's 2^53
+    * integer range, so nothing routes through double. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // oracle comparisons are defined in UTC; pin it so NTZ→LTZ is identity
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
-    // nanosAsLong => ts arrives as BIGINT nanoseconds. Integer division is
-    // mandatory: epoch-ns (~1.7e18) exceeds double's 2^53 integer range, so
-    // `/ 1000` through double would lose microseconds.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type: $other")
+    }
     raw
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
