@@ -90,23 +90,34 @@ object Similarity {
     val cents = n.orderBy("vid").limit(lists)
       .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
-    // seed-rank against an arbitrary (id, emb, n2) side — queries need
-    // NOT be a subset of the candidate corpus (external query vectors are
-    // the normal ANN shape)
-    def seedRanked(side: DataFrame) = {
-      val wA = Window.partitionBy("vid")
-        .orderBy(col("__cc").desc, col("cent_id"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("__cc", VectorOps.cosine(
-          VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
-        .withColumn("__rn", row_number().over(wA))
-    }
-    val cells = seedRanked(n).filter(col("__rn") === 1)
-      .select(col("vid").as("cand_id"), col("cent_id").as("cell"))
+    // Corpus-side cell assignment: argmax cosine over the broadcast seed
+    // table as ONE map-side-combinable aggregate. The crossJoin still fans
+    // out N×nList rows, but hash-aggregate partials collapse them to one
+    // row per vid BEFORE the exchange, so shuffle volume is N — the
+    // windowed row_number form shuffled the exploded N×nList rows (N^1.5
+    // at the ⌈√N⌉ sizing rule; round-10 verdict #3). max_by's ordering
+    // struct (__cc then -cent_id) reproduces the old
+    // `orderBy(__cc.desc, cent_id)` pick exactly, and cent_id is unique
+    // per seed so the ordering is tie-free (float comparison order cannot
+    // affect the winner).
+    val cells = n.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .groupBy(col("vid").as("cand_id"))
+      .agg(max_by(col("cent_id"), struct(col("__cc"), -col("cent_id")))
+        .as("cell"))
+    // Query-side probes keep the windowed top-nProbe: the exchange is
+    // |Q|×nList rows, bounded by the query batch — never the corpus.
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
-    val probes = seedRanked(q.select(col("query_id").as("vid"),
-        col("q_emb").as("emb"), col("q_n2").as("n2")))
+    val wA = Window.partitionBy("vid")
+      .orderBy(col("__cc").desc, col("cent_id"))
+    val probes = q.select(col("query_id").as("vid"),
+        col("q_emb").as("emb"), col("q_n2").as("n2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .withColumn("__rn", row_number().over(wA))
       .filter(col("__rn") <= nProbe)
       .select(col("vid").as("query_id"), col("cent_id").as("cell"))
     val cand = probes.join(cells, Seq("cell"))
@@ -144,13 +155,18 @@ object Similarity {
     val cents = n.orderBy("id").limit(if (nList > 0) nList else autoNList(n.count()))
       .select(col("id").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
-    val wA = Window.partitionBy("id").orderBy(col("__cc").desc, col("cent_id"))
+    // argmax-cosine cell pick as a map-side-combinable max_by (not a
+    // window): shuffle volume N, not N×nList — see ivfTopK's assignment
+    // comment. The payload struct carries (emb, n2) through the aggregate
+    // so downstream reuses them without a re-join.
     val cells = n.crossJoin(broadcast(cents))
       .withColumn("__cc", VectorOps.cosine(
         VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
-      .withColumn("__rn", row_number().over(wA))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("cent_id").as("cell"), col("emb"), col("n2"))
+      .groupBy("id")
+      .agg(max_by(struct(col("cent_id").as("cell"), col("emb"), col("n2")),
+        struct(col("__cc"), -col("cent_id"))).as("__b"))
+      .select(col("id"), col("__b.cell").as("cell"),
+        col("__b.emb").as("emb"), col("__b.n2").as("n2"))
       // referenced three times below (lo, sims, final select): pin the
       // one-row-per-doc assignment once, like Dedup.signaturesFromRows,
       // instead of recomputing the centroid fan-out per reference
@@ -205,14 +221,20 @@ object Similarity {
     }
     // assignment: argmin d2, ties to the lower cluster id; d2 via the
     // same left-to-right dot fold on both engines (c_n2 is a driver-side
-    // scalar, identical to the oracle's list fold over the same values)
+    // scalar, identical to the oracle's list fold over the same values).
+    // min_by aggregate, not a window: partial aggregation collapses the
+    // N×k fan-out to one row per id map-side (shuffle N, not N×k); the
+    // (d2, cluster) ordering struct is tie-free (cluster unique), so the
+    // pick matches the old row_number orderBy exactly.
     def assign(cents: Array[(Int, Array[Double])]): DataFrame = {
-      val w = Window.partitionBy("id").orderBy(col("d2"), col("cluster"))
       n.crossJoin(broadcast(centsDf(cents)))
         .withColumn("d2",
           col("n2") + col("c_n2") - lit(2.0) * VectorOps.dot(col("emb"), col("c_emb")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .groupBy("id")
+        .agg(min_by(struct(col("cluster"), col("d2"), col("emb")),
+          struct(col("d2"), col("cluster"))).as("__b"))
+        .select(col("id"), col("__b.cluster").as("cluster"),
+          col("__b.d2").as("d2"), col("__b.emb").as("emb"))
     }
     var cents = seeds.zipWithIndex.map { case (c, j) => (j, c) }
     for (_ <- 1 until iters) {
@@ -319,13 +341,17 @@ object Similarity {
     def centsDf(cs: Array[(Int, Int, Array[Double])]) =
       cs.map { case (s, cl, c) => (s, cl, c.toSeq, c.map(x => x * x).sum) }
         .toSeq.toDF("sub", "cluster", "c_emb", "c_n2")
+    // argmin-d2 code pick as a min_by aggregate (shuffle N·m rows, not
+    // N·m·k — see kMeans.assign); (d2, cluster) ordering is tie-free.
     def assign(cs: Array[(Int, Int, Array[Double])]): DataFrame = {
-      val w = Window.partitionBy("id", "sub").orderBy(col("d2"), col("cluster"))
       subs.join(broadcast(centsDf(cs)), Seq("sub"))
         .withColumn("d2", col("n2") + col("c_n2") -
           lit(2.0) * VectorOps.dot(col("e"), col("c_emb")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .groupBy("id", "sub")
+        .agg(min_by(struct(col("cluster"), col("d2"), col("e")),
+          struct(col("d2"), col("cluster"))).as("__b"))
+        .select(col("id"), col("sub"), col("__b.cluster").as("cluster"),
+          col("__b.d2").as("d2"), col("__b.e").as("e"))
     }
     for (_ <- 1 until iters) {
       // Binary-quantized centroid means (vs kMeans' decimal route):
@@ -469,20 +495,22 @@ object Similarity {
     val cents = n.orderBy("vid").limit(lists)
       .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
-    def seedRanked(side: DataFrame) = {
-      val wA = Window.partitionBy("vid")
-        .orderBy(col("__cc").desc, col("cent_id"))
+    def seedScored(side: DataFrame) =
       side.crossJoin(broadcast(cents))
         .withColumn("__cc", VectorOps.cosine(
           VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
-        .withColumn("__rn", row_number().over(wA))
-    }
 
     // ---- residual encoding: r = x − c(cell), widened to double first so
-    // the per-coordinate subtraction is the same IEEE op the oracle runs
-    val assigned = seedRanked(n).filter(col("__rn") === 1)
-      .select(col("vid"), col("cent_id").as("cell"),
-        zip_with(dbl(col("emb")), dbl(col("c_emb")), (x, y) => x - y)
+    // the per-coordinate subtraction is the same IEEE op the oracle runs.
+    // Corpus-side argmax cell pick is a map-side-combinable max_by
+    // (shuffle N, not N×nList — see ivfTopK); the payload struct carries
+    // (c_emb, emb) through so the residual needs no re-join.
+    val assigned = seedScored(n)
+      .groupBy("vid")
+      .agg(max_by(struct(col("cent_id").as("cell"), col("c_emb"), col("emb")),
+        struct(col("__cc"), -col("cent_id"))).as("__b"))
+      .select(col("vid"), col("__b.cell").as("cell"),
+        zip_with(dbl(col("__b.emb")), dbl(col("__b.c_emb")), (x, y) => x - y)
           .as("r_emb"))
     val (codes, codebook) = productQuantizeFull(
       assigned.select(col("vid").as("id"), col("r_emb")),
@@ -493,7 +521,12 @@ object Similarity {
     // the probed cells' members
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
-    val probes = seedRanked(q.withColumnRenamed("query_id", "vid"))
+    // query-side top-nProbe keeps the window: |Q|×nList rows, bounded by
+    // the query batch — never the corpus
+    val wP = Window.partitionBy("vid")
+      .orderBy(col("__cc").desc, col("cent_id"))
+    val probes = seedScored(q.withColumnRenamed("query_id", "vid"))
+      .withColumn("__rn", row_number().over(wP))
       .filter(col("__rn") <= nProbe)
       .select(col("vid").as("query_id"), col("cent_id").as("cell"),
         zip_with(dbl(col("emb")), dbl(col("c_emb")), (x, y) => x - y)
@@ -593,7 +626,11 @@ object Similarity {
         if (m(i)(j) > 0) e else -e
       }
       val s = if (terms.isEmpty) lit(0.0d) else terms.reduceLeft(_ + _)
-      round(s * scale, 6)
+      // IEEE `x + 0.0` maps -0.0 to +0.0 (and is identity elsewhere), so a
+      // rounded-to-zero negative sum hashes identically to the oracle's
+      // `ROUND(...) + 0.0` — Spark's round() already normalizes the sign,
+      // DuckDB's does not; both sides normalize explicitly.
+      round(s * scale, 6) + lit(0.0d)
     }
     df.select(col(idCol), array(proj: _*).as("proj"))
   }

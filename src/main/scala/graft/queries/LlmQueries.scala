@@ -1486,7 +1486,7 @@ object LlmQueries {
           if (terms.isEmpty) "0.0"
           else terms.mkString(" ").stripPrefix("+ ")
         s"""SELECT vec_id, CAST($j AS BIGINT) AS dim,
-           |  ROUND(($body) * $scale, 6) AS val FROM embeddings""".stripMargin
+           |  ROUND(($body) * $scale, 6) + 0.0 AS val FROM embeddings""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
 
