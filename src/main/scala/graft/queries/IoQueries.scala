@@ -126,6 +126,37 @@ object IoQueries {
       s.read.schema(beatJsonSchema).json(out)
     }),
 
+    // §3.1 lifecycle (dashboard/callbacks.py:696-1120) as an oracle row:
+    // dispatch-route a MIXED directory — E4 zip through the BVP cardiac
+    // chain (van Gent detection at 64 Hz), mapped CSV through the EDA
+    // chain — via RunPipeline into the reference's temp/render CSV sink
+    // surface, then read the landed cardiac SQA table back. The oracle
+    // DuckDB-reads the same files, so a green row certifies
+    // dispatch → modality plan → sink end to end on disk. (The checked-in
+    // EDF fixture's 8 Hz ECG cannot carry the 1-15 Hz cardiac bandpass;
+    // the EDF route is exercised by EndToEndSpec on the reference sample.)
+    "q134_run_pipeline" -> ((s, _) => {
+      val base = new java.io.File(s"$sinkDir/q134_pipeline")
+      val mixed = new java.io.File(base, "in"); mixed.mkdirs()
+      def cp(src: String, dst: String): Unit =
+        java.nio.file.Files.copy(new java.io.File(src).toPath,
+          new java.io.File(mixed, dst).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      cp(s"$ioDir/e4.zip", "subjA.zip")
+      cp(s"$ioDir/mapped.csv", "subjB.csv")
+      // one file the dispatcher must skip (S7's negative path)
+      java.nio.file.Files.write(new java.io.File(mixed, "notes.txt").toPath,
+        "not physiological".getBytes("UTF-8"))
+      val opts = graft.ops.RunPipeline.Options(segSize = 1, e4Dtype = "PPG",
+        csvDtype = "EDA", csvFs = 1,
+        csvMapping = Map("when" -> "Timestamp", "microsiemens" -> "EDA",
+          "temp_c" -> "TEMP"))
+      graft.ops.RunPipeline.runDirectory(s, mixed.getPath,
+        s"$base/temp", s"$base/render", opts)
+      s.read.schema(metricsSchema).option("header", "true")
+        .csv(s"$base/temp/subjA_SQA.csv")
+    }),
+
     // S5: CSV header probe (dashboard/utils.py:422-428) as a row set;
     // oracle = DuckDB sniff_csv over the same fixture.
     "q101_csv_headers" -> ((s, _) => {
@@ -401,6 +432,15 @@ object IoQueries {
 
     "q99_sink_csv" ->
       s"""SELECT * FROM read_csv('$sinkDir/q99_metrics_csv/*.csv',
+         |  header=true, types={'subject':'BIGINT','segment':'BIGINT',
+         |    'first_ts_us':'BIGINT','n_detected':'BIGINT',
+         |    'n_expected':'BIGINT','n_missing':'BIGINT',
+         |    'pct_missing':'DOUBLE','n_artifact':'BIGINT',
+         |    'pct_artifact':'DOUBLE','invalid':'DOUBLE'})""".stripMargin,
+
+    "q134_run_pipeline" ->
+      s"""SELECT * FROM read_csv(
+         |  '$sinkDir/q134_pipeline/temp/subjA_SQA.csv/*.csv',
          |  header=true, types={'subject':'BIGINT','segment':'BIGINT',
          |    'first_ts_us':'BIGINT','n_detected':'BIGINT',
          |    'n_expected':'BIGINT','n_missing':'BIGINT',
