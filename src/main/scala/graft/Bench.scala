@@ -40,13 +40,15 @@ object Bench {
           bround(avg(col("id").cast("double")), 6))
         .collect()
     }
-    // Scalar-kernel warm-up (round-9 verdict #2): the solver-bound queries
-    // (q59/q108 cvxEDA, q67 FFT, the detector chains) reported up to 4.6x
-    // their isolated cost mid-suite because their pure-Scala hot loops
-    // compete for JIT attention with 113 queries' generated codegen
-    // classes. One small driver-side solve per kernel family compiles the
-    // hot loops up front, while the code cache is empty, so the suite-
-    // context number measures the query, not the compiler.
+    // Scalar-kernel warm-up: one small driver-side solve per kernel family
+    // compiles the pure-Scala hot loops (cvxEDA, FFT, IIR, detectors, FSM)
+    // up front so `cold_total` is less compiler-noise-dominated. NOTE: this
+    // does NOT fix suite-context distortion on its own — rounds 9/10
+    // falsified the JIT-pressure hypothesis (q59 reported 11.3x isolated
+    // despite this block + a 512 MB code cache). What fixed the reported
+    // numbers is the median-of-3 warm protocol below: the flagged kernel
+    // queries now report their warm plateau, which matches their isolated
+    // cost (BENCH_r11: q59 0.06 s vs the old 9.89 s suite artifact).
     locally {
       val n = 4096
       val sig = Array.tabulate(n)(i =>
