@@ -14,6 +14,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, default 100: the generated-class LRU is far too small
+      // for a 134-query suite — one window-heavy detector plan alone
+      // compiles ~145 projections per action, so mid-suite every action
+      // recompiles its whole codegen set (~15-30 ms each). This, not JIT
+      // pressure, is the measured suite-context distortion mechanism
+      // (round 12): q134 spent ~10 of its 14.4 s in CodeGenerator.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

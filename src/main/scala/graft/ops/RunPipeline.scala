@@ -52,7 +52,11 @@ object RunPipeline {
   private def cardiacChain(signal: DataFrame, fs: Int, dtype: String,
       segSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val nyq = fs / 2.0
-    val beats =
+    // Detected beats are pinned once (one small row per beat — per-doc
+    // state, always safe to materialize): four sinks consume them below
+    // (signal, SQA, IBI, render), and without the pin each sink re-runs
+    // the whole detection chain.
+    val beats = (
       if (dtype == "ECG") {
         val (b, a) = Iir.ellip(2, 0.15, 80.0, Seq(1.0 / nyq, 15.0 / nyq), "bandpass")
         KernelRunner.detectIndicesBucketed(signal, "value",
@@ -61,6 +65,7 @@ object RunPipeline {
         }
       } else // PPG/BVP: van Gent adaptive-threshold detection (PPG.py)
         PpgDetectors.vanGent(signal, fs).select("subject", "idx")
+      ).localCheckpoint()
     val annotated = signal
       .join(beats.withColumn("beat", lit(1)), Seq("subject", "idx"), "left")
       .withColumn("artifact", lit(null).cast("int"))
