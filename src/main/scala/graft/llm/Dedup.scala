@@ -385,6 +385,37 @@ object Dedup {
       .select("id_a", "id_b", "cont_a", "cont_b")
   }
 
+  /** Tail-head stitch pairs: (A, B) where A's LAST `k` words equal B's
+    * FIRST `k` words — the continuation-boundary duplicate class produced
+    * when an upstream chunker splits one document mid-stream. No other
+    * dedup operator sees it: a split pair's shingle Jaccard is ~0 (the
+    * halves share only the boundary k-gram), containment is ~1/|doc|, and
+    * MinHash bands never collide.
+    *
+    * Shape: one equi-join on the boundary gram string (exact — the join
+    * key IS the verification), with a document-frequency guard on BOTH
+    * sides so a ubiquitous boilerplate opening/sign-off line (df > maxDf)
+    * cannot turn one key into a quadratic hot spot — the same linear bound
+    * as [[containmentPairs]]. Output: (id_a, id_b, gram) meaning id_a's
+    * tail stitches onto id_b's head. */
+  def stitchPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDf: Int = 10): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+    val tails = base.select(col(idCol).as("id_a"),
+      concat_ws(" ", slice(col("__w"), -k, k)).as("gram"))
+    val heads = base.select(col(idCol).as("id_b"),
+      concat_ws(" ", slice(col("__w"), 1, k)).as("gram"))
+    val tailDf = tails.groupBy("gram").agg(count(lit(1)).as("__dft"))
+    val headDf = heads.groupBy("gram").agg(count(lit(1)).as("__dfh"))
+    tails.join(tailDf, Seq("gram")).filter(col("__dft") <= maxDf)
+      .join(heads.join(headDf, Seq("gram")).filter(col("__dfh") <= maxDf),
+        Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("gram"))
+  }
+
   /** Per-document 60-bit SimHash fingerprints.
     *
     * Explode-side formulation: one 60-bit hash per word row, then 60

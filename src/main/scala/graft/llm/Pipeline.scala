@@ -389,6 +389,48 @@ object Pipeline {
         countDistinct(col("__tid")).as("n_train_docs"))
   }
 
+  /** Temperature-scaled source mixture (the UniMax / multilingual-sampling
+    * family, Chung et al. 2023; Conneau & Lample 2019 §3.1): sampling
+    * share p_i ∝ tokens_i^α with α = 1/2, so low-resource sources are
+    * up-weighted relative to proportional sampling without hand-set
+    * weights (the complement of [[mixtureExpansion]], which takes explicit
+    * target weights). α is FIXED at 1/2 because sqrt is correctly rounded
+    * in IEEE arithmetic on every engine — a general pow() is not
+    * bit-portable, and the whole point of the 6-digit pins below is that
+    * the keep/drop decision compares identical doubles on both sides.
+    *
+    * Per-source token totals in one aggregation (map-side partials),
+    * temperature shares through round-6 + exact decimal (order-free), then
+    * a pure-expression document pass: keep_rate_i = min(1, B·p_i /
+    * tokens_i) and a salted-hash bucket decides each document — zero RNG,
+    * one shuffle, 100 TB-safe. Output: (id, source, n_tok, share,
+    * keep_rate, kept). */
+  def temperatureMixture(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tokenBudget: Long,
+      salt: String = "temp1"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val srcStats = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(TextOps.words(col(textCol))).cast("long")).as("__src_tokens"))
+      .withColumn("__s", round(sqrt(col("__src_tokens").cast("double")), 6))
+    val tot = srcStats.agg(
+      sum(col("__s").cast(DecimalType(24, 6))).cast("double").as("__stot"))
+    val bucket = TextOps.wordHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % 1000
+    docs
+      .select(col(idCol), col(sourceCol),
+        size(TextOps.words(col(textCol))).cast("long").as("n_tok"))
+      .join(broadcast(srcStats), Seq(sourceCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", round(col("__s") / col("__stot"), 6))
+      .withColumn("keep_rate", least(lit(1.0),
+        round(lit(tokenBudget) * col("share") / col("__src_tokens"), 6)))
+      .withColumn("kept",
+        (bucket.cast("double") / 1000.0) < col("keep_rate"))
+      .select(col(idCol), col(sourceCol), col("n_tok"), col("share"),
+        col("keep_rate"), col("kept"))
+  }
+
   /** Corpus mixture expansion — the per-source epoch weighting applied
     * before training: given target mixture weights and a total token
     * budget, each source's repeat factor is budget*weight / source_tokens,

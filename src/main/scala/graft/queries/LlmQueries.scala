@@ -308,6 +308,18 @@ object LlmQueries {
       TextAnalysis.sourceReport(Tables.documents(s, dir), "doc_id", "text",
         "source", lowCutoff = 0.5)),
 
+    // Temperature-scaled source sampling (UniMax family, alpha = 1/2):
+    // per-source sqrt-token shares -> deterministic per-doc keep decision.
+    "q135_temperature_mix" -> ((s, dir) =>
+      Pipeline.temperatureMixture(Tables.documents(s, dir), "doc_id",
+        "text", sourceCol = "source", tokenBudget = 20000L)),
+
+    // Continuation-boundary duplicates: A's last 3 words == B's first 3
+    // words (the split-document class invisible to Jaccard/MinHash).
+    "q136_stitch_pairs" -> ((s, dir) =>
+      Dedup.stitchPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, maxDf = 10)),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -1268,6 +1280,45 @@ object LlmQueries {
          |    ELSE 0.0 END > 0.06)
          |  OR (ROUND(1.0 - n_distinct::DOUBLE / n_words, 6) > 0.55) AS flagged
          |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    // Mirrors Pipeline.temperatureMixture: sqrt is correctly rounded in
+    // IEEE arithmetic on both engines; shares/rates pinned at 6 digits on
+    // both sides BEFORE the keep comparison; the source-share sum routes
+    // through exact decimal (order-free).
+    "q135_temperature_mix" ->
+      s"""WITH st AS (
+         |  SELECT source, CAST(SUM(len($WORDS)) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY 1),
+         |ss AS (SELECT source, src_tokens,
+         |  ROUND(sqrt(src_tokens::DOUBLE), 6) AS s FROM st),
+         |tot AS (SELECT CAST(SUM(CAST(s AS DECIMAL(24,6))) AS DOUBLE)
+         |  AS stot FROM ss),
+         |d AS (SELECT doc_id, source, CAST(len($WORDS) AS BIGINT) AS n_tok,
+         |  ('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, n_tok, share, keep_rate,
+         |  bucket::DOUBLE / 1000.0 < keep_rate AS kept
+         |FROM (
+         |  SELECT d.doc_id, d.source, d.n_tok, d.bucket,
+         |    ROUND(s / stot, 6) AS share,
+         |    LEAST(CAST(1.0 AS DOUBLE),
+         |      ROUND(20000 * ROUND(s / stot, 6) / src_tokens, 6)) AS keep_rate
+         |  FROM d JOIN ss USING (source) CROSS JOIN tot)""".stripMargin,
+
+    "q136_stitch_pairs" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $WORDS AS w FROM documents),
+         |bb AS (SELECT doc_id, w FROM b WHERE len(w) >= 3),
+         |t AS (SELECT doc_id AS id_a, array_to_string(w[-3:], ' ') AS gram
+         |      FROM bb),
+         |h AS (SELECT doc_id AS id_b, array_to_string(w[1:3], ' ') AS gram
+         |      FROM bb),
+         |td AS (SELECT gram, COUNT(*) AS dft FROM t GROUP BY 1),
+         |hd AS (SELECT gram, COUNT(*) AS dfh FROM h GROUP BY 1)
+         |SELECT id_a, id_b, gram
+         |FROM t JOIN td USING (gram) JOIN h USING (gram) JOIN hd USING (gram)
+         |WHERE dft <= 10 AND dfh <= 10 AND id_a <> id_b""".stripMargin,
 
     "q82_mixture" -> {
       val arms = MixWeights.toSeq
