@@ -605,6 +605,13 @@ object Dedup {
 
   /** Dedup cluster table: LSH near-dup pairs above `threshold`, closed
     * under transitivity. (doc_id, cluster_id, cluster_size). */
+  /** Cost floor (round-12 profile): the chain evaluates the shingle
+    * explode exactly twice — once folded into the signature aggregation,
+    * once semi-join-pruned to candidate docs for exact verification.
+    * Collapsing to one evaluation would require pinning corpus-wide
+    * PER-SHINGLE state, which the 100 TB rule forbids (only per-doc state
+    * is always safe to materialize); two streaming scans of the corpus is
+    * the deliberate trade. */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
       threshold: Double = 0.3): DataFrame =

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off AQE audit (round-10 verdict #7): execute the heavy composite
+  * queries at a given SF and report whether the final adaptive plans
+  * contain skew-join splits ("skew=true") or nested-loop fallbacks. */
+object AqeAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = Seq("q117_ivfpq_rerank", "q119_incremental_dedup",
+      "q127_containment", "q22_minhash_pairs", "q69_dedup_clusters")
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.count() // materialize: AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      val skews = "skew=true".r.findAllIn(plan).size
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      println(s"[aqe] $n skewSplits=$skews bnlj=$bnlj smj=$smj bhj=$bhj")
+    }
+    spark.stop()
+  }
+}
