@@ -620,6 +620,32 @@ object Dedup {
         threshold),
       "doc_id")
 
+  /** Canonical-document selection — the keep-best policy applied ON TOP of
+    * near-dup clustering (the step that turns a dup-cluster table into a
+    * training-set decision): within every [[dedupClusters]] cluster keep
+    * the argmax-quality document ([[TextAnalysis.quality]] score, ties to
+    * the lower id). Clustered docs all have >= shingleN words, so the
+    * score is never null inside a cluster.
+    *
+    * Shape: the cluster chain's cost plus one broadcast-joined map pass
+    * for the scores and one map-side-combinable max_by per cluster —
+    * the same aggregate argmax shape as the r12 centroid assignment.
+    * Output: (cluster_id, cluster_size, kept_doc, kept_quality). */
+  def canonicalDocs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val clusters = dedupClusters(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+    val scores = TextAnalysis.quality(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    clusters.join(scores, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col(idCol), struct(col("quality_score"), -col(idCol)))
+          .as("kept_doc"),
+        max(col("quality_score")).as("kept_quality"))
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking key (threshold > 0).
     *
     * Instead of enumerating all O(block²) pairs and intersecting arrays,

@@ -320,6 +320,12 @@ object LlmQueries {
       Dedup.stitchPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 3, maxDf = 10)),
 
+    // Keep-best-of-cluster canonical selection: q69's clusters + q27's
+    // quality score -> one argmax document per near-dup cluster.
+    "q137_canonical_docs" -> ((s, dir) =>
+      Dedup.canonicalDocs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.3)),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -1305,6 +1311,22 @@ object LlmQueries {
          |    LEAST(CAST(1.0 AS DOUBLE),
          |      ROUND(20000 * ROUND(s / stot, 6) / src_tokens, 6)) AS keep_rate
          |  FROM d JOIN ss USING (source) CROSS JOIN tot)""".stripMargin,
+
+    // q69's recursive cluster CTEs + q27's quality SELECT, argmax per
+    // cluster with the same (score DESC, doc_id) tie order as max_by's
+    // ordering struct.
+    "q137_canonical_docs" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |q AS (SELECT doc_id, quality_score FROM ($qualitySelectSql)),
+         |ranked AS (
+         |  SELECT comp.cluster_id,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |    comp.doc_id AS kept_doc, q.quality_score AS kept_quality,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality_score DESC, comp.doc_id) AS rn
+         |  FROM comp JOIN q USING (doc_id))
+         |SELECT cluster_id, cluster_size, kept_doc, kept_quality
+         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q136_stitch_pairs" ->
       s"""WITH b AS (
