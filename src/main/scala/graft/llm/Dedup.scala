@@ -646,6 +646,27 @@ object Dedup {
         max(col("quality_score")).as("kept_quality"))
   }
 
+  /** Cross-source duplication report — the provenance question behind
+    * every crawl-overlap decision ("is source A substantially a mirror of
+    * source B?"): verified near-dup pairs ([[minhashPairs]]) attributed to
+    * their unordered source pair, with pair counts. Two broadcast-able
+    * dimension joins on the (tiny) pair table plus one aggregation on the
+    * source-pair key — the pair table is the bounded near-dup set, never
+    * the corpus. Output: (source_lo, source_hi, n_pairs). */
+  def crossSourceDups(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shingleN: Int = 3, numHashes: Int = 8,
+      numBands: Int = 4, threshold: Double = 0.3): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("__sa")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("__sb")), Seq("id_b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_lo"),
+        greatest(col("__sa"), col("__sb")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking key (threshold > 0).
     *
     * Instead of enumerating all O(block²) pairs and intersecting arrays,

@@ -326,6 +326,12 @@ object LlmQueries {
       Dedup.canonicalDocs(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.3)),
 
+    // Cross-source duplication report: verified near-dup pairs attributed
+    // to their unordered source pair (the crawl-overlap signal).
+    "q138_cross_source" -> ((s, dir) =>
+      Dedup.crossSourceDups(Tables.documents(s, dir), "doc_id", "text",
+        "source", threshold = 0.3)),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -1327,6 +1333,19 @@ object LlmQueries {
          |  FROM comp JOIN q USING (doc_id))
          |SELECT cluster_id, cluster_size, kept_doc, kept_quality
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // Reuses the shared pairs CTE (threshold 0.3); the unused recursive
+    // closure CTEs behind it are pruned by the optimizer.
+    "q138_cross_source" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT LEAST(sa.source, sb.source) AS source_lo,
+         |  GREATEST(sa.source, sb.source) AS source_hi,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs
+         |JOIN s sa ON sa.doc_id = id_a
+         |JOIN s sb ON sb.doc_id = id_b
+         |GROUP BY 1, 2""".stripMargin,
 
     "q136_stitch_pairs" ->
       s"""WITH b AS (
