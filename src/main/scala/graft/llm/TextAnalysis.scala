@@ -322,6 +322,61 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** HyperLogLog distinct-word estimate per source (Flajolet et al. 2007)
+    * — completes the sketch trio (Count-Min q121, Bloom q118): m = 64
+    * registers addressed by the low 6 bits of the portable 60-bit md5
+    * word hash, register value = max leading-zero rank of the remaining
+    * 54 bits, bias-corrected harmonic-mean estimate with the small-range
+    * linear-counting branch.
+    *
+    * Cross-engine EXACT where it matters: ranks come from bin()-length
+    * integer math (no float log2), the harmonic sum is Σ 2^(60-M_j) — one
+    * power-of-two long shift per register, summed through exact decimal —
+    * and only the final estimate touches libm (one ln / one division,
+    * pinned to 4 digits). Scale shape: word-level max collapses map-side
+    * into ≤ m rows per source, then one tiny per-source fold — the
+    * canonical distributed-sketch plan, constant state per source no
+    * matter the corpus size. Exact distinct included for accuracy
+    * reporting (it is the expensive path the sketch replaces at 100 TB).
+    * Output: (source, n_distinct_exact, zeros, est_distinct). */
+  def hllDistinctWords(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val m = 64
+    val two60 = 1152921504606846976L // 2^60
+    val words = docs.select(col(sourceCol).as("source"),
+      explode(TextOps.words(col(textCol))).as("__w"))
+    val hashed = words
+      .withColumn("__h", TextOps.wordHash60(col("__w")))
+      .withColumn("__bucket", col("__h").bitwiseAND(lit(m - 1L)))
+      .withColumn("__rest", shiftright(col("__h"), 6))
+      // rank = leading zeros of the 54-bit remainder + 1 = 55 - bitlen
+      .withColumn("__rho", when(col("__rest") === 0L, lit(55))
+        .otherwise(lit(55) - length(bin(col("__rest")))))
+    val regs = hashed.groupBy("source", "__bucket")
+      .agg(max(col("__rho")).as("__m"))
+    val agg = regs.groupBy("source")
+      .agg(count(lit(1)).as("__n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 60 - __m)")
+          .cast(DecimalType(38, 0))).as("__psum"))
+      .withColumn("zeros", (lit(m.toLong) - col("__n_present")))
+      .withColumn("__sum_d",
+        (col("__psum") + col("zeros").cast(DecimalType(38, 0)) *
+          lit(two60).cast(DecimalType(38, 0))).cast("double"))
+      // alpha_64 * m^2 = 0.709 * 4096; both factors written as doubles in
+      // the same order on both engines
+      .withColumn("__raw",
+        lit(2904.064) * lit(two60).cast("double") / col("__sum_d"))
+      .withColumn("est_distinct",
+        when(col("__raw") <= lit(2.5 * m) && col("zeros") > 0L,
+          round(lit(m.toDouble) * log(lit(64.0) / col("zeros").cast("double")), 4))
+          .otherwise(round(col("__raw"), 4)))
+    val exact = words.groupBy("source")
+      .agg(countDistinct(col("__w")).as("n_distinct_exact"))
+    agg.join(exact, Seq("source"))
+      .select("source", "n_distinct_exact", "zeros", "est_distinct")
+  }
+
   def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col(textCol), lit(pat), lit(0)))

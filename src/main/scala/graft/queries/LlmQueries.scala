@@ -332,6 +332,12 @@ object LlmQueries {
       Dedup.crossSourceDups(Tables.documents(s, dir), "doc_id", "text",
         "source", threshold = 0.3)),
 
+    // HyperLogLog per-source distinct-word estimate (sketch trio with CMS
+    // q121 and Bloom q118); exact distinct alongside for accuracy.
+    "q139_hll_distinct" -> ((s, dir) =>
+      TextAnalysis.hllDistinctWords(Tables.documents(s, dir), "text",
+        "source")),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -1333,6 +1339,39 @@ object LlmQueries {
          |  FROM comp JOIN q USING (doc_id))
          |SELECT cluster_id, cluster_size, kept_doc, kept_quality
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // Mirrors TextAnalysis.hllDistinctWords: bin()-length integer ranks,
+    // exact-integer register sums (HUGEINT ≙ Spark's DECIMAL(38,0)), the
+    // double ops in identical order, estimate pinned to 4 digits.
+    "q139_hll_distinct" ->
+      s"""WITH w AS (
+         |  SELECT source, unnest($WORDS) AS word FROM documents),
+         |h AS (
+         |  SELECT source, word,
+         |    ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv
+         |  FROM w),
+         |r AS (
+         |  SELECT source, hv & 63 AS bucket,
+         |    MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+         |        ELSE 55 - length(bin(hv >> 6)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, COUNT(*) AS n_present,
+         |    SUM((1::BIGINT << (60 - m))::HUGEINT) AS psum
+         |  FROM r GROUP BY 1),
+         |ex AS (SELECT source, COUNT(DISTINCT word) AS n_distinct_exact
+         |       FROM w GROUP BY 1)
+         |SELECT source, n_distinct_exact, zeros,
+         |  CASE WHEN raw <= 160.0 AND zeros > 0
+         |    THEN ROUND(64 * ln(CAST(64.0 AS DOUBLE) / zeros), 4)
+         |    ELSE ROUND(raw, 4) END AS est_distinct
+         |FROM (
+         |  SELECT agg.source, ex.n_distinct_exact,
+         |    64 - n_present AS zeros,
+         |    CAST(2904.064 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(psum + (64 - n_present)::HUGEINT
+         |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
+         |  FROM agg JOIN ex USING (source))""".stripMargin,
 
     // Reuses the shared pairs CTE (threshold 0.3); the unused recursive
     // closure CTEs behind it are pruned by the optimizer.
