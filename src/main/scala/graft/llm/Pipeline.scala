@@ -407,12 +407,31 @@ object Pipeline {
     * keep_rate, kept). */
   def temperatureMixture(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, tokenBudget: Long,
-      salt: String = "temp1"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val srcStats = docs
+      salt: String = "temp1"): DataFrame =
+    temperatureMixtureApply(docs,
+      temperatureStats(docs, textCol, sourceCol),
+      idCol, textCol, sourceCol, tokenBudget, salt)
+
+  /** The batch half of [[temperatureMixture]]: per-source token totals and
+    * 6-digit sqrt shares. Computed once over the (static) corpus; tiny. */
+  def temperatureStats(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs
       .groupBy(col(sourceCol))
       .agg(sum(size(TextOps.words(col(textCol))).cast("long")).as("__src_tokens"))
       .withColumn("__s", round(sqrt(col("__src_tokens").cast("double")), 6))
+
+  /** The per-document half of [[temperatureMixture]]: a pure expression
+    * pass against broadcast stats — STATELESS, so it runs unchanged on a
+    * STREAM of documents joined stream-static against the stats of the
+    * (static) reference corpus, the same shape as
+    * [[graft.streaming.StreamingSqa.incrementalDedupStream]]. The share
+    * total folds the tiny stats table driver-side through exact decimal
+    * (order-free, same pin as the batch form). */
+  def temperatureMixtureApply(docs: DataFrame, srcStats: DataFrame,
+      idCol: String, textCol: String, sourceCol: String, tokenBudget: Long,
+      salt: String = "temp1"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val tot = srcStats.agg(
       sum(col("__s").cast(DecimalType(24, 6))).cast("double").as("__stot"))
     val bucket = TextOps.wordHash60(

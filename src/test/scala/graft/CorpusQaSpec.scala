@@ -310,4 +310,64 @@ class CorpusQaSpec extends AnyFunSuite {
     // deterministic across invocations
     assert(Similarity.rpMatrix(64, 16).flatten.toSeq == flat.toSeq)
   }
+
+  test("stitchPairs: catches split documents, skips boilerplate-hot grams") {
+    // doc1's tail == doc2's head (the stitch); 11 docs all ENDING with the
+    // same hot gram "sig off now" (df=11 > maxDf=10) while doc4 STARTS
+    // with it: the boilerplate key must be guarded out, not joined
+    val corpus = docs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "a"),
+      (2L, "gamma delta epsilon zeta eta", "a"),
+      (3L, "unrelated words entirely here", "a"),
+      (4L, "sig off now go", "a")) ++
+      (10L to 20L).map(i => (i, s"u$i v$i w$i sig off now", "b")): _*)
+    val out = Dedup.stitchPairs(corpus, "doc_id", "text", k = 3, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "gamma delta epsilon")),
+      s"got ${out.toSeq}: the df=11 'sig off now' tail must be guarded out")
+  }
+
+  test("canonicalDocs keeps the argmax-quality doc per cluster, ties to lower id") {
+    // three near-identical docs (one cluster); doc 31 has an extra unique
+    // word -> higher uniq_ratio -> highest quality score
+    val base = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k1 k2 k3"
+    val d = docs(
+      (30L, base, "a"),
+      (31L, base + " fresh", "a"),
+      (32L, base, "a"),
+      (40L, "totally different island content words", "a"))
+    val out = Dedup.canonicalDocs(d, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1) // the singleton never forms a cluster row
+    val (cluster, size, kept) = out.head
+    assert(cluster == 30L && size == 3L && kept == 31L,
+      s"got ($cluster, $size, $kept)")
+  }
+
+  test("crossSourceDups attributes near-dup pairs to unordered source pairs") {
+    val t = "same same text body here repeated k1 k2 k3 k4 k5 k6"
+    val d = docs((50L, t, "web"), (51L, t, "books"), (52L, t, "web"))
+    val out = Dedup.crossSourceDups(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 3 pairs: (50,51) web-books, (50,52) web-web, (51,52) books-web
+    assert(out(("books", "web")) == 2L && out(("web", "web")) == 1L,
+      s"got $out")
+  }
+
+  test("hllDistinctWords: exact small-range estimates and per-source registers") {
+    val d = docs(
+      (60L, (1 to 40).map(i => s"w$i").mkString(" "), "a"),
+      (61L, (1 to 40).map(i => s"w$i").mkString(" "), "a"), // dups don't inflate
+      (62L, (1 to 5).map(i => s"v$i").mkString(" "), "b"))
+    val out = TextAnalysis.hllDistinctWords(d, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (exactA, zerosA, estA) = out("a")
+    val (exactB, zerosB, estB) = out("b")
+    assert(exactA == 40L && exactB == 5L)
+    assert(zerosA >= 1L && zerosB >= 1L && zerosB > zerosA)
+    // linear-counting regime at this cardinality: estimates land close
+    assert(math.abs(estA - 40.0) / 40.0 < 0.35, s"estA=$estA")
+    assert(math.abs(estB - 5.0) / 5.0 < 0.35, s"estB=$estB")
+  }
 }

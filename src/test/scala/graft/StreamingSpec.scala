@@ -337,5 +337,21 @@ class StreamingSpec extends AnyFunSuite {
     val piiBatch = graft.llm.TextAnalysis.piiScan(docsBatch, "doc_id", "text")
     assert(spark.table("pii_stream").count() == piiBatch.count())
     assert(spark.table("pii_stream").exceptAll(piiBatch).count() == 0)
+
+    // temperature mixture (q135) stream-static: shares come from the
+    // STATIC reference corpus's stats (the batch half), the per-document
+    // keep decision is a stateless expression pass on the stream — the
+    // same split as incrementalDedupStream's signatures-vs-index. The
+    // streamed decisions must equal the batch run document-for-document.
+    val stats = graft.llm.Pipeline.temperatureStats(docsBatch, "text", "source")
+    val qTemp = graft.llm.Pipeline.temperatureMixtureApply(
+      stream, stats, "doc_id", "text", "source", tokenBudget = 20000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("temp_stream").start()
+    qTemp.processAllAvailable(); qTemp.stop()
+    val tempBatch = graft.llm.Pipeline.temperatureMixture(
+      docsBatch, "doc_id", "text", "source", tokenBudget = 20000L)
+    assert(spark.table("temp_stream").count() == tempBatch.count())
+    assert(spark.table("temp_stream").exceptAll(tempBatch).count() == 0)
   }
 }
