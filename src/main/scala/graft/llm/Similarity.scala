@@ -482,10 +482,29 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       embCol: String, k: Int, nList: Int = 0, nProbe: Int = 2,
       m: Int = 8, codebookK: Int = 16, iters: Int = 2,
-      dim: Int = 64): DataFrame = {
-    val d = dim / m
-    val spark = queries.sparkSession
-    graft.functions.VectorExpressions.register(spark)
+      dim: Int = 64): DataFrame =
+    ivfPqSearch(
+      ivfPqBuild(candidates, idCol, embCol, nList, m, codebookK, iters, dim),
+      queries, idCol, embCol, k, nProbe, m, dim)
+
+  /** The four artifacts of an offline IVF-PQ index build — exactly what a
+    * production pipeline persists once and searches many times:
+    * coarse centroids (nList rows), cell assignment (one narrow row per
+    * vector), PQ code table (m small codes per vector — the only
+    * corpus-sized scan a search touches), and the residual codebook
+    * (m·k' rows). All four are plain DataFrames, so "persist the index"
+    * is four parquet writes ([[ivfPqWriteIndex]]) and the search half
+    * runs unchanged against the re-read artifacts. */
+  case class IvfPqIndex(cents: DataFrame, cells: DataFrame,
+      codes: DataFrame, codebook: DataFrame)
+
+  /** Build half of [[ivfPqTopK]]: coarse quantizer + residual encoding +
+    * PQ codebook training. One pass over the corpus; outputs are the
+    * bounded index artifacts. */
+  def ivfPqBuild(candidates: DataFrame, idCol: String, embCol: String,
+      nList: Int = 0, m: Int = 8, codebookK: Int = 16, iters: Int = 2,
+      dim: Int = 64): IvfPqIndex = {
+    graft.functions.VectorExpressions.register(candidates.sparkSession)
     val dbl = (c: Column) => transform(c, x => x.cast("double"))
 
     // ---- coarse quantizer: identical shape to ivfTopK's
@@ -495,17 +514,15 @@ object Similarity {
     val cents = n.orderBy("vid").limit(lists)
       .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
-    def seedScored(side: DataFrame) =
-      side.crossJoin(broadcast(cents))
-        .withColumn("__cc", VectorOps.cosine(
-          VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
 
     // ---- residual encoding: r = x − c(cell), widened to double first so
     // the per-coordinate subtraction is the same IEEE op the oracle runs.
     // Corpus-side argmax cell pick is a map-side-combinable max_by
     // (shuffle N, not N×nList — see ivfTopK); the payload struct carries
     // (c_emb, emb) through so the residual needs no re-join.
-    val assigned = seedScored(n)
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
       .groupBy("vid")
       .agg(max_by(struct(col("cent_id").as("cell"), col("c_emb"), col("emb")),
         struct(col("__cc"), -col("cent_id"))).as("__b"))
@@ -515,17 +532,29 @@ object Similarity {
     val (codes, codebook) = productQuantizeFull(
       assigned.select(col("vid").as("id"), col("r_emb")),
       "id", "r_emb", m, codebookK, iters, dim)
-    val cellOf = assigned.select(col("vid").as("cand_id"), col("cell"))
+    IvfPqIndex(cents, assigned.select(col("vid").as("cand_id"), col("cell")),
+      codes, codebook)
+  }
 
-    // ---- search: per (query, probed cell) residual LUT, ADC confined to
-    // the probed cells' members
+  /** Search half of [[ivfPqTopK]]: per (query, probed cell) residual LUT,
+    * ADC confined to the probed cells' members. Runs identically against
+    * a freshly-built or parquet-re-read [[IvfPqIndex]]. */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int = 2, m: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val d = dim / m
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val dbl = (c: Column) => transform(c, x => x.cast("double"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
     // query-side top-nProbe keeps the window: |Q|×nList rows, bounded by
     // the query batch — never the corpus
     val wP = Window.partitionBy("vid")
       .orderBy(col("__cc").desc, col("cent_id"))
-    val probes = seedScored(q.withColumnRenamed("query_id", "vid"))
+    val probes = q.withColumnRenamed("query_id", "vid")
+      .crossJoin(broadcast(index.cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
       .withColumn("__rn", row_number().over(wP))
       .filter(col("__rn") <= nProbe)
       .select(col("vid").as("query_id"), col("cent_id").as("cell"),
@@ -536,14 +565,14 @@ object Similarity {
         slice(col("qr"), j * d + 1, d)): _*)).as(Seq("sub", "qe")))
       .withColumn("qn2", VectorOps.normSq(col("qe")))
     val qq = 1L << 20
-    val lut = qsubs.join(broadcast(codebook), Seq("sub"))
+    val lut = qsubs.join(broadcast(index.codebook), Seq("sub"))
       .withColumn("term", floor((col("qn2") + col("c_n2") -
         lit(2.0) * VectorOps.dot(col("qe"), col("c_emb"))) * qq) / qq)
       .select(col("query_id"), col("cell"),
         col("sub").cast("long").as("sub"),
         col("cluster").cast("long").as("code"), col("term"))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
-    codes.join(cellOf, codes("id") === cellOf("cand_id"))
+    index.codes.join(index.cells, index.codes("id") === index.cells("cand_id"))
       .join(broadcast(lut), Seq("cell", "sub", "code"))
       .filter(col("query_id") =!= col("cand_id"))
       .groupBy(col("query_id"), col("cand_id"))
@@ -552,6 +581,22 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "adc", "rnk")
   }
+
+  /** Persist / re-open the index artifacts as four parquet tables —
+    * doubles and floats round-trip parquet bit-exactly, so a search from
+    * the re-read index is value-identical to one from the live build. */
+  def ivfPqWriteIndex(index: IvfPqIndex, dir: String): Unit =
+    Seq("cents" -> index.cents, "cells" -> index.cells,
+      "codes" -> index.codes, "codebook" -> index.codebook)
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name") }
+
+  def ivfPqReadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"))
 
   /** IVFADC+R (Jegou, Douze, Schmid 2011 §IV-B): exact re-ranking of the
     * ADC shortlist. [[ivfPqTopK]] produces an R-deep shortlist from

@@ -338,6 +338,21 @@ object LlmQueries {
       TextAnalysis.hllDistinctWords(Tables.documents(s, dir), "text",
         "source")),
 
+    // Persisted-index ANN: build the IVF-PQ index, WRITE its four parquet
+    // artifacts, re-READ them, and search from the persisted copy — the
+    // build-once/search-many production loop. Same parameters and oracle
+    // as q114, so a green row certifies the artifacts are complete and
+    // bit-faithful on disk.
+    "q140_ivfpq_persist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding")
+      val path = s"${IoQueries.sinkDir}/q140_ivfpq_index"
+      Similarity.ivfPqWriteIndex(idx, path)
+      Similarity.ivfPqSearch(Similarity.ivfPqReadIndex(s, path),
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nProbe = 4)
+    }),
+
     "q87_kmeans" -> ((s, dir) =>
       Similarity.kMeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)),
@@ -758,6 +773,13 @@ object LlmQueries {
          |  FROM scores) WHERE rnk <= 5""".stripMargin,
 
     "q114_ivfpq_ann" ->
+      s"""WITH ${ivfPqCtes()}
+         |SELECT query_id, cand_id, adc, rnk FROM ivfpq""".stripMargin,
+
+    // Persisted-index round trip: value-identical to a live q114 build,
+    // so it shares q114's oracle verbatim — a hash match certifies the
+    // on-disk artifacts reproduce the live search exactly.
+    "q140_ivfpq_persist" ->
       s"""WITH ${ivfPqCtes()}
          |SELECT query_id, cand_id, adc, rnk FROM ivfpq""".stripMargin,
 

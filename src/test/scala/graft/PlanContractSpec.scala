@@ -30,7 +30,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q85_bigram_lm", "q71_corpus_select", "q70_embed_clusters",
     "q73_vocab", "q114_ivfpq_ann", "q115_ivfpq_recall",
     "q117_ivfpq_rerank", "q125_perplexity_filter", "q128_dsir",
-    "q135_temperature_mix") // broadcasts the 1-row share-total aggregate
+    "q135_temperature_mix", // broadcasts the 1-row share-total aggregate
+    "q140_ivfpq_persist")   // q114's broadcast-centroid probe shape
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]
