@@ -179,4 +179,30 @@ class SkewSpec extends AnyFunSuite {
     assert(maxGroup <= 3L * (160 / S),
       s"hot band not split: max per-salt group $maxGroup")
   }
+
+  test("saturated corpus: candidate semi-joins carry no forced broadcast") {
+    // Round-10 verdict #4's done-criterion: on a duplication-SATURATED
+    // corpus the candidate-id set approaches the whole corpus, so the
+    // verify/containment semi-join prune must not pin an O(N) broadcast —
+    // the hint was removed in r12 and AQE decides at runtime. Witness
+    // both halves: (a) the analyzed plans carry no join hint at all, and
+    // (b) the operators still produce the exact expected answer on a
+    // corpus where EVERY document is a near-duplicate.
+    val verified = Dedup.minhashPairs(hotBandCorpus, "doc_id", "text",
+      threshold = 0.3)
+    val contained = Dedup.containmentPairs(hotBandCorpus, "doc_id", "text",
+      shingleN = 3, maxDf = 200, threshold = 0.9, prefixK = 5)
+    Seq("minhashPairs" -> verified, "containmentPairs" -> contained)
+      .foreach { case (name, df) =>
+        val analyzed = df.queryExecution.analyzed.toString
+        assert(!analyzed.contains("UnresolvedHint") &&
+          !analyzed.contains("ResolvedHint"),
+          s"$name still forces a broadcast hint:\n" +
+            analyzed.linesIterator.filter(_.contains("Hint")).mkString("\n"))
+      }
+    // the 160-doc identical clique: every pair is jaccard 1 >= 0.3 and
+    // containment 1 >= 0.9; maxDf=200 admits the hot shingles (df=160)
+    assert(verified.count() == 160L * 159 / 2)
+    assert(contained.count() == 160L * 159 / 2)
+  }
 }
