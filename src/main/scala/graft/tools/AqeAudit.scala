@@ -16,7 +16,8 @@ object AqeAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = Seq("q117_ivfpq_rerank", "q119_incremental_dedup",
-      "q127_containment", "q22_minhash_pairs", "q69_dedup_clusters")
+      "q127_containment", "q22_minhash_pairs", "q69_dedup_clusters",
+      "q137_canonical_docs", "q138_cross_source", "q140_ivfpq_persist")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
