@@ -153,9 +153,15 @@ class SkewSpec extends AnyFunSuite {
       s"${(u -- sPairs).take(3)} / ${(sPairs -- u).take(3)}")
     assert(u.size == 160 * 159 / 2, s"expected the hot clique, got ${u.size}")
 
-    // (c) the executed join is keyed on the salt
-    val plan = salted.queryExecution.executedPlan.toString
-    assert(plan.contains("__salt"), "salted join key missing from the plan")
+    // (c) the candidate stage's executed join is keyed on the salt.
+    // (verifyJaccard checkpoints the candidate table, so the salted band
+    // join is not in the OUTPUT's lineage — witness the candidate builder
+    // minhashPairs itself uses.)
+    val bands = Dedup.bandRows(hotBandCorpus, "doc_id", "text",
+      shingleN = 3, numHashes = 8, numBands = 4)
+    val candPlan = Dedup.bandSelfCandidates(bands, "doc_id", saltBands = S)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("__salt"), "salted join key missing from the plan")
 
     // (b) per-(band, key, salt) probe groups are bounded by ~hot/S: the
     // same witness style as the batching operator's salted shards — the
@@ -180,29 +186,29 @@ class SkewSpec extends AnyFunSuite {
       s"hot band not split: max per-salt group $maxGroup")
   }
 
-  test("saturated corpus: candidate semi-joins carry no forced broadcast") {
-    // Round-10 verdict #4's done-criterion: on a duplication-SATURATED
-    // corpus the candidate-id set approaches the whole corpus, so the
-    // verify/containment semi-join prune must not pin an O(N) broadcast —
-    // the hint was removed in r12 and AQE decides at runtime. Witness
-    // both halves: (a) the analyzed plans carry no join hint at all, and
-    // (b) the operators still produce the exact expected answer on a
-    // corpus where EVERY document is a near-duplicate.
-    val verified = Dedup.minhashPairs(hotBandCorpus, "doc_id", "text",
-      threshold = 0.3)
-    val contained = Dedup.containmentPairs(hotBandCorpus, "doc_id", "text",
-      shingleN = 3, maxDf = 200, threshold = 0.9, prefixK = 5)
-    Seq("minhashPairs" -> verified, "containmentPairs" -> contained)
-      .foreach { case (name, df) =>
-        val analyzed = df.queryExecution.analyzed.toString
-        assert(!analyzed.contains("UnresolvedHint") &&
-          !analyzed.contains("ResolvedHint"),
-          s"$name still forces a broadcast hint:\n" +
-            analyzed.linesIterator.filter(_.contains("Hint")).mkString("\n"))
-      }
+  test("saturated corpus: candidate confinement is size-gated, both paths exact") {
+    // Round-10 verdict #4's done-criterion, hardened in r13: the
+    // verify/containment semi-join prune broadcasts the candidate-id set
+    // ONLY when a count of the materialized table clears the
+    // graft.dedup.broadcastIdsMax gate (default 4M) — a saturated corpus
+    // whose candidates approach N falls back to the shuffle semi-join and
+    // never pins an O(N) driver broadcast. Witness both paths on a corpus
+    // where EVERY document is a near-duplicate: force the gate below the
+    // 160-doc clique's id count (fallback path), then the default gate
+    // (broadcast path), and require the exact same exact answer.
+    def run(): (Long, Long) = {
+      val verified = Dedup.minhashPairs(hotBandCorpus, "doc_id", "text",
+        threshold = 0.3)
+      val contained = Dedup.containmentPairs(hotBandCorpus, "doc_id", "text",
+        shingleN = 3, maxDf = 200, threshold = 0.9, prefixK = 5)
+      (verified.count(), contained.count())
+    }
     // the 160-doc identical clique: every pair is jaccard 1 >= 0.3 and
     // containment 1 >= 0.9; maxDf=200 admits the hot shingles (df=160)
-    assert(verified.count() == 160L * 159 / 2)
-    assert(contained.count() == 160L * 159 / 2)
+    val expect = 160L * 159 / 2
+    spark.conf.set("graft.dedup.broadcastIdsMax", "8")
+    try assert(run() == ((expect, expect)), "shuffle-semi-join fallback path")
+    finally spark.conf.unset("graft.dedup.broadcastIdsMax")
+    assert(run() == ((expect, expect)), "gated-broadcast path")
   }
 }
