@@ -100,6 +100,46 @@ object Dedup {
         bround(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Exact-substring duplicate spans (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operator class, word-granularity): a position is duplicated when it
+    * lies inside any k-word window whose exact text occurs more than once
+    * in the corpus. Per document: token count, tokens covered by the
+    * UNION of overlapping duplicated windows (one-pass sweep — running
+    * max of span ends inside the per-doc sort window), and the covered
+    * fraction. Scale shape: positioned windows explode to ~n_words rows,
+    * the duplicate test is ONE equi-aggregation on the window text (a hot
+    * boilerplate window collapses map-side exactly like
+    * [[dupNgramFraction]]), and the sweep shuffles only rows of
+    * DUPLICATED windows, keyed by doc. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .withColumn("__grams", expr(
+        s"transform(sequence(0, size(__w) - $k), i -> concat_ws(' ', slice(__w, i + 1, $k)))"))
+      .select(col(idCol), posexplode(col("__grams")).as(Seq("pos", "gram")))
+    val dupGrams = wins.groupBy("gram").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+    val dup = wins.join(dupGrams.select("gram"), Seq("gram"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val covered = dup
+      .withColumn("__cme", max(col("pos") + lit(k - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__from", greatest(col("pos"), coalesce(col("__cme") + 1, col("pos"))))
+      .withColumn("__contrib",
+        greatest(col("pos") + lit(k - 1) - col("__from") + 1, lit(0)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib").cast("long")).as("covered_tokens"))
+    base.select(col(idCol), col("n_words"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("covered_tokens"))
+      .withColumn("dup_frac",
+        round(col("covered_tokens").cast("double") / col("n_words"), 6))
+  }
+
   /** Universal-hash constants for the k MinHash permutations: one 32-bit
     * base hash per shingle, then h_j = (A_j * h + B_j) mod P — 1 md5 per
     * shingle row instead of k (md5 dominates signature cost at k=8).

@@ -231,6 +231,29 @@ object Pipeline {
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_permille"))
   }
 
+  /** Deterministic train/val/test holdout assignment: a salt-free md5
+    * bucket of the document id (the same 32-bit md5-prefix family as the
+    * MinHash base hash — oracle-portable integer arithmetic) lands each
+    * doc in one of 100 buckets, split 80/10/10. Content-independent and
+    * stable across runs/engines — re-ingesting a grown corpus never moves
+    * an old document across the split boundary, which is the property a
+    * training pipeline needs to keep eval uncontaminated. Output is the
+    * per-(source, split) report card (map-only assignment + one
+    * aggregation). */
+  def splitAssign(docs: DataFrame, idCol: String, sourceCol: String,
+      sizeCol: String): DataFrame = {
+    val bucket =
+      conv(substr(md5(col(idCol).cast("string")), lit(1), lit(8)), 16, 10)
+        .cast("long") % 100
+    docs
+      .withColumn("__b", bucket)
+      .withColumn("split",
+        when(col("__b") < 80, "train").when(col("__b") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col(sourceCol), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("n_chars_total"))
+  }
+
   /** Per-document repetition statistics (the Gopher-class repetition
     * filters): duplicate-word fraction and the most-frequent-bigram
     * fraction, plus a composite flag. Two aggregates over one exchange on

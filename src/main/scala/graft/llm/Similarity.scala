@@ -37,6 +37,55 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rnk")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors carrying a DIFFERENT label — the pairs a
+    * retrieval model most needs to push apart (in-batch-negatives
+    * literature, e.g. DPR/ANCE). Same plan shape as [[bruteForceTopK]]
+    * (broadcast query side, label predicate evaluated inside the join, so
+    * same-label rows never reach the ranking), with the label carried
+    * through for the training-pair sink. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col(labelCol).as("q_label"))
+      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+        col(labelCol).as("cand_label"))
+      .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    broadcast(q).join(c,
+        col("query_id") =!= col("cand_id") && col("q_label") =!= col("cand_label"))
+      .withColumn("cos", round(
+        VectorOps.cosine(VectorOps.dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "q_label", "cand_id", "cand_label", "cos", "rnk")
+  }
+
+  /** Cluster-vs-label purity report over a [[kMeans]] assignment: per
+    * cluster, its size, majority label (ties to the lower label id), and
+    * purity = majority count / size — the standard external quality check
+    * before using clusters for balanced sampling or semantic dedup. Two
+    * bounded aggregations on top of the assignment (cluster x label is
+    * k x |labels| rows); the max_by pick is map-side partial like the
+    * assignment itself. */
+  def clusterPurity(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, iters: Int = 2): DataFrame = {
+    val asg = kMeans(emb, idCol, embCol, k, iters)
+    val lab = emb.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val cnt = asg.join(lab, Seq("id"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n_l"))
+    cnt.groupBy("cluster")
+      .agg(sum("n_l").as("n"),
+        max_by(struct(col("label"), col("n_l")),
+          struct(col("n_l"), -col("label"))).as("__t"))
+      .select(col("cluster"), col("n"),
+        col("__t.label").as("top_label"), col("__t.n_l").as("top_n"),
+        round(col("__t.n_l").cast("double") / col("n"), 6).as("purity"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
     * candidate pairs confined to shared banded sign-bit LSH buckets —
     * OR-amplified like minhashPairs: `numBands` disjoint hyperplane bands,

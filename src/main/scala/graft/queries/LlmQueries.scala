@@ -423,7 +423,32 @@ object LlmQueries {
         minCount = 900L)),
 
     "q90_pii" -> ((s, dir) =>
-      TextAnalysis.piiScan(Tables.documents(s, dir), "doc_id", "text"))
+      TextAnalysis.piiScan(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Deterministic 80/10/10 holdout by md5 bucket of the doc id, with
+    // the per-(source, split) report card.
+    "q144_split_assign" -> ((s, dir) =>
+      Pipeline.splitAssign(Tables.documents(s, dir), "doc_id", "source",
+        "n_chars")),
+
+    // Exact-substring duplicate spans (Lee et al. 2021): per-doc fraction
+    // of tokens inside the union of corpus-duplicated 8-word windows.
+    "q145_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)),
+
+    // External cluster-quality check on the k-means assignment: size,
+    // majority label, purity per cluster.
+    "q146_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 8, iters = 2)),
+
+    // Contrastive hard negatives: top-5 nearest different-label vectors
+    // per query (first 20 ids as queries).
+    "q147_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 5)
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -1806,7 +1831,80 @@ object LlmQueries {
          |JOIN embeddings la ON pairs.id_a = la.vec_id
          |JOIN embeddings lb ON pairs.id_b = lb.vec_id
          |GROUP BY 1, 2""".stripMargin
-    }
+    },
+
+    "q144_split_assign" ->
+      """WITH a AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT source, n_chars,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |        FROM documents))
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    "q145_dup_spans" -> {
+      val K = 8
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len($WORDS) AS BIGINT) AS n_words, $WORDS AS w
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + $K), ' ') AS gram
+         |  FROM base, unnest(range(0, n_words - $K + 1)) AS t(i)
+         |  WHERE n_words >= $K),
+         |dupg AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+         |dup AS (SELECT doc_id, pos FROM wins JOIN dupg USING (gram)),
+         |c AS (
+         |  SELECT doc_id, pos,
+         |    MAX(pos + $K - 1) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cme
+         |  FROM dup),
+         |cov AS (
+         |  SELECT doc_id, CAST(SUM(GREATEST(
+         |      pos + $K - 1 - GREATEST(pos, COALESCE(cme + 1, pos)) + 1, 0))
+         |    AS BIGINT) AS covered_tokens
+         |  FROM c GROUP BY 1)
+         |SELECT b.doc_id, b.n_words,
+         |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+         |  ROUND(COALESCE(cov.covered_tokens, 0)::DOUBLE / b.n_words, 6) AS dup_frac
+         |FROM base b LEFT JOIN cov USING (doc_id)""".stripMargin
+    },
+
+    "q146_cluster_purity" ->
+      s"""WITH $kmeansCtes,
+         |lab AS (
+         |  SELECT a2.vec_id, a2.cluster, e.label
+         |  FROM a2 JOIN embeddings e USING (vec_id)),
+         |cnt AS (SELECT cluster, label, COUNT(*) AS n_l FROM lab GROUP BY 1, 2),
+         |top AS (
+         |  SELECT cluster, label AS top_label, n_l AS top_n,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_l DESC, label)
+         |      AS rn
+         |  FROM cnt)
+         |SELECT c.cluster, CAST(SUM(c.n_l) AS BIGINT) AS n,
+         |  MAX(t.top_label) AS top_label, MAX(t.top_n) AS top_n,
+         |  ROUND(MAX(t.top_n)::DOUBLE / SUM(c.n_l), 6) AS purity
+         |FROM cnt c JOIN top t ON c.cluster = t.cluster AND t.rn = 1
+         |GROUP BY c.cluster""".stripMargin,
+
+    "q147_hard_negatives" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings)
+         |SELECT query_id, q_label, cand_id, cand_label, cos, rnk FROM (
+         |  SELECT q.vec_id AS query_id, q.label AS q_label,
+         |    c.vec_id AS cand_id, c.label AS cand_label,
+         |    ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |      c.vec_id) AS rnk
+         |  FROM n q JOIN n c
+         |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label)
+         |WHERE rnk <= 5""".stripMargin
   )
 
   /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row

@@ -244,10 +244,101 @@ object Relational {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    }),
+
+    // Gap-based sessionization: the canonical event-stream segmentation
+    // at scale — lag + running sum inside ONE per-user sort window (the
+    // same exchange the reference's per-subject signal chains reuse),
+    // then a per-session aggregate. 30-minute inactivity gap.
+    "q141_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val gap = 30L * MIN_US
+      val sess = ev
+        .withColumn("__prev", lag(col("ts_us"), 1).over(wUser))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("ts_us") - col("__prev") > gap, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(wUser))
+      sess.groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"),
+          max("ts_us").as("end_us"),
+          countDistinct("event_type").as("n_types"),
+          sum(col("value").cast(DecimalType(24, 8))).cast("double").as("sum_value"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+    }),
+
+    // Trailing-7-day distinct active users per observed day. Scale shape:
+    // distinct (day, user) first (collapses the raw stream map-side),
+    // then a bounded explode of exactly 7 covering days per pair — never
+    // a range join — and a semi-join against the tiny observed-day dim
+    // before the final count-distinct shuffle.
+    "q142_active_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ud = ev.select(expr(s"ts_us div $DAY_US").as("day"), col("user_id"))
+        .distinct()
+      val obsDays = ud.select("day").distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6))).as("day"))
+        .join(broadcast(obsDays), Seq("day"), "leftsemi")
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("active_7d"))
+    }),
+
+    // Weekly cohort retention: cohort = a user's first active week;
+    // count distinct users per (cohort_week, week_offset). Two shuffles —
+    // the (user, week) distinct and the user-keyed cohort join (Catalyst
+    // reuses the user-side exchange) — then the small cohort-grid agg.
+    "q143_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val uw = ev.select(col("user_id"),
+        expr(s"ts_us div ${7L * DAY_US}").as("week")).distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohort, Seq("user_id"))
+        .withColumn("week_offset", col("week") - col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q141_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w > ${30L * MIN_US} THEN 1 ELSE 0 END AS nw
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (
+         |  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |    AS session_id FROM m)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q142_active_users" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT epoch_us(ts) // $DAY_US AS day, user_id FROM events),
+         |days AS (SELECT DISTINCT day FROM ud)
+         |SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS active_7d
+         |FROM days d JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+         |GROUP BY 1""".stripMargin,
+
+    "q143_retention" ->
+      s"""WITH uw AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // ${7L * DAY_US} AS week
+         |  FROM events),
+         |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+         |SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+         |  COUNT(*) AS n_users
+         |FROM uw u JOIN cohort c USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
+
     "q126_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1),

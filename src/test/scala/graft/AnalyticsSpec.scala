@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Pipeline, Similarity}
+
+/** Round-13 operators: exact-substring duplicate spans, deterministic
+  * holdout split, cluster purity, hard-negative mining. */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("dupSpans merges overlapping duplicated windows into one covered run") {
+    // docs 1 and 2 share the 10-word run w1..w10: with k=8 that is three
+    // overlapping duplicated windows per doc, whose UNION covers exactly
+    // 10 tokens — a naive per-window sum would count 24.
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, shared + " a1 a2 a3", "s"),
+      (2L, "b1 b2 " + shared, "s"),
+      (3L, (1 to 9).map(i => s"u$i").mkString(" "), "s"), // unique: 0 covered
+      (4L, "t1 t2 t3", "s")) // shorter than k: no windows at all
+    val out = Dedup.dupSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((13L, 10L)))
+    assert(out(2L) == ((12L, 10L)))
+    assert(out(3L) == ((9L, 0L)))
+    assert(out(4L) == ((3L, 0L)))
+  }
+
+  test("dupSpans counts a window duplicated WITHIN one document") {
+    // the same 8-gram twice in one doc: both occurrences' tokens covered
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs((1L, run + " mid " + run, "s"),
+      (2L, (1 to 20).map(i => s"q$i").mkString(" "), "s"))
+    val out = Dedup.dupSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 16L && out(2L) == 0L)
+  }
+
+  test("splitAssign is a stable total partition with ~80/10/10 mass") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 1000L).map(i => (i, s"src${i % 4}", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Pipeline.splitAssign(d, "doc_id", "source", "n_chars").collect()
+    assert(out.map(_.getLong(2)).sum == 1000L) // total partition, no loss
+    val bySplit = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform enough that 1000 ids land within wide bands
+    assert(bySplit("train") > 700 && bySplit("train") < 900)
+    assert(bySplit("val") > 50 && bySplit("val") < 170)
+    assert(bySplit("test") > 50 && bySplit("test") < 170)
+    // determinism: a second run assigns identically
+    val again = Pipeline.splitAssign(d, "doc_id", "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == again)
+  }
+
+  test("clusterPurity is 1.0 on label-separable clusters") {
+    val s = spark
+    import s.implicits._
+    // two tight groups in 64-dim: ids 0..3 near e1 (label 0), 4..7 near e2
+    // (label 1); k=2 seeds from the two lowest ids split them exactly
+    def vec(hot: Int, v: Float) =
+      Array.tabulate(64)(j => if (j == hot) v else 0.01f * ((j % 3) + 1))
+    val rows = (0 until 8).map { i =>
+      val g = i / 4
+      (i.toLong, vec(g, 5.0f + 0.1f * (i % 4)).toSeq, g)
+    }
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(d, "vec_id", "embedding", "label",
+      k = 2, iters = 2).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 4L)
+      assert(r.getDouble(4) == 1.0)
+      assert(r.getInt(2) == r.getLong(3).toInt || r.getLong(3) == 4L)
+    }
+    // majority labels cover both groups
+    assert(out.map(_.getInt(2)).toSet == Set(0, 1))
+  }
+
+  test("hardNegatives never returns a same-label candidate and ranks by cosine") {
+    val s = spark
+    import s.implicits._
+    // query 0 (label 0): nearest overall is vec 1 (same label — must be
+    // excluded); nearest different-label is vec 2.
+    def unit(theta: Double) = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = math.cos(theta).toFloat; a(1) = math.sin(theta).toFloat
+      a.toSeq
+    }
+    val d = Seq(
+      (0L, unit(0.00), 0),
+      (1L, unit(0.01), 0), // closest, same label
+      (2L, unit(0.10), 1), // closest different label
+      (3L, unit(0.50), 1),
+      (4L, unit(1.20), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(d.filter(col("vec_id") === 0L), d,
+      "vec_id", "embedding", "label", k = 3).collect()
+    assert(out.forall(_.getInt(3) != 0)) // no same-label negatives
+    assert(out.map(r => (r.getInt(5), r.getLong(2))).sorted.toSeq
+      == Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+}

@@ -31,7 +31,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q73_vocab", "q114_ivfpq_ann", "q115_ivfpq_recall",
     "q117_ivfpq_rerank", "q125_perplexity_filter", "q128_dsir",
     "q135_temperature_mix", // broadcasts the 1-row share-total aggregate
-    "q140_ivfpq_persist")   // q114's broadcast-centroid probe shape
+    "q140_ivfpq_persist",   // q114's broadcast-centroid probe shape
+    "q146_cluster_purity",  // kMeans' broadcast-centroid assignment
+    "q147_hard_negatives")  // broadcast 20-query side, label-predicate join
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]
