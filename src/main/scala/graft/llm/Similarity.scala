@@ -234,6 +234,53 @@ object Similarity {
         (col("max_sim").isNull || col("max_sim") < threshold).as("kept"))
   }
 
+  /** Incremental SemDeDup: a NEW embedding batch against an already-
+    * indexed corpus — the nightly-crawl shape of [[semDedup]], mirroring
+    * [[graft.llm.Dedup.minhashPairsIncremental]] on the embedding side.
+    * The coarse quantizer (lowest-id index vectors, ceil(sqrt(N)) cells)
+    * and the index side's cell assignment are derived from the INDEX side
+    * only — in production both are persisted artifacts (the q140 layout),
+    * so each increment costs one assignment pass over the new batch plus
+    * cell-confined cosine verification; the corpus is never rescanned and
+    * arriving batches can never perturb existing cell boundaries. Output:
+    * one row per new document — its cell, the max cosine against any
+    * index vector sharing the cell, and the kept flag (max_sim below
+    * `threshold` or no cell-mate). */
+  def semDedupIncremental(newDocs: DataFrame, indexDocs: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      nList: Int = 0): DataFrame = {
+    graft.functions.VectorExpressions.register(newDocs.sparkSession)
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val idx = prep(indexDocs)
+    val nw = prep(newDocs)
+    val cents = idx.orderBy("id")
+      .limit(if (nList > 0) nList else autoNList(idx.count()))
+      .select(col("id").as("cent_id"), col("emb").as("c_emb"),
+        col("n2").as("c_n2"))
+    def assign(df: DataFrame) = df.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .groupBy("id")
+      .agg(max_by(struct(col("cent_id").as("cell"), col("emb"), col("n2")),
+        struct(col("__cc"), -col("cent_id"))).as("__b"))
+      .select(col("id"), col("__b.cell").as("cell"),
+        col("__b.emb").as("emb"), col("__b.n2").as("n2"))
+    val idxCells = assign(idx)
+      .select(col("cell"), col("id").as("idx_id"),
+        col("emb").as("idx_emb"), col("n2").as("idx_n2"))
+    val newCells = assign(nw).localCheckpoint()
+    val sims = newCells.join(idxCells, Seq("cell"))
+      .groupBy(col("cell"), col("id"))
+      .agg(max(round(VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("idx_emb")),
+        col("n2"), col("idx_n2")), 6)).as("max_sim"))
+    newCells.select("id", "cell")
+      .join(sims, Seq("cell", "id"), "left")
+      .select(col("id"), col("cell"), col("max_sim"),
+        (col("max_sim").isNull || col("max_sim") < threshold).as("kept"))
+  }
+
   /** Relational Lloyd k-means over an `array<float>` embedding column —
     * the cluster-curation primitive (cluster-balanced sampling, SemDeDup
     * cell sizing, corpus diversity audits all start from it).

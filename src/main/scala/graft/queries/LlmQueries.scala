@@ -448,6 +448,17 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
         "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // Incremental SemDeDup: vec_id % 10 == 0 plays the nightly batch,
+    // the rest the persisted index — quantizer and cells from the index
+    // side only, verification cell-confined.
+    "q148_semdedup_incr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semDedupIncremental(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", threshold = 0.7)
     })
   )
 
@@ -1904,7 +1915,50 @@ object LlmQueries {
          |      c.vec_id) AS rnk
          |  FROM n q JOIN n c
          |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label)
-         |WHERE rnk <= 5""".stripMargin
+         |WHERE rnk <= 5""".stripMargin,
+
+    // Mirrors Similarity.semDedupIncremental: quantizer (ceil(sqrt(N))
+    // lowest-id seeds) and cell layout from the INDEX side only; new-batch
+    // rows verified against index cell-mates with the 6-digit cosine.
+    "q148_semdedup_incr" ->
+      s"""WITH idx AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings WHERE vec_id % 10 <> 0),
+         |nw AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |cents AS (
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM idx)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+         |cellsI AS (
+         |  SELECT vec_id AS idx_id, cent_id AS cell FROM (
+         |    SELECT idx.vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY idx.vec_id
+         |        ORDER BY ${dot("idx.embedding", "cents.c_emb")} / sqrt(idx.n2 * cents.c_n2) DESC,
+         |                 cent_id) AS rn
+         |    FROM idx CROSS JOIN cents) WHERE rn = 1),
+         |cellsN AS (
+         |  SELECT vec_id AS id, cent_id AS cell FROM (
+         |    SELECT nw.vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY nw.vec_id
+         |        ORDER BY ${dot("nw.embedding", "cents.c_emb")} / sqrt(nw.n2 * cents.c_n2) DESC,
+         |                 cent_id) AS rn
+         |    FROM nw CROSS JOIN cents) WHERE rn = 1),
+         |sims AS (
+         |  SELECT cn.cell, cn.id,
+         |    MAX(ROUND(${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6)) AS max_sim
+         |  FROM cellsN cn
+         |  JOIN cellsI ci ON cn.cell = ci.cell
+         |  JOIN nw a ON a.vec_id = cn.id
+         |  JOIN idx b ON b.vec_id = ci.idx_id
+         |  GROUP BY 1, 2)
+         |SELECT cellsN.id, cellsN.cell, sims.max_sim,
+         |  (sims.max_sim IS NULL OR sims.max_sim < 0.7) AS kept
+         |FROM cellsN LEFT JOIN sims ON cellsN.id = sims.id""".stripMargin
   )
 
   /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row

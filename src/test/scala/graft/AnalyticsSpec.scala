@@ -93,6 +93,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(_.getInt(2)).toSet == Set(0, 1))
   }
 
+  test("semDedupIncremental: dup of an index cell-mate dropped, novel vec kept") {
+    val s = spark
+    import s.implicits._
+    def vec(hot: Int, v: Float) = {
+      val a = Array.fill(64)(0.05f); a(hot) = v; a.toSeq
+    }
+    // index: two well-separated groups (ids 10..15); new batch: id 100
+    // duplicates index vec 10 exactly, id 101 points along a fresh axis
+    val idx = Seq(
+      (10L, vec(0, 9f)), (11L, vec(0, 8.5f)), (12L, vec(0, 8f)),
+      (13L, vec(30, 9f)), (14L, vec(30, 8.5f)), (15L, vec(30, 8f)))
+      .toDF("vec_id", "embedding")
+    val nw = Seq((100L, vec(0, 9f)), (101L, vec(60, 9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupIncremental(nw, idx, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(out(100L)._3 == false && out(100L)._2.exists(_ == 1.0))
+    assert(out(101L)._3 == true)
+    // the quantizer comes from the INDEX side only: every assigned cell
+    // is an index id even though the new batch has other ids
+    assert(out.values.forall(v => (10L to 15L).contains(v._1)))
+  }
+
   test("hardNegatives never returns a same-label candidate and ranks by cosine") {
     val s = spark
     import s.implicits._

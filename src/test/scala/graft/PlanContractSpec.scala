@@ -33,7 +33,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q135_temperature_mix", // broadcasts the 1-row share-total aggregate
     "q140_ivfpq_persist",   // q114's broadcast-centroid probe shape
     "q146_cluster_purity",  // kMeans' broadcast-centroid assignment
-    "q147_hard_negatives")  // broadcast 20-query side, label-predicate join
+    "q147_hard_negatives",  // broadcast 20-query side, label-predicate join
+    "q148_semdedup_incr")   // broadcast-centroid assignment, both sides
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]
