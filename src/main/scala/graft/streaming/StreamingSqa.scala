@@ -60,6 +60,25 @@ object StreamingSqa {
         when(col("n_detected") === 0 || col("pct_artifact") > lit(50.0), 1))
   }
 
+  /** Gap-based session statistics via the native `session_window`
+    * aggregation — the streaming form of the q141 sessionization (whose
+    * batch plan derives ordinal session ids with lag + running sum; the
+    * session BOUNDARIES are identical, `session_window.end` = last event
+    * + gap by definition). State is one open window per (user, session),
+    * merged incrementally as events arrive and finalized once the
+    * watermark passes the gap — no per-session re-scan, no unbounded
+    * state. The same body runs unchanged on a batch frame for parity. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(24,8)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session.start").as("start"),
+        col("session.end").as("end"), col("n_events"), col("sum_value"))
+
   /** Per-subject inter-beat intervals over a live event feed — the
     * streaming analog of the batch lag-diff (W1). Custom state via
     * `flatMapGroupsWithState`: each subject's state is the timestamp of

@@ -52,6 +52,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming session_window sessions match the batch q141 boundaries") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_sess_stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+
+    // stream vs batch: the same session_window body, file-at-a-time
+    val streamed = StreamingSqa.runStreamToMemory(spark, tmp, "sess_stream")(
+      StreamingSqa.sessionStats(_))
+    val batch = StreamingSqa.sessionStats(spark.read.parquet(tmp))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    // session_window vs the q141 lag+cumsum formulation: identical
+    // boundaries ((user, start, last_event, n_events) sets equal; the
+    // native window's end = last event + gap by definition)
+    val q141 = SparkEntry.queries("q141_sessionize")(spark,
+      "/root/testdata/sf0.001")
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("start"),
+        (timestamp_micros(col("end_us")) + expr("INTERVAL 30 MINUTES")).as("end"),
+        col("n_events"), col("sum_value"))
+    val native = batch
+    assert(q141.exceptAll(native).count() == 0)
+    assert(native.exceptAll(q141).count() == 0)
+  }
+
   test("stateful streaming IBIs carry last-beat state across micro-batches") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_ibi_stream").toString
