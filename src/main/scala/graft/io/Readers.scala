@@ -236,6 +236,16 @@ object Readers {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Sharded JSONL training-data export: one `<shardCol>=K/` directory of
+    * line-delimited JSON per deterministic shard — the layout tokenizer /
+    * training-loader jobs consume (one worker streams one shard).
+    * Repartitioned on the shard key first so each shard writes as a
+    * contiguous file-set: at corpus scale the write parallelism is the
+    * shard count, with no post-hoc file merge. */
+  def writeJsonlShards(df: DataFrame, shardCol: String, path: String): Unit =
+    df.repartition(col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).json(path)
+
   /** Beat-editor JSON export (S9): records-oriented, epoch-ms dates,
     * Signal/Beat/Artifact naming, injected Segment
     * (reference physioview.py:1594-1688). */

@@ -670,4 +670,38 @@ object Pipeline {
       .select(col(idCol), col(clusterCol), col("cluster_size"),
         col("sample_rank"))
   }
+
+  /** Inverted-index posting list: one (word, id) row per DISTINCT word per
+    * document — the retrieval index layout (word-partitioned on disk at
+    * corpus scale, so a term lookup prunes to its posting partitions). */
+  def invertedPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(TextOps.words(col(textCol)))).as("word"))
+
+  /** Boolean-AND retrieval over the inverted index: for every unordered
+    * pair of the `topK` highest-df terms (deterministic tie-break on the
+    * word), the count of documents containing BOTH — i.e. a posting-list
+    * intersection, the core primitive of conjunctive search.
+    *
+    * Scale shape: the index build is one hash-aggregate; the query-term
+    * dimension is `topK` rows and is BROADCAST into a semi-join, so the
+    * postings that reach the doc-keyed intersection join are only the
+    * query terms' — corpus-size-independent once the terms are fixed. The
+    * self-join on the doc id then touches ≤ topK rows per document. */
+  def invertedSearch(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 8): DataFrame = {
+    require(topK >= 2)
+    val postings = invertedPostings(docs, idCol, textCol)
+    val top = postings.groupBy("word").agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("word")).limit(topK)
+    val p = postings.join(broadcast(top.select("word")), Seq("word"),
+      "leftsemi")
+    val a = p.select(col(idCol), col("word").as("word_a"))
+    val b = p.select(col(idCol), col("word").as("word_b"))
+    a.join(b, Seq(idCol))
+      .filter(col("word_a") < col("word_b"))
+      .groupBy("word_a", "word_b")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -413,4 +413,44 @@ object TextAnalysis {
         when(size(w) > 0, prob).as("prob"))
       .withColumn("label", coalesce(col("prob") >= threshold, lit(false)))
   }
+
+  /** OOV masking: every word whose corpus document frequency is below
+    * `minDf` becomes `<unk>` — the closed-vocabulary normalization step
+    * before tokenizer training / n-gram LM fitting (rare-word cutoffs in
+    * the Mikolov word2vec / BNC tradition).
+    *
+    * Scale shape: document frequencies are one hash-aggregate over the
+    * DISTINCT (doc, word) stream; the token stream then left-joins the
+    * RARE slice only (on real corpora the rare vocabulary is huge in
+    * TERMS but tiny in TOKEN hits, so the join's build side is the df
+    * table, shuffled once on the word key — never a broadcast assumption).
+    * Reassembly sorts each document's surviving (pos, word) pairs inside
+    * one per-doc aggregate — no window, map-side partials collapse the
+    * token stream to one row per document. */
+  def unkMask(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")))
+    val rare = toks.select(col(idCol), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") < minDf)
+    val masked = toks.join(rare.select(col("word"), lit(1L).as("__rare")),
+        Seq("word"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("__rare").isNotNull, lit("<unk>")).otherwise(col("word"))
+          .as("__w"),
+        coalesce(col("__rare"), lit(0L)).as("__u"))
+    val agg = masked.groupBy(idCol)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w"))).as("masked"),
+        sum(col("__u")).as("n_unk"),
+        count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("masked"), lit("")).as("masked"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis (PageRank, Page et al. 1999) over an edge table —
+  * the graph-centrality capability a training-data pipeline uses to rank
+  * interlinked sources (domain graphs, citation graphs, dedup-cluster
+  * containment graphs).
+  *
+  * All arithmetic is SCALED 64-BIT INTEGER (ranks in units of 1e-12):
+  * per-edge contribution is `rank div out_degree` (floor) and the damping
+  * update is `(15·base + 85·Σcontrib) div 100` — exact integer ops with a
+  * defined floor in both Spark (`div`) and DuckDB (`//`), so a fixed
+  * iteration count is bit-reproducible cross-engine with NO float summation
+  * order concerns (the same reason [[graft.core.Det]] exists).
+  *
+  * Scale shape: each iteration is one hash join of the rank table onto the
+  * edge table (both keyed by `src` — Catalyst reuses the exchange across
+  * iterations) plus one `groupBy(dst)` sum with map-side partials; the rank
+  * state is one narrow (node, rank) row per vertex, never materialized on
+  * the driver. Plans are rebuilt FLAT from the previous iteration's
+  * DataFrame; with a small fixed iteration count the lineage stays shallow
+  * (the distributed connected-components loop in [[graft.llm.Dedup]] is the
+  * template for unbounded iteration). Dangling nodes (no out-edges) leak
+  * their mass — the standard simplification; nodes with no IN-edges are kept
+  * at the teleport floor via the left join against the node table. */
+object PageRank {
+
+  /** Rank scale: 1.0 == 1e12 units. */
+  val SCALE = 1000000000000L
+
+  /** `edges`: (src: long, dst: long) — pre-deduplicated directed edges.
+    * Returns (node, rank_scaled) for every node appearing as src or dst.
+    * `iters` fixed iterations of r ← 0.15/N + 0.85·Σ_{u→v} r_u/deg(u). */
+  def run(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "fixed small iteration count")
+    // Pin the loop-invariant tables once (every PageRank implementation
+    // persists its edge list) and TRUNCATE THE RANK LINEAGE each round —
+    // without it Catalyst replans the whole history per iteration and the
+    // source scan count grows geometrically (the same reason the
+    // distributed connected-components loop rebuilds flat plans).
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    // One bounded scalar: the node count feeds the teleport literal.
+    val n = nodes.count()
+    val base = SCALE / n
+    var ranks = nodes.select(col("node"), lit(base).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(outdeg, Seq("node"))
+        .select(col("node"), expr("pr div deg").as("c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(15 * ${base}L + 85 * coalesce(in_mass, 0L)) div 100")
+            .as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("pr").as("rank_scaled"))
+  }
+}

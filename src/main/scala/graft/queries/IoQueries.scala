@@ -157,6 +157,38 @@ object IoQueries {
         .csv(s"$base/temp/subjA_SQA.csv")
     }),
 
+    // Sharded JSONL training-data sink round trip: assign each document a
+    // deterministic hash shard ([[graft.llm.Pipeline.shardAssign]]'s
+    // portable md5 hash), write `shard=K/` line-delimited JSON
+    // ([[Readers.writeJsonlShards]]), read the landed files back, and
+    // report per shard. The oracle computes the SAME report from the
+    // source `documents` table, so a green row certifies the written
+    // payload (ids, full text, lang) survived the JSON round trip exactly.
+    "q150_jsonl_shards" -> ((s, dir) => {
+      val docs = graft.core.Tables.documents(s, dir)
+      val shards = graft.llm.Pipeline
+        .shardAssign(docs, "doc_id", numShards = 8, salt = "jsonl1")
+        .select("doc_id", "shard")
+      val out = s"$sinkDir/q150_jsonl"
+      Readers.writeJsonlShards(
+        docs.join(shards, Seq("doc_id"))
+          .select("doc_id", "text", "lang", "source", "shard"),
+        "shard", out)
+      val payload = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType)))
+      s.read.schema(payload).option("basePath", out).json(s"$out/shard=*")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // S5: CSV header probe (dashboard/utils.py:422-428) as a row set;
     // oracle = DuckDB sniff_csv over the same fixture.
     "q101_csv_headers" -> ((s, _) => {
@@ -437,6 +469,21 @@ object IoQueries {
          |    'n_expected':'BIGINT','n_missing':'BIGINT',
          |    'pct_missing':'DOUBLE','n_artifact':'BIGINT',
          |    'pct_artifact':'DOUBLE','invalid':'DOUBLE'})""".stripMargin,
+
+    // Computed from the SOURCE table (not the landed files): the Spark
+    // side aggregates the read-back JSONL, so equality certifies the
+    // write→read fidelity of every payload field.
+    "q150_jsonl_shards" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text, lang,
+        |    ('0x' || substr(md5('jsonl1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM sh GROUP BY 1""".stripMargin,
 
     "q134_run_pipeline" ->
       s"""SELECT * FROM read_csv(

@@ -459,7 +459,19 @@ object LlmQueries {
         emb.filter(col("vec_id") % 10 === 0),
         emb.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", threshold = 0.7)
-    })
+    }),
+
+    // Inverted-index conjunctive retrieval: posting-list intersection
+    // counts for every pair of the 8 highest-df terms.
+    "q149_inverted_search" -> ((s, dir) =>
+      Pipeline.invertedSearch(Tables.documents(s, dir), "doc_id", "text",
+        topK = 8)),
+
+    // Closed-vocabulary OOV masking: words with document frequency < 30
+    // become `<unk>`; per doc the masked text and mask counts.
+    "q152_unk_mask" -> ((s, dir) =>
+      TextAnalysis.unkMask(Tables.documents(s, dir), "doc_id", "text",
+        minDf = 30L))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -1958,7 +1970,41 @@ object LlmQueries {
          |  GROUP BY 1, 2)
          |SELECT cellsN.id, cellsN.cell, sims.max_sim,
          |  (sims.max_sim IS NULL OR sims.max_sim < 0.7) AS kept
-         |FROM cellsN LEFT JOIN sims ON cellsN.id = sims.id""".stripMargin
+         |FROM cellsN LEFT JOIN sims ON cellsN.id = sims.id""".stripMargin,
+
+    "q149_inverted_search" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT doc_id, word
+         |  FROM (SELECT doc_id, unnest($WORDS) AS word FROM documents)),
+         |top AS (
+         |  SELECT word FROM (SELECT word, COUNT(*) AS df FROM p GROUP BY 1)
+         |  ORDER BY df DESC, word LIMIT 8)
+         |SELECT a.word AS word_a, b.word AS word_b, COUNT(*) AS n_docs
+         |FROM (SELECT * FROM p WHERE word IN (SELECT word FROM top)) a
+         |JOIN (SELECT * FROM p WHERE word IN (SELECT word FROM top)) b
+         |  USING (doc_id)
+         |WHERE a.word < b.word
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q152_unk_mask" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |toks AS (
+         |  SELECT doc_id, i, w[i] AS word
+         |  FROM wr, unnest(range(1, len(w) + 1)) AS t(i)),
+         |dfs AS (
+         |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN df < 30 THEN '<unk>' ELSE word END AS word,
+         |    CASE WHEN df < 30 THEN 1 ELSE 0 END AS unk
+         |  FROM toks JOIN dfs USING (word)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS masked,
+         |    CAST(SUM(unk) AS BIGINT) AS n_unk, COUNT(*) AS n_tokens
+         |  FROM m GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(masked, '') AS masked,
+         |  COALESCE(n_unk, 0) AS n_unk, COALESCE(n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
   )
 
   /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row

@@ -299,6 +299,56 @@ object Relational {
         .withColumn("week_offset", col("week") - col("cohort_week"))
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Ordered conversion funnel signup → view → click → purchase: a user
+    // converts stage k only via a stage-k event STRICTLY AFTER their
+    // stage-(k-1) conversion instant. Four chained min-aggregations all
+    // keyed on user_id — Catalyst reuses the user-hash exchange down the
+    // chain, and each stage's input is filter-pruned at the scan, so the
+    // funnel costs one pass over the stream however long the stage list.
+    "q151_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def firstAfter(stage: String, prev: DataFrame, prevCol: String,
+          outCol: String): DataFrame =
+        ev.filter(col("event_type") === stage)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts_us") > col(prevCol))
+          .groupBy("user_id").agg(min("ts_us").as(outCol))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = firstAfter("view", s1, "t1", "t2")
+      val s3 = firstAfter("click", s2, "t2", "t3")
+      val s4 = firstAfter("purchase", s3, "t3", "t4")
+      def row(df: DataFrame, i: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage"), lit(name).as("event_type"),
+            col("n_users"))
+      row(s1, 1, "signup").unionAll(row(s2, 2, "view"))
+        .unionAll(row(s3, 3, "click")).unionAll(row(s4, 4, "purchase"))
+    }),
+
+    // Iterative link analysis: 5 PageRank iterations over the
+    // customer↔supplier bipartite order graph (edges both directions from
+    // orders⋈lineitem), in the scaled-integer arithmetic of
+    // [[graft.ops.PageRank]] — exact cross-engine parity with DuckDB's
+    // unrolled-CTE mirror, no float summation order anywhere.
+    "q153_pagerank" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      graft.ops.PageRank.run(edges, iters = 5)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("rank_scaled"))
     })
   )
 
@@ -476,6 +526,59 @@ object Relational {
         |  SELECT n_name, c_custkey, c_name, c_acctbal,
         |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    "q151_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(ts_us) AS t4 FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY 1)
+        |SELECT 1 AS stage, 'signup' AS event_type, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'view', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'click', COUNT(*) FROM s3
+        |UNION ALL
+        |SELECT 4, 'purchase', COUNT(*) FROM s4""".stripMargin,
+
+    "q153_pagerank" -> pagerankSql
   )
+
+  /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs
+    * r1..r5, identical scaled-integer arithmetic (`//` = Spark's `div`;
+    * every SUM cast back to BIGINT because DuckDB widens BIGINT sums to
+    * HUGEINT). */
+  private lazy val pagerankSql: String = {
+    val S = graft.ops.PageRank.SCALE
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT n0.node,
+         |    (15 * (SELECT $S // n FROM n) + 85 * COALESCE(m.in_mass, 0)) // 100 AS pr
+         |  FROM nodes n0 LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS in_mass
+         |    FROM r${k - 1} r JOIN deg d USING (node)
+         |    JOIN edges e ON e.src = r.node
+         |    GROUP BY 1) m USING (node))""".stripMargin
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM cs
+       |          UNION ALL SELECT s AS src, c AS dst FROM cs),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT $S // n FROM n) AS pr FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  pr AS rank_scaled
+       |FROM r5""".stripMargin
+  }
 }
