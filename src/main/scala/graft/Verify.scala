@@ -38,15 +38,30 @@ object Verify {
         // place, so a reused outDir is a complete verification again.
         Files.deleteIfExists(Paths.get(s"$outDir/PARTIAL_RUN.txt"))
     }
-    SparkEntry.queries
+    // Dump queries CONCURRENTLY (4 submitter threads): every query is an
+    // independent read-only plan over the sf tables (the one shared memo,
+    // EditQueries.appliedShared, is a ConcurrentHashMap with atomic
+    // compute), and Spark's scheduler interleaves jobs from multiple
+    // threads fine. Rationale: the round-11 driver verify died after
+    // dumping 75 of 153 queries — almost certainly an external wall-clock
+    // kill — so verify wall-time is a correctness-gate liability, not
+    // just a convenience. 4 submitters cut the full sf0.01 run ~2.5x
+    // (sequential ~173 s) while keeping peak memory far from the heap.
+    val pending = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      pending.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
