@@ -720,6 +720,29 @@ object Dedup {
         max(col("quality_score")).as("kept_quality"))
   }
 
+  /** Soft deduplication — the D4/SemDeDup-style DOWN-WEIGHTING policy
+    * applied on top of near-dup clustering: instead of dropping
+    * near-duplicates, every document gets sampling weight
+    * 1/cluster_size (singletons keep weight 1.0), so a later
+    * weighted-sampling stage sees each near-dup cluster as one effective
+    * document. Cost: the [[dedupClusters]] chain plus one LEFT join of
+    * the (bounded) cluster table back onto the corpus id projection —
+    * the corpus scans once. Output: (id, cluster_id — own id for
+    * singletons, cluster_size, weight). */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val clusters = dedupClusters(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 6)
+          .as("weight"))
+  }
+
   /** Cross-source duplication report — the provenance question behind
     * every crawl-overlap decision ("is source A substantially a mirror of
     * source B?"): verified near-dup pairs ([[minhashPairs]]) attributed to

@@ -281,6 +281,83 @@ object Similarity {
         (col("max_sim").isNull || col("max_sim") < threshold).as("kept"))
   }
 
+  /** Cell-confined k-nearest-neighbor GRAPH over one embedding set — the
+    * curation primitive behind kNN label audits, graph-based dedup
+    * priorities, and retrieval-index QA. Same deterministic coarse
+    * quantizer as [[semDedup]] (lowest-id ⌈√N⌉ seed centroids, argmax
+    * cosine via the map-side-combinable max_by — shuffle volume N, never
+    * N×nList), then neighbors are ranked ONLY among cell-mates.
+    *
+    * Scale shape: the candidate set is the within-cell self-join
+    * (N×√N rows at the sizing rule — the irreducible kNN-graph candidate
+    * volume for an IVF layout, never all-pairs), and because every id
+    * lives in exactly one cell, the top-k window re-uses the cell join's
+    * hash exchange: `partitionBy(cell, id)` is satisfied by
+    * hashpartitioning(cell), so ranking adds a local sort, not a second
+    * shuffle. Output: (id, nbr_rank 1..k, nbr_id, cos) — vectors with
+    * fewer than k cell-mates emit fewer rows.
+    *
+    * Determinism contract (shared with q83's oracle): ranking compares the
+    * raw IEEE cosine (bit-identical in any engine given the fixed-order
+    * dot fold), ties on the lower neighbor id; the emitted score is
+    * rounded to 6 dp. */
+  def knnGraph(emb: DataFrame, idCol: String, embCol: String, k: Int,
+      nList: Int = 0): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+    val cents = n.orderBy("id").limit(if (nList > 0) nList else autoNList(n.count()))
+      .select(col("id").as("cent_id"), col("emb").as("c_emb"),
+        col("n2").as("c_n2"))
+    val cells = n.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .groupBy("id")
+      .agg(max_by(struct(col("cent_id").as("cell"), col("emb"), col("n2")),
+        struct(col("__cc"), -col("cent_id"))).as("__b"))
+      .select(col("id"), col("__b.cell").as("cell"),
+        col("__b.emb").as("emb"), col("__b.n2").as("n2"))
+      .localCheckpoint()
+    val mates = cells.select(col("cell"), col("id").as("nbr_id"),
+      col("emb").as("nbr_emb"), col("n2").as("nbr_n2"))
+    val ranked = cells.join(mates, Seq("cell"))
+      .filter(col("nbr_id") =!= col("id"))
+      .withColumn("__cos", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("nbr_emb")), col("n2"), col("nbr_n2")))
+      .withColumn("nbr_rank", row_number().over(
+        Window.partitionBy("cell", "id")
+          .orderBy(col("__cos").desc, col("nbr_id"))))
+      .filter(col("nbr_rank") <= k)
+    ranked.select(col("id").as(idCol), col("nbr_rank").cast("long"),
+      col("nbr_id"), round(col("__cos"), 6).as("cos"))
+  }
+
+  /** kNN label-vote classification over [[knnGraph]] — the pseudo-labeling
+    * / label-error-audit op: each vector's predicted label is the majority
+    * label among its top-`k` cell-confined neighbors (ties to the lower
+    * label id), compared against its own label. Cost on top of the graph:
+    * one broadcast-free equi-join on nbr_id for the neighbor labels (the
+    * label table is a projection of the same input) and two
+    * map-side-combinable aggregates. Output: (id, label, pred_label,
+    * n_votes, agree). */
+  def knnClassify(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, nList: Int = 0): DataFrame = {
+    val labels = emb.select(col(idCol).as("nbr_id"),
+      col(labelCol).as("nbr_label"))
+    val votes = knnGraph(emb, idCol, embCol, k, nList)
+      .join(labels, Seq("nbr_id"))
+      .groupBy(col(idCol), col("nbr_label"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("nbr_label"), struct(col("__c"), -col("nbr_label")))
+          .as("pred_label"),
+        max(col("__c")).as("n_votes"))
+    emb.select(col(idCol), col(labelCol).as("label"))
+      .join(votes, Seq(idCol))
+      .withColumn("agree", col("label") === col("pred_label"))
+  }
+
   /** Relational Lloyd k-means over an `array<float>` embedding column —
     * the cluster-curation primitive (cluster-balanced sampling, SemDeDup
     * cell sizing, corpus diversity audits all start from it).

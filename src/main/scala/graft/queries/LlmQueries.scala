@@ -471,7 +471,26 @@ object LlmQueries {
     // become `<unk>`; per doc the masked text and mask counts.
     "q152_unk_mask" -> ((s, dir) =>
       TextAnalysis.unkMask(Tables.documents(s, dir), "doc_id", "text",
-        minDf = 30L))
+        minDf = 30L)),
+
+    // Cell-confined kNN graph: top-3 cosine neighbors per vector among
+    // IVF cell-mates (same ceil(sqrt(N)) quantizer as q83).
+    "q154_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 3)),
+
+    // Soft dedup: 1/cluster_size sampling weight per document on top of
+    // the q69 near-dup clustering (singletons keep weight 1).
+    "q155_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
+
+    // kNN label vote over the cell-confined graph: predicted label =
+    // majority of the top-5 neighbors, vs the vector's own label — the
+    // pseudo-labeling / label-error audit.
+    "q159_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 5))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -535,6 +554,39 @@ object LlmQueries {
 
   private def dot(a: String, b: String): String =
     DOT.replace("A[", a + "[").replace("B[", b + "[")
+
+  /** Shared CTE chain for the q154/q159 kNN-graph oracles: q83's
+    * deterministic ceil(sqrt(N)) cell assignment, then within-cell
+    * neighbor ranking on the raw IEEE cosine with nbr_id tie-break —
+    * mirrors [[graft.llm.Similarity.knnGraph]]. */
+  private lazy val knnGraphCtes: String =
+    s"""n AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT cent_id, c_emb, c_n2 FROM (
+       |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+       |      COUNT(*) OVER () AS ccnt
+       |    FROM n)
+       |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+       |ranked AS (
+       |  SELECT n.vec_id, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2) DESC,
+       |               cent_id) AS rn
+       |  FROM n CROSS JOIN cents),
+       |cells AS (SELECT vec_id AS id, cent_id AS cell FROM ranked WHERE rn = 1),
+       |prs AS (
+       |  SELECT ca.id, cb.id AS nbr_id,
+       |    ${dot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2) AS c
+       |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.id <> cb.id
+       |  JOIN n a ON a.vec_id = ca.id
+       |  JOIN n b ON b.vec_id = cb.id),
+       |rk AS (
+       |  SELECT id, nbr_id, c,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, nbr_id) AS nbr_rank
+       |  FROM prs)""".stripMargin
 
   /** q26's full SELECT (doc_id, pred_lang, per-language stopword scores) —
     * also the `lang` CTE of q71. */
@@ -1522,6 +1574,37 @@ object LlmQueries {
          |SELECT cells.id, cells.cell, sims.max_sim,
          |  (sims.max_sim IS NULL OR sims.max_sim < 0.3) AS kept
          |FROM cells LEFT JOIN sims ON cells.id = sims.id""".stripMargin,
+
+    "q154_knn_graph" ->
+      s"""WITH $knnGraphCtes
+         |SELECT id AS vec_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id,
+         |  ROUND(c, 6) + 0.0 AS cos
+         |FROM rk WHERE nbr_rank <= 3""".stripMargin,
+
+    "q159_knn_classify" ->
+      s"""WITH $knnGraphCtes,
+         |votes AS (
+         |  SELECT rk.id, l.label AS nbr_label, COUNT(*) AS cnt
+         |  FROM rk JOIN embeddings l ON l.vec_id = rk.nbr_id
+         |  WHERE rk.nbr_rank <= 5 GROUP BY 1, 2),
+         |win AS (
+         |  SELECT id, nbr_label, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, nbr_label) AS r
+         |  FROM votes)
+         |SELECT e.vec_id, e.label, w.nbr_label AS pred_label,
+         |  CAST(w.cnt AS BIGINT) AS n_votes, (e.label = w.nbr_label) AS agree
+         |FROM embeddings e JOIN win w ON w.id = e.vec_id AND w.r = 1""".stripMargin,
+
+    "q155_soft_dedup" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(sz.n, 1) AS cluster_size,
+         |  ROUND(1.0::DOUBLE / COALESCE(sz.n, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN comp c USING (doc_id)
+         |LEFT JOIN sz ON sz.cluster_id = c.cluster_id""".stripMargin,
 
     "q84_rep_spans" -> {
       val span = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")

@@ -349,6 +349,91 @@ object Relational {
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("node_type"),
           col("rank_scaled"))
+    }),
+
+    // A/B experiment readout: users hash-split 50/50 (same md5-bucket
+    // family as q144's holdout), then per event_type the two arms'
+    // counts, means, and the Welch t statistic. One pass over the
+    // stream into a (type, variant) aggregate — means/variances come
+    // from exact decimal Σx and Σx² partials (order-independent), the
+    // t arithmetic runs once per type on exact operands in a fixed
+    // expression order, so the statistic is bit-identical cross-engine.
+    "q156_ab_metrics" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val agg = ev
+        .withColumn("variant",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+        .groupBy("event_type", "variant")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(24, 4))).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(38, 8)))
+            .cast("double").as("s2"))
+      def arm(v: String) = agg.filter(col("variant") === v)
+        .select(col("event_type"), col("n").as(s"n_$v"),
+          col("s1").as(s"s1$v"), col("s2").as(s"s2$v"))
+      val j = arm("A").join(arm("B"), Seq("event_type"))
+      val meanA = col("s1A") / col("n_A")
+      val meanB = col("s1B") / col("n_B")
+      val varA = (col("s2A") - col("s1A") * col("s1A") / col("n_A")) /
+        (col("n_A") - 1)
+      val varB = (col("s2B") - col("s1B") * col("s1B") / col("n_B")) /
+        (col("n_B") - 1)
+      j.select(col("event_type"), col("n_A"), col("n_B"),
+        round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+        round(meanB - meanA, 6).as("uplift"),
+        round((meanB - meanA) /
+          sqrt(varA / col("n_A") + varB / col("n_B")), 6).as("welch_t"))
+    }),
+
+    // Slowly-changing-state enrichment: every view/click event carries
+    // the user's purchase state AS OF that instant (count + exact spend
+    // so far) — the warehouse SCD-2 / point-in-time join, expressed with
+    // the engine's single-pass union+window as-of core (J1/J2): one
+    // shuffle on user_id, no range-join explosion, linear per key.
+    "q157_scd2_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wCum = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dim = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("pts"),
+          count(lit(1)).over(wCum).as("cum_n"),
+          sum(col("value").cast(DecimalType(24, 4))).over(wCum)
+            .cast("double").as("cum_spend"))
+      val fact = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"))
+      AsofJoin.join(fact, dim, keys = Seq("user_id"),
+        leftT = "ts_us", rightT = "pts",
+        rightCols = Seq("cum_n" -> "purchases_so_far",
+          "cum_spend" -> "spend_so_far"),
+        direction = "backward")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"),
+          coalesce(col("purchases_so_far"), lit(0L)).as("purchases_so_far"),
+          coalesce(col("spend_so_far"), lit(0.0d)).as("spend_so_far"))
+    }),
+
+    // Trailing-3-hour trending event types, top 3 per observed hour. Same
+    // bounded-explode shape as q142: hourly (type, count) partials fan
+    // out to exactly the 3 covering hours (map-side combine, never a
+    // range join), then a per-hour rank over the BOUNDED type set.
+    "q158_trending" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hc = ev.groupBy(expr(s"ts_us div $HOUR_US").as("hour"),
+        col("event_type")).agg(count(lit(1)).as("__n"))
+      val hours = hc.select("hour").distinct()
+      hc.select(explode(sequence(col("hour"), col("hour") + 2)).as("hour"),
+        col("event_type"), col("__n"))
+        .join(hours, Seq("hour"), "left_semi")
+        .groupBy("hour", "event_type").agg(sum("__n").as("n_events"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("hour")
+            .orderBy(col("n_events").desc, col("event_type"))))
+        .filter(col("rnk") <= 3)
+        .select(col("hour"), col("rnk").cast("long"), col("event_type"),
+          col("n_events"))
     })
   )
 
@@ -547,7 +632,70 @@ object Relational {
         |UNION ALL
         |SELECT 4, 'purchase', COUNT(*) FROM s4""".stripMargin,
 
-    "q153_pagerank" -> pagerankSql
+    "q153_pagerank" -> pagerankSql,
+
+    "q156_ab_metrics" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, variant, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        |  FROM v GROUP BY 1, 2),
+        |j AS (
+        |  SELECT aa.event_type, aa.n AS n_A, bb.n AS n_B,
+        |    aa.s1 AS s1A, aa.s2 AS s2A, bb.s1 AS s1B, bb.s2 AS s2B
+        |  FROM a aa JOIN a bb ON aa.event_type = bb.event_type
+        |  WHERE aa.variant = 'A' AND bb.variant = 'B')
+        |SELECT event_type, n_A, n_B,
+        |  ROUND(s1A / n_A, 6) + 0.0 AS mean_a,
+        |  ROUND(s1B / n_B, 6) + 0.0 AS mean_b,
+        |  ROUND(s1B / n_B - s1A / n_A, 6) + 0.0 AS uplift,
+        |  ROUND((s1B / n_B - s1A / n_A) / sqrt(
+        |    ((s2A - s1A * s1A / n_A) / (n_A - 1)) / n_A +
+        |    ((s2B - s1B * s1B / n_B) / (n_B - 1)) / n_B), 6) + 0.0 AS welch_t
+        |FROM j""".stripMargin,
+
+    "q157_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts_us,
+        |    ROW_NUMBER() OVER w AS cum_n,
+        |    CAST(SUM(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE) AS cum_spend
+        |  FROM e WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |f AS (SELECT event_id, user_id, ts_us, event_type FROM e
+        |      WHERE event_type IN ('view', 'click'))
+        |SELECT f.event_id, f.user_id, f.ts_us, f.event_type,
+        |  COALESCE(MAX(p.cum_n), 0) AS purchases_so_far,
+        |  COALESCE(arg_max(p.cum_spend, p.cum_n), 0.0) AS spend_so_far
+        |FROM f LEFT JOIN p
+        |  ON p.user_id = f.user_id AND p.ts_us <= f.ts_us
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q158_trending" ->
+      s"""WITH hc AS (
+         |  SELECT epoch_us(ts) // $HOUR_US AS hour, event_type,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |hours AS (SELECT DISTINCT hour FROM hc),
+         |cover AS (
+         |  SELECT h.hour, c.event_type, CAST(SUM(c.n) AS BIGINT) AS n_events
+         |  FROM hours h JOIN hc c ON c.hour BETWEEN h.hour - 2 AND h.hour
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT hour, event_type, n_events,
+         |    ROW_NUMBER() OVER (PARTITION BY hour
+         |      ORDER BY n_events DESC, event_type) AS rnk
+         |  FROM cover)
+         |SELECT hour, CAST(rnk AS BIGINT) AS rnk, event_type, n_events
+         |FROM rk WHERE rnk <= 3""".stripMargin
   )
 
   /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity}
+
+/** Round-13 operators: cell-confined kNN graph + label-vote classify and
+  * the soft-dedup (1/cluster_size) weighting policy. */
+class Round13Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  /** Vectors as array<float> with explicit ids and labels. */
+  private def emb(rows: (Long, Seq[Double], Int)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "e", "label")
+      .select(col("vec_id"), col("e").cast("array<float>").as("embedding"),
+        col("label"))
+  }
+
+  test("knnGraph: single cell ranks exact cosine neighbors with id tie-break") {
+    // One cell (nList=1) makes the graph exact. Unit-ish vectors on known
+    // directions: 1↔2 nearly parallel, 3 orthogonal-ish, 4 opposite.
+    val d = emb(
+      (1L, Seq(1.0, 0.0), 0),
+      (2L, Seq(0.9, 0.1), 0),
+      (3L, Seq(0.0, 1.0), 1),
+      (4L, Seq(-1.0, 0.05), 1))
+    val got = Similarity.knnGraph(d, "vec_id", "embedding", k = 2, nList = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // vec 1: nearest 2 (cos~0.994), then 3 (0.0) beats 4 (-1.0)? cos(1,3)=0
+    // > cos(1,4)<0 — so ranks are (2,3).
+    assert(got.contains((1L, 1L, 2L)) && got.contains((1L, 2L, 3L)))
+    // vec 3: cos(3,2)~0.110 > cos(3,4)~0.05 > cos(3,1)=0
+    assert(got.contains((3L, 1L, 2L)) && got.contains((3L, 2L, 4L)))
+    // every vector emits exactly k rows here (3 cell-mates >= k)
+    assert(got.size == 8)
+  }
+
+  test("knnGraph: neighbors never cross cell boundaries") {
+    // nList=2 → seeds are ids 1 and 2 on orthogonal axes; x-ish vectors
+    // land in cell 1, y-ish in cell 2, and no pair crosses.
+    val d = emb(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(0.0, 1.0), 0),
+      (3L, Seq(0.9, 0.1), 0), (4L, Seq(0.8, 0.2), 0),
+      (5L, Seq(0.1, 0.9), 1), (6L, Seq(0.2, 0.8), 1))
+    val g = Similarity.knnGraph(d, "vec_id", "embedding", k = 5, nList = 2)
+    val cellOf = Map(1L -> 1, 3L -> 1, 4L -> 1, 2L -> 2, 5L -> 2, 6L -> 2)
+    g.collect().foreach { r =>
+      assert(cellOf(r.getLong(0)) == cellOf(r.getLong(2)),
+        s"cross-cell edge ${r.getLong(0)} -> ${r.getLong(2)}")
+    }
+  }
+
+  test("knnClassify: majority vote, ties to the lower label") {
+    // One cell; vec 1's two neighbors carry labels 7 and 3 with one vote
+    // each → tie breaks to 3.
+    val d = emb(
+      (1L, Seq(1.0, 0.0), 9),
+      (2L, Seq(0.9, 0.1), 7),
+      (3L, Seq(0.8, 0.2), 3))
+    val got = Similarity.knnClassify(d, "vec_id", "embedding", "label",
+      k = 2, nList = 1).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(got(1L) == ((9, 3, 1L, false)))
+    // vec 2's neighbors are 1 (label 9) and 3 (label 3) → tie → 3, agree=false
+    assert(got(2L) == ((7, 3, 1L, false)))
+    // vec 3's neighbors are 2 (7) and 1 (9) → tie → 7
+    assert(got(3L) == ((3, 7, 1L, false)))
+  }
+
+  test("softDedupWeights: 1/cluster_size, singletons keep weight 1") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 2L, 0.5)))
+    assert(got(2L) == ((1L, 2L, 0.5)))
+    assert(got(3L) == ((3L, 1L, 1.0)))
+  }
+}
