@@ -30,6 +30,15 @@ object PageRank {
   /** Rank scale: 1.0 == 1e12 units. */
   val SCALE = 1000000000000L
 
+  /** Below this node count the per-iteration rank and contribution tables
+    * (one narrow (node, long) row each) are broadcast — an iteration then
+    * costs ONE map-side-combined shuffle (the groupBy(dst) partials, ≤n
+    * rows per partition) instead of three edge-table-sized exchanges.
+    * 2M nodes ≈ 32 MB broadcast. Above the gate (web-scale graphs) the
+    * loop falls back to keyed joins against the pre-partitioned edge
+    * table. */
+  val BroadcastMaxNodes = 2000000L
+
   /** `edges`: (src: long, dst: long) — pre-deduplicated directed edges.
     * Returns (node, rank_scaled) for every node appearing as src or dst.
     * `iters` fixed iterations of r ← 0.15/N + 0.85·Σ_{u→v} r_u/deg(u). */
@@ -39,30 +48,42 @@ object PageRank {
     // persists its edge list) and TRUNCATE THE RANK LINEAGE each round —
     // without it Catalyst replans the whole history per iteration and the
     // source scan count grows geometrically (the same reason the
-    // distributed connected-components loop rebuilds flat plans).
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // distributed connected-components loop rebuilds flat plans). The
+    // out-degree is folded into the edge table up front: it is as
+    // loop-invariant as the edges themselves, and re-joining it every
+    // iteration (the textbook formulation) pays an extra shuffle per
+    // round for a value that never changes.
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
-    // One bounded scalar: the node count feeds the teleport literal.
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint()
+    // One bounded scalar: the node count feeds the teleport literal and
+    // the broadcast gate.
     val n = nodes.count()
     val base = SCALE / n
+    val small = n <= BroadcastMaxNodes
+    def gated(df: DataFrame) = if (small) broadcast(df) else df
     var ranks = nodes.select(col("node"), lit(base).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(outdeg, Seq("node"))
-        .select(col("node"), expr("pr div deg").as("c"))
-        .join(e, col("node") === col("src"))
-        .groupBy(col("dst").as("node"))
+      val contrib = e
+        .join(gated(ranks), col("node") === col("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node")
         .agg(sum(col("c")).as("in_mass"))
       ranks = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(gated(contrib), Seq("node"), "left")
         .select(col("node"),
           expr(s"(15 * ${base}L + 85 * coalesce(in_mass, 0L)) div 100")
             .as("pr"))
-        .localCheckpoint()
+        // LAZY truncation: still pins each round's (node, pr) rows on
+        // first use so no round is ever recomputed and the lineage stays
+        // flat, but without scheduling an eager materialization job per
+        // iteration — the rank table materializes inside the job that
+        // first consumes it (the next round's broadcast build).
+        .localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("pr").as("rank_scaled"))
   }
