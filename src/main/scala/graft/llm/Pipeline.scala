@@ -231,6 +231,30 @@ object Pipeline {
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_permille"))
   }
 
+  /** Token-budget epoch planning (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given a total training-token
+    * budget and target mixture weights, how many EPOCHS of each source
+    * does the plan imply — flagging sources pushed past `maxEpochs`
+    * (beyond ~4 repeats the marginal value of repeated data decays).
+    * One corpus scan (per-source token sums with map-side partials) plus
+    * per-row literal arithmetic on the bounded source dimension; sources
+    * absent from `weights` get weight 0. Output: (source, n_tokens,
+    * weight, alloc_tokens, epochs, over_cap). */
+  def tokenBudget(docs: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, weights: Map[String, Double],
+      maxEpochs: Double = 4.0): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0d)) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(TextOps.words(col(textCol))).cast("long")).as("n_tokens"))
+      .select(col(sourceCol), col("n_tokens"), w.as("weight"),
+        round(lit(budgetTokens) * w, 6).as("alloc_tokens"),
+        round(lit(budgetTokens) * w / col("n_tokens"), 6).as("epochs"),
+        (lit(budgetTokens) * w / col("n_tokens") > maxEpochs).as("over_cap"))
+  }
+
   /** Deterministic train/val/test holdout assignment: a salt-free md5
     * bucket of the document id (the same 32-bit md5-prefix family as the
     * MinHash base hash — oracle-portable integer arithmetic) lands each

@@ -852,4 +852,45 @@ object Similarity {
     }
     df.select(col(idCol), array(proj: _*).as("proj"))
   }
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): does the first-`subDim`-coordinate prefix
+    * of the embedding (truncate + renormalize — exactly cosine over the
+    * sliced array) retrieve the same top-1 neighbor as the full vector?
+    * The decision table behind shipping a cheaper prefix index.
+    *
+    * Shape: broadcast the (small) query side, ONE candidate scan scoring
+    * full and prefix cosine together, then a map-side-combinable max_by
+    * argmax per query — no window, no second scan, shuffle volume
+    * |queries|. Ties break to the lower candidate id on both metrics.
+    * Output: (vec_id, top1_full, top1_sub, is_match, cos_full_top,
+    * cos_sub_top). */
+  def matryoshkaRecall(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, subDim: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"),
+      slice(col(embCol), 1, subDim).as("q_sub"))
+    val c = candidates.select(col(idCol).as("cid"), col(embCol).as("c_emb"),
+      slice(col(embCol), 1, subDim).as("c_sub"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        VectorOps.cosine(VectorOps.dot(col("c_emb"), col("q_emb")),
+          VectorOps.normSq(col("c_emb")), VectorOps.normSq(col("q_emb")))
+          .as("cos_full"),
+        VectorOps.cosine(VectorOps.dot(col("c_sub"), col("q_sub")),
+          VectorOps.normSq(col("c_sub")), VectorOps.normSq(col("q_sub")))
+          .as("cos_sub"))
+      .groupBy(col("qid"))
+      .agg(
+        max_by(col("cid"), struct(col("cos_full"), -col("cid")))
+          .as("top1_full"),
+        max_by(col("cid"), struct(col("cos_sub"), -col("cid")))
+          .as("top1_sub"),
+        round(max(col("cos_full")), 6).as("cos_full_top"),
+        round(max(col("cos_sub")), 6).as("cos_sub_top"))
+      .select(col("qid").as(idCol), col("top1_full"), col("top1_sub"),
+        (col("top1_full") === col("top1_sub")).as("is_match"),
+        col("cos_full_top"), col("cos_sub_top"))
+  }
 }

@@ -490,7 +490,22 @@ object LlmQueries {
     // pseudo-labeling / label-error audit.
     "q159_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id",
-        "embedding", "label", k = 5))
+        "embedding", "label", k = 5)),
+
+    // Token-budget epoch planning under the q82 target mixture: 1M-token
+    // budget, sources repeating past 4 epochs flagged.
+    "q160_token_budget" -> ((s, dir) =>
+      Pipeline.tokenBudget(Tables.documents(s, dir), "source", "text",
+        budgetTokens = 1000000L, weights = MixWeights)),
+
+    // Matryoshka prefix-truncation audit: does the renormalized 16-dim
+    // prefix retrieve the same top-1 neighbor as the full 64 dims, per
+    // query (vec_id < 20)?
+    "q161_matryoshka" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecall(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", subDim = 16)
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -1594,6 +1609,49 @@ object LlmQueries {
          |SELECT e.vec_id, e.label, w.nbr_label AS pred_label,
          |  CAST(w.cnt AS BIGINT) AS n_votes, (e.label = w.nbr_label) AS agree
          |FROM embeddings e JOIN win w ON w.id = e.vec_id AND w.r = 1""".stripMargin,
+
+    "q160_token_budget" -> {
+      val cases = MixWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w::DOUBLE" }
+        .mkString(" ")
+      s"""WITH t AS (
+         |  SELECT source, CAST(SUM(len($WORDS)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CASE source $cases ELSE 0.0::DOUBLE END AS weight
+         |  FROM t)
+         |SELECT source, n_tokens, weight,
+         |  ROUND(1000000 * weight, 6) AS alloc_tokens,
+         |  ROUND(1000000 * weight / n_tokens, 6) AS epochs,
+         |  (1000000 * weight / n_tokens > 4.0::DOUBLE) AS over_cap
+         |FROM w""".stripMargin
+    },
+
+    "q161_matryoshka" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 20),
+         |sc AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    ${dot("c.embedding", "q.qe")} /
+         |      sqrt(${dot("c.embedding", "c.embedding")} * ${dot("q.qe", "q.qe")})
+         |      AS cos_full,
+         |    ${dotSub("c.embedding", "q.qe", 16)} /
+         |      sqrt(${dotSub("c.embedding", "c.embedding", 16)} *
+         |           ${dotSub("q.qe", "q.qe", 16)}) AS cos_sub
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         |rf AS (
+         |  SELECT qid, cid, cos_full, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos_full DESC, cid) AS r FROM sc),
+         |rs AS (
+         |  SELECT qid, cid, cos_sub, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos_sub DESC, cid) AS r FROM sc)
+         |SELECT f.qid AS vec_id, f.cid AS top1_full, s.cid AS top1_sub,
+         |  (f.cid = s.cid) AS is_match,
+         |  ROUND(f.cos_full, 6) + 0.0 AS cos_full_top,
+         |  ROUND(s.cos_sub, 6) + 0.0 AS cos_sub_top
+         |FROM rf f JOIN rs s ON f.qid = s.qid AND f.r = 1 AND s.r = 1""".stripMargin,
 
     "q155_soft_dedup" ->
       s"""WITH RECURSIVE $textClusterCtes,

@@ -434,6 +434,25 @@ object Relational {
         .filter(col("rnk") <= 3)
         .select(col("hour"), col("rnk").cast("long"), col("event_type"),
           col("n_events"))
+    }),
+
+    // Column-profile audit (the warehouse `PROFILE` op): per numeric
+    // column of lineitem — row/null/distinct counts, min/max, exact sum.
+    // Melt-then-aggregate: ONE table scan, a bounded ×4 explode, and a
+    // single aggregation keyed by column name (one exact distinct per
+    // group — never the multi-distinct Expand blow-up).
+    "q162_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).as("v"))): _*)).as("kv"))
+        .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          Det.sumDet(col("v")).as("sum_v"))
     })
   )
 
@@ -695,7 +714,17 @@ object Relational {
          |      ORDER BY n_events DESC, event_type) AS rnk
          |  FROM cover)
          |SELECT hour, CAST(rnk AS BIGINT) AS rnk, event_type, n_events
-         |FROM rk WHERE rnk <= 3""".stripMargin
+         |FROM rk WHERE rnk <= 3""".stripMargin,
+
+    "q162_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($c) AS min_v, MAX($c) AS max_v,
+           |  ${Det.sumDetSql(c)} AS sum_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
   )
 
   /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs

@@ -34,7 +34,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q140_ivfpq_persist",   // q114's broadcast-centroid probe shape
     "q146_cluster_purity",  // kMeans' broadcast-centroid assignment
     "q147_hard_negatives",  // broadcast 20-query side, label-predicate join
-    "q148_semdedup_incr")   // broadcast-centroid assignment, both sides
+    "q148_semdedup_incr",   // broadcast-centroid assignment, both sides
+    "q161_matryoshka")      // broadcast 20-query side, self-exclusion join
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]

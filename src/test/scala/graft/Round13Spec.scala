@@ -75,6 +75,38 @@ class Round13Spec extends AnyFunSuite {
     assert(got(3L) == ((3, 7, 1L, false)))
   }
 
+  test("tokenBudget: epochs = budget*weight/tokens, cap flag at 4 epochs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d", "big"), (2L, "e f g h", "big"), // 8 tokens
+      (3L, "x y", "tiny"), // 2 tokens
+      (4L, "p q r", "unweighted")) // weight 0
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.Pipeline.tokenBudget(d, "source", "text",
+      budgetTokens = 100L, weights = Map("big" -> 0.5, "tiny" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got("big") == ((8L, 0.5, 6.25, true)))
+    assert(got("tiny") == ((2L, 0.5, 25.0, true)))
+    assert(got("unweighted") == ((3L, 0.0, 0.0, false)))
+  }
+
+  test("matryoshkaRecall: prefix cosine can disagree with full cosine") {
+    // Query q=(1,0,0,0). Candidate 2 matches on the prefix dims but is
+    // pulled away by the tail; candidate 3 is a weaker prefix match with
+    // no tail mass. With subDim=2: top1_sub=2; full cosine ranks 3 first.
+    val d = emb(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Seq(1.0, 0.0, 8.0, 0.0), 0),
+      (3L, Seq(0.9, 0.2, 0.0, 0.0), 0))
+    val got = Similarity.matryoshkaRecall(d.filter(col("vec_id") === 1), d,
+      "vec_id", "embedding", subDim = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && !r.getBoolean(3))
+  }
+
   test("softDedupWeights: 1/cluster_size, singletons keep weight 1") {
     val s = spark
     import s.implicits._
