@@ -79,6 +79,23 @@ object StreamingSqa {
       .select(col("user_id"), col("session.start").as("start"),
         col("session.end").as("end"), col("n_events"), col("sum_value"))
 
+  /** Streaming form of the q158 trending counts: 3-hour sliding windows
+    * (1-hour slide) of per-type event counts, incrementally maintained
+    * window state (one distributive count per (window, type) — never a
+    * per-window re-scan) finalized as the watermark passes. Ranking to
+    * top-k happens on READ over the bounded (window, type) table — the
+    * standard streaming split: keep the heavy streaming aggregation
+    * incremental, leave the tiny non-incremental rank to the consumer.
+    * A window [start, start+3h) corresponds to q158's covering hours
+    * start/1h .. start/1h + 2. Same body runs on a batch frame for
+    * parity. */
+  def trendingCounts(events: DataFrame, windowDur: String = "3 hours",
+      slideDur: String = "1 hour", watermark: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Per-subject inter-beat intervals over a live event feed — the
     * streaming analog of the batch lag-diff (W1). Custom state via
     * `flatMapGroupsWithState`: each subject's state is the timestamp of

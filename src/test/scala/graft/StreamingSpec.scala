@@ -80,6 +80,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(native.exceptAll(q141).count() == 0)
   }
 
+  test("streaming trending counts match q158's covering-hour sums") {
+    val tmp = Files.createTempDirectory("graft_trend").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+
+    val streamed = StreamingSqa.runStreamToMemory(spark, tmp, "trend_stream")(
+      StreamingSqa.trendingCounts(_))
+      // window [start, start+3h) == q158's trailing window labeled hour
+      // start/1h + 2; q158 only emits OBSERVED hours, so filter to them.
+      .select((unix_micros(col("window.start")) / 3600000000L + 2)
+        .cast("long").as("hour"), col("event_type"), col("n_events"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val hc = ev.groupBy(expr("ts_us div 3600000000").as("hour"),
+      col("event_type")).agg(count(lit(1)).as("__n"))
+    val batch = hc
+      .select(explode(sequence(col("hour"), col("hour") + 2)).as("hour"),
+        col("event_type"), col("__n"))
+      .groupBy("hour", "event_type").agg(sum("__n").as("n_events"))
+    val hours = hc.select("hour").distinct()
+    val streamObs = streamed.join(hours, Seq("hour"), "left_semi")
+    val batchObs = batch.join(hours, Seq("hour"), "left_semi")
+    assert(streamObs.count() > 0)
+    assert(streamObs.exceptAll(batchObs).count() == 0)
+    assert(batchObs.exceptAll(streamObs).count() == 0)
+  }
+
   test("stateful streaming IBIs carry last-beat state across micro-batches") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_ibi_stream").toString
