@@ -720,6 +720,25 @@ object Dedup {
         max(col("quality_score")).as("kept_quality"))
   }
 
+  /** LSH-layer audit: candidate-generation precision of the banded
+    * MinHash layer against exact Jaccard at `threshold` — the tuning
+    * table for (numHashes, numBands) on a new corpus ("how much exact
+    * verification does each banding buy?"). Runs the identical candidate
+    * chain as [[minhashPairs]] but keeps EVERY candidate's exact Jaccard
+    * (threshold 0 in the verify stage), then collapses to one bounded
+    * row: candidate count, verified count, precision. Cost ≡ one
+    * minhashPairs pass; the aggregate is map-side-combinable. */
+  def lshAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val verified = sum(when(col("jaccard") >= threshold, 1L).otherwise(0L))
+    minhashPairs(docs, idCol, textCol, shingleN, numHashes, numBands,
+      threshold = 0.0)
+      .agg(count(lit(1)).as("n_candidates"),
+        verified.as("n_verified"),
+        round(verified.cast("double") / count(lit(1)), 6).as("cand_precision"))
+  }
+
   /** Soft deduplication — the D4/SemDeDup-style DOWN-WEIGHTING policy
     * applied on top of near-dup clustering: instead of dropping
     * near-duplicates, every document gets sampling weight

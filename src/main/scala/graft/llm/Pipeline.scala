@@ -231,6 +231,35 @@ object Pipeline {
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_permille"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two score tables —
+    * the hybrid-retrieval merge (lexical BM25 list ⊕ dense ANN list).
+    * Scale shape: each ranking contributes only its top-`topN` ids via a
+    * distributed TakeOrdered (no global window over the corpus — rank
+    * positions beyond the cut contribute ≤ 1/(k+topN) and are dropped,
+    * the standard fused-list construction); the rank assignment and
+    * full-outer fuse then run on the 2·topN-row bounded set. Ties break
+    * to the lower id. Output: (id, rank_a, rank_b — 0 when absent from
+    * that list, rrf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      scoreColA: String, scoreColB: String, topN: Int = 20,
+      kRrf: Int = 60): DataFrame = {
+    def top(df: DataFrame, sc: String, rName: String) = df
+      .select(col(idCol), col(sc).cast("double").as("__s"))
+      .orderBy(col("__s").desc, col(idCol)).limit(topN)
+      .withColumn(rName,
+        row_number().over(Window.orderBy(col("__s").desc, col(idCol))))
+      .select(col(idCol), col(rName))
+    top(a, scoreColA, "rank_a")
+      .join(top(b, scoreColB, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)), 6))
+      .select(col(idCol),
+        coalesce(col("rank_a"), lit(0)).cast("long").as("rank_a"),
+        coalesce(col("rank_b"), lit(0)).cast("long").as("rank_b"),
+        col("rrf"))
+  }
+
   /** Token-budget epoch planning (Muennighoff et al. 2023, "Scaling
     * Data-Constrained Language Models"): given a total training-token
     * budget and target mixture weights, how many EPOCHS of each source

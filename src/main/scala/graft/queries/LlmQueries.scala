@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, VectorOps}
 
 /** Training-data-pipeline operator suite over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -505,7 +505,32 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.matryoshkaRecall(emb.filter(col("vec_id") < 20), emb,
         "vec_id", "embedding", subDim = 16)
-    })
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the q76 BM25 list with
+    // the dense cosine list against query vector 0 (ids align by
+    // position across documents/embeddings).
+    "q163_rrf_fusion" -> ((s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val bm = Pipeline.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms).select(col("doc_id"), col("score"))
+      val emb = Tables.embeddings(s, dir)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cos = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.cosine(VectorOps.dot(col("embedding"), col("q_emb")),
+            VectorOps.normSq(col("embedding")),
+            VectorOps.normSq(col("q_emb"))).as("cos"))
+      Pipeline.rrfFuse(bm, cos, "doc_id", "score", "cos")
+    }),
+
+    // LSH banding audit: candidate precision of the (8 hash, 4 band)
+    // MinHash layer vs exact Jaccard at 0.3.
+    "q164_lsh_audit" -> ((s, dir) =>
+      Dedup.lshAudit(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -641,7 +666,40 @@ object LlmQueries {
     * pairs at threshold 0.3 → symmetric edges → recursive transitive
     * closure → `comp(doc_id, cluster_id)`), used by q69 and q71. Must sit
     * under a WITH RECURSIVE header. */
-  private lazy val textClusterCtes: String =
+  /** q76's full BM25 SELECT (doc_id, dl, per-term tfs, score > 0) —
+    * also the lexical leg of the q163 fusion oracle. */
+  private lazy val bm25Sql: String = {
+    val ts = Bm25Terms
+    val tfCols = ts.indices.map(i =>
+      s"CAST(SUM(CASE WHEN word = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i")
+      .mkString(",\n  ")
+    val dfCols = ts.indices.map(i =>
+      s"COUNT(DISTINCT CASE WHEN word = '${ts(i)}' THEN doc_id END) AS df$i")
+      .mkString(", ")
+    val contribs = ts.indices.map(i =>
+      s"""ROUND(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)), 6)
+         | * (tf$i::DOUBLE * (1.2 + 1.0))
+         | / (tf$i::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))"""
+        .stripMargin.replace("\n", ""))
+      .mkString(" + ")
+    val outTfs = ts.indices.map(i => s"tf$i AS tf_${ts(i)}").mkString(", ")
+    s"""WITH wr AS (SELECT doc_id, unnest($WORDS) AS word FROM documents),
+       |pd AS (SELECT doc_id, COUNT(*) AS dl,
+       |  $tfCols
+       |  FROM wr GROUP BY 1),
+       |ts AS (SELECT $dfCols FROM wr),
+       |c AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM pd)
+       |SELECT doc_id, dl, $outTfs, score FROM (
+       |  SELECT doc_id, dl, ${ts.indices.map(i => s"tf$i").mkString(", ")},
+       |    ROUND($contribs, 6) AS score
+       |  FROM pd CROSS JOIN ts CROSS JOIN c
+       |       CROSS JOIN (SELECT sum_dl::DOUBLE / n AS avgdl FROM c) a)
+       |WHERE score > 0""".stripMargin
+  }
+
+  /** The candidate prefix of [[textClusterCtes]] (shingles → minhash →
+    * LSH band self-join candidates), shared with the q164 audit. */
+  private lazy val lshCandCtes: String =
     s"""sh AS (
        |  SELECT doc_id, ${shinglesSql(3)} AS shingles
        |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
@@ -656,7 +714,10 @@ object LlmQueries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |  WHERE a.doc_id < b.doc_id),
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val textClusterCtes: String =
+    s"""$lshCandCtes,
        |pairs AS (
        |  SELECT id_a, id_b FROM cand
        |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
@@ -1358,34 +1419,7 @@ object LlmQueries {
 
     // Mirrors Pipeline.bm25 term by term: every double op is written in
     // the same association order, so only ln needs the 6-digit pin.
-    "q76_bm25" -> {
-      val ts = Bm25Terms
-      val tfCols = ts.indices.map(i =>
-        s"CAST(SUM(CASE WHEN word = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i")
-        .mkString(",\n  ")
-      val dfCols = ts.indices.map(i =>
-        s"COUNT(DISTINCT CASE WHEN word = '${ts(i)}' THEN doc_id END) AS df$i")
-        .mkString(", ")
-      val contribs = ts.indices.map(i =>
-        s"""ROUND(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)), 6)
-           | * (tf$i::DOUBLE * (1.2 + 1.0))
-           | / (tf$i::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))"""
-          .stripMargin.replace("\n", ""))
-        .mkString(" + ")
-      val outTfs = ts.indices.map(i => s"tf$i AS tf_${ts(i)}").mkString(", ")
-      s"""WITH wr AS (SELECT doc_id, unnest($WORDS) AS word FROM documents),
-         |pd AS (SELECT doc_id, COUNT(*) AS dl,
-         |  $tfCols
-         |  FROM wr GROUP BY 1),
-         |ts AS (SELECT $dfCols FROM wr),
-         |c AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM pd)
-         |SELECT doc_id, dl, $outTfs, score FROM (
-         |  SELECT doc_id, dl, ${ts.indices.map(i => s"tf$i").mkString(", ")},
-         |    ROUND($contribs, 6) AS score
-         |  FROM pd CROSS JOIN ts CROSS JOIN c
-         |       CROSS JOIN (SELECT sum_dl::DOUBLE / n AS avgdl FROM c) a)
-         |WHERE score > 0""".stripMargin
-    },
+    "q76_bm25" -> bm25Sql,
 
     "q77_seq_pack" ->
       """SELECT source, doc_id, n_tok, start_off,
@@ -1652,6 +1686,42 @@ object LlmQueries {
          |  ROUND(f.cos_full, 6) + 0.0 AS cos_full_top,
          |  ROUND(s.cos_sub, 6) + 0.0 AS cos_sub_top
          |FROM rf f JOIN rs s ON f.qid = s.qid AND f.r = 1 AND s.r = 1""".stripMargin,
+
+    "q163_rrf_fusion" ->
+      s"""WITH bmq AS (SELECT doc_id, score FROM ($bm25Sql) x),
+         |tb AS (SELECT doc_id, r AS rank_a FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM bmq) WHERE r <= 20),
+         |cq AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    ${dot("c.embedding", "q.embedding")} /
+         |      sqrt(${dot("c.embedding", "c.embedding")} *
+         |           ${dot("q.embedding", "q.embedding")}) AS cos
+         |  FROM embeddings c CROSS JOIN
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE c.vec_id <> 0),
+         |tc AS (SELECT doc_id, r AS rank_b FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+         |  FROM cq) WHERE r <= 20)
+         |SELECT doc_id,
+         |  COALESCE(rank_a, 0) AS rank_a, COALESCE(rank_b, 0) AS rank_b,
+         |  ROUND(COALESCE(1.0::DOUBLE / (60 + rank_a), 0.0::DOUBLE)
+         |      + COALESCE(1.0::DOUBLE / (60 + rank_b), 0.0::DOUBLE), 6) AS rrf
+         |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
+
+    "q164_lsh_audit" ->
+      s"""WITH $lshCandCtes,
+         |j AS (
+         |  SELECT ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |      / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+         |            JOIN sh sb ON sb.doc_id = cand.id_b)
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jacc >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_verified,
+         |  ROUND(CAST(SUM(CASE WHEN jacc >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    ::DOUBLE / COUNT(*), 6) AS cand_precision
+         |FROM j""".stripMargin,
 
     "q155_soft_dedup" ->
       s"""WITH RECURSIVE $textClusterCtes,

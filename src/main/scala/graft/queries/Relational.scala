@@ -453,6 +453,31 @@ object Relational {
           countDistinct(col("v")).as("n_distinct"),
           min(col("v")).as("min_v"), max(col("v")).as("max_v"),
           Det.sumDet(col("v")).as("sum_v"))
+    }),
+
+    // Rolling z-score anomaly flags per user: trailing-20-event mean/std
+    // from exact decimal Σx/Σx² window partials (order-independent), z in
+    // double with a fixed expression order, |z| > 3 flagged. One exchange
+    // on user_id; the window is a bounded ROWS frame, so state per key is
+    // 20 rows however long the stream.
+    "q165_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-19, 0)
+      val n = count(lit(1)).over(w)
+      val s1 = sum(col("value").cast(DecimalType(24, 4))).over(w)
+        .cast("double")
+      val s2 = sum((col("value") * col("value")).cast(DecimalType(38, 8)))
+        .over(w).cast("double")
+      ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          n.as("n_win"), (s1 / n).as("__m"),
+          ((s2 - s1 * s1 / n) / (n - 1)).as("__v"))
+        .filter(col("n_win") >= 10 && col("__v") > 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("n_win"),
+          round((col("value") - col("__m")) / sqrt(col("__v")), 6).as("z"),
+          (abs((col("value") - col("__m")) / sqrt(col("__v"))) > 3.0)
+            .as("is_anomaly"))
     })
   )
 
@@ -724,7 +749,26 @@ object Relational {
            |  MIN($c) AS min_v, MAX($c) AS max_v,
            |  ${Det.sumDetSql(c)} AS sum_v
            |FROM lineitem""".stripMargin
-      }.mkString("\nUNION ALL\n")
+      }.mkString("\nUNION ALL\n"),
+
+    "q165_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, ts_us, value,
+        |    COUNT(*) OVER w AS n_win,
+        |    CAST(SUM(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *, s1 / n_win AS m,
+        |    (s2 - s1 * s1 / n_win) / (n_win - 1) AS v
+        |  FROM r WHERE n_win >= 10)
+        |SELECT event_id, user_id, ts_us, value, n_win,
+        |  ROUND((value - m) / sqrt(v), 6) + 0.0 AS z,
+        |  (abs((value - m) / sqrt(v)) > 3.0::DOUBLE) AS is_anomaly
+        |FROM f WHERE v > 0""".stripMargin
   )
 
   /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs

@@ -35,7 +35,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q146_cluster_purity",  // kMeans' broadcast-centroid assignment
     "q147_hard_negatives",  // broadcast 20-query side, label-predicate join
     "q148_semdedup_incr",   // broadcast-centroid assignment, both sides
-    "q161_matryoshka")      // broadcast 20-query side, self-exclusion join
+    "q161_matryoshka",      // broadcast 20-query side, self-exclusion join
+    "q163_rrf_fusion")      // broadcast 1-row query-vector scalar
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]

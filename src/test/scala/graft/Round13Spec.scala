@@ -107,6 +107,42 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 2L && !r.getBoolean(3))
   }
 
+  test("rrfFuse: reciprocal ranks fuse, absent list contributes zero") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "sa")
+    val b = Seq((2L, 5.0), (4L, 4.0)).toDF("id", "sb")
+    val got = graft.llm.Pipeline.rrfFuse(a, b, "id", "sa", "sb",
+      topN = 2, kRrf = 60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // topN=2 cuts id 3 from list a entirely
+    assert(!got.contains(3L))
+    assert(got(1L) == ((1L, 0L, math.rint(1e6 / 61.0) / 1e6)))
+    val both = math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6
+    assert(got(2L) == ((2L, 1L, both)))
+    assert(got(4L) == ((0L, 2L, math.rint(1e6 / 62.0) / 1e6)))
+  }
+
+  test("lshAudit: candidate and verified counts with exact precision") {
+    val s = spark
+    import s.implicits._
+    // 1 and 2 are exact dups (jaccard 1); 3 shares enough shingles to be
+    // a candidate in some band but fails the 0.9 threshold.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta other words entirely"))
+      .toDF("doc_id", "text")
+    val r = graft.llm.Dedup.lshAudit(d, "doc_id", "text", threshold = 0.9)
+      .collect().head
+    val (nc, nv, p) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nc >= 1 && nv >= 1 && nv <= nc)
+    assert(p == math.rint(nv.toDouble / nc * 1e6) / 1e6)
+    // the exact-dup pair must verify at any threshold <= 1
+    assert(nv >= 1)
+  }
+
   test("softDedupWeights: 1/cluster_size, singletons keep weight 1") {
     val s = spark
     import s.implicits._
