@@ -530,7 +530,18 @@ object LlmQueries {
     // MinHash layer vs exact Jaccard at 0.3.
     "q164_lsh_audit" -> ((s, dir) =>
       Dedup.lshAudit(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3))
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
+
+    // BPE end-to-end: train 8 merges on the corpus (bounded-vocab loop,
+    // driver syncs one top-1 pair per rank), encode every document with
+    // the greedy fold. Golden oracle: tools/golden_bpe.py, an independent
+    // pure-Python implementation of the published algorithm.
+    "q166_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Bpe.encode(docs, "doc_id", "text",
+        graft.llm.Bpe.learnMerges(docs, "text", numMerges = 8)
+          .map(m => (m.left, m.right)))
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -1708,6 +1719,8 @@ object LlmQueries {
          |  ROUND(COALESCE(1.0::DOUBLE / (60 + rank_a), 0.0::DOUBLE)
          |      + COALESCE(1.0::DOUBLE / (60 + rank_b), 0.0::DOUBLE), 6) AS rrf
          |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
+
+    "q166_bpe_encode" -> KernelQueries.golden("q166_bpe_encode"),
 
     "q164_lsh_audit" ->
       s"""WITH $lshCandCtes,

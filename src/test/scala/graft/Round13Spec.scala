@@ -143,6 +143,23 @@ class Round13Spec extends AnyFunSuite {
     assert(nv >= 1)
   }
 
+  test("Bpe: learnMerges ranks (count desc, pair asc); encode folds greedily") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = graft.llm.Bpe.learnMerges(d, "text", numMerges = 5)
+    // word 'aaab' x3: (a,a)=6 wins rank 1; then (a,b)=3 ties (aa,a)=3 and
+    // the lower LEFT symbol wins; then (aa,ab)=3; then no pairs remain.
+    assert(merges.map(m => (m.left, m.right, m.pairCnt)) ==
+      Seq(("a", "a", 6L), ("a", "b", 3L), ("aa", "ab", 3L)))
+    val enc = graft.llm.Bpe.encode(d, "doc_id", "text",
+      merges.map(m => (m.left, m.right)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(enc(1L) == ((2L, 2L, "aaab|aaab")))
+    assert(enc(2L) == ((1L, 1L, "aaab")))
+  }
+
   test("softDedupWeights: 1/cluster_size, singletons keep weight 1") {
     val s = spark
     import s.implicits._
