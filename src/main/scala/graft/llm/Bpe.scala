@@ -51,6 +51,15 @@ object Bpe {
 
   /** Learn `numMerges` merges from the corpus. Stops early when no
     * adjacent pair reaches `minCount`. */
+  /** Word-type count at or below which training runs driver-side on the
+    * collected vocabulary (a few MB of (word, count) pairs; every merge
+    * iteration then costs microseconds instead of a Spark job). The
+    * distributed loop above the gate is the web-corpus path — same
+    * size-gating pattern as Dedup.connectedComponents.LocalCcMaxEdges.
+    * Tie-breaks are identical on both paths: ASCII/UTF-8 word data
+    * compares the same under Spark's binary and Scala's UTF-16 order. */
+  val LocalVocabMaxTypes = 1000000L
+
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L): Seq[Merge] = {
     require(numMerges >= 1 && minCount >= 1)
@@ -59,6 +68,38 @@ object Bpe {
     val wordCounts = docs
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+    if (wordCounts.count() <= LocalVocabMaxTypes) {
+      val wc = wordCounts.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      var syms: Array[(Array[String], Long)] =
+        wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      val merges = ArrayBuffer.empty[Merge]
+      var done = false
+      var rank = 1
+      while (!done && rank <= numMerges) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        syms.foreach { case (s, c) =>
+          var i = 0
+          while (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            pc.update(k, pc.getOrElse(k, 0L) + c)
+            i += 1
+          }
+        }
+        val best = pc.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= minCount =>
+            merges += Merge(rank.toLong, l, r, c)
+            syms = syms.map { case (s, cc) => (applyMerge(s, l, r), cc) }
+            rank += 1
+          case _ => done = true
+        }
+      }
+      return merges.toSeq
+    }
+
     val charsOf = transform(
       sequence(lit(1), length(col("word"))),
       i => substr(col("word"), i, lit(1)))
@@ -125,13 +166,16 @@ object Bpe {
     out.toArray
   }
 
-  /** 60-bit-free portable token hash: first 8 hex chars of md5, mod
+  /** 60-bit-free portable token hash: first 8 hex chars of md5 (== the
+    * unsigned big-endian int of the first 4 digest bytes), mod
     * [[TextOps.FP_MOD]] — the same arithmetic as
-    * [[TextOps.rollingFingerprint]], computed on the JVM. */
-  private def tokenHash(t: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16) % TextOps.FP_MOD
+    * [[TextOps.rollingFingerprint]], computed on the JVM directly from
+    * the digest bytes (the hex-string round-trip was the q166 hot spot:
+    * millions of `String.format` calls). */
+  private def tokenHash(md: java.security.MessageDigest, t: String): Long = {
+    val d = md.digest(t.getBytes("UTF-8"))
+    ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % TextOps.FP_MOD)
   }
 
   /** Encode every document with a learned merge list: merges apply in
@@ -150,6 +194,34 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // Per-partition memos: the word→tokens segmentation and the token
+        // hash are pure functions of bounded-vocabulary inputs, so both
+        // caches stay small while cutting the per-row work to lookups —
+        // the standard BPE-encoder word cache (every production encoder
+        // carries one; a corpus has vastly more word OCCURRENCES than
+        // word TYPES).
+        val wordCache = new java.util.HashMap[String, Array[String]]()
+        val hashCache = new java.util.HashMap[String, java.lang.Long]()
+        def tokensOf(w: String): Array[String] = {
+          val hit = wordCache.get(w)
+          if (hit != null) hit
+          else {
+            var syms = w.map(_.toString).toArray
+            ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+            wordCache.put(w, syms)
+            syms
+          }
+        }
+        def th(t: String): Long = {
+          val hit = hashCache.get(t)
+          if (hit != null) hit.longValue()
+          else {
+            val h = tokenHash(md, t)
+            hashCache.put(t, h)
+            h
+          }
+        }
         it.map { case (id, text) =>
           val words = Option(text).getOrElse("").toLowerCase
             .split(' ').filter(_.nonEmpty)
@@ -157,11 +229,10 @@ object Bpe {
           var fp = 0L
           val head = ArrayBuffer.empty[String]
           words.foreach { w =>
-            var syms = w.map(_.toString).toArray
-            ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+            val syms = tokensOf(w)
             syms.foreach { t =>
               nTok += 1
-              fp = (fp * 31L + tokenHash(t)) % TextOps.FP_MOD
+              fp = (fp * 31L + th(t)) % TextOps.FP_MOD
               if (head.length < 10) head += t
             }
           }
