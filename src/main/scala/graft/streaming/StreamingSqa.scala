@@ -144,6 +144,73 @@ object StreamingSqa {
       }
   }
 
+  /** Streaming rolling z-score anomalies — the stateful analog of the
+    * q165 batch monitor. State per user is the ring of the last `winSize`
+    * values as EXACT 1e-4-scaled longs (events `value` carries <= 4
+    * decimals), carried across micro-batches via `flatMapGroupsWithState`,
+    * so Σx and Σx² are exact integer sums (v4 <= 5.7e6 → v4² · 20 ≈ 6e14,
+    * far inside Long) and the emitted z is bit-deterministic however the
+    * feed is micro-batched. Rows inside a batch walk in (ts, value)
+    * order; a row at or before the saved clock is late and dropped
+    * (append-ordered feed contract, as [[streamingIbis]]). State is
+    * bounded twice over: `winSize` values per user, and idle users evict
+    * on event-time timeout. Emits (user_id, ts_ms, value, n_win, z,
+    * is_anomaly) once the window holds `minN` values with positive
+    * variance. */
+  def streamingZScores(events: DataFrame, winSize: Int = 20, minN: Int = 10,
+      zThresh: Double = 3.0, watermark: String = "10 minutes",
+      idleGapMs: Long = 60L * 60 * 1000)
+      : Dataset[(Long, Long, Double, Int, Double, Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Long),
+        (Long, Long, Double, Int, Double, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[(Seq[Long], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.map { case (_, t, v) => (t.getTime, v) }
+              .toArray.sortBy { case (t, v) => (t, v) }
+            var (ring, last) =
+              if (state.exists) state.get else (Seq.empty[Long], Long.MinValue)
+            val buf = scala.collection.mutable.ArrayBuffer(ring: _*)
+            val out = Array.newBuilder[(Long, Long, Double, Int, Double, Boolean)]
+            rows.foreach { case (t, v) =>
+              if (t > last) {
+                last = t
+                buf += math.rint(v * 1e4).toLong
+                if (buf.length > winSize) buf.remove(0)
+                val n = buf.length
+                if (n >= minN) {
+                  var s1 = 0L; var s2 = 0L
+                  buf.foreach { x => s1 += x; s2 += x * x }
+                  val mean = s1.toDouble / 1e4 / n
+                  val variance =
+                    (s2.toDouble / 1e8 - (s1.toDouble / 1e4) * (s1.toDouble / 1e4) / n) / (n - 1)
+                  if (variance > 0) {
+                    val z = (v - mean) / math.sqrt(variance)
+                    out += ((uid, t, v, n, math.rint(z * 1e6) / 1e6,
+                      math.abs(z) > zThresh))
+                  }
+                }
+              } // else: late arrival — dropped
+            }
+            if (last != Long.MinValue) {
+              state.update((buf.toSeq, last))
+              state.setTimeoutTimestamp(last + idleGapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup (the streaming analog of
     * [[graft.llm.Dedup.exactGroups]]): keep the FIRST occurrence of each
     * content hash from an unbounded document feed. State is keyed by the

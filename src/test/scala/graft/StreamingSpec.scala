@@ -107,6 +107,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchObs.exceptAll(streamObs).count() == 0)
   }
 
+  test("stateful streaming z-scores match a plain-Scala replay of the walk") {
+    val tmp = Files.createTempDirectory("graft_zs").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+
+    val streamed = {
+      val stream = spark.readStream.schema(StreamingSqa.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val q = StreamingSqa.streamingZScores(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("zs_stream").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("zs_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+          r.getDouble(4), r.getBoolean(5))).toSet
+    }
+
+    // independent replay: same ring-walk arithmetic in plain Scala
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getDouble(2)))
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy { case (t, v) => (t, v) }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var last = Long.MinValue
+      sorted.flatMap { case (t, v) =>
+        if (t > last) {
+          last = t
+          buf += math.rint(v * 1e4).toLong
+          if (buf.length > 20) buf.remove(0)
+          val n = buf.length
+          if (n >= 10) {
+            var s1 = 0L; var s2 = 0L
+            buf.foreach { x => s1 += x; s2 += x * x }
+            val mean = s1.toDouble / 1e4 / n
+            val vr = (s2.toDouble / 1e8 -
+              (s1.toDouble / 1e4) * (s1.toDouble / 1e4) / n) / (n - 1)
+            if (vr > 0) {
+              val z = (v - mean) / math.sqrt(vr)
+              Some((uid, t, v, n, math.rint(z * 1e6) / 1e6, math.abs(z) > 3.0))
+            } else None
+          } else None
+        } else None
+      }
+    }.toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == expected)
+  }
+
   test("stateful streaming IBIs carry last-beat state across micro-batches") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_ibi_stream").toString
