@@ -478,6 +478,62 @@ object Relational {
           round((col("value") - col("__m")) / sqrt(col("__v")), 6).as("z"),
           (abs((col("value") - col("__m")) / sqrt(col("__v"))) > 3.0)
             .as("is_anomaly"))
+    }),
+
+    // OLAP cube: counts + exact decimal sums over every subset of
+    // (returnflag, linestatus) — grand total, both rollups, and the
+    // detail cells in ONE pass (Catalyst expands the grouping sets;
+    // partial aggregation still collapses map-side).
+    "q167_cube" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Det.sumDet(col("l_quantity")).as("sum_qty"),
+          Det.sumDet(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Mergeable-sketch rollup: DAILY HyperLogLog registers of distinct
+    // users (the persisted per-partition artifact at scale), weekly
+    // report = per-register MAX across the week's daily sketches — the
+    // property that lets a 100 TB pipeline answer "distinct over any
+    // date range" without rescanning raw data. Same m=64 / 60-bit-hash
+    // arithmetic as q139, exact weekly distinct carried for the accuracy
+    // report.
+    "q168_hll_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val two60 = 1152921504606846976L // 2^60
+      val h = conv(substr(md5(concat(lit("u:"),
+        col("user_id").cast("string"))), lit(1), lit(15)), 16, 10)
+        .cast("long")
+      val base = ev
+        .select(expr(s"ts_us div $DAY_US").as("day"), col("user_id"))
+        .withColumn("week", expr("day div 7"))
+        .withColumn("__h", h)
+        .withColumn("__bucket", col("__h").bitwiseAND(lit(63L)))
+        .withColumn("__rho", when(shiftright(col("__h"), 6) === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(shiftright(col("__h"), 6)))))
+      val daily = base.groupBy("week", "day", "__bucket")
+        .agg(max("__rho").as("__m"))
+      val weekly = daily.groupBy("week", "__bucket").agg(max("__m").as("__m"))
+      val est = weekly.groupBy("week")
+        .agg(count(lit(1)).as("__n_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 60 - __m)")
+            .cast(DecimalType(38, 0))).as("__psum"))
+        .withColumn("zeros", lit(64L) - col("__n_present"))
+        .withColumn("__sum_d",
+          (col("__psum") + col("zeros").cast(DecimalType(38, 0)) *
+            lit(two60).cast(DecimalType(38, 0))).cast("double"))
+        .withColumn("__raw",
+          lit(2904.064) * lit(two60).cast("double") / col("__sum_d"))
+        .withColumn("est_distinct",
+          when(col("__raw") <= lit(160.0) && col("zeros") > 0L,
+            round(lit(64.0) * log(lit(64.0) / col("zeros").cast("double")), 4))
+            .otherwise(round(col("__raw"), 4)))
+      val exact = base.groupBy("week")
+        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+          countDistinct(col("day")).as("n_days"))
+      est.join(exact, Seq("week"))
+        .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     })
   )
 
@@ -768,7 +824,48 @@ object Relational {
         |SELECT event_id, user_id, ts_us, value, n_win,
         |  ROUND((value - m) / sqrt(v), 6) + 0.0 AS z,
         |  (abs((value - m) / sqrt(v)) > 3.0::DOUBLE) AS is_anomaly
-        |FROM f WHERE v > 0""".stripMargin
+        |FROM f WHERE v > 0""".stripMargin,
+
+    "q167_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q168_hll_merge" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // $DAY_US AS day, user_id FROM events),
+         |b AS (
+         |  SELECT day, day // 7 AS week, user_id,
+         |    ('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS hv
+         |  FROM e),
+         |rr AS (
+         |  SELECT week, day, hv & 63 AS bucket,
+         |    MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+         |        ELSE 55 - length(bin(hv >> 6)) END) AS m
+         |  FROM b GROUP BY 1, 2, 3),
+         |wk AS (SELECT week, bucket, MAX(m) AS m FROM rr GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT week, COUNT(*) AS n_present,
+         |    SUM((1::BIGINT << (60 - m))::HUGEINT) AS psum
+         |  FROM wk GROUP BY 1),
+         |ex AS (
+         |  SELECT day // 7 AS week, COUNT(DISTINCT user_id) AS n_users_exact,
+         |    COUNT(DISTINCT day) AS n_days
+         |  FROM e GROUP BY 1)
+         |SELECT week, n_days, n_users_exact, zeros,
+         |  CASE WHEN raw <= 160.0 AND zeros > 0
+         |    THEN ROUND(64 * ln(CAST(64.0 AS DOUBLE) / zeros), 4)
+         |    ELSE ROUND(raw, 4) END AS est_distinct
+         |FROM (
+         |  SELECT agg.week, ex.n_days, ex.n_users_exact,
+         |    64 - n_present AS zeros,
+         |    CAST(2904.064 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(psum + (64 - n_present)::HUGEINT
+         |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
+         |  FROM agg JOIN ex USING (week))""".stripMargin
   )
 
   /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs
