@@ -17,7 +17,10 @@ object AqeAudit {
     spark.sparkContext.setLogLevel("WARN")
     val names = Seq("q117_ivfpq_rerank", "q119_incremental_dedup",
       "q127_containment", "q22_minhash_pairs", "q69_dedup_clusters",
-      "q137_canonical_docs", "q138_cross_source", "q140_ivfpq_persist")
+      "q137_canonical_docs", "q138_cross_source", "q140_ivfpq_persist",
+      // round-13 additions with non-trivial join graphs
+      "q154_knn_graph", "q155_soft_dedup", "q164_lsh_audit",
+      "q159_knn_classify", "q166_bpe_encode", "q168_hll_merge")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
