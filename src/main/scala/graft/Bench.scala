@@ -15,7 +15,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // static conf, default 100: the generated-class LRU is far too small
-      // for a 134-query suite — one window-heavy detector plan alone
+      // for a 168-query suite — one window-heavy detector plan alone
       // compiles ~145 projections per action, so mid-suite every action
       // recompiles its whole codegen set (~15-30 ms each). This, not JIT
       // pressure, is the measured suite-context distortion mechanism

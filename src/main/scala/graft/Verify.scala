@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // static conf, default 100: far too small for a 134-query surface —
+      // static conf, default 100: far too small for a 168-query surface —
       // window-heavy plans alone compile ~145 projections per action, so
       // the LRU thrashes and every action recompiles (round-12 root cause
       // of the kernel-class suite distortion)
