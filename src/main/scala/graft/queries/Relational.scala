@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -360,19 +360,18 @@ object Relational {
     // expression order, so the statistic is bit-identical cross-engine.
     "q156_ab_metrics" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val agg = ev
-        .withColumn("variant",
-          when(conv(substring(md5(col("user_id").cast("string")), 1, 8),
-            16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
-        .groupBy("event_type", "variant")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(24, 4))).cast("double").as("s1"),
-          sum((col("value") * col("value")).cast(DecimalType(38, 8)))
-            .cast("double").as("s2"))
-      def arm(v: String) = agg.filter(col("variant") === v)
-        .select(col("event_type"), col("n").as(s"n_$v"),
-          col("s1").as(s"s1$v"), col("s2").as(s"s2$v"))
-      val j = arm("A").join(arm("B"), Seq("event_type"))
+      val isA = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 2 === 0
+      // single-scan conditional pivot: one events pass, one shuffle on
+      // event_type — never a per-arm re-aggregation
+      def armAggs(arm: String, cond: Column) = Seq(
+        count(when(cond, 1)).as(s"n_$arm"),
+        sum(when(cond, col("value")).cast(DecimalType(24, 4)))
+          .cast("double").as(s"s1$arm"),
+        sum(when(cond, col("value") * col("value")).cast(DecimalType(38, 8)))
+          .cast("double").as(s"s2$arm"))
+      val aggs = armAggs("A", isA) ++ armAggs("B", !isA)
+      val j = ev.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
       val meanA = col("s1A") / col("n_A")
       val meanB = col("s1B") / col("n_B")
       val varA = (col("s2A") - col("s1A") * col("s1A") / col("n_A")) /
