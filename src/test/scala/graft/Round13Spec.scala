@@ -160,6 +160,23 @@ class Round13Spec extends AnyFunSuite {
     assert(enc(2L) == ((1L, 1L, "aaab")))
   }
 
+  test("round-13 ops return empty results on empty inputs (no crash)") {
+    val s = spark
+    import s.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEmb = emb()
+    assert(graft.llm.Dedup.softDedupWeights(noDocs, "doc_id", "text").count() == 0)
+    assert(graft.llm.Dedup.lshAudit(noDocs, "doc_id", "text").count() == 1) // one all-zero row
+    assert(Similarity.knnGraph(noEmb, "vec_id", "embedding", k = 3, nList = 1).count() == 0)
+    assert(Similarity.matryoshkaRecall(noEmb, noEmb, "vec_id", "embedding", 2).count() == 0)
+    assert(graft.llm.Bpe.learnMerges(noDocs, "text", numMerges = 3).isEmpty)
+    assert(graft.llm.Bpe.encode(noDocs, "doc_id", "text", Seq("a" -> "b")).count() == 0)
+    assert(graft.llm.Pipeline.tokenBudget(noDocs, "text", "text", 100L,
+      Map.empty).count() == 0)
+    val noScores = Seq.empty[(Long, Double)].toDF("id", "sc")
+    assert(graft.llm.Pipeline.rrfFuse(noScores, noScores, "id", "sc", "sc").count() == 0)
+  }
+
   test("softDedupWeights: 1/cluster_size, singletons keep weight 1") {
     val s = spark
     import s.implicits._
