@@ -300,9 +300,21 @@ object Similarity {
     * Determinism contract (shared with q83's oracle): ranking compares the
     * raw IEEE cosine (bit-identical in any engine given the fixed-order
     * dot fold), ties on the lower neighbor id; the emitted score is
-    * rounded to 6 dp. */
+    * rounded to 6 dp.
+    *
+    * Hot-cell skew (`saltCells`): a degenerate corpus (mass duplication,
+    * collapsed embedding space) can land a large fraction of vectors in
+    * ONE cell, making that cell's self-join a single |hot|² task. With
+    * saltCells = S the probe side is salted by pmod(hash(id), S) and the
+    * mate side replicated to every salt — the PAIR SET is exactly
+    * preserved (each (id, nbr) meets at salt(id)) while the hot key
+    * splits into S sub-keys, the same salt-replicate contract as
+    * [[Dedup.minhashPairs]]'s hot bands. The salted top-k window then
+    * costs one (cell, id) exchange of the candidate rows — that
+    * redistribution is the point. Default 1 = the exchange-reusing
+    * unsalted plan. */
   def knnGraph(emb: DataFrame, idCol: String, embCol: String, k: Int,
-      nList: Int = 0): DataFrame = {
+      nList: Int = 0, saltCells: Int = 1): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
@@ -320,7 +332,14 @@ object Similarity {
       .localCheckpoint()
     val mates = cells.select(col("cell"), col("id").as("nbr_id"),
       col("emb").as("nbr_emb"), col("n2").as("nbr_n2"))
-    val ranked = cells.join(mates, Seq("cell"))
+    val joined =
+      if (saltCells <= 1) cells.join(mates, Seq("cell"))
+      else cells
+        .withColumn("__salt", pmod(hash(col("id")), lit(saltCells)))
+        .join(mates.withColumn("__salt",
+          explode(array((0 until saltCells).map(lit): _*))),
+          Seq("cell", "__salt"))
+    val ranked = joined
       .filter(col("nbr_id") =!= col("id"))
       .withColumn("__cos", VectorOps.cosine(
         VectorOps.dot(col("emb"), col("nbr_emb")), col("n2"), col("nbr_n2")))

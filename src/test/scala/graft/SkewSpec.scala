@@ -134,6 +134,37 @@ class SkewSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
   }
 
+  test("knnGraph hot cell: salting splits the hot cell, same answer") {
+    // A collapsed embedding space: every vector identical → all N land in
+    // the lowest-id centroid's cell, so the unsalted cell self-join is
+    // one N² task. Salting must keep the graph EXACTLY (ranking ties
+    // break on nbr_id, unaffected by salt) while joining on the salt key.
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions.col
+    val N = 120
+    val vecs = (0 until N).map(i => (i.toLong, Seq(0.6, 0.8, 0.0, 0.0)))
+      .toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
+    val S = 8
+    val unsalted = graft.llm.Similarity.knnGraph(vecs, "vec_id",
+      "embedding", k = 3)
+    val salted = graft.llm.Similarity.knnGraph(vecs, "vec_id",
+      "embedding", k = 3, saltCells = S)
+    val u = unsalted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sl = salted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(u == sl, "salting changed the kNN graph")
+    assert(u.size == N * 3, s"expected $N x 3 edges, got ${u.size}")
+    // cosine ties (identical vectors) break on nbr_id: vec 5's neighbors
+    // are 0, 1, 2 in rank order
+    assert(u.contains((5L, 1L, 0L)) && u.contains((5L, 2L, 1L)) &&
+      u.contains((5L, 3L, 2L)))
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+      "salted join key missing from the plan")
+  }
+
   test("minhashPairs hot band: salting splits the hot key, same answer") {
     // On a saturated corpus, one band value covers 160 docs: the unsalted
     // band self-join probes all 160x160 pairs of that key in ONE task.
