@@ -532,6 +532,32 @@ object LlmQueries {
       Dedup.lshAudit(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
 
+    // Split-leakage audit: which holdout (test-split) documents have a
+    // near-duplicate in the train split — the QA step that catches
+    // contaminated eval sets AFTER hash splitting (random splits leak
+    // near-dup clusters across the boundary by construction). Composes
+    // the q144 md5-bucket split with the q119 incremental band join
+    // (train = index side, test = new batch); per-source leak rates.
+    "q169_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = conv(substr(md5(col("doc_id").cast("string")),
+        lit(1), lit(8)), 16, 10).cast("long") % 100
+      val withB = docs.withColumn("__b", bucket)
+      val leaked = Dedup.minhashPairsIncremental(
+        withB.filter(col("__b") >= 90), withB.filter(col("__b") < 80),
+        "doc_id", "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.3)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__leaked", lit(1L))
+      withB.filter(col("__b") >= 90).select(col("doc_id"), col("source"))
+        .join(leaked, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_test"),
+          sum(coalesce(col("__leaked"), lit(0L))).as("n_leaked"),
+          round(sum(coalesce(col("__leaked"), lit(0L))).cast("double") /
+            count(lit(1)), 6).as("leak_rate"))
+    }),
+
     // BPE end-to-end: train 8 merges on the corpus (bounded-vocab loop,
     // driver syncs one top-1 pair per rank), encode every document with
     // the greedy fold. Golden oracle: tools/golden_bpe.py, an independent
@@ -1721,6 +1747,45 @@ object LlmQueries {
          |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
 
     "q166_bpe_encode" -> KernelQueries.golden("q166_bpe_encode"),
+
+    "q169_split_leakage" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         |      AS b
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
+         |  FROM sh WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
+         |  FROM sig, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN d da ON da.doc_id = a.doc_id AND da.b < 80
+         |  JOIN bands b2
+         |    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+         |  JOIN d db ON db.doc_id = b2.doc_id AND db.b >= 90),
+         |ver AS (
+         |  SELECT DISTINCT id_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.3)
+         |SELECT d.source, COUNT(*) AS n_test,
+         |  CAST(SUM(CASE WHEN v.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaked,
+         |  ROUND(CAST(SUM(CASE WHEN v.id_b IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT)::DOUBLE / COUNT(*), 6) AS leak_rate
+         |FROM d LEFT JOIN ver v ON v.id_b = d.doc_id
+         |WHERE d.b >= 90
+         |GROUP BY 1""".stripMargin,
 
     "q164_lsh_audit" ->
       s"""WITH $lshCandCtes,
