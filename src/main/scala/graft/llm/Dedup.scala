@@ -739,6 +739,46 @@ object Dedup {
         round(verified.cast("double") / count(lit(1)), 6).as("cand_precision"))
   }
 
+  /** Dup-graph shape statistics: node/edge/wedge/triangle counts and the
+    * global transitivity (3·triangles / wedges) of the verified near-dup
+    * pair graph — the QA signal separating CLIQUE-like dup clusters
+    * (true duplicate groups: transitivity → 1) from CHAIN-like ones
+    * (transitive drift through borderline pairs: → 0), which decides
+    * whether cluster-collapse dedup ([[dedupClusters]]) is safe at the
+    * chosen threshold. Triangles enumerate once per id-ordered edge pair
+    * ((a,b)⋈(b,c) closed by (a,c)) over the BOUNDED pair table — never
+    * the corpus; wedges are Σ C(deg,2) in exact integers. At web scale
+    * the enumeration would orient edges by (degree, id) instead of id
+    * alone to bound wedge fan-out by the graph's arboricity — on a dup
+    * graph the id orientation is already candidate-confined. */
+  def dupGraphStats(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val e = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+      .select(col("id_a").as("u"), col("id_b").as("v")).localCheckpoint()
+    val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        col("n_triangles"),
+        when(coalesce(col("n_wedges"), lit(0L)) > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("transitivity"))
+  }
+
   /** Soft deduplication — the D4/SemDeDup-style DOWN-WEIGHTING policy
     * applied on top of near-dup clustering: instead of dropping
     * near-duplicates, every document gets sampling weight

@@ -558,6 +558,13 @@ object LlmQueries {
             count(lit(1)), 6).as("leak_rate"))
     }),
 
+    // Dup-graph shape QA: wedge/triangle census + transitivity of the
+    // verified near-dup pair graph (clique-like clusters are safe to
+    // collapse; chain-like ones signal transitive drift).
+    "q170_dup_graph_stats" -> ((s, dir) =>
+      Dedup.dupGraphStats(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
+
     // BPE end-to-end: train 8 merges on the corpus (bounded-vocab loop,
     // driver syncs one top-1 pair per rank), encode every document with
     // the greedy fold. Golden oracle: tools/golden_bpe.py, an independent
@@ -1747,6 +1754,32 @@ object LlmQueries {
          |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
 
     "q166_bpe_encode" -> KernelQueries.golden("q166_bpe_encode"),
+
+    // Reuses the shared pairs CTE; unused recursive closure CTEs behind
+    // it are pruned by the optimizer (q138 precedent).
+    "q170_dup_graph_stats" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+         |nodes AS (
+         |  SELECT COUNT(DISTINCT n) AS n_nodes
+         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS d
+         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY 1),
+         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |      FROM deg),
+         |t AS (
+         |  SELECT COUNT(*) AS n_tri
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT nodes.n_nodes AS n_nodes,
+         |  (SELECT COUNT(*) FROM e) AS n_edges,
+         |  COALESCE(n_wedges, 0) AS n_wedges,
+         |  CAST(n_tri AS BIGINT) AS n_triangles,
+         |  CASE WHEN COALESCE(n_wedges, 0) > 0
+         |    THEN ROUND(3.0::DOUBLE * n_tri / n_wedges, 6) END AS transitivity
+         |FROM w, t, nodes""".stripMargin,
 
     "q169_split_leakage" ->
       s"""WITH d AS (

@@ -36,7 +36,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q147_hard_negatives",  // broadcast 20-query side, label-predicate join
     "q148_semdedup_incr",   // broadcast-centroid assignment, both sides
     "q161_matryoshka",      // broadcast 20-query side, self-exclusion join
-    "q163_rrf_fusion")      // broadcast 1-row query-vector scalar
+    "q163_rrf_fusion",      // broadcast 1-row query-vector scalar
+    "q170_dup_graph_stats") // broadcast 1-row census aggregates
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]
