@@ -802,6 +802,25 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Weighted-sampling REALIZATION of [[softDedupWeights]]: each document
+    * keeps with probability = its 1/cluster_size weight, decided by a
+    * salt-keyed md5 uniform (u = first-8-hex/2³² ∈ [0,1), exact in
+    * double) — deterministic, content-independent, and re-runnable:
+    * regenerating the corpus keeps exactly the same documents. Singleton
+    * weight 1.0 always keeps; an n-dup cluster keeps ~1 expected copy.
+    * Map-only on top of the weight table. Output: (id, cluster_size,
+    * weight, u, kept). */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val u = conv(substr(md5(concat(lit("ws:"), col(idCol).cast("string"))),
+      lit(1), lit(8)), 16, 10).cast("double") / 4294967296.0
+    softDedupWeights(docs, idCol, textCol, shingleN, numHashes, numBands,
+      threshold)
+      .withColumn("u", round(u, 6))
+      .withColumn("kept", round(u, 6) < col("weight"))
+  }
+
   /** Cross-source duplication report — the provenance question behind
     * every crawl-overlap decision ("is source A substantially a mirror of
     * source B?"): verified near-dup pairs ([[minhashPairs]]) attributed to

@@ -558,6 +558,12 @@ object LlmQueries {
             count(lit(1)), 6).as("leak_rate"))
     }),
 
+    // Soft-dedup sampling realized: deterministic weighted Bernoulli
+    // keep-decision from the q155 1/cluster_size weights.
+    "q171_weighted_sample" -> ((s, dir) =>
+      Dedup.weightedSample(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
+
     // Dup-graph shape QA: wedge/triangle census + transitivity of the
     // verified near-dup pair graph (clique-like clusters are safe to
     // collapse; chain-like ones signal transitive drift).
@@ -1844,6 +1850,23 @@ object LlmQueries {
          |FROM documents d
          |LEFT JOIN comp c USING (doc_id)
          |LEFT JOIN sz ON sz.cluster_id = c.cluster_id""".stripMargin,
+
+    "q171_weighted_sample" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY 1),
+         |ws AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    COALESCE(sz.n, 1) AS cluster_size,
+         |    ROUND(1.0::DOUBLE / COALESCE(sz.n, 1), 6) AS weight,
+         |    ROUND((('0x' || substr(md5('ws:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         |      ::BIGINT)::DOUBLE / 4294967296.0, 6) AS u
+         |  FROM documents d
+         |  LEFT JOIN comp c USING (doc_id)
+         |  LEFT JOIN sz ON sz.cluster_id = c.cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size, weight, u,
+         |  (u < weight) AS kept
+         |FROM ws""".stripMargin,
 
     "q84_rep_spans" -> {
       val span = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
