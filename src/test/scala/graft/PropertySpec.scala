@@ -111,6 +111,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph invariants on random vectors: cell-closed, ranked, bounded") {
+    val rnd = new scala.util.Random(20260814L)
+    val s = spark
+    import s.implicits._
+    val N = 150
+    val vecs = (0 until N).map { i =>
+      (i.toLong, Seq.fill(8)(math.rint(rnd.nextGaussian() * 1e4) / 1e4))
+    }.toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
+    val g = graft.llm.Similarity.knnGraph(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // (a) at most k edges per vector, ranks are 1..m contiguous
+    g.groupBy(_._1).foreach { case (id, edges) =>
+      val ranks = edges.map(_._2).sorted
+      assert(ranks.length <= 4 && ranks.sameElements(1L to ranks.length))
+      // (b) scores are non-increasing in rank
+      val byRank = edges.sortBy(_._2).map(_._4)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"rank order broken for $id")
+        case _ =>
+      }
+      // (c) no self-edges
+      assert(!edges.exists(e => e._3 == id))
+    }
+    // (d) neighborhood is symmetric at the CANDIDATE level: if a->b then
+    // b had a as a candidate too (same cell) — witnessed via classify's
+    // join contract instead of internals: every nbr_id is a valid vec id
+    assert(g.forall(e => e._3 >= 0 && e._3 < N))
+  }
+
+  test("weightedSample keeps iff u < weight; rrfFuse is rank-monotone (random)") {
+    val rnd = new scala.util.Random(20260815L)
+    val s = spark
+    import s.implicits._
+    // weightedSample contract on a corpus with planted dup groups
+    val docs = (0 until 60).map { i =>
+      val g = i % 20 // 20 groups of 3 near-identical docs
+      (i.toLong, s"group $g common words shared across copies one two three")
+    }.toDF("doc_id", "text")
+    graft.llm.Dedup.weightedSample(docs, "doc_id", "text")
+      .collect().foreach { r =>
+        val (w, u, kept) = (r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+        assert(kept == (u < w), s"kept flag contradicts u/weight: $r")
+        assert(w > 0 && w <= 1.0 && u >= 0 && u < 1.0)
+      }
+    // rrfFuse: score strictly decreases with rank within one list
+    val a = (0 until 30).map(i => (i.toLong, 100.0 - i)).toDF("id", "sa")
+    val b = (0 until 5).map(i => (1000L + i, 50.0 - i)).toDF("id", "sb")
+    val fused = graft.llm.Pipeline.rrfFuse(a, b, "id", "sa", "sb", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val aOnly = fused.filter(e => e._2 > 0 && e._3 == 0).sortBy(_._2)
+    aOnly.sliding(2).foreach {
+      case Array(x, y) => assert(x._4 > y._4, "RRF not monotone in rank")
+      case _ =>
+    }
+    // disjoint id spaces: list-b members carry no rank_a
+    assert(fused.filter(_._1 >= 1000L).forall(_._2 == 0L))
+  }
+
   test("chunkDocuments covers every word exactly within bounds (random docs)") {
     val rnd = new scala.util.Random(7L)
     val s = spark
