@@ -533,6 +533,22 @@ object Relational {
           countDistinct(col("day")).as("n_days"))
       est.join(exact, Seq("week"))
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
+    }),
+
+    // Decile banding via ntile: per event_type, values split into 10
+    // equal-count bands (deterministic tie-break on event_id), reported
+    // as per-band (n, min, max, exact sum) — the quantile-bucket report
+    // every monitoring pipeline carries. One exchange on event_type; the
+    // per-type sort is the ranking cost.
+    "q172_ntile_deciles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      ev.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          Det.sumDet(col("value")).as("sum_v"))
     })
   )
 
@@ -864,7 +880,18 @@ object Relational {
          |    CAST(2904.064 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
-         |  FROM agg JOIN ex USING (week))""".stripMargin
+         |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q172_ntile_deciles" ->
+      s"""WITH d AS (
+         |  SELECT event_type, value,
+         |    CAST(NTILE(10) OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS BIGINT) AS decile
+         |  FROM events)
+         |SELECT event_type, decile, COUNT(*) AS n,
+         |  MIN(value) AS min_v, MAX(value) AS max_v,
+         |  ${Det.sumDetSql("value")} AS sum_v
+         |FROM d GROUP BY 1, 2""".stripMargin
   )
 
   /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs
