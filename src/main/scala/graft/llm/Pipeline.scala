@@ -231,6 +231,31 @@ object Pipeline {
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_permille"))
   }
 
+  /** Deterministic per-epoch shuffle order: every (epoch, document) gets
+    * a salt-keyed md5 rank, documents land in hash shards, and the
+    * position within (epoch, shard) is the training read order — the
+    * "reshuffle each epoch" primitive with zero RNG state: any worker
+    * can recompute any epoch's order from the ids alone, and resuming
+    * mid-epoch is a filter, not a replay. Bounded ×epochs explode, one
+    * exchange on (epoch, shard); the per-shard window sorts bounded
+    * groups (shard count scales with the corpus, the q80/q150 sharding
+    * argument). */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+      numShards: Int): DataFrame = {
+    val h = conv(substr(md5(concat(col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string"))), lit(1), lit(15)), 16, 10).cast("long")
+    docs
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard")
+          .orderBy(col("__h"), col(idCol))).cast("long"))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two score tables —
     * the hybrid-retrieval merge (lexical BM25 list ⊕ dense ANN list).
     * Scale shape: each ranking contributes only its top-`topN` ids via a

@@ -558,6 +558,12 @@ object LlmQueries {
             count(lit(1)), 6).as("leak_rate"))
     }),
 
+    // Deterministic per-epoch shuffle order: 3 epochs, 8 hash shards,
+    // md5-ranked position within (epoch, shard).
+    "q173_epoch_shuffle" -> ((s, dir) =>
+      Pipeline.epochShuffle(Tables.documents(s, dir), "doc_id",
+        epochs = 3, numShards = 8)),
+
     // Soft-dedup sampling realized: deterministic weighted Bernoulli
     // keep-decision from the q155 1/cluster_size weights.
     "q171_weighted_sample" -> ((s, dir) =>
@@ -1760,6 +1766,17 @@ object LlmQueries {
          |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
 
     "q166_bpe_encode" -> KernelQueries.golden("q166_bpe_encode"),
+
+    "q173_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, CAST(ep AS BIGINT) AS epoch,
+        |    ('0x' || substr(md5(CAST(ep AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents, unnest(range(0, 3)) AS t(ep))
+        |SELECT doc_id, epoch, h % 8 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY epoch, h % 8
+        |    ORDER BY h, doc_id) AS pos
+        |FROM e""".stripMargin,
 
     // Reuses the shared pairs CTE; unused recursive closure CTEs behind
     // it are pruned by the optimizer (q138 precedent).
