@@ -177,6 +177,28 @@ class Round13Spec extends AnyFunSuite {
     assert(graft.llm.Pipeline.rrfFuse(noScores, noScores, "id", "sc", "sc").count() == 0)
   }
 
+  test("epochShuffle: each epoch is a full permutation, positions contiguous") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = graft.llm.Pipeline.epochShuffle(docs, "doc_id",
+      epochs = 2, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc appears exactly once per epoch
+    (0L to 1L).foreach { e =>
+      val rows = out.filter(_._2 == e)
+      assert(rows.map(_._1).sorted.sameElements(0L until 40L))
+      // positions are 1..n contiguous within each (epoch, shard)
+      rows.groupBy(_._3).foreach { case (_, g) =>
+        assert(g.map(_._4).sorted.sameElements(1L to g.length))
+      }
+    }
+    // epochs produce different orders (overwhelmingly likely with md5)
+    val o0 = out.filter(_._2 == 0).sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    val o1 = out.filter(_._2 == 1).sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    assert(o0 != o1, "epoch orders identical — salt not applied")
+  }
+
   test("softDedupWeights: 1/cluster_size, singletons keep weight 1") {
     val s = spark
     import s.implicits._
