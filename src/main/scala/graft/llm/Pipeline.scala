@@ -135,6 +135,29 @@ object Pipeline {
           col("n_tok") > 0)
   }
 
+  /** Packed-example boundary metadata on top of [[packSequences]]: one
+    * row per (pack, document segment) with the in-pack offset/length and
+    * doc start/end flags — exactly what block-diagonal attention masking
+    * and loss masking need to keep packed documents from attending
+    * across boundaries. A document spanning k packs explodes to k rows
+    * (bounded by n_tok/ctxLen + 1); everything else is integer
+    * arithmetic on the pack cumsum — no new shuffle beyond the packing
+    * window's. */
+  def packBoundaries(docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, ctxLen: Long = 2048L): DataFrame = {
+    val lastPack = expr(s"(start_off + n_tok - 1) div $ctxLen")
+    packSequences(docs, idCol, textCol, streamCol, ctxLen)
+      .filter(col("n_tok") > 0)
+      .withColumn("p", explode(sequence(col("pack_id"), lastPack)))
+      .select(col(streamCol), col("p").as("pack_id"), col(idCol),
+        (greatest(col("start_off"), col("p") * ctxLen) - col("p") * ctxLen)
+          .as("seg_start"),
+        (least(col("start_off") + col("n_tok"), (col("p") + 1) * ctxLen) -
+          greatest(col("start_off"), col("p") * ctxLen)).as("seg_len"),
+        (col("p") === col("pack_id")).as("is_doc_start"),
+        (col("p") === lastPack).as("is_doc_end"))
+  }
+
   /** Fixed-window document chunking — the context-window preparation step
     * that precedes packing when documents must NOT cross example
     * boundaries (the SFT/eval layout, vs [[packSequences]]' concatenated

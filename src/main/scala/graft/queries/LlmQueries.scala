@@ -564,6 +564,13 @@ object LlmQueries {
       Pipeline.epochShuffle(Tables.documents(s, dir), "doc_id",
         epochs = 3, numShards = 8)),
 
+    // Packed-example boundary segments (ctx 256): per (pack, doc) the
+    // in-pack offset/length + doc start/end flags — the block-diagonal
+    // attention/loss-mask metadata for q77-style packing.
+    "q174_pack_boundaries" -> ((s, dir) =>
+      Pipeline.packBoundaries(Tables.documents(s, dir), "doc_id", "text",
+        streamCol = "source", ctxLen = 256L)),
+
     // Soft-dedup sampling realized: deterministic weighted Bernoulli
     // keep-decision from the q155 1/cluster_size weights.
     "q171_weighted_sample" -> ((s, dir) =>
@@ -1766,6 +1773,33 @@ object LlmQueries {
          |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
 
     "q166_bpe_encode" -> KernelQueries.golden("q166_bpe_encode"),
+
+    "q174_pack_boundaries" ->
+      s"""WITH nt AS (
+         |  SELECT source, doc_id,
+         |    CAST(len($WORDS) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, doc_id, n_tok,
+         |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS start_off
+         |  FROM nt),
+         |x AS (
+         |  SELECT source, doc_id, n_tok, start_off,
+         |    start_off // 256 AS first_pack,
+         |    (start_off + n_tok - 1) // 256 AS last_pack
+         |  FROM base WHERE n_tok > 0),
+         |e AS (
+         |  SELECT source, doc_id, n_tok, start_off, first_pack, last_pack, p
+         |  FROM x, unnest(range(first_pack, last_pack + 1)) AS t(p))
+         |SELECT source, CAST(p AS BIGINT) AS pack_id, doc_id,
+         |  GREATEST(start_off, p * 256) - p * 256 AS seg_start,
+         |  LEAST(start_off + n_tok, (p + 1) * 256)
+         |    - GREATEST(start_off, p * 256) AS seg_len,
+         |  (p = first_pack) AS is_doc_start,
+         |  (p = last_pack) AS is_doc_end
+         |FROM e""".stripMargin,
 
     "q173_epoch_shuffle" ->
       """WITH e AS (
