@@ -144,6 +144,33 @@ object StreamingSqa {
       }
   }
 
+  /** Stream-STREAM interval join: each purchase attributed to the same
+    * user's view events in the preceding `lagBound` — the classic
+    * attribution join, and the Structured Streaming feature class the
+    * other streaming ops don't cover (two unbounded sides). Both sides
+    * carry watermarks and the join condition time-bounds the match, so
+    * state on each side is evicted once the watermark passes the bound —
+    * bounded buffers however long the feeds run. Inner join in append
+    * mode: a pair is final the moment both sides are present. The same
+    * body joins two batch frames for parity. */
+  def streamingAttribution(views: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours", lagBound: String = "1 hour"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("value").as("amount"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, expr(
+      s"""v_user = p_user AND p_ts >= v_ts AND
+         |p_ts <= v_ts + interval $lagBound""".stripMargin.replace("\n", " ")))
+      .select(col("view_id"), col("purchase_id"),
+        col("v_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"),
+        col("amount"))
+  }
+
   /** Streaming rolling z-score anomalies — the stateful analog of the
     * q165 batch monitor. State per user is the ring of the last `winSize`
     * values as EXACT 1e-4-scaled longs (events `value` carries <= 4

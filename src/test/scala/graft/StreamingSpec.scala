@@ -107,6 +107,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchObs.exceptAll(streamObs).count() == 0)
   }
 
+  test("stream-stream attribution join matches the batch join exactly") {
+    val tmp = Files.createTempDirectory("graft_attr").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+
+    def src() = spark.readStream.schema(StreamingSqa.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamingSqa.streamingAttribution(
+      src().filter(col("event_type") === "view"),
+      src().filter(col("event_type") === "purchase"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr_stream")
+
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = StreamingSqa.streamingAttribution(
+      batch.filter(col("event_type") === "view"),
+      batch.filter(col("event_type") === "purchase"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful streaming z-scores match a plain-Scala replay of the walk") {
     val tmp = Files.createTempDirectory("graft_zs").toString
     Tables.events(spark, "/root/testdata/sf0.001")
