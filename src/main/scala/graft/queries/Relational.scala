@@ -535,6 +535,17 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // Interval (range) join: every purchase attributed to the same
+    // user's views in the preceding hour — the two-sided-window join
+    // class (vs q157's as-of backward pick). Same body runs as the
+    // watermarked stream-stream join in streaming/StreamingSqa.
+    "q175_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamingSqa.streamingAttribution(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+    }),
+
     // Decile banding via ntile: per event_type, values split into 10
     // equal-count bands (deterministic tie-break on event_id), reported
     // as per-band (n, min, max, exact sum) — the quantile-bucket report
@@ -881,6 +892,19 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q175_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, ts_us AS v_us
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_us,
+        |        value AS amount
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT view_id, purchase_id, user_id, p_us - v_us AS lag_us, amount
+        |FROM v JOIN p USING (user_id)
+        |WHERE p_us >= v_us AND p_us - v_us <= 3600000000""".stripMargin,
 
     "q172_ntile_deciles" ->
       s"""WITH d AS (
