@@ -535,6 +535,42 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // Time-to-event: per signup cohort week, conversion-lag stats from
+    // first signup to first purchase (converted users only) — two min
+    // aggregates keyed on user_id sharing one exchange, then an exact
+    // median over the bounded cohort dimension.
+    "q177_time_to_event" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts_us").as("tp"))
+      signup.join(firstP, Seq("user_id"))
+        .filter(col("tp") >= col("t0"))
+        .withColumn("cohort_week", expr(s"t0 div ${7L * DAY_US}"))
+        .withColumn("lag_us", col("tp") - col("t0"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_converted"),
+          percentile(col("lag_us"), lit(0.5)).as("median_lag_us"),
+          min("lag_us").as("min_lag_us"), max("lag_us").as("max_lag_us"))
+    }),
+
+    // First-order behavioral transition matrix: per-user event sequences
+    // → (from, to) bigram counts → row-normalized transition
+    // probabilities. One exchange on user_id for the lead window (reused
+    // from the session family), then a bounded-dimension aggregate —
+    // the Markov-chain view of the event stream.
+    "q176_transitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(wUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
+    }),
+
     // Interval (range) join: every purchase attributed to the same
     // user's views in the preceding hour — the two-sided-window join
     // class (vs q157's as-of backward pick). Same body runs as the
@@ -892,6 +928,36 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q177_time_to_event" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |s AS (SELECT user_id, MIN(ts_us) AS t0 FROM e
+         |      WHERE event_type = 'signup' GROUP BY 1),
+         |p AS (SELECT user_id, MIN(ts_us) AS tp FROM e
+         |      WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT t0 // ${7L * DAY_US} AS cohort_week, COUNT(*) AS n_converted,
+         |  MEDIAN(tp - t0) AS median_lag_us,
+         |  MIN(tp - t0) AS min_lag_us, MAX(tp - t0) AS max_lag_us
+         |FROM s JOIN p USING (user_id) WHERE tp >= t0
+         |GROUP BY 1""".stripMargin,
+
+    "q176_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(n::DOUBLE / CAST(SUM(n) OVER (PARTITION BY from_type)
+        |    AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
 
     "q175_attribution" ->
       """WITH e AS (
