@@ -453,4 +453,62 @@ object TextAnalysis {
         coalesce(col("n_unk"), lit(0L)).as("n_unk"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
+
+  /** PMI collocations (Church & Hanks 1990): pointwise mutual information
+    * of adjacent word pairs with corpus count >= `minCount` —
+    * pmi = ln(P(a,b) / (P(a)·P(b))) over exact integer unigram/bigram
+    * counts, so the only float op is one ln in a fixed expression order.
+    * One exchange on the doc id for the lead window (the
+    * [[graft.llm.Pipeline.repetitionStats]] bigram shape), bounded
+    * aggregates after; the unigram table broadcasts (vocabulary <<
+    * corpus). The collocation-mining primitive behind phrase detection /
+    * tokenizer-seeding decisions. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 30L): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val bigrams = words.withColumn("__next", lead(col("word"), 1).over(w))
+      .filter(col("__next").isNotNull)
+    val uni = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val big = bigrams.groupBy(col("word").as("w1"), col("__next").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val nBig = big.agg(sum(col("c12")).as("n_big"))
+    big.filter(col("c12") >= minCount)
+      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_big").cast("double") * col("c1") * col("c2"))), 6)
+          .as("pmi"))
+  }
+
+  /** Per-source-pair vocabulary overlap: Jaccard of the distinct-word
+    * sets of every source pair — the provenance analytic answering "do
+    * these crawls draw from the same language register?" at the VOCAB
+    * level ([[graft.llm.Dedup.crossSourceDups]] answers it at the
+    * document level). Distinct (source, word) collapses map-side; the
+    * word-keyed self-join fans out at most |sources|² per word — bounded
+    * by the source dimension, never the corpus. */
+  def vocabOverlap(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val sv = docs.select(col(sourceCol).as("source"),
+      explode(TextOps.words(col(textCol))).as("word")).distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    sv.as("a")
+      .join(sv.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        Seq("source_b"))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 6))
+  }
 }

@@ -558,6 +558,17 @@ object LlmQueries {
             count(lit(1)), 6).as("leak_rate"))
     }),
 
+    // PMI collocations: pointwise mutual information of adjacent word
+    // pairs with count >= 30.
+    "q178_pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 30L)),
+
+    // Per-source-pair vocabulary Jaccard overlap.
+    "q179_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(Tables.documents(s, dir), "doc_id", "text",
+        "source")),
+
     // Deterministic per-epoch shuffle order: 3 epochs, 8 hash shards,
     // md5-ranked position within (epoch, shard).
     "q173_epoch_shuffle" -> ((s, dir) =>
@@ -1800,6 +1811,42 @@ object LlmQueries {
          |  (p = first_pack) AS is_doc_start,
          |  (p = last_pack) AS is_doc_end
          |FROM e""".stripMargin,
+
+    "q178_pmi_pairs" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |b2 AS (
+         |  SELECT bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)),
+         |uni AS (SELECT word, COUNT(*) AS c
+         |        FROM (SELECT unnest($WORDS) AS word FROM documents)
+         |        GROUP BY 1),
+         |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+         |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM big)
+         |SELECT w1, w2, c12,
+         |  ROUND(ln(((c12::DOUBLE * n_tok) * n_tok) /
+         |    ((n_big::DOUBLE * u1.c) * u2.c)), 6) AS pmi
+         |FROM big JOIN uni u1 ON u1.word = w1
+         |         JOIN uni u2 ON u2.word = w2
+         |         CROSS JOIN nt CROSS JOIN nb
+         |WHERE c12 >= 30""".stripMargin,
+
+    "q179_vocab_overlap" ->
+      s"""WITH sv AS (
+         |  SELECT DISTINCT source, word
+         |  FROM (SELECT source, unnest($WORDS) AS word FROM documents)),
+         |sz AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY 1),
+         |i AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_common
+         |  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+         |FROM i JOIN sz sa ON sa.source = i.source_a
+         |       JOIN sz sb ON sb.source = i.source_b""".stripMargin,
 
     "q173_epoch_shuffle" ->
       """WITH e AS (
