@@ -535,6 +535,35 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // Pareto/Lorenz revenue concentration WITHOUT a global sort: exact
+    // decile thresholds come from one percentile aggregate (broadcast
+    // scalar), customers bucket map-side against the threshold array,
+    // and shares come from exact decimal sums — the scale-correct form
+    // of "rank all customers by revenue and cumsum" (which would
+    // serialize the corpus through a single-partition window).
+    "q180_revenue_pareto" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 8))).cast("double").as("revenue"))
+      val th = rev.agg(expr(
+        "percentile(revenue, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("t"))
+      val tot = rev.agg(sum(col("revenue").cast(DecimalType(24, 8)))
+        .cast("double").as("total"))
+      rev.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
+        .withColumn("decile",
+          (size(filter(col("t"), x => x < col("revenue"))) + 1).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("revenue").cast(DecimalType(24, 8))).cast("double")
+            .as("decile_revenue"),
+          round(sum(col("revenue").cast(DecimalType(24, 8))).cast("double") /
+            max(col("total")), 6).as("share"))
+    }),
+
     // Time-to-event: per signup cohort week, conversion-lag stats from
     // first signup to first purchase (converted users only) — two min
     // aggregates keyed on user_id sharing one exchange, then an exact
@@ -928,6 +957,29 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q180_revenue_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |th AS (SELECT quantile_cont(revenue,
+        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t FROM rev),
+        |tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(24,8))) AS DOUBLE)
+        |        AS total FROM rev),
+        |b AS (
+        |  SELECT o_custkey, revenue,
+        |    CAST(len(list_filter(t, x -> x < revenue)) + 1 AS BIGINT)
+        |      AS decile
+        |  FROM rev, th)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(revenue AS DECIMAL(24,8))) AS DOUBLE)
+        |    AS decile_revenue,
+        |  ROUND(CAST(SUM(CAST(revenue AS DECIMAL(24,8))) AS DOUBLE)
+        |    / MAX(total), 6) AS share
+        |FROM b, tot GROUP BY 1""".stripMargin,
 
     "q177_time_to_event" ->
       s"""WITH e AS (
