@@ -535,6 +535,51 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // Week-over-week churn: of the users active in week w, how many
+    // never appear in week w+1. Distinct (user, week) collapses
+    // map-side; the churn check is a self anti-pattern expressed as a
+    // LEFT join on (user, week+1) — two exchanges total, no windows.
+    // The last observed week has no successor and is excluded.
+    "q181_churn" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val uw = ev.select(col("user_id"),
+        expr(s"ts_us div ${7L * DAY_US}").as("week")).distinct()
+      val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"),
+        lit(1L).as("__next"))
+      val maxW = uw.agg(max("week").as("max_week"))
+      uw.join(nxt, Seq("user_id", "week"), "left")
+        .crossJoin(broadcast(maxW))
+        .filter(col("week") < col("max_week"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("__next").isNull, 1L).otherwise(0L)).as("n_churned"),
+          round(sum(when(col("__next").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("churn_rate"))
+    }),
+
+    // Inter-arrival burstiness per event type: each user's per-type gap
+    // stream (one user-keyed window exchange), then the coefficient of
+    // variation from EXACT decimal Σgap/Σgap² partials — CV ≈ 1 is
+    // Poisson, > 1 is bursty. The monitoring companion to q165.
+    "q182_burstiness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = ev
+        .withColumn("__gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+      val s1 = sum(col("__gap").cast(DecimalType(38, 0))).cast("double")
+      // square in DECIMAL, not long: a 30-day µs gap squares to ~7e24,
+      // far past Long range
+      val s2 = sum(col("__gap").cast(DecimalType(19, 0)) *
+        col("__gap").cast(DecimalType(19, 0))).cast("double")
+      val n = count(lit(1))
+      gaps.groupBy("event_type")
+        .agg(n.as("n_gaps"),
+          round(s1 / n, 6).as("mean_gap_us"),
+          round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n), 6).as("cv"))
+    }),
+
     // Pareto/Lorenz revenue concentration WITHOUT a global sort: exact
     // decile thresholds come from one percentile aggregate (broadcast
     // scalar), customers bucket map-side against the threshold array,
@@ -957,6 +1002,42 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q181_churn" ->
+      s"""WITH uw AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // ${7L * DAY_US} AS week
+         |  FROM events),
+         |mw AS (SELECT MAX(week) AS max_week FROM uw)
+         |SELECT a.week, COUNT(*) AS n_active,
+         |  CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_churned,
+         |  ROUND(CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*), 6) AS churn_rate
+         |FROM uw a
+         |LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
+         |CROSS JOIN mw
+         |WHERE a.week < mw.max_week
+         |GROUP BY 1""".stripMargin,
+
+    "q182_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    ts_us - LAG(ts_us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS gap
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap::HUGEINT) AS DOUBLE) AS s1,
+        |    CAST(SUM(gap::HUGEINT * gap::HUGEINT) AS DOUBLE) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  ROUND(s1 / n_gaps, 6) AS mean_gap_us,
+        |  ROUND(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1))
+        |    / (s1 / n_gaps), 6) AS cv
+        |FROM a""".stripMargin,
 
     "q180_revenue_pareto" ->
       """WITH rev AS (
