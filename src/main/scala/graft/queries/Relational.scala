@@ -535,6 +535,20 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // Calendar seasonality heatmap: activity by (day-of-week,
+    // hour-of-day) per event_type, all in integer epoch math (epoch day
+    // 0 = Thursday → dow = (day + 4) % 7 with 0 = Sunday) so both
+    // engines derive identical buckets with no timezone/calendar
+    // library in the loop. One map-side-combinable aggregate.
+    "q183_seasonality" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("event_type"),
+          (expr(s"(ts_us div $DAY_US + 4) % 7")).as("dow"),
+          (expr(s"(ts_us div $HOUR_US) % 24")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n"),
+          Det.sumDet(col("value")).as("sum_value"))
+    }),
+
     // Week-over-week churn: of the users active in week w, how many
     // never appear in week w+1. Distinct (user, week) collapses
     // map-side; the churn check is a self anti-pattern expressed as a
@@ -1002,6 +1016,14 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q183_seasonality" ->
+      s"""SELECT event_type,
+         |  (epoch_us(ts) // $DAY_US + 4) % 7 AS dow,
+         |  (epoch_us(ts) // $HOUR_US) % 24 AS hour_of_day,
+         |  COUNT(*) AS n,
+         |  ${Det.sumDetSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "q181_churn" ->
       s"""WITH uw AS (
