@@ -535,6 +535,37 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // Autocorrelation of the hourly event-count series at lags 1..24 —
+    // the seasonality-strength diagnostic (a 24h cycle shows as an ACF
+    // peak at lag 24). The series is the BOUNDED hourly aggregate, never
+    // the raw stream; each lag's Pearson r comes from exact integer
+    // sums (pair products stay far inside Long), with the one float
+    // division/sqrt in a fixed order. Bounded ×24 explode + equi-join on
+    // the lagged hour.
+    "q184_hourly_acf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hc = ev.groupBy(expr(s"ts_us div $HOUR_US").as("h"))
+        .agg(count(lit(1)).as("y"))
+      val lagged = hc.select(col("h").as("h2"), col("y").as("y2"))
+      val pairs = hc
+        .select(col("h"), col("y"),
+          explode(sequence(lit(1), lit(24))).as("k"))
+        .withColumn("k", col("k").cast("long"))
+        .withColumn("h2", col("h") + col("k"))
+        .join(lagged, Seq("h2"))
+      val agg = pairs.groupBy("k").agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sx"), sum(col("y2")).as("sy"),
+        sum(col("y") * col("y2")).as("sxy"),
+        sum(col("y") * col("y")).as("sxx"),
+        sum(col("y2") * col("y2")).as("syy"))
+      agg.select(col("k").as("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("acf"))
+    }),
+
     // Calendar seasonality heatmap: activity by (day-of-week,
     // hour-of-day) per event_type, all in integer epoch math (epoch day
     // 0 = Thursday → dow = (day + 4) % 7 with 0 = Sunday) so both
@@ -1016,6 +1047,27 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q184_hourly_acf" ->
+      s"""WITH hc AS (
+         |  SELECT epoch_us(ts) // $HOUR_US AS h, COUNT(*) AS y
+         |  FROM events GROUP BY 1),
+         |p AS (
+         |  SELECT t.k, a.y AS y1, b.y AS y2
+         |  FROM hc a CROSS JOIN unnest(range(1, 25)) AS t(k)
+         |  JOIN hc b ON b.h = a.h + t.k),
+         |a2 AS (
+         |  SELECT k, COUNT(*) AS n,
+         |    CAST(SUM(y1) AS BIGINT) AS sx, CAST(SUM(y2) AS BIGINT) AS sy,
+         |    CAST(SUM(y1 * y2) AS BIGINT) AS sxy,
+         |    CAST(SUM(y1 * y1) AS BIGINT) AS sxx,
+         |    CAST(SUM(y2 * y2) AS BIGINT) AS syy
+         |  FROM p GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS lag, n,
+         |  ROUND((n * sxy - sx * sy)::DOUBLE /
+         |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+         |    6) AS acf
+         |FROM a2""".stripMargin,
 
     "q183_seasonality" ->
       s"""SELECT event_type,
