@@ -535,6 +535,46 @@ object Relational {
         .select("week", "n_days", "n_users_exact", "zeros", "est_distinct")
     }),
 
+    // New-vs-returning split per day: an event is "new" iff its user's
+    // FIRST-EVER day is that day. One user-keyed min aggregate
+    // broadcast back onto the daily rollup — the standard growth
+    // decomposition.
+    "q185_new_vs_returning" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val withDay = ev.select(col("user_id"),
+        expr(s"ts_us div $DAY_US").as("day"))
+      val firstDay = withDay.groupBy("user_id")
+        .agg(min("day").as("first_day"))
+      withDay.join(firstDay, Seq("user_id"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Star-schema dimension rollup: revenue by (region, nation,
+    // mktsegment) through the customer→nation→region chain — the fact
+    // table shuffles once for the orders join; all three dimension hops
+    // are broadcasts.
+    "q186_star_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+          col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(24, 8))).cast("double").as("revenue"))
+    }),
+
     // Autocorrelation of the hourly event-count series at lags 1..24 —
     // the seasonality-strength diagnostic (a 24h cycle shows as an ACF
     // peak at lag 24). The series is the BOUNDED hourly aggregate, never
@@ -1047,6 +1087,30 @@ object Relational {
          |      / CAST(psum + (64 - n_present)::HUGEINT
          |          * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
          |  FROM agg JOIN ex USING (week))""".stripMargin,
+
+    "q185_new_vs_returning" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // $DAY_US AS day FROM events),
+         |f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1)
+         |SELECT day, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  COUNT(DISTINCT d.user_id) AS n_users
+         |FROM d JOIN f USING (user_id)
+         |GROUP BY 1""".stripMargin,
+
+    "q186_star_revenue" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  c_mktsegment AS mktsegment,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q184_hourly_acf" ->
       s"""WITH hc AS (
