@@ -15,7 +15,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // static conf, default 100: the generated-class LRU is far too small
-      // for a 168-query suite — one window-heavy detector plan alone
+      // for a 180+-query suite — one window-heavy detector plan alone
       // compiles ~145 projections per action, so mid-suite every action
       // recompiles its whole codegen set (~15-30 ms each). This, not JIT
       // pressure, is the measured suite-context distortion mechanism
@@ -49,13 +49,9 @@ object Bench {
     }
     // Scalar-kernel warm-up: one small driver-side solve per kernel family
     // compiles the pure-Scala hot loops (cvxEDA, FFT, IIR, detectors, FSM)
-    // up front so `cold_total` is less compiler-noise-dominated. NOTE: this
-    // does NOT fix suite-context distortion on its own — rounds 9/10
-    // falsified the JIT-pressure hypothesis (q59 reported 11.3x isolated
-    // despite this block + a 512 MB code cache). What fixed the reported
-    // numbers is the median-of-3 warm protocol below: the flagged kernel
-    // queries now report their warm plateau, which matches their isolated
-    // cost (BENCH_r11: q59 0.06 s vs the old 9.89 s suite artifact).
+    // up front so `cold_total` is less compiler-noise-dominated. Suite-
+    // context honesty comes from the codegen-cache sizing above plus the
+    // median-of-3 protocol below, not from this block.
     locally {
       val n = 4096
       val sig = Array.tabulate(n)(i =>
@@ -117,19 +113,37 @@ object Bench {
         System.gc()
         (name, dt, times.head)
       }
-    // The driver keeps only a bounded tail of this process's output, and
-    // the JSON line must fit inside it whole: millisecond precision plus
-    // the short `qNN` key form (the full names are on stderr above) keep
-    // the line ~1.1 kB at 90 queries. 68 queries at full precision and
-    // full names overflowed the tail in round 3.
+    // The driver keeps only the LAST ~2 kB of this process's stdout, and
+    // the JSON line must fit inside that tail WHOLE: round 12's 186-query
+    // line grew to ~2.6 kB and was clipped at the FRONT, leaving
+    // unparseable JSON (BENCH_r12 `parsed: null`) — no field ordering can
+    // save a line that does not fit. So the line carries the suite totals
+    // plus only the TOP_K slowest queries at 2 dp (~0.9 kB at K=60); the
+    // complete per-query map (all queries, 3 dp, warm + cold) goes to
+    // stderr and to `bench_detail.json` in the working directory.
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    def fmt2(v: Double): String =
+      "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def shortName(k: String): String = k.takeWhile(_ != '_')
+    val TopK = 60
+    val qs = results.sortBy(-_._2).take(TopK)
+      .map { case (k, v, _) => "\"" + shortName(k) + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"repeat":$repeat,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v, _) =>
+      "\"" + shortName(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullCold = results.map { case (k, _, c) =>
+      "\"" + shortName(k) + "\":" + fmt(c) }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"sf":"$sfDir","queries":$fullQs,"cold_queries":$fullCold}"""
+    System.err.println("[bench] full detail: " + detail)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }
