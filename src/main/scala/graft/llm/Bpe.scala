@@ -56,9 +56,43 @@ object Bpe {
     * iteration then costs microseconds instead of a Spark job). The
     * distributed loop above the gate is the web-corpus path — same
     * size-gating pattern as Dedup.connectedComponents.LocalCcMaxEdges.
-    * Tie-breaks are identical on both paths: ASCII/UTF-8 word data
-    * compares the same under Spark's binary and Scala's UTF-16 order. */
+    * BOTH paths share one symbol definition (Unicode code points — what
+    * Spark's `substr`/`length` count) and one tie collation (UTF-8 byte
+    * order — what Spark's binary string comparison uses), so the learned
+    * merge list is independent of which side of the gate the vocabulary
+    * lands on, emoji and all supplementary-plane text included. */
   val LocalVocabMaxTypes = 1000000L
+
+  /** Split into Unicode code points — the JVM mirror of the distributed
+    * path's `substr(word, i, 1)` (Spark counts code points, not UTF-16
+    * units), so "a💯b" is 3 symbols on both paths. */
+  private[llm] def codepoints(w: String): Array[String] = {
+    val out = new ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** UTF-8 unsigned-byte order — the JVM mirror of Spark's binary string
+    * comparison, which differs from Scala's UTF-16 `String` order exactly
+    * on supplementary-plane characters (surrogates sort above U+E000 in
+    * UTF-16 but below in UTF-8). */
+  private[llm] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L): Seq[Merge] = {
@@ -69,11 +103,16 @@ object Bpe {
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-    if (wordCounts.count() <= LocalVocabMaxTypes) {
-      val wc = wordCounts.collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+    // ONE corpus scan decides the gate AND feeds the local path: collect
+    // at most LocalVocabMaxTypes+1 rows — a full result means the
+    // vocabulary fits (use it directly), an overflowing one means the
+    // distributed loop runs (which re-aggregates anyway, so nothing is
+    // wasted beyond the probe).
+    val gateRows = wordCounts.limit(LocalVocabMaxTypes.toInt + 1).collect()
+    if (gateRows.length <= LocalVocabMaxTypes) {
+      val wc = gateRows.map(r => (r.getString(0), r.getLong(1)))
       var syms: Array[(Array[String], Long)] =
-        wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
+        wc.map { case (w, c) => (codepoints(w), c) }
       val merges = ArrayBuffer.empty[Merge]
       var done = false
       var rank = 1
@@ -87,8 +126,15 @@ object Bpe {
             i += 1
           }
         }
-        val best = pc.toSeq
-          .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        // Top-1 by (count DESC, l, r) with ties in UTF-8 byte order — the
+        // exact collation of the distributed path's orderBy.
+        val best = pc.reduceOption[((String, String), Long)] {
+          case (a @ ((al, ar), ac), b @ ((bl, br), bc)) =>
+            if (bc > ac) b
+            else if (bc < ac) a
+            else if (utf8Lt(bl, al) || (bl == al && utf8Lt(br, ar))) b
+            else a
+        }
         best match {
           case Some(((l, r), c)) if c >= minCount =>
             merges += Merge(rank.toLong, l, r, c)
@@ -207,7 +253,7 @@ object Bpe {
           val hit = wordCache.get(w)
           if (hit != null) hit
           else {
-            var syms = w.map(_.toString).toArray
+            var syms = codepoints(w)
             ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
             wordCache.put(w, syms)
             syms

@@ -817,8 +817,12 @@ object Dedup {
       lit(1), lit(8)), 16, 10).cast("double") / 4294967296.0
     softDedupWeights(docs, idCol, textCol, shingleN, numHashes, numBands,
       threshold)
+      // `kept` compares the RAW u (the rounded form is only the reported
+      // column): rounding first would drop a singleton whose u rounds up
+      // to exactly 1.0 (u >= 0.9999995), violating the "weight 1.0 always
+      // keeps" contract, and would skew keeps at every weight boundary.
       .withColumn("u", round(u, 6))
-      .withColumn("kept", round(u, 6) < col("weight"))
+      .withColumn("kept", u < col("weight"))
   }
 
   /** Cross-source duplication report — the provenance question behind

@@ -1957,13 +1957,14 @@ object LlmQueries {
          |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
          |    COALESCE(sz.n, 1) AS cluster_size,
          |    ROUND(1.0::DOUBLE / COALESCE(sz.n, 1), 6) AS weight,
-         |    ROUND((('0x' || substr(md5('ws:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-         |      ::BIGINT)::DOUBLE / 4294967296.0, 6) AS u
+         |    (('0x' || substr(md5('ws:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         |      ::BIGINT)::DOUBLE / 4294967296.0 AS u_raw
          |  FROM documents d
          |  LEFT JOIN comp c USING (doc_id)
          |  LEFT JOIN sz ON sz.cluster_id = c.cluster_id)
-         |SELECT doc_id, cluster_id, cluster_size, weight, u,
-         |  (u < weight) AS kept
+         |SELECT doc_id, cluster_id, cluster_size, weight,
+         |  ROUND(u_raw, 6) AS u,
+         |  (u_raw < weight) AS kept
          |FROM ws""".stripMargin,
 
     "q84_rep_spans" -> {
