@@ -197,11 +197,12 @@ object Similarity {
     * cross-joins. Output one row per input: (id, cell, max_sim = highest
     * cosine to any lower-id cell-mate, null when none, kept flag). */
   def semDedup(docs: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nList: Int = 0): DataFrame = {
+      threshold: Double, nList: Int = 0, targetCellSize: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
-    val cents = n.orderBy("id").limit(if (nList > 0) nList else autoNList(n.count()))
+    val cents = n.orderBy("id")
+      .limit(resolveNList(nList, targetCellSize, n.count()))
       .select(col("id").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
     // argmax-cosine cell pick as a map-side-combinable max_by (not a
@@ -248,14 +249,14 @@ object Similarity {
     * `threshold` or no cell-mate). */
   def semDedupIncremental(newDocs: DataFrame, indexDocs: DataFrame,
       idCol: String, embCol: String, threshold: Double,
-      nList: Int = 0): DataFrame = {
+      nList: Int = 0, targetCellSize: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(newDocs.sparkSession)
     def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
     val idx = prep(indexDocs)
     val nw = prep(newDocs)
     val cents = idx.orderBy("id")
-      .limit(if (nList > 0) nList else autoNList(idx.count()))
+      .limit(resolveNList(nList, targetCellSize, idx.count()))
       .select(col("id").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
     def assign(df: DataFrame) = df.crossJoin(broadcast(cents))
@@ -312,13 +313,23 @@ object Similarity {
     * [[Dedup.minhashPairs]]'s hot bands. The salted top-k window then
     * costs one (cell, id) exchange of the candidate rows — that
     * redistribution is the point. Default 1 = the exchange-reusing
-    * unsalted plan. */
+    * unsalted plan.
+    *
+    * Sizing at scale (`targetCellSize`): the ⌈√N⌉ default makes total
+    * in-cell pair WORK Σ|cell|² ≈ N^1.5 (inside tasks, not through a
+    * shuffle) — fine to tens of millions of vectors, a compute wall at
+    * billions. `targetCellSize = C` switches to nList = ⌈N/C⌉
+    * ([[resolveNList]]), pinning expected cell population at C so pair
+    * work is N·C — LINEAR in N at fixed C; recall degrades gracefully as
+    * cells shrink (same trade FAISS makes when nlist grows). Combine
+    * with `saltCells` when the embedding distribution is also skewed. */
   def knnGraph(emb: DataFrame, idCol: String, embCol: String, k: Int,
-      nList: Int = 0, saltCells: Int = 1): DataFrame = {
+      nList: Int = 0, saltCells: Int = 1, targetCellSize: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("n2", VectorOps.normSq(col("emb")))
-    val cents = n.orderBy("id").limit(if (nList > 0) nList else autoNList(n.count()))
+    val cents = n.orderBy("id")
+      .limit(resolveNList(nList, targetCellSize, n.count()))
       .select(col("id").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
     val cells = n.crossJoin(broadcast(cents))
@@ -360,16 +371,22 @@ object Similarity {
     * map-side-combinable aggregates. Output: (id, label, pred_label,
     * n_votes, agree). */
   def knnClassify(emb: DataFrame, idCol: String, embCol: String,
-      labelCol: String, k: Int, nList: Int = 0): DataFrame = {
+      labelCol: String, k: Int, nList: Int = 0,
+      targetCellSize: Int = 0): DataFrame = {
     val labels = emb.select(col(idCol).as("nbr_id"),
       col(labelCol).as("nbr_label"))
-    val votes = knnGraph(emb, idCol, embCol, k, nList)
+    val votes = knnGraph(emb, idCol, embCol, k, nList,
+      targetCellSize = targetCellSize)
       .join(labels, Seq("nbr_id"))
       .groupBy(col(idCol), col("nbr_label"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
+      // min_by over (-count, label): highest vote count, ties to the
+      // LOWEST label in its natural order. Negating the count (always
+      // numeric) instead of the label keeps labelCol type-agnostic —
+      // string labels order lexicographically, no analysis-time cast.
       .agg(
-        max_by(col("nbr_label"), struct(col("__c"), -col("nbr_label")))
+        min_by(col("nbr_label"), struct(-col("__c"), col("nbr_label")))
           .as("pred_label"),
         max(col("__c")).as("n_votes"))
     emb.select(col(idCol), col(labelCol).as("label"))
@@ -493,6 +510,20 @@ object Similarity {
     * exactly what an offline index build would do. */
   def autoNList(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Quantizer sizing with the LINEAR-scale escape hatch. Precedence:
+    * an explicit `nList` wins; else `targetCellSize > 0` pins the
+    * EXPECTED cell population at that constant — nList = ⌈N/C⌉, so the
+    * in-cell pair work Σ|cell|² ≈ (N/C)·C² = N·C grows LINEARLY in N
+    * (the √N default's Σ|cell|² ≈ N^1.5 is fine to tens of millions of
+    * vectors, but at 100 TB the graph/dedup builds need the fixed-C
+    * sizing — C a few thousand is the FAISS-practice range); else the
+    * √N rule. `count` is only evaluated when a rule needs it. */
+  def resolveNList(nList: Int, targetCellSize: Int, count: => Long): Int =
+    if (nList > 0) nList
+    else if (targetCellSize > 0)
+      math.max(1, math.ceil(count.toDouble / targetCellSize).toInt)
+    else autoNList(count)
 
   /** Product quantization (Jegou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search") — the billion-vector ANN memory layout:
