@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   * DataFrame; with a small fixed iteration count the lineage stays shallow
   * (the distributed connected-components loop in [[graft.llm.Dedup]] is the
   * template for unbounded iteration). Dangling nodes (no out-edges) leak
-  * their mass — the standard simplification; nodes with no IN-edges are kept
-  * at the teleport floor via the left join against the node table. */
+  * their mass by default — the standard simplification; pass
+  * `redistributeDangling = true` for the textbook correction (each round the
+  * dangling nodes' summed rank is split evenly across all nodes before
+  * damping — Page et al. 1999 §2.1's rank-sink fix). Nodes with no IN-edges
+  * are kept at the teleport floor via the left join against the node
+  * table. */
 object PageRank {
 
   /** Rank scale: 1.0 == 1e12 units. */
@@ -42,7 +46,8 @@ object PageRank {
   /** `edges`: (src: long, dst: long) — pre-deduplicated directed edges.
     * Returns (node, rank_scaled) for every node appearing as src or dst.
     * `iters` fixed iterations of r ← 0.15/N + 0.85·Σ_{u→v} r_u/deg(u). */
-  def run(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def run(edges: DataFrame, iters: Int = 5,
+          redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
     // Pin the loop-invariant tables once (every PageRank implementation
     // persists its edge list) and TRUNCATE THE RANK LINEAGE each round —
@@ -66,6 +71,13 @@ object PageRank {
     val base = SCALE / n
     val small = n <= BroadcastMaxNodes
     def gated(df: DataFrame) = if (small) broadcast(df) else df
+    // Loop-invariant dangling-node set (no out-edges), pinned once. Its
+    // per-round summed rank is ONE scalar — carried into the update as a
+    // broadcast 1-row cross join, never a driver sync, so each iteration
+    // stays a single pipelined job.
+    val dangling = if (!redistributeDangling) null
+      else nodes.join(e0.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").localCheckpoint()
     var ranks = nodes.select(col("node"), lit(base).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = e
@@ -73,11 +85,20 @@ object PageRank {
         .select(col("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
-        .join(gated(contrib), Seq("node"), "left")
+      // Per-node share of the dangling mass, floor-divided in the same
+      // scaled-integer arithmetic as the contributions (exact cross-engine).
+      val inMassSql =
+        if (!redistributeDangling) "coalesce(in_mass, 0L)"
+        else s"coalesce(in_mass, 0L) + dmass div ${n}L"
+      val withMass = nodes.join(gated(contrib), Seq("node"), "left")
+      val updated =
+        if (!redistributeDangling) withMass
+        else withMass.crossJoin(broadcast(
+          ranks.join(gated(dangling), Seq("node"))
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))))
+      ranks = updated
         .select(col("node"),
-          expr(s"(15 * ${base}L + 85 * coalesce(in_mass, 0L)) div 100")
-            .as("pr"))
+          expr(s"(15 * ${base}L + 85 * ($inMassSql)) div 100").as("pr"))
         // LAZY truncation: still pins each round's (node, pr) rows on
         // first use so no round is ever recomputed and the lineage stays
         // flat, but without scheduling an eager materialization job per

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{Det, Tables}
-import graft.ops.AsofJoin
+import graft.ops.{AsofJoin, Quantiles}
 
 /** Relational operator suite over the driver tables — each entry implements
   * one declared query class from SURVEY §5.2 / BASELINE.md and has a
@@ -147,12 +147,16 @@ object Relational {
 
     // A9: exact percentiles / IQR / quartile deviation (reference
     // pipeline/SQA.py:1738-1749).
+    // Threshold percentiles route through ops.Quantiles: exact (the
+    // oracle's quantile_cont) by default; spark.graft.percentile.mode=
+    // approx swaps in the bounded-memory sketch for 100 TB group
+    // cardinalities (memory bound pinned in Quantiles' scaladoc).
     "q11_percentiles" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       ev.groupBy("event_type")
         .agg(
-          round(percentile(col("value"), lit(0.25)), 4).as("q1"),
-          round(percentile(col("value"), lit(0.75)), 4).as("q3"))
+          round(Quantiles.pct(s, col("value"), 0.25), 4).as("q1"),
+          round(Quantiles.pct(s, col("value"), 0.75), 4).as("q3"))
         .withColumn("iqr", round(col("q3") - col("q1"), 4))
         .withColumn("qd", round((col("q3") - col("q1")) / 2.0, 4))
     }),
@@ -220,11 +224,11 @@ object Relational {
     "q126_mad_outliers" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val med = ev.groupBy("event_type")
-        .agg(percentile(col("value"), lit(0.5)).as("__med"))
+        .agg(Quantiles.pct(s, col("value"), 0.5).as("__med"))
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("__absdev", abs(col("value") - col("__med")))
       val mad = dev.groupBy("event_type")
-        .agg(percentile(col("__absdev"), lit(0.5)).as("__mad"))
+        .agg(Quantiles.pct(s, col("__absdev"), 0.5).as("__mad"))
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -351,6 +355,29 @@ object Relational {
           col("rank_scaled"))
     }),
 
+    // Dangling-mass-corrected PageRank (Page et al. 1999 §2.1's rank-sink
+    // fix) on the DIRECTED customer→supplier order graph: suppliers have
+    // no out-edges, so without the correction ~half the graph's rank mass
+    // leaks every round. Each iteration folds the dangling nodes' summed
+    // rank back in as an even per-node share — carried as a broadcast
+    // 1-row cross join in [[graft.ops.PageRank]], never a driver sync.
+    "q187_pagerank_dangling" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      graft.ops.PageRank.run(edges, iters = 5, redistributeDangling = true)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("rank_scaled"))
+    }),
+
     // A/B experiment readout: users hash-split 50/50 (same md5-bucket
     // family as q144's holdout), then per event_type the two arms'
     // counts, means, and the Welch t statistic. One pass over the
@@ -378,11 +405,16 @@ object Relational {
         (col("n_A") - 1)
       val varB = (col("s2B") - col("s1B") * col("s1B") / col("n_B")) /
         (col("n_B") - 1)
+      // Welch guarded to n>1 on BOTH arms: a 1-event arm's variance term
+      // divides by zero, where Spark (non-ANSI NULL) and DuckDB (IEEE
+      // inf/nan) disagree — the guard makes the degenerate case an
+      // explicit NULL on both engines.
       j.select(col("event_type"), col("n_A"), col("n_B"),
         round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
         round(meanB - meanA, 6).as("uplift"),
-        round((meanB - meanA) /
-          sqrt(varA / col("n_A") + varB / col("n_B")), 6).as("welch_t"))
+        when(col("n_A") > 1 && col("n_B") > 1,
+          round((meanB - meanA) /
+            sqrt(varA / col("n_A") + varB / col("n_B")), 6)).as("welch_t"))
     }),
 
     // Slowly-changing-state enrichment: every view/click event carries
@@ -678,9 +710,8 @@ object Relational {
         .groupBy("o_custkey")
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(24, 8))).cast("double").as("revenue"))
-      val th = rev.agg(expr(
-        "percentile(revenue, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-        .as("t"))
+      val th = rev.agg(Quantiles.pcts(s, col("revenue"),
+        (1 to 9).map(_ / 10.0)).as("t"))
       val tot = rev.agg(sum(col("revenue").cast(DecimalType(24, 8)))
         .cast("double").as("total"))
       rev.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
@@ -710,7 +741,7 @@ object Relational {
         .withColumn("lag_us", col("tp") - col("t0"))
         .groupBy("cohort_week")
         .agg(count(lit(1)).as("n_converted"),
-          percentile(col("lag_us"), lit(0.5)).as("median_lag_us"),
+          Quantiles.pct(s, col("lag_us"), 0.5).as("median_lag_us"),
           min("lag_us").as("min_lag_us"), max("lag_us").as("max_lag_us"))
     }),
 
@@ -955,30 +986,42 @@ object Relational {
 
     "q153_pagerank" -> pagerankSql,
 
+    "q187_pagerank_dangling" -> pagerankDanglingSql,
+
+    // Conditional aggregation, NOT an A×B self-join: the join form drops
+    // any event_type with an empty arm, where the Spark body emits the
+    // row with n=0 / NULL stats; the welch guard mirrors the Spark
+    // body's n>1 condition (1-event arms divide by zero, where the
+    // engines' semantics differ).
     "q156_ab_metrics" ->
       """WITH v AS (
         |  SELECT event_type, value,
-        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
-        |      % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 = 0 AS is_a
         |  FROM events),
         |a AS (
-        |  SELECT event_type, variant, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS s2
-        |  FROM v GROUP BY 1, 2),
-        |j AS (
-        |  SELECT aa.event_type, aa.n AS n_A, bb.n AS n_B,
-        |    aa.s1 AS s1A, aa.s2 AS s2A, bb.s1 AS s1B, bb.s2 AS s2B
-        |  FROM a aa JOIN a bb ON aa.event_type = bb.event_type
-        |  WHERE aa.variant = 'A' AND bb.variant = 'B')
+        |  SELECT event_type,
+        |    COUNT(CASE WHEN is_a THEN 1 END) AS n_A,
+        |    COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_B,
+        |    CAST(SUM(CASE WHEN is_a THEN CAST(value AS DECIMAL(24,4)) END)
+        |      AS DOUBLE) AS s1A,
+        |    CAST(SUM(CASE WHEN is_a THEN CAST(value * value AS DECIMAL(38,8)) END)
+        |      AS DOUBLE) AS s2A,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN CAST(value AS DECIMAL(24,4)) END)
+        |      AS DOUBLE) AS s1B,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN CAST(value * value AS DECIMAL(38,8)) END)
+        |      AS DOUBLE) AS s2B
+        |  FROM v GROUP BY 1)
         |SELECT event_type, n_A, n_B,
         |  ROUND(s1A / n_A, 6) + 0.0 AS mean_a,
         |  ROUND(s1B / n_B, 6) + 0.0 AS mean_b,
         |  ROUND(s1B / n_B - s1A / n_A, 6) + 0.0 AS uplift,
-        |  ROUND((s1B / n_B - s1A / n_A) / sqrt(
-        |    ((s2A - s1A * s1A / n_A) / (n_A - 1)) / n_A +
-        |    ((s2B - s1B * s1B / n_B) / (n_B - 1)) / n_B), 6) + 0.0 AS welch_t
-        |FROM j""".stripMargin,
+        |  CASE WHEN n_A > 1 AND n_B > 1 THEN
+        |    ROUND((s1B / n_B - s1A / n_A) / sqrt(
+        |      ((s2A - s1A * s1A / n_A) / (n_A - 1)) / n_A +
+        |      ((s2B - s1B * s1B / n_B) / (n_B - 1)) / n_B), 6) + 0.0
+        |  END AS welch_t
+        |FROM a""".stripMargin,
 
     "q157_scd2_asof" ->
       """WITH e AS (
@@ -1279,6 +1322,43 @@ object Relational {
        |          UNION SELECT dst AS node FROM edges),
        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
        |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT $S // n FROM n) AS pr FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  pr AS rank_scaled
+       |FROM r5""".stripMargin
+  }
+
+  /** q187's oracle: the dangling-redistribution variant unrolled the same
+    * way — per round the scalar subquery over `r(k-1) ⋈ dang` is the
+    * dangling mass, floor-shared across all n nodes BEFORE damping,
+    * mirroring [[graft.ops.PageRank]]'s broadcast 1-row cross join.
+    * All sums cast back to BIGINT (DuckDB widens to HUGEINT). */
+  private lazy val pagerankDanglingSql: String = {
+    val S = graft.ops.PageRank.SCALE
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT n0.node,
+         |    (15 * (SELECT $S // n FROM n) + 85 * (COALESCE(m.in_mass, 0)
+         |      + (SELECT CAST(COALESCE(SUM(r.pr), 0) AS BIGINT)
+         |         FROM r${k - 1} r JOIN dang USING (node)) // (SELECT n FROM n)
+         |    )) // 100 AS pr
+         |  FROM nodes n0 LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS in_mass
+         |    FROM r${k - 1} r JOIN deg d USING (node)
+         |    JOIN edges e ON e.src = r.node
+         |    GROUP BY 1) m USING (node))""".stripMargin
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM cs),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |dang AS (SELECT node FROM nodes
+       |         WHERE node NOT IN (SELECT src FROM edges)),
        |r0 AS (SELECT node, (SELECT $S // n FROM n) AS pr FROM nodes),
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT node,
