@@ -20,7 +20,10 @@ object AqeAudit {
       "q137_canonical_docs", "q138_cross_source", "q140_ivfpq_persist",
       // round-13 additions with non-trivial join graphs
       "q154_knn_graph", "q155_soft_dedup", "q164_lsh_audit",
-      "q159_knn_classify", "q166_bpe_encode", "q168_hll_merge")
+      "q159_knn_classify", "q166_bpe_encode", "q168_hll_merge",
+      // round-13 verdict #6: the broadcast-threshold Pareto rollup, the
+      // 5-table star join, and the dangling-mass PageRank loop
+      "q180_revenue_pareto", "q186_star_revenue", "q187_pagerank_dangling")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
