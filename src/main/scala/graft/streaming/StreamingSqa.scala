@@ -238,6 +238,102 @@ object StreamingSqa {
       }
   }
 
+  private val DAY_MS = 86400000L
+  private val WEEK_MS = 7L * DAY_MS
+
+  /** Streaming new-vs-returning classification — the stateful twin of the
+    * q185 growth decomposition. State per user is ONE long (the first-seen
+    * event-time day), carried across micro-batches under `NoTimeout`
+    * (evicting would reclassify a returning user as new — the batch
+    * semantics have no retention horizon, and the state table is bounded
+    * by user cardinality at ~tens of bytes each). Emits one row per event
+    * `(user_id, day, is_new)`; the daily rollup (n_events / n_new /
+    * n_users) happens on read over the emitted rows — the same
+    * aggregate-on-read split as [[trendingCounts]]'s top-k. Exact batch
+    * parity under the per-user nondecreasing-day feed contract (rows
+    * inside a batch are day-sorted first); a LATE earlier day still
+    * classifies itself correctly against the updated minimum, but append
+    * mode cannot retract rows the stale first-day already classified —
+    * the same append-ordered contract as [[streamingIbis]]. */
+  def streamingNewVsReturning(events: DataFrame)
+      : Dataset[(Long, Long, Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          val days = it.map(t => Math.floorDiv(t._2.getTime, DAY_MS))
+            .toArray.sorted
+          var first = if (state.exists) state.get else Long.MaxValue
+          val out = days.map { d =>
+            if (d < first) first = d
+            (uid, d, d == first)
+          }
+          if (first != Long.MaxValue) state.update(first)
+          out.iterator
+      }
+  }
+
+  /** Streaming week-over-week churn — the watermark-finalized twin of the
+    * batch q181. State per user is the last distinct active week; a row
+    * `(user_id, week, churned)` is emitted for week w exactly when w's
+    * verdict is FINAL, through either of two paths: (a) the user's next
+    * event lands in week w' > w (retained iff w' = w+1), or (b) the
+    * event-time timeout fires once the watermark passes the END of week
+    * w+1 with no such event — absence-of-activity made definite by the
+    * watermark, which is precisely what a batch job reads off the closed
+    * table. A user returning after a timeout starts a fresh chain (its
+    * churned-at-w verdict was already correct — later activity cannot
+    * un-churn week w). The weekly rollup (n_active / n_churned / rate)
+    * aggregates the emitted rows on read. Weeks still inside the
+    * watermark horizon stay pending — the streaming form of the batch
+    * query's last-week exclusion. */
+  def streamingChurn(events: DataFrame, watermark: String = "1 hour")
+      : Dataset[(Long, Long, Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the end of week last+1 with no activity
+            val w = state.get
+            state.remove()
+            Iterator.single((uid, w, true))
+          } else {
+            val weeks = it.map(t => Math.floorDiv(t._2.getTime, WEEK_MS))
+              .toArray.sorted.distinct
+            val out = Array.newBuilder[(Long, Long, Boolean)]
+            var last = if (state.exists) state.get else Long.MinValue
+            weeks.foreach { w =>
+              if (w > last) {
+                if (last != Long.MinValue) out += ((uid, last, w > last + 1))
+                last = w
+              } // same or late week: no transition
+            }
+            if (last != Long.MinValue) {
+              state.update(last)
+              // fire once the watermark passes the end of week last+1;
+              // guard: Spark rejects timeouts at or before the watermark
+              state.setTimeoutTimestamp(math.max((last + 2) * WEEK_MS,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup (the streaming analog of
     * [[graft.llm.Dedup.exactGroups]]): keep the FIRST occurrence of each
     * content hash from an unbounded document feed. State is keyed by the

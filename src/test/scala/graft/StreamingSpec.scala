@@ -485,4 +485,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("temp_stream").count() == tempBatch.count())
     assert(spark.table("temp_stream").exceptAll(tempBatch).count() == 0)
   }
+
+  test("streaming new-vs-returning matches the q185 daily decomposition") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_nvr_stream").toString
+    def df(rows: Seq[(Long, String)]) = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1)
+    // b1: u1 twice on day 0, u3 on day 0.
+    // b2 (cross-batch state): u1 returns day 0 then day 1 (day-0 event
+    // still new — state carries), u2 first appears day 1, u3 skips to
+    // day 2.
+    df(Seq((1L, "2026-01-01 01:00:00"), (1L, "2026-01-01 02:00:00"),
+      (3L, "2026-01-01 03:00:00"))).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100) // distinct mtimes: the file source orders by them
+    df(Seq((1L, "2026-01-01 04:00:00"), (1L, "2026-01-02 01:00:00"),
+      (2L, "2026-01-02 02:00:00"), (3L, "2026-01-03 01:00:00")))
+      .write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingNewVsReturning(stream)
+      .toDF("user_id", "day", "is_new")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nvr_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    // the q185 rollup on read over the emitted rows…
+    val got = spark.table("nvr_stream").groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // …must equal the batch q185 body over the union of the batches
+    val all = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val firstDay = all.groupBy("user_id").agg(min("day").as("first_day"))
+    val batch = all.join(firstDay, Seq("user_id")).groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // day since 2026-01-01 = 20454; spot-pin one cell against the math:
+    // day 0 carries u1's three events + u3's one, all new
+    assert(got.contains((20454L, 4L, 4L, 2L)), s"got $got")
+    assert(got == batch)
+  }
+
+  test("streaming churn finalizes weeks by watermark and matches batch q181") {
+    import spark.implicits._
+    val WEEK = 7L * 86400000L
+    val tmp = Files.createTempDirectory("graft_churn_stream").toString
+    def df(rows: Seq[(Long, String)]) = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1)
+    // epoch day of 2026-01-01 is 20454 = 2922·7 exactly, so epoch-week
+    // W0 = 2922 spans 2026-01-01..01-07; week k below = W0 + k.
+    // u1 active weeks 0,1,2 → retained 0→1, 1→2.
+    // u2 active weeks 0,2   → churned at 0 (week-1 gap).
+    // u3 active week 0 only → churned at 0, finalized by TIMEOUT.
+    df(Seq((1L, "2026-01-01 10:00:00"), (2L, "2026-01-02 10:00:00"),
+      (3L, "2026-01-03 10:00:00"))).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    df(Seq((1L, "2026-01-08 10:00:00"), (1L, "2026-01-15 10:00:00"),
+      (2L, "2026-01-16 10:00:00"))).write.parquet(s"$tmp/b2")
+    Thread.sleep(1100)
+    // sentinel batches: the week-4 event (2026-01-29) pushes the
+    // watermark past the end of week 3, due-dating the pending week-2
+    // (u1, u2) states; two sentinel batches because timeouts fire in a
+    // trigger AFTER the one that advances the watermark
+    df(Seq((99L, "2026-01-29 10:00:00"))).write.parquet(s"$tmp/b3")
+    Thread.sleep(1100)
+    df(Seq((99L, "2026-02-05 10:00:00"))).write.parquet(s"$tmp/b4")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingChurn(stream, watermark = "1 minute")
+      .toDF("user_id", "week", "churned")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("churn_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val W0 = 2922L
+    // weekly rollup on read, sentinel excluded, finalized weeks 0..2
+    val got = spark.table("churn_stream")
+      .filter(col("user_id") =!= 99L && col("week") < W0 + 3)
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+      .collect().map(r => (r.getLong(0) - W0, r.getLong(1), r.getLong(2)))
+      .toSet
+    // batch q181 body over the union (sentinel rows included — they only
+    // shape max_week), restricted to the same finalized weeks
+    val uw = spark.read.parquet(s"$tmp/b1", s"$tmp/b2", s"$tmp/b3", s"$tmp/b4")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${7L * 86400000000L}").as("week"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"),
+      lit(1L).as("__next"))
+    val maxW = uw.agg(max("week").as("max_week"))
+    val batch = uw.join(nxt, Seq("user_id", "week"), "left")
+      .crossJoin(broadcast(maxW))
+      .filter(col("week") < col("max_week"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__next").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .filter(col("week") < W0 + 3 && col("week") >= W0)
+      .collect().map(r => (r.getLong(0) - W0, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((0L, 3L, 2L), (1L, 1L, 0L), (2L, 2L, 2L)), s"got $got")
+    assert(got == batch)
+  }
 }
