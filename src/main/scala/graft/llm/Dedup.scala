@@ -883,6 +883,48 @@ object Dedup {
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Blocked edit-distance pairs — the record-linkage primitive (classic
+    * blocking + Levenshtein verification, Fellegi–Sunter style): documents
+    * sharing a block key (a coarse attribute × the text's first
+    * `blockPrefix` chars — the standard blocking-key construction) pair
+    * a<b and verify by edit distance over the first `cmpPrefix` chars.
+    * Catches the near-identical-prefix duplicates (boilerplate headers,
+    * re-crawled pages with edited tails, versioned titles) that
+    * shingle-set methods under-score because a one-char edit shifts every
+    * overlapping shingle.
+    *
+    * Scale shape: one equi-join on the block key — quadratic ONLY within
+    * a block, like [[ngramJaccardPairs]], with the hot-block guard
+    * `maxBlock` dropping degenerate keys (mass-duplicated boilerplate)
+    * the same way the minhash path drops hot bands; `levenshtein` is a
+    * codegen'd built-in on BOTH engines, and its O(cmpPrefix²) cost per
+    * candidate is capped by the prefix bound. Output: (block, id_a,
+    * id_b, dist, sim = 1 - dist/max prefix length). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, blockPrefix: Int = 10, cmpPrefix: Int = 40,
+      maxDist: Int = 15, maxBlock: Int = 1000): DataFrame = {
+    // one projection pinned for its three consumers (two join sides + the
+    // block-size guard), the ngramJaccardPairs materialization argument
+    val keyed = docs.select(
+      concat_ws("\u0001", col(blockCol),
+        substring(col(textCol), 1, blockPrefix)).as("block"),
+      col(idCol).as("id"), substring(col(textCol), 1, cmpPrefix).as("t"))
+      .localCheckpoint()
+    val okBlocks = keyed.groupBy("block").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBlock)
+      .select("block")
+    val in = keyed.join(okBlocks, Seq("block"))
+    in.select(col("block"), col("id").as("id_a"), col("t").as("t_a"))
+      .join(in.select(col("block"), col("id").as("id_b"), col("t").as("t_b")),
+        Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("block"), col("id_a"), col("id_b"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))), 6).as("sim"))
+  }
+
   /** Repeated-span detection — the bounded-window approximation of exact
     * substring deduplication (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better"): every k-token rolling window is

@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-matrix operators beyond similarity search: storage
+  * quantization and spectral diagnostics. Everything here follows the
+  * engine's cross-engine determinism discipline — no `round()` on
+  * unbounded doubles, no transcendental functions, no order-dependent
+  * double sums. Two building blocks make that possible:
+  *
+  *  - **floor-quantization** `floor(x · 2^s + 0.5)`: multiply by a power
+  *    of two (EXACT on a float32-valued double), add 0.5, floor — three
+  *    IEEE operations with identical results on any engine, unlike
+  *    `CAST(double AS BIGINT)` (Spark truncates, DuckDB rounds) or
+  *    decimal casts (engine-specific rounding modes).
+  *  - **fixed-order folds**: any reduction whose order matters runs
+  *    left-to-right, index-ascending, with the first element as the
+  *    accumulator seed — the exact semantics of DuckDB's `list_reduce`,
+  *    mirrored by the driver-side loops here and by
+  *    [[graft.functions.DotProductF]].
+  */
+object EmbeddingOps {
+
+  /** Per-coordinate fixed-point scale for covariance accumulation: 2^24
+    * units. Embedding coordinates are O(1), so the scaled magnitudes are
+    * ≤ ~2^27; a pairwise product is ≤ ~2^54 (exact in Long) and the
+    * corpus sum runs in DECIMAL(38,0) (exact to 10^38 — a quadrillion
+    * rows of headroom). */
+  val Q = 1 << 24
+
+  /** INT8 affine (min/max) quantization audit — the storage layout
+    * question every billion-vector corpus answers before writing its
+    * index (FAISS SQ8 / ONNX uint8 affine convention): per dimension,
+    * the [min, max] range maps linearly onto code points 0..255, and the
+    * audit reports the range, the scale, and the worst/mean absolute
+    * dequantization error.
+    *
+    * Scale shape: one posexplode + (pos)-keyed aggregate for the ranges
+    * (map-side partials, 64·partitions shuffle rows), one broadcast of
+    * the 64-row range table back onto a second pass for the error stats.
+    * Error determinism: |x - dq| is floor-quantized to 1e-9 BEFORE
+    * summing, so the mean is an exact integer sum divided once — no
+    * order-dependent double accumulation. Output per dimension:
+    * (pos, mn, mx, scale, n_clipped_lo/hi are structurally 0 for min/max
+    * ranges and omitted, max_abs_err, mean_abs_err). */
+  def int8QuantAudit(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val coords = emb.select(col(idCol).as("id"),
+      posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+    val ranges = coords.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+    coords.join(broadcast(ranges), Seq("pos"))
+      .withColumn("code",
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          floor((col("x") - col("mn")) / col("scale") + 0.5).cast("long")))
+      .withColumn("dq", col("mn") + col("code").cast("double") * col("scale"))
+      .withColumn("err", abs(col("x") - col("dq")))
+      // exact-integer error accumulation: floor-quantize to 1e-9
+      .withColumn("err_q", floor(col("err") * 1e9 + 0.5).cast("long"))
+      .groupBy("pos")
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        min(col("scale")).as("scale"),
+        max(col("err")).as("max_abs_err"),
+        (sum(col("err_q")).cast("double") / count(lit(1)) / 1e9)
+          .as("mean_abs_err"))
+  }
+
+  /** Distributed covariance Gramian in exact fixed-point arithmetic:
+    * every coordinate floor-quantizes to [[Q]] units, and the (i, j)
+    * cell is n·Σsᵢsⱼ − Σsᵢ·Σsⱼ over exact integer sums, divided ONCE in
+    * double by n·(n−1)·Q² — the computational covariance formula with
+    * zero order-dependence (integer adds commute) and one deterministic
+    * IEEE division per cell.
+    *
+    * Scale shape: the per-row dim² fan-out collapses under partial
+    * aggregation to dim² rows per partition before the exchange — the
+    * standard Gram-matrix reduction (X^T X via map-side outer-product
+    * partials); the moment tables are dim²- and dim-sized. */
+  def covarianceCells(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val s = emb.select(
+      transform(col(embCol).cast("array<double>"),
+        x => floor(x * Q + 0.5).cast("long")).as("s"))
+    val si = s.select(col("s"), posexplode(col("s")).as(Seq("i", "si")))
+    val pairs = si.select(col("i"), col("si"),
+      posexplode(col("s")).as(Seq("j", "sj")))
+    val ss = pairs.groupBy("i", "j")
+      .agg(sum((col("si") * col("sj")).cast(DecimalType(38, 0))).as("ss"),
+        count(lit(1)).as("n"))
+    val sums = si.groupBy(col("i").as("k"))
+      .agg(sum(col("si")).cast(DecimalType(38, 0)).as("sk"))
+    ss
+      .join(broadcast(sums.select(col("k").as("i"), col("sk").as("s_i"))), Seq("i"))
+      .join(broadcast(sums.select(col("k").as("j"), col("sk").as("s_j"))), Seq("j"))
+      .select(col("i"), col("j"),
+        // big-integer -> double via a STRING round-trip: decimal-string
+        // parsing is correctly rounded by spec on both engines
+        // (Double.parseDouble / strtod), where the engines' direct
+        // decimal->double conversions disagreed by 1 ulp on >2^53 values
+        ((col("n") * col("ss") - col("s_i") * col("s_j"))
+          .cast("string").cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double") *
+            (Q.toDouble * Q.toDouble))).as("cov"))
+  }
+
+  /** Top principal component by fixed-count power iteration over the
+    * [[covarianceCells]] Gramian — the spectral corpus diagnostic
+    * (effective dimensionality, dominant-direction loading, the
+    * "embedding collapse" early-warning an anisotropy audit reads off
+    * the top eigenpair; Mu & Viswanath 2018 "All-but-the-Top" is the
+    * canonical use).
+    *
+    * The corpus-sized work is the one Gramian pass; the iteration runs
+    * on the collected dim² cell table (64×64 = 32 KB here — bounded
+    * driver state, the k-means-centroid legitimacy argument). Every
+    * float step is order-pinned: mat-vec rows fold index-ascending with
+    * first-element seed, the L∞ norm folds the same way, `iters`
+    * normalized multiplies from the all-ones start vector — so the
+    * DuckDB oracle's `list_reduce` CTE chain reproduces the doubles
+    * bit-for-bit. Output: one row per dimension (pos, loading = the
+    * L∞-normalized eigenvector entry, eigenvalue = the final iterate's
+    * L∞ norm, explained_frac = eigenvalue / trace). */
+  def topPrincipalComponent(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, iters: Int = 9): DataFrame = {
+    require(iters >= 1 && iters <= 50)
+    val spark = emb.sparkSession
+    val cells = covarianceCells(emb, idCol, embCol).collect()
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // fixed-order fold, first element as seed (list_reduce semantics)
+    def foldSum(xs: Array[Double]): Double = {
+      var acc = xs(0); var k = 1
+      while (k < xs.length) { acc += xs(k); k += 1 }; acc
+    }
+    def foldMax(xs: Array[Double]): Double = {
+      var acc = xs(0); var k = 1
+      while (k < xs.length) { acc = math.max(acc, xs(k)); k += 1 }; acc
+    }
+    var v = Array.fill(dim)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        foldSum(Array.tabulate(dim)(j => c(i)(j) * v(j))))
+      lambda = foldMax(w.map(math.abs))
+      v = w.map(_ / lambda)
+    }
+    val trace = foldSum(Array.tabulate(dim)(i => c(i)(i)))
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] = (0 until dim).map(i =>
+      Row(i, v(i), lambda, lambda / trace)).asJava
+    spark.createDataFrame(rows,
+      StructType(Seq(StructField("pos", IntegerType, nullable = false),
+        StructField("loading", DoubleType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("explained_frac", DoubleType, nullable = false))))
+  }
+}

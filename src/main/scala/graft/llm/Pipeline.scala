@@ -254,6 +254,42 @@ object Pipeline {
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_permille"))
   }
 
+  /** Weight-sensitive fixed-size sampling per stratum — PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup 2007, "Priority sampling for estimation of
+    * arbitrary subset sums"): each item draws a deterministic salted-md5
+    * uniform u ∈ (0,1] and gets priority q = u / w; the k SMALLEST
+    * priorities per stratum are the sample, so a document's inclusion
+    * probability is ∝ its weight (here: a size/quality column), with
+    * Horvitz-Thompson-style weights recoverable from the threshold. The
+    * published E-S reservoir variant ranks by u^(1/w) — an equivalent
+    * order reached through `pow`/`log`, which are NOT bit-identical
+    * across libm implementations; priority sampling's single IEEE
+    * division is, which is why it is the engine's cross-engine form.
+    *
+    * Scale shape: one map pass for priorities, then per-stratum top-k via
+    * a rank window — Spark's WindowGroupLimit pushes the k-filter
+    * map-side, so the exchange carries ≤ k rows per partition per
+    * stratum, never the corpus. Zero RNG state: any engine recomputes
+    * the same sample from the ids alone. Output: (stratum, id, weight,
+    * priority, rnk 1..k). */
+  def prioritySample(docs: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int, salt: String = "ps1"): DataFrame = {
+    // u in (0,1]: (h+1) / 2^32 over the first-8-hex md5 int — never 0,
+    // so q = u/w stays finite for any positive weight
+    val u = (conv(substr(md5(concat(lit(salt), col(idCol).cast("string"))),
+      lit(1), lit(8)), 16, 10).cast("double") + 1.0) / 4294967296.0
+    docs
+      .withColumn("weight", col(weightCol).cast("double"))
+      .filter(col("weight") > 0)
+      .withColumn("priority", u / col("weight"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(stratumCol)
+          .orderBy(col("priority"), col(idCol))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(stratumCol), col(idCol), col("weight"),
+        col("priority"), col("rnk"))
+  }
+
   /** Deterministic per-epoch shuffle order: every (epoch, document) gets
     * a salt-keyed md5 rank, documents land in hash shards, and the
     * position within (epoch, shard) is the training read order — the

@@ -604,7 +604,40 @@ object LlmQueries {
       graft.llm.Bpe.encode(docs, "doc_id", "text",
         graft.llm.Bpe.learnMerges(docs, "text", numMerges = 8)
           .map(m => (m.left, m.right)))
-    })
+    }),
+
+    // Weight-sensitive fixed-size sampling per source (Duffield-Lund-
+    // Thorup priority sampling): inclusion probability ∝ n_chars, one
+    // map pass + a WindowGroupLimit-pruned per-stratum top-k. The
+    // cross-engine-safe cousin of E-S reservoir sampling (single IEEE
+    // division, no pow/log).
+    "q188_priority_sample" -> ((s, dir) =>
+      Pipeline.prioritySample(Tables.documents(s, dir), "doc_id", "source",
+        "n_chars", k = 20)),
+
+    // Record-linkage pairs: (lang × 10-char prefix) blocking, Levenshtein
+    // verification over 40-char prefixes — catches the near-identical-
+    // prefix duplicates shingle methods under-score.
+    "q189_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        "lang")),
+
+    // INT8 affine quantization audit: per-dimension [min,max] → 0..255
+    // codes with worst/mean dequantization error — the storage-layout QA
+    // before an SQ8 index build. Error means go through exact integer
+    // sums (floor-quantized 1e-9), never order-dependent double adds.
+    "q190_int8_quant" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.int8QuantAudit(
+        Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    // Spectral corpus diagnostic: exact fixed-point covariance Gramian
+    // (one pass, dim² map-side partials) + 9 power iterations on the
+    // collected 64×64 cell table — top principal loading, eigenvalue,
+    // and explained-variance fraction, bit-mirrored by a list_reduce
+    // CTE chain in the oracle.
+    "q191_top_pc" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.topPrincipalComponent(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2448,8 +2481,111 @@ object LlmQueries {
          |  FROM m GROUP BY 1)
          |SELECT d.doc_id, COALESCE(masked, '') AS masked,
          |  COALESCE(n_unk, 0) AS n_unk, COALESCE(n_tokens, 0) AS n_tokens
-         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q188_priority_sample" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    (((('0x' || substr(md5('ps1' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT)::DOUBLE + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE)
+        |      AS priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, doc_id, weight, priority, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY priority, doc_id) AS rnk FROM p)
+        |WHERE rnk <= 20""".stripMargin,
+
+    "q189_edit_pairs" ->
+      """WITH k AS (
+        |  SELECT lang || chr(1) || substr(text, 1, 10) AS block, doc_id AS id,
+        |    substr(text, 1, 40) AS t
+        |  FROM documents),
+        |ok AS (SELECT block FROM k GROUP BY 1
+        |       HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+        |i AS (SELECT k.* FROM k JOIN ok USING (block))
+        |SELECT a.block, a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.t, b.t) AS dist,
+        |  ROUND(1.0::DOUBLE - levenshtein(a.t, b.t)::DOUBLE
+        |    / GREATEST(length(a.t), length(b.t)), 6) + 0.0 AS sim
+        |FROM i a JOIN i b ON a.block = b.block AND a.id < b.id
+        |WHERE levenshtein(a.t, b.t) <= 15""".stripMargin,
+
+    "q190_int8_quant" ->
+      """WITH c AS (
+        |  SELECT i.i - 1 AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS i(i)),
+        |r AS (
+        |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx,
+        |    (MAX(x) - MIN(x)) / 255.0 AS scale
+        |  FROM c GROUP BY 1),
+        |q AS (
+        |  SELECT c.pos, r.mn, r.mx, r.scale, c.x,
+        |    CASE WHEN r.scale = 0 THEN 0
+        |      ELSE CAST(FLOOR((c.x - r.mn) / r.scale + 0.5) AS BIGINT)
+        |    END AS code
+        |  FROM c JOIN r USING (pos)),
+        |e2 AS (
+        |  SELECT pos, mn, mx, scale,
+        |    ABS(x - (mn + code::DOUBLE * scale)) AS err
+        |  FROM q)
+        |SELECT CAST(pos AS INT) AS pos, MIN(mn) AS mn, MAX(mx) AS mx,
+        |  MIN(scale) AS scale, MAX(err) AS max_abs_err,
+        |  CAST(SUM(CAST(FLOOR(err * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1e9 AS mean_abs_err
+        |FROM e2 GROUP BY pos""".stripMargin,
+
+    "q191_top_pc" -> topPcSql
   )
+
+  /** q191's oracle: the fixed-point covariance Gramian plus 9 power
+    * iterations unrolled as list_reduce CTEs — every fold index-ascending
+    * with first-element seed, the exact order of
+    * [[graft.llm.EmbeddingOps.topPrincipalComponent]]'s driver loop, so
+    * the doubles match bit-for-bit. */
+  private lazy val topPcSql: String = {
+    val QQ = "16777216.0 * 16777216.0"
+    val iter = (k: Int) =>
+      s"""w$k AS (
+         |  SELECT list_transform(range(1, 65), i ->
+         |    list_reduce(list_transform(range(1, 65), j -> m[i][j] * v[j]),
+         |      (a, b) -> a + b)) AS w
+         |  FROM v${k - 1}, cm),
+         |v$k AS (
+         |  SELECT list_transform(w, x -> x / lam) AS v, lam FROM (
+         |    SELECT w, list_reduce(list_transform(w, x -> abs(x)),
+         |      (a, b) -> GREATEST(a, b)) AS lam FROM w$k))""".stripMargin
+    s"""WITH s AS (
+       |  SELECT list_transform(embedding, x ->
+       |    CAST(FLOOR(CAST(x AS DOUBLE) * 16777216 + 0.5) AS BIGINT)) AS s
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT ii.i AS i, jj.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(s.s[ii.i] * s.s[jj.j] AS DECIMAL(38,0)))
+       |      AS DECIMAL(38,0)) AS ss
+       |  FROM s, unnest(range(1, 65)) AS ii(i), unnest(range(1, 65)) AS jj(j)
+       |  GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT ii.i AS k, CAST(SUM(CAST(s.s[ii.i] AS DECIMAL(38,0)))
+       |    AS DECIMAL(38,0)) AS sk
+       |  FROM s, unnest(range(1, 65)) AS ii(i) GROUP BY 1),
+       |cov AS (
+       |  SELECT i, j,
+       |    CAST(CAST(n * ss - a.sk * b.sk AS VARCHAR) AS DOUBLE) /
+       |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * ($QQ)) AS cov
+       |  FROM cells JOIN sums a ON a.k = i JOIN sums b ON b.k = j),
+       |cm AS (
+       |  SELECT list(l ORDER BY i) AS m FROM (
+       |    SELECT i, list(cov ORDER BY j) AS l FROM cov GROUP BY i)),
+       |v0 AS (SELECT list_transform(range(1, 65), x -> 1.0::DOUBLE) AS v FROM cm),
+       |${(1 to 9).map(iter).mkString(",\n")},
+       |tr AS (
+       |  SELECT list_reduce(list_transform(range(1, 65), d -> m[d][d]),
+       |    (a, b) -> a + b) AS trace
+       |  FROM cm)
+       |SELECT CAST(i.i - 1 AS INT) AS pos, v[i.i] AS loading,
+       |  lam AS eigenvalue, lam / trace AS explained_frac
+       |FROM v9, tr, unnest(range(1, 65)) AS i(i)""".stripMargin
+  }
 
   /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row
     * per (vec_id, band_idx) with the band's 8-bit key. */
