@@ -145,22 +145,25 @@ object EmbeddingOps {
     * bit-for-bit. Output: one row per dimension (pos, loading = the
     * L∞-normalized eigenvector entry, eigenvalue = the final iterate's
     * L∞ norm, explained_frac = eigenvalue / trace). */
-  def topPrincipalComponent(emb: DataFrame, idCol: String, embCol: String,
-      dim: Int, iters: Int = 9): DataFrame = {
+  /** Fixed-order fold, FIRST ELEMENT as seed (list_reduce semantics). */
+  private def foldSum(xs: Array[Double]): Double = {
+    var acc = xs(0); var k = 1
+    while (k < xs.length) { acc += xs(k); k += 1 }; acc
+  }
+  private def foldMax(xs: Array[Double]): Double = {
+    var acc = xs(0); var k = 1
+    while (k < xs.length) { acc = math.max(acc, xs(k)); k += 1 }; acc
+  }
+
+  /** Driver-side power iteration over the collected Gramian cells:
+    * (matrix, v after `iters` L∞-normalized multiplies, final L∞ norm,
+    * trace) — every float step order-pinned to list_reduce semantics. */
+  private def powerIterate(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, iters: Int): (Array[Array[Double]], Array[Double], Double, Double) = {
     require(iters >= 1 && iters <= 50)
-    val spark = emb.sparkSession
     val cells = covarianceCells(emb, idCol, embCol).collect()
     val c = Array.ofDim[Double](dim, dim)
     cells.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    // fixed-order fold, first element as seed (list_reduce semantics)
-    def foldSum(xs: Array[Double]): Double = {
-      var acc = xs(0); var k = 1
-      while (k < xs.length) { acc += xs(k); k += 1 }; acc
-    }
-    def foldMax(xs: Array[Double]): Double = {
-      var acc = xs(0); var k = 1
-      while (k < xs.length) { acc = math.max(acc, xs(k)); k += 1 }; acc
-    }
     var v = Array.fill(dim)(1.0)
     var lambda = 0.0
     for (_ <- 1 to iters) {
@@ -169,7 +172,13 @@ object EmbeddingOps {
       lambda = foldMax(w.map(math.abs))
       v = w.map(_ / lambda)
     }
-    val trace = foldSum(Array.tabulate(dim)(i => c(i)(i)))
+    (c, v, lambda, foldSum(Array.tabulate(dim)(i => c(i)(i))))
+  }
+
+  def topPrincipalComponent(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, iters: Int = 9): DataFrame = {
+    val spark = emb.sparkSession
+    val (_, v, lambda, trace) = powerIterate(emb, idCol, embCol, dim, iters)
     import scala.jdk.CollectionConverters._
     val rows: java.util.List[Row] = (0 until dim).map(i =>
       Row(i, v(i), lambda, lambda / trace)).asJava
@@ -178,5 +187,56 @@ object EmbeddingOps {
         StructField("loading", DoubleType, nullable = false),
         StructField("eigenvalue", DoubleType, nullable = false),
         StructField("explained_frac", DoubleType, nullable = false))))
+  }
+
+  /** All-but-the-Top anisotropy correction (Mu & Viswanath 2018,
+    * arXiv:1702.01417): embeddings share a large common component — the
+    * mean plus a few dominant directions — whose removal measurably
+    * improves similarity tasks. This is the top-1 form: per vector, the
+    * coefficient of (x − μ) along the unit top principal direction and
+    * the squared norm of what remains.
+    *
+    * Scale shape: the heavy lifting is [[covarianceCells]] + one tiny
+    * moment pass, both bounded-output; the per-vector pass is then a
+    * MAP-ONLY projection against plan-time literal vectors — the
+    * centered dot uᵀ(x−μ) distributes as uᵀx − uᵀμ, so the row side is
+    * two codegen'd [[graft.functions.DotProductF]] folds and four
+    * arithmetic ops against inlined constants, no per-row array
+    * construction, no HOF lambdas, nothing interpreted. Every constant
+    * (μ, u, uᵀμ, μᵀμ) is computed with the same order-pinned folds the
+    * oracle's list_reduce chain uses, and the per-row expression tree is
+    * mirrored parenthesis-for-parenthesis, so the output doubles are
+    * bit-identical cross-engine with zero rounding. Output:
+    * (id, pc1_coef, resid_sq = ‖x−μ‖² − coef²). */
+  def allButTop(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, iters: Int = 9): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val (_, v, _, _) = powerIterate(emb, idCol, embCol, dim, iters)
+    // μ in embedding units: string-route the exact Σs integers to double
+    // (correctly-rounded parse, see covarianceCells), then one division
+    val moments = emb.select(
+      posexplode(transform(col(embCol).cast("array<double>"),
+        x => floor(x * Q + 0.5).cast("long"))).as(Seq("k", "sk")))
+      .groupBy("k")
+      .agg(sum(col("sk")).cast(DecimalType(38, 0)).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val n = moments.head.getLong(2)
+    val mu = new Array[Double](dim)
+    moments.foreach(r => mu(r.getInt(0)) =
+      java.lang.Double.parseDouble(r.getDecimal(1).toPlainString) /
+        (n.toDouble * Q.toDouble))
+    val l2 = math.sqrt(foldSum(v.map(x => x * x)))
+    val u = v.map(_ / l2)
+    val c0 = foldSum(Array.tabulate(dim)(k => mu(k) * u(k)))   // uᵀμ
+    val cmm = foldSum(Array.tabulate(dim)(k => mu(k) * mu(k))) // μᵀμ
+    val uLit = array(u.map(lit).toSeq: _*)
+    val muLit = array(mu.map(lit).toSeq: _*)
+    val x = col(embCol)
+    val coef = VectorOps.dot(x, uLit) - lit(c0)
+    val centeredSq =
+      VectorOps.dot(x, x) - lit(2.0) * VectorOps.dot(x, muLit) + lit(cmm)
+    emb.select(col(idCol), coef.as("pc1_coef"),
+      (centeredSq - coef * coef).as("resid_sq"))
   }
 }

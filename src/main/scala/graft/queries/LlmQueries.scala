@@ -637,6 +637,15 @@ object LlmQueries {
     // CTE chain in the oracle.
     "q191_top_pc" -> ((s, dir) =>
       graft.llm.EmbeddingOps.topPrincipalComponent(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
+    // All-but-the-Top anisotropy correction (Mu & Viswanath 2018): per
+    // vector, the coefficient along the unit top principal direction and
+    // the residual squared norm — map-only against plan-time literal
+    // μ/u vectors (the centered dot distributes), zero rounding,
+    // bit-exact against the oracle's list_reduce chain.
+    "q192_abtt" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.allButTop(
         Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64))
   )
 
@@ -2534,15 +2543,17 @@ object LlmQueries {
         |    / COUNT(*) / 1e9 AS mean_abs_err
         |FROM e2 GROUP BY pos""".stripMargin,
 
-    "q191_top_pc" -> topPcSql
+    "q191_top_pc" -> topPcSql,
+
+    "q192_abtt" -> abttSql
   )
 
-  /** q191's oracle: the fixed-point covariance Gramian plus 9 power
-    * iterations unrolled as list_reduce CTEs — every fold index-ascending
-    * with first-element seed, the exact order of
-    * [[graft.llm.EmbeddingOps.topPrincipalComponent]]'s driver loop, so
-    * the doubles match bit-for-bit. */
-  private lazy val topPcSql: String = {
+  /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
+    * plus 9 power iterations unrolled as list_reduce CTEs — every fold
+    * index-ascending with first-element seed, the exact order of
+    * [[graft.llm.EmbeddingOps]]'s driver loops, so the doubles match
+    * bit-for-bit. */
+  private lazy val topPcCtes: String = {
     val QQ = "16777216.0 * 16777216.0"
     val iter = (k: Int) =>
       s"""w$k AS (
@@ -2554,7 +2565,7 @@ object LlmQueries {
          |  SELECT list_transform(w, x -> x / lam) AS v, lam FROM (
          |    SELECT w, list_reduce(list_transform(w, x -> abs(x)),
          |      (a, b) -> GREATEST(a, b)) AS lam FROM w$k))""".stripMargin
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT list_transform(embedding, x ->
        |    CAST(FLOOR(CAST(x AS DOUBLE) * 16777216 + 0.5) AS BIGINT)) AS s
        |  FROM embeddings),
@@ -2581,11 +2592,48 @@ object LlmQueries {
        |tr AS (
        |  SELECT list_reduce(list_transform(range(1, 65), d -> m[d][d]),
        |    (a, b) -> a + b) AS trace
-       |  FROM cm)
+       |  FROM cm)""".stripMargin
+  }
+
+  private lazy val topPcSql: String =
+    s"""WITH $topPcCtes
        |SELECT CAST(i.i - 1 AS INT) AS pos, v[i.i] AS loading,
        |  lam AS eigenvalue, lam / trace AS explained_frac
        |FROM v9, tr, unnest(range(1, 65)) AS i(i)""".stripMargin
-  }
+
+  /** q192's oracle: All-but-the-Top over the q191 chain — unit top
+    * direction, string-routed exact means, and the same distributed-dot
+    * identities (uᵀ(x−μ) = uᵀx − uᵀμ; ‖x−μ‖² = xᵀx − 2xᵀμ + μᵀμ) in the
+    * same parenthesization as the Spark expression tree. */
+  private lazy val abttSql: String =
+    s"""WITH $topPcCtes,
+       |unit AS (
+       |  SELECT list_transform(v, x -> x / l2) AS u FROM (
+       |    SELECT v, sqrt(list_reduce(list_transform(v, x -> x * x),
+       |      (a, b) -> a + b)) AS l2 FROM v9)),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |mu AS (
+       |  SELECT list(CAST(CAST(sk AS VARCHAR) AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * 16777216.0) ORDER BY k) AS mu
+       |  FROM sums, nn),
+       |consts AS (
+       |  SELECT
+       |    list_reduce(list_transform(range(1, 65), k -> mu[k] * u[k]),
+       |      (a, b) -> a + b) AS c0,
+       |    list_reduce(list_transform(range(1, 65), k -> mu[k] * mu[k]),
+       |      (a, b) -> a + b) AS cmm
+       |  FROM mu, unit),
+       |rowdots AS (
+       |  SELECT vec_id,
+       |    ${dot("embedding", "embedding")} AS xx,
+       |    list_reduce(list_transform(range(1, 65),
+       |      k -> CAST(embedding[k] AS DOUBLE) * u[k]), (a, b) -> a + b) AS ux,
+       |    list_reduce(list_transform(range(1, 65),
+       |      k -> CAST(embedding[k] AS DOUBLE) * mu[k]), (a, b) -> a + b) AS xmu
+       |  FROM embeddings, unit, mu)
+       |SELECT vec_id, ux - c0 AS pc1_coef,
+       |  ((xx - 2.0::DOUBLE * xmu) + cmm) - (ux - c0) * (ux - c0) AS resid_sq
+       |FROM rowdots, consts""".stripMargin
 
   /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row
     * per (vec_id, band_idx) with the band's 8-bit key. */

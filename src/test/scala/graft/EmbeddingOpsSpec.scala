@@ -44,6 +44,22 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(math.abs(pc(0).getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("all-but-the-top: rank-1 data leaves ~zero residual, coefs center") {
+    // all variance lies along (1,2): removing the top PC removes it all
+    val emb = Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 6f)), (2L, Seq(5f, 10f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.llm.EmbeddingOps
+      .allButTop(emb, "vec_id", "embedding", dim = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    rows.foreach { case (_, _, resid) => assert(math.abs(resid) < 1e-4) }
+    // coefficients are the centered projections onto unit (1,2)/√5:
+    // x−μ = ±(2,4) or 0 → ±2√5 ≈ ±4.4721, 0
+    val want = Seq(-2 * math.sqrt(5), 0.0, 2 * math.sqrt(5))
+    rows.map(_._2).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-4, s"coef $g vs $w") }
+  }
+
   test("int8 audit: codes reconstruct within half a step, degenerate dim is free") {
     val emb = Seq((0L, Seq(0f, 7f)), (1L, Seq(1f, 7f)), (2L, Seq(2f, 7f)))
       .toDF("vec_id", "embedding")
