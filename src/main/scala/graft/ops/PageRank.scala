@@ -45,10 +45,26 @@ object PageRank {
 
   /** `edges`: (src: long, dst: long) — pre-deduplicated directed edges.
     * Returns (node, rank_scaled) for every node appearing as src or dst.
-    * `iters` fixed iterations of r ← 0.15/N + 0.85·Σ_{u→v} r_u/deg(u). */
+    * `iters` fixed iterations of r ← 0.15/N + 0.85·Σ_{u→v} r_u/deg(u).
+    *
+    * `seeds` (a `node` column) switches to PERSONALIZED PageRank (Page
+    * et al. 1999 §6 / Haveliwala 2002, "Topic-Sensitive PageRank"): the
+    * teleport mass concentrates evenly on the seed set instead of all
+    * nodes — rank becomes proximity-to-the-seeds, the curation tool for
+    * "expand this trusted domain/author/doc set" source discovery. The
+    * per-node teleport becomes a loop-invariant COLUMN (SCALE/|S| on
+    * seeds, 0 elsewhere) folded into the node table once; ranks
+    * initialize to that teleport distribution. Not combinable with
+    * `redistributeDangling` (the dangling share would have to follow
+    * the teleport vector, a different integer-rounding contract than
+    * q187's uniform `div n` — kept separate so both oracles stay
+    * exact). */
   def run(edges: DataFrame, iters: Int = 5,
-          redistributeDangling: Boolean = false): DataFrame = {
+          redistributeDangling: Boolean = false,
+          seeds: DataFrame = null): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
+    require(!(redistributeDangling && seeds != null),
+      "dangling redistribution and personalization are separate contracts")
     // Pin the loop-invariant tables once (every PageRank implementation
     // persists its edge list) and TRUNCATE THE RANK LINEAGE each round —
     // without it Catalyst replans the whole history per iteration and the
@@ -78,7 +94,23 @@ object PageRank {
     val dangling = if (!redistributeDangling) null
       else nodes.join(e0.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti").localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(base).as("pr"))
+    // Personalization: the teleport base becomes a loop-invariant column
+    // on the node table (SCALE/|S| on seeds, 0 elsewhere), pinned once.
+    val nodesTb = if (seeds == null) null else {
+      val sd = seeds.select(col("node").cast("long")).distinct()
+        .localCheckpoint()
+      val nSeeds = sd.count()
+      require(nSeeds > 0, "personalization needs a non-empty seed set")
+      nodes.join(gated(sd.withColumn("__s", lit(1))), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__s").isNotNull, lit(SCALE / nSeeds)).otherwise(lit(0L))
+            .as("tb"))
+        .localCheckpoint()
+    }
+    val baseSql = if (seeds == null) s"15 * ${base}L" else "15 * tb"
+    var ranks =
+      if (seeds == null) nodes.select(col("node"), lit(base).as("pr"))
+      else nodesTb.select(col("node"), col("tb").as("pr"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(gated(ranks), col("node") === col("src"))
@@ -90,7 +122,8 @@ object PageRank {
       val inMassSql =
         if (!redistributeDangling) "coalesce(in_mass, 0L)"
         else s"coalesce(in_mass, 0L) + dmass div ${n}L"
-      val withMass = nodes.join(gated(contrib), Seq("node"), "left")
+      val withMass = (if (seeds == null) nodes else nodesTb)
+        .join(gated(contrib), Seq("node"), "left")
       val updated =
         if (!redistributeDangling) withMass
         else withMass.crossJoin(broadcast(
@@ -98,7 +131,7 @@ object PageRank {
             .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))))
       ranks = updated
         .select(col("node"),
-          expr(s"(15 * ${base}L + 85 * ($inMassSql)) div 100").as("pr"))
+          expr(s"($baseSql + 85 * ($inMassSql)) div 100").as("pr"))
         // LAZY truncation: still pins each round's (node, pr) rows on
         // first use so no round is ever recomputed and the lineage stays
         // flat, but without scheduling an eager materialization job per

@@ -355,6 +355,30 @@ object Relational {
           col("rank_scaled"))
     }),
 
+    // Personalized PageRank (Haveliwala 2002): teleport mass concentrated
+    // on a 50-customer seed set — rank becomes proximity-to-the-seeds on
+    // the bipartite order graph, the "expand this trusted set" curation
+    // primitive. Same scaled-integer loop as q153; the teleport is a
+    // loop-invariant column on the node table.
+    "q193_ppr" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = cs.select(col("c").as("node")).filter(col("node") <= 100)
+      graft.ops.PageRank.run(edges, iters = 5, seeds = seeds)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("rank_scaled"))
+    }),
+
     // Dangling-mass-corrected PageRank (Page et al. 1999 §2.1's rank-sink
     // fix) on the DIRECTED customer→supplier order graph: suppliers have
     // no out-edges, so without the correction ~half the graph's rank mass
@@ -988,6 +1012,8 @@ object Relational {
 
     "q187_pagerank_dangling" -> pagerankDanglingSql,
 
+    "q193_ppr" -> pprSql,
+
     // Conditional aggregation, NOT an A×B self-join: the join form drops
     // any event_type with an empty arm, where the Spark body emits the
     // row with n=0 / NULL stats; the welch guard mirrors the Spark
@@ -1323,6 +1349,44 @@ object Relational {
        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
        |n AS (SELECT COUNT(*) AS n FROM nodes),
        |r0 AS (SELECT node, (SELECT $S // n FROM n) AS pr FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  pr AS rank_scaled
+       |FROM r5""".stripMargin
+  }
+
+  /** q193's oracle: personalized PageRank unrolled — the teleport base is
+    * a per-node column (SCALE/|S| on the seed customers, 0 elsewhere) and
+    * ranks initialize to it, mirroring [[graft.ops.PageRank]]'s
+    * `seeds` path cell-for-cell in the same scaled-integer arithmetic. */
+  private lazy val pprSql: String = {
+    val S = graft.ops.PageRank.SCALE
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT t.node,
+         |    (15 * t.tb + 85 * COALESCE(m.in_mass, 0)) // 100 AS pr
+         |  FROM tb t LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS in_mass
+         |    FROM r${k - 1} r JOIN deg d USING (node)
+         |    JOIN edges e ON e.src = r.node
+         |    GROUP BY 1) m USING (node))""".stripMargin
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM cs
+       |          UNION ALL SELECT s AS src, c AS dst FROM cs),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |seeds AS (SELECT DISTINCT c AS node FROM cs WHERE c <= 100),
+       |ns AS (SELECT COUNT(*) AS ns FROM seeds),
+       |tb AS (
+       |  SELECT n0.node,
+       |    CASE WHEN sd.node IS NOT NULL THEN (SELECT $S // ns FROM ns)
+       |         ELSE 0 END AS tb
+       |  FROM nodes n0 LEFT JOIN seeds sd USING (node)),
+       |r0 AS (SELECT node, tb AS pr FROM tb),
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT node,
        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
