@@ -274,6 +274,44 @@ object TextAnalysis {
         round(graft.core.Det.sumDet(klTerm, scale = 10), 6).as("kl_corpus"))
   }
 
+  /** Per-document lexical diversity — the quality signals that catch
+    * template floods and token-salad spam at DOCUMENT granularity (the
+    * per-source panel is [[sourceDrift]]): type-token ratio, hapax
+    * fraction (types occurring once), and unigram entropy.
+    *
+    * Shape: one up-front repartition on the doc id, after which the
+    * (id, word) count aggregate, the per-doc total window, and the final
+    * roll-up all reuse that ONE exchange (hash(id) satisfies every
+    * clustered distribution downstream) — a single shuffle end-to-end
+    * plus the left join that keeps wordless documents. Entropy follows
+    * the [[sourceDrift]] determinism contract: exact bigint ratios, ln
+    * pinned to 6 digits, per-term products rounded to 10 and summed
+    * through exact decimal; the sum subtracts FROM 0.0 so a one-type
+    * document yields +0.0, not -0.0 (the q130 sign-of-zero class). */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dw = docs.repartition(col(idCol))
+      .select(col(idCol), explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__c"))
+    val terms = dw.withColumn("__n",
+      sum(col("__c")).over(Window.partitionBy(idCol)))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val entTerm = round(p * round(log(p), 6), 10)
+    val agg = terms.groupBy(col(idCol))
+      .agg(max(col("__n")).as("__nt"),
+        count(lit(1)).as("__ty"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__hapax"),
+        round(lit(0.0) - graft.core.Det.sumDet(entTerm, scale = 10), 6)
+          .as("entropy"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__ty"), lit(0L)).as("n_types"),
+        round(col("__ty").cast("double") / col("__nt"), 6).as("ttr"),
+        round(col("__hapax").cast("double") / col("__ty"), 6).as("hapax_frac"),
+        col("entropy"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle: written
     * to the common subset of Java regex and RE2 (`[0-9]` not `\d`, `[.]`
     * not `\.`, no lookaround), so both engines count and redact

@@ -646,7 +646,14 @@ object LlmQueries {
     // bit-exact against the oracle's list_reduce chain.
     "q192_abtt" -> ((s, dir) =>
       graft.llm.EmbeddingOps.allButTop(
-        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64))
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
+    // Per-document lexical diversity: TTR, hapax fraction, unigram
+    // entropy — document-granularity template/spam signals (q86 is the
+    // per-source panel). One exchange end-to-end.
+    "q194_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "doc_id",
+        "text"))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2545,7 +2552,33 @@ object LlmQueries {
 
     "q191_top_pc" -> topPcSql,
 
-    "q192_abtt" -> abttSql
+    "q192_abtt" -> abttSql,
+
+    "q194_lexical_diversity" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, word, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM dw GROUP BY 1),
+         |terms AS (
+         |  SELECT doc_id, c, n,
+         |    ROUND((c::DOUBLE / n::DOUBLE)
+         |      * ROUND(ln(c::DOUBLE / n::DOUBLE), 6), 10) AS t
+         |  FROM dw JOIN tot USING (doc_id)),
+         |agg AS (
+         |  SELECT doc_id, MAX(n) AS nt, COUNT(*) AS ty,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |    ROUND(0.0::DOUBLE - ${graft.core.Det.sumDetSql("t", 10)}, 6)
+         |      AS entropy
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(nt, 0) AS n_tokens, COALESCE(ty, 0) AS n_types,
+         |  CASE WHEN nt IS NOT NULL
+         |    THEN ROUND(ty::DOUBLE / nt, 6) + 0.0 END AS ttr,
+         |  CASE WHEN ty IS NOT NULL
+         |    THEN ROUND(hapax::DOUBLE / ty, 6) + 0.0 END AS hapax_frac,
+         |  entropy + 0.0 AS entropy
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
