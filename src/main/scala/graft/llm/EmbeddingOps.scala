@@ -239,4 +239,63 @@ object EmbeddingOps {
     emb.select(col(idCol), coef.as("pc1_coef"),
       (centeredSq - coef * coef).as("resid_sq"))
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985, "Clustering to minimize the
+    * maximum intercluster distance" — the 2-approximation farthest-point
+    * heuristic): starting from the lowest-id vector, repeatedly add the
+    * point FARTHEST from the chosen set (minimum max-cosine, ties to the
+    * lower id). The canonical diversity-maximizing subset selection —
+    * coreset seeds, eval-set picking, "cover the embedding space with k
+    * exemplars".
+    *
+    * Scale shape: k−1 passes, each a MAP-ONLY scoring of every vector
+    * against ≤k plan-time literal centers (`greatest` of codegen'd dot
+    * folds — no crossJoin, no groupBy) followed by one global min_by
+    * aggregate (partials collapse map-side to one row per partition).
+    * Driver state is the k chosen vectors — the k-means-centroid
+    * legitimacy bound. Determinism: raw IEEE cosines (fixed-order dot),
+    * ties on the lower id, no rounding anywhere. Output: (rank 1..k,
+    * id, max_cos = the selected point's similarity to the set that
+    * preceded it — null for the seed; monotone non-decreasing by
+    * construction, the k-center radius curve). */
+  def kCenterCoreset(emb: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "bounded driver state")
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+      .localCheckpoint() // scanned k times
+    val seed = n.orderBy("id").limit(1).collect().head
+    // chosen: (id, coords as exact doubles, n2)
+    var chosen = Vector((seed.getLong(0),
+      seed.getSeq[Float](1).map(_.toDouble).toArray, seed.getDouble(2)))
+    var out = Vector((1L, seed.getLong(0), Option.empty[Double]))
+    for (rank <- 2 to k) {
+      val mc = chosen.map { case (_, c, cn2) =>
+        VectorOps.cosine(
+          VectorOps.dot(col("emb"), array(c.map(lit).toSeq: _*)),
+          col("n2"), lit(cn2))
+      }.reduce((a, b) => greatest(a, b))
+      val picked = n
+        .filter(!col("id").isin(chosen.map(_._1): _*))
+        .withColumn("__mc", mc)
+        .agg(min_by(struct(col("id"), col("emb"), col("n2")),
+          struct(col("__mc"), col("id"))).as("__b"),
+          min(struct(col("__mc"), col("id"))).as("__k"))
+        .select(col("__b.id"), col("__b.emb"), col("__b.n2"),
+          col("__k.__mc"))
+        .collect().head
+      chosen :+= ((picked.getLong(0),
+        picked.getSeq[Float](1).map(_.toDouble).toArray, picked.getDouble(2)))
+      out :+= ((rank.toLong, picked.getLong(0), Some(picked.getDouble(3))))
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] = out.map { case (r, id, m) =>
+      Row(r, id, m.orNull)
+    }.asJava
+    emb.sparkSession.createDataFrame(rows,
+      StructType(Seq(StructField("sel_rank", LongType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField("max_cos", DoubleType, nullable = true))))
+  }
 }

@@ -653,7 +653,15 @@ object LlmQueries {
     // per-source panel). One exchange end-to-end.
     "q194_lexical_diversity" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "doc_id",
-        "text"))
+        "text")),
+
+    // Greedy k-center coreset (Gonzalez 1985): 8 diversity-maximizing
+    // exemplars — k−1 map-only scoring passes against plan-time literal
+    // centers + one global min_by each; the k-center radius curve comes
+    // out as max_cos per rank.
+    "q195_kcenter" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.kCenterCoreset(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2554,6 +2562,8 @@ object LlmQueries {
 
     "q192_abtt" -> abttSql,
 
+    "q195_kcenter" -> kCenterSql,
+
     "q194_lexical_diversity" ->
       s"""WITH dw AS (
          |  SELECT doc_id, word, COUNT(*) AS c FROM (
@@ -2667,6 +2677,36 @@ object LlmQueries {
        |SELECT vec_id, ux - c0 AS pc1_coef,
        |  ((xx - 2.0::DOUBLE * xmu) + cmm) - (ux - c0) * (ux - c0) AS resid_sq
        |FROM rowdots, consts""".stripMargin
+
+  /** q195's oracle: the Gonzalez farthest-point greedy unrolled — round r
+    * scores every unchosen vector's MAX cosine against the r−1 chosen
+    * rows (the same raw IEEE dot folds) and picks the minimum, ties to
+    * the lower id, mirroring [[graft.llm.EmbeddingOps.kCenterCoreset]]'s
+    * literal-center map + global min_by pass. */
+  private lazy val kCenterSql: String = {
+    val round = (r: Int) =>
+      s"""sel$r AS (
+         |  SELECT x.vec_id, x.embedding, x.n2,
+         |    MAX(${dot("x.embedding", "c.embedding")}
+         |      / sqrt(x.n2 * c.n2)) AS mc,
+         |    CAST($r AS BIGINT) AS sel_rank
+         |  FROM n x, ch${r - 1} c
+         |  WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+         |  GROUP BY x.vec_id, x.embedding, x.n2
+         |  ORDER BY mc, x.vec_id LIMIT 1),
+         |ch$r AS (SELECT * FROM ch${r - 1} UNION ALL
+         |         SELECT vec_id, embedding, n2, mc, sel_rank FROM sel$r)"""
+        .stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |ch1 AS (
+       |  SELECT vec_id, embedding, n2, NULL::DOUBLE AS mc,
+       |    CAST(1 AS BIGINT) AS sel_rank
+       |  FROM n ORDER BY vec_id LIMIT 1),
+       |${(2 to 8).map(round).mkString(",\n")}
+       |SELECT sel_rank, vec_id, mc AS max_cos FROM ch8""".stripMargin
+  }
 
   /** Banded sign-bit keys mirroring VectorOps.bandDims(4, 8, 64): one row
     * per (vec_id, band_idx) with the band's 8-bit key. */

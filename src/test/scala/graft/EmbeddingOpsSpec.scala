@@ -76,6 +76,28 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       && d1.getDouble(5) == 0.0)
   }
 
+  test("k-center greedy picks one exemplar per planted direction") {
+    // three well-separated directions, several near-copies of each; the
+    // greedy must cover all three directions within k=3 (farthest-point
+    // never picks a near-copy of an existing center while an uncovered
+    // direction remains)
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.99f, 0.01f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.01f, 0.99f, 0f)),
+      (4L, Seq(0f, 0f, 1f)), (5L, Seq(0f, 0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val picked = graft.llm.EmbeddingOps
+      .kCenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(picked.head.getLong(1) == 0L) // lowest-id seed
+    assert(picked.head.isNullAt(2))
+    val dirs = picked.map(_.getLong(1) / 2).toSet // ids 0-1/2-3/4-5 per dir
+    assert(dirs == Set(0L, 1L, 2L), s"picked ${picked.map(_.getLong(1)).toSeq}")
+    // the radius curve is non-decreasing in max_cos
+    val mcs = picked.tail.map(_.getDouble(2))
+    assert(mcs.sorted.sameElements(mcs))
+  }
+
   test("priority sampling: k-bounded, deterministic, weight-sensitive") {
     val docs = spark.range(2000).select(col("id").as("doc_id"),
       (col("id") % 4).cast("string").as("src"),
