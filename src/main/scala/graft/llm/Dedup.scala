@@ -694,6 +694,45 @@ object Dedup {
         threshold),
       "doc_id")
 
+  /** Staged dedup VERDICT — the end-to-end per-document decision table a
+    * corpus build actually materializes (the LLM-layer analog of q134's
+    * composed lifecycle): stage 1 is exact keep-first (md5, [[exactGroups]]),
+    * stage 2 near-dup clustering over the SURVIVORS — the cluster
+    * canonical is its lowest exact-keeper id (identical texts always land
+    * in one cluster: equal signatures collide in every band and verify at
+    * Jaccard 1, so the canonical is well-defined). Verdict: `exact_dup`
+    * (dup_of = the exact keeper), `near_dup` (dup_of = the cluster
+    * canonical), or `kept`.
+    *
+    * Scale shape: the exact stage is the one 16-byte-key shuffle; the
+    * cluster and canonical tables are bounded by the near-dup set, so
+    * both enrichment joins are AQE-broadcast-able; everything else rides
+    * [[dedupClusters]]' documented cost floor. */
+  def dedupVerdict(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val withEx = docs
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("__h"))
+      .join(exactGroups(docs, idCol, textCol)
+        .select(col("text_hash").as("__h"), col("keep_id")), Seq("__h"))
+    val clusters = dedupClusters(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold).select(col(idCol), col("cluster_id"))
+    val canon = withEx.filter(col(idCol) === col("keep_id"))
+      .join(clusters, Seq(idCol))
+      .groupBy("cluster_id").agg(min(col(idCol)).as("canon_id"))
+    withEx
+      .join(clusters, Seq(idCol), "left")
+      .join(canon, Seq("cluster_id"), "left")
+      .select(col(idCol),
+        when(col(idCol) =!= col("keep_id"), lit("exact_dup"))
+          .when(col("canon_id").isNotNull && col(idCol) =!= col("canon_id"),
+            lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col(idCol) =!= col("keep_id"), col("keep_id"))
+          .when(col("canon_id").isNotNull && col(idCol) =!= col("canon_id"),
+            col("canon_id")).as("dup_of"))
+  }
+
   /** Canonical-document selection — the keep-best policy applied ON TOP of
     * near-dup clustering (the step that turns a dup-cluster table into a
     * training-set decision): within every [[dedupClusters]] cluster keep

@@ -655,6 +655,14 @@ object LlmQueries {
       TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "doc_id",
         "text")),
 
+    // Staged dedup verdict: exact keep-first, then near-dup clustering
+    // over the survivors — the per-document decision table (verdict +
+    // provenance) a corpus build materializes. The LLM-layer composed
+    // lifecycle, q134's analog.
+    "q196_dedup_verdict" -> ((s, dir) =>
+      Dedup.dedupVerdict(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)),
+
     // Greedy k-center coreset (Gonzalez 1985): 8 diversity-maximizing
     // exemplars — k−1 map-only scoring passes against plan-time literal
     // centers + one global min_by each; the k-center radius curve comes
@@ -2563,6 +2571,28 @@ object LlmQueries {
     "q192_abtt" -> abttSql,
 
     "q195_kcenter" -> kCenterSql,
+
+    "q196_dedup_verdict" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |ex AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+         |       FROM documents GROUP BY 1),
+         |we AS (SELECT d.doc_id, e.keep_id
+         |       FROM documents d JOIN ex e ON md5(d.text) = e.h),
+         |canon AS (
+         |  SELECT c.cluster_id, MIN(c.doc_id) AS canon_id
+         |  FROM comp c JOIN we ON we.doc_id = c.doc_id
+         |  WHERE we.doc_id = we.keep_id GROUP BY 1)
+         |SELECT w.doc_id,
+         |  CASE WHEN w.doc_id <> w.keep_id THEN 'exact_dup'
+         |       WHEN cn.canon_id IS NOT NULL AND w.doc_id <> cn.canon_id
+         |         THEN 'near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  CASE WHEN w.doc_id <> w.keep_id THEN w.keep_id
+         |       WHEN cn.canon_id IS NOT NULL AND w.doc_id <> cn.canon_id
+         |         THEN cn.canon_id END AS dup_of
+         |FROM we w
+         |LEFT JOIN comp c ON c.doc_id = w.doc_id
+         |LEFT JOIN canon cn ON cn.cluster_id = c.cluster_id""".stripMargin,
 
     "q194_lexical_diversity" ->
       s"""WITH dw AS (
