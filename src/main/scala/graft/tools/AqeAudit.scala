@@ -23,7 +23,10 @@ object AqeAudit {
       "q159_knn_classify", "q166_bpe_encode", "q168_hll_merge",
       // round-13 verdict #6: the broadcast-threshold Pareto rollup, the
       // 5-table star join, and the dangling-mass PageRank loop
-      "q180_revenue_pareto", "q186_star_revenue", "q187_pagerank_dangling")
+      "q180_revenue_pareto", "q186_star_revenue", "q187_pagerank_dangling",
+      // r13 additions with non-trivial join graphs: the staged dedup
+      // verdict composite and the personalized PageRank loop
+      "q196_dedup_verdict", "q193_ppr")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
