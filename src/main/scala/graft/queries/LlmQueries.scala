@@ -669,7 +669,15 @@ object LlmQueries {
     // out as max_cos per rank.
     "q195_kcenter" -> ((s, dir) =>
       graft.llm.EmbeddingOps.kCenterCoreset(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8))
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)),
+
+    // b-bit minwise hashing audit (Li & König 2010): per candidate pair,
+    // exact Jaccard vs the full-signature estimate vs the 4-bit-slot
+    // estimate with the 2^-b collision-floor correction — sizes the 16×
+    // signature-store compression before a corpus-scale build.
+    "q197_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhashEstimate(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, b = 4))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -1249,6 +1257,43 @@ object LlmQueries {
          |  ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
          |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b""".stripMargin,
+
+    // q22's chain plus per-pair slot-match counts: the full-signature and
+    // b=4-bit estimates against the exact verified jaccard. The b-bit
+    // correction ((m/k − 2^-b)/(1 − 2^-b)) uses exact-binary constants
+    // (0.0625 / 0.9375) in the Spark expression's parenthesization.
+    "q197_bbit_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS shingles
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 8), j -> $MINHASH_SQL) AS mh
+         |  FROM sh WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    mh[2*b+1] * 2147483648 + mh[2*b+2] AS band_key
+         |  FROM sig, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |m AS (
+         |  SELECT id_a, id_b,
+         |    ROUND(len(list_intersect(ga.shingles, gb.shingles))::DOUBLE
+         |      / len(list_distinct(ga.shingles || gb.shingles)), 6) AS jaccard,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> CASE WHEN ga.mh[i] = gb.mh[i] THEN 1 ELSE 0 END),
+         |      (a, e) -> a + e) AS mm,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> CASE WHEN (ga.mh[i] % 16) = (gb.mh[i] % 16)
+         |        THEN 1 ELSE 0 END), (a, e) -> a + e) AS mb
+         |  FROM cand JOIN sig ga ON ga.doc_id = id_a
+         |            JOIN sig gb ON gb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard,
+         |  ROUND(mm::DOUBLE / 8.0, 6) AS est_full,
+         |  ROUND(((mb::DOUBLE / 8.0) - 0.0625) / 0.9375, 6) AS est_bbit
+         |FROM m""".stripMargin,
 
     // q22's chain restricted to index(lower half) x new(upper half)
     // candidates — the incremental form; same signature and verification
