@@ -713,9 +713,20 @@ object Dedup {
       b: Int = 4): DataFrame = {
     require(b >= 1 && b <= 16)
     val mask = (1L << b) - 1
-    val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
-      numBands, threshold = 0.0)
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    // one shingle+signature pass shared by candidates, verification, and
+    // the slot-match joins (calling minhashPairs + minhashSignatures
+    // separately would derive the pipeline twice)
+    val rowsR = shingleRows(docs, idCol, textCol, shingleN)
+    val sigsFull = signaturesFromRows(rowsR, idCol, numHashes).localCheckpoint()
+    val bandRows = sigsFull
+      .withColumn("band_keys",
+        TextOps.bandKeys(col("mh"), numBands, numHashes / numBands))
+      .select(col(idCol), col("__set_size"),
+        posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+    val pairs = verifyJaccard(
+      bandSelfCandidates(bandRows, idCol, saltBands = 1), rowsR,
+      sigsFull.select(col(idCol), col("__set_size")), idCol, threshold = 0.0)
+    val sigs = sigsFull.select(col(idCol), col("mh"))
     val k = numHashes.toDouble
     val c = 1.0 / (1L << b)
     def matched(cond: String): Column = expr(
