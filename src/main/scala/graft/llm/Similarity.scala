@@ -185,6 +185,63 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rnk")
   }
 
+  /** Multi-probe LSH recall audit (Lv et al. 2007, "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search"): instead
+    * of adding hash tables for recall, each query ALSO probes the
+    * buckets whose band key differs by one bit — the perturbation
+    * sequence for sign-hyperplane LSH, where a near-threshold coordinate
+    * is the likeliest single-bit disagreement. The audit scores, per
+    * query, how many of its exact top-`k` neighbors are reachable
+    * through the plain band match vs the 1-bit probes — the
+    * recall-per-memory evidence for choosing probing over more tables.
+    *
+    * Scale shape: the candidate side keys once (one row per doc×band,
+    * pinned — per-doc state); the probe expansion multiplies only the
+    * QUERY side (×(bitsPerBand+1)); both matches are equi-joins on
+    * (band, key); the exact side is bounded by the query batch (the
+    * q72 recall-audit argument). Bit flips are pure arithmetic
+    * (k + m − 2·(k AND m)) — portable to the oracle without XOR
+    * semantics differences. */
+  def multiProbeRecall(queries: DataFrame, candidates: DataFrame,
+      idCol: String, embCol: String, k: Int, numBands: Int = 4,
+      bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val bands = VectorOps.bandDims(numBands, bitsPerBand, dim)
+    def keyed(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        posexplode(array(bands.map(d => VectorOps.signBucket(col(embCol), d)): _*))
+          .as(Seq("band_idx", "band_key")))
+    val candK = keyed(candidates, "cand_id").localCheckpoint()
+    val qBase = keyed(queries, "query_id")
+    val probes = qBase
+      .select(col("query_id"), col("band_idx"), col("band_key"),
+        explode(array((-1 until bitsPerBand).map(lit): _*)).as("__p"))
+      .withColumn("probe_key", when(col("__p") < 0, col("band_key"))
+        .otherwise(expr(
+          "band_key + shiftleft(1, __p) - 2 * (band_key & shiftleft(1, __p))")))
+    def hitsOf(qk: DataFrame, keyCol: String) = qk
+      .select(col("query_id"), col("band_idx"), col(keyCol).as("__k"))
+      .join(candK.select(col("cand_id"), col("band_idx"),
+        col("band_key").as("__k")), Seq("band_idx", "__k"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val plain = hitsOf(qBase, "band_key")
+    val mp = hitsOf(probes, "probe_key")
+    bruteForceTopK(queries, candidates, idCol, embCol, k)
+      .select("query_id", "cand_id")
+      .join(plain.withColumn("__pl", lit(1)), Seq("query_id", "cand_id"), "left")
+      .join(mp.withColumn("__mp", lit(1)), Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__pl"), lit(0))).as("hits_plain"),
+        sum(coalesce(col("__mp"), lit(0))).as("hits_mp"))
+      .select(col("query_id"), col("n_exact"), col("hits_plain"), col("hits_mp"),
+        round(col("hits_plain").cast("double") / col("n_exact"), 6)
+          .as("recall_plain"),
+        round(col("hits_mp").cast("double") / col("n_exact"), 6)
+          .as("recall_mp"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer
     * (deterministic lowest-id seeds, same quantizer as [[ivfTopK]]), then

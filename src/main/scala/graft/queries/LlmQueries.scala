@@ -671,6 +671,16 @@ object LlmQueries {
       graft.llm.EmbeddingOps.kCenterCoreset(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)),
 
+    // Multi-probe LSH recall audit (Lv et al. 2007): per query, how many
+    // exact top-5 neighbors the plain band match reaches vs the 1-bit
+    // perturbation probes — recall-per-memory evidence for probing over
+    // more hash tables.
+    "q198_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.multiProbeRecall(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+    }),
+
     // b-bit minwise hashing audit (Li & König 2010): per candidate pair,
     // exact Jaccard vs the full-signature estimate vs the 4-bit-slot
     // estimate with the 2^-b collision-floor correction — sizes the 16×
@@ -2616,6 +2626,51 @@ object LlmQueries {
     "q192_abtt" -> abttSql,
 
     "q195_kcenter" -> kCenterSql,
+
+    // q30's exact chain + the band/probe matches: bit flips as the
+    // portable arithmetic k + m - 2*(k & m), probes = the band key plus
+    // its 8 single-bit perturbations.
+    "q198_multiprobe" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |bands AS ($bandKeysSql),
+         |qb AS (SELECT vec_id, bi, bk FROM bands WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT vec_id, bi,
+         |    CASE WHEN t.p < 0 THEN bk
+         |         ELSE bk + (1 << t.p) - 2 * (bk & (1 << t.p)) END AS pk
+         |  FROM qb, unnest(range(-1, 8)) AS t(p)),
+         |plain AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM qb q JOIN bands c ON q.bi = c.bi AND q.bk = c.bk
+         |  WHERE q.vec_id <> c.vec_id),
+         |mp AS (
+         |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN bands c ON p.bi = c.bi AND p.pk = c.bk
+         |  WHERE p.vec_id <> c.vec_id),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${dot("q.embedding", "c.embedding")}
+         |          / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 20)
+         |  WHERE rnk <= 5)
+         |SELECT e.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN pl.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits_plain,
+         |  CAST(SUM(CASE WHEN mp.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits_mp,
+         |  ROUND(CAST(SUM(CASE WHEN pl.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*), 6) AS recall_plain,
+         |  ROUND(CAST(SUM(CASE WHEN mp.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*), 6) AS recall_mp
+         |FROM exact e
+         |LEFT JOIN plain pl ON pl.query_id = e.query_id AND pl.cand_id = e.cand_id
+         |LEFT JOIN mp ON mp.query_id = e.query_id AND mp.cand_id = e.cand_id
+         |GROUP BY 1""".stripMargin,
 
     "q196_dedup_verdict" ->
       s"""WITH RECURSIVE $textClusterCtes,
