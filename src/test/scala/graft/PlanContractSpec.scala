@@ -40,7 +40,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q170_dup_graph_stats", // broadcast 1-row census aggregates
     "q178_pmi_pairs",       // broadcast 1-row corpus totals
     "q180_revenue_pareto",  // broadcast threshold-array + total scalars
-    "q181_churn")           // broadcast 1-row max-week scalar
+    "q181_churn",           // broadcast 1-row max-week scalar
+    "q198_multiprobe")      // q30's broadcast 20-query exact side
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]
