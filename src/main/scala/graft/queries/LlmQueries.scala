@@ -671,6 +671,31 @@ object LlmQueries {
       graft.llm.EmbeddingOps.kCenterCoreset(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)),
 
+    // Cross-signal curation diagnostic: per (source, within-source
+    // quality decile), how much of the corpus is near-duplicated — the
+    // "is our low-quality content also the duplicated content" question
+    // that decides whether one filter subsumes the other. Deciles
+    // partition by source (bounded window groups, the q172 argument),
+    // dup flags ride the bounded cluster table.
+    "q199_quality_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qual = TextAnalysis.quality(docs, "doc_id", "text",
+        extraCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      val dup = Dedup.dedupClusters(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
+        .select(col("doc_id"), lit(1).as("__dup"))
+      qual.join(dup, Seq("doc_id"), "left")
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("quality_score"), col("doc_id"))).cast("long"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__dup"), lit(0))).as("n_dup"),
+          round(sum(coalesce(col("__dup"), lit(0))).cast("double")
+            / count(lit(1)), 6).as("dup_rate"))
+    }),
+
     // Multi-probe LSH recall audit (Lv et al. 2007): per query, how many
     // exact top-5 neighbors the plain band match reaches vs the 1-bit
     // perturbation probes — recall-per-memory evidence for probing over
@@ -2671,6 +2696,32 @@ object LlmQueries {
          |LEFT JOIN plain pl ON pl.query_id = e.query_id AND pl.cand_id = e.cand_id
          |LEFT JOIN mp ON mp.query_id = e.query_id AND mp.cand_id = e.cand_id
          |GROUP BY 1""".stripMargin,
+
+    "q199_quality_dup_matrix" -> {
+      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+      s"""WITH RECURSIVE $textClusterCtes,
+         |q AS (
+         |  SELECT s.doc_id, d.source,
+         |    ROUND(0.4 * ROUND(n_unique::DOUBLE / n_words, 6)
+         |        + 0.3 * LEAST(n_words::DOUBLE / 50.0, 1.0)
+         |        + 0.3 * (1.0 - ROUND(n_stop::DOUBLE / n_words, 6)), 6)
+         |      AS quality_score
+         |  FROM (SELECT doc_id, len(w) AS n_words,
+         |          len(list_distinct(w)) AS n_unique,
+         |          len(list_filter(w, x -> x IN ($en))) AS n_stop
+         |        FROM (SELECT doc_id, $WORDS AS w FROM documents)) s
+         |  JOIN documents d USING (doc_id)),
+         |m AS (
+         |  SELECT q.source, q.quality_score,
+         |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup,
+         |    NTILE(10) OVER (PARTITION BY q.source
+         |      ORDER BY q.quality_score NULLS FIRST, q.doc_id) AS decile
+         |  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id)
+         |SELECT source, CAST(decile AS BIGINT) AS decile,
+         |  COUNT(*) AS n_docs, CAST(SUM(dup) AS BIGINT) AS n_dup,
+         |  ROUND(CAST(SUM(dup) AS BIGINT)::DOUBLE / COUNT(*), 6) AS dup_rate
+         |FROM m GROUP BY 1, 2""".stripMargin
+    },
 
     "q196_dedup_verdict" ->
       s"""WITH RECURSIVE $textClusterCtes,
