@@ -771,6 +771,40 @@ object Pipeline {
     * position within the shard = rank by (hash, id). One shuffle on the
     * shard key; shard sizes are balanced by the uniform hash, so the
     * per-shard window does not skew. */
+  /** Corpus snapshot diff — the add/remove/change audit between two
+    * crawls or build generations of the same corpus, the first question a
+    * re-train decision asks ("how much actually changed since the last
+    * build?"). Per (source, status ∈ added|removed|changed|unchanged):
+    * document count plus char volume on each side.
+    *
+    * Shape: content is collapsed to an md5 content hash map-side (the
+    * text column never crosses the wire — at 100 TB the shuffle carries
+    * 32-byte digests, not documents), then ONE full-outer shuffle join on
+    * the id, then a tiny hash-aggregate on (source, status). On a real
+    * deployment both snapshots would be bucketed by id and the join is
+    * exchange-free; here Catalyst plans the sort-merge join. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String): DataFrame = {
+    def sideTab(d: DataFrame, tag: String): DataFrame =
+      d.select(col(idCol),
+        col(sourceCol).as(s"__src_$tag"),
+        md5(col(textCol)).as(s"__h_$tag"),
+        length(col(textCol)).cast("long").as(s"__chars_$tag"))
+    val o = sideTab(oldDocs, "o")
+    val n = sideTab(newDocs, "n")
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__h_o").isNull, lit("added"))
+          .when(col("__h_n").isNull, lit("removed"))
+          .when(col("__h_o") === col("__h_n"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(coalesce(col("__src_n"), col("__src_o")).as("source"),
+        col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__chars_o"), lit(0L))).as("chars_old"),
+        sum(coalesce(col("__chars_n"), lit(0L))).as("chars_new"))
+  }
+
   def shardAssign(docs: DataFrame, idCol: String, numShards: Int,
       salt: String = "shard1"): DataFrame = {
     require(numShards > 0)

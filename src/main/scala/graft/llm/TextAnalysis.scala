@@ -144,6 +144,69 @@ object TextAnalysis {
         "keep")
   }
 
+  /** Heaps'-law vocabulary-growth fit — Zipf's companion diagnostic
+    * (Heaps 1978): distinct vocabulary V grows as K·n^β in corpus tokens
+    * n (β ≈ 0.4–0.6 for natural text; synthetic/template floods bend the
+    * curve). Sampling the growth curve at every document would need a
+    * corpus-length prefix scan, so the corpus is cut into `numBuckets`
+    * id-ordered epochs instead: per-epoch token counts and
+    * first-occurrence type counts are ordinary hash-aggregates (epoch
+    * assignment is monotone in the id, so a word's first-occurrence epoch
+    * is just min(bucket) — ONE pass, no ordering), and the cumulative
+    * curve + log-log least
+    * squares then run on `numBuckets` bounded rows. Epoch assignment is
+    * pure integer arithmetic (id·B ÷ (maxId+1) — exact on both engines;
+    * ids must stay below 2^57/B for the multiply, which a 100 TB corpus'
+    * 64-bit ids satisfy with monotone-batch id assignment). Logs pinned
+    * to 6 digits, moment sums exact-decimal, like [[zipfFit]]. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 2)
+    val maxId = docs.agg(max(col(idCol)).cast("long").as("__max_id"))
+    val words = docs
+      .crossJoin(broadcast(maxId))
+      // integral `div`, not `/` (which widens to double): exact at any id
+      // magnitude, and identical to DuckDB `//` for the non-negative ids
+      .select(
+        expr(s"CAST($idCol AS BIGINT) * ${numBuckets}L div (__max_id + 1L)")
+          .as("__bkt"),
+        explode(TextOps.words(col(textCol))).as("word"))
+    val tokensPerBucket = words.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("toks"))
+    // Bucket assignment is monotone in the id, so a word's
+    // first-occurrence epoch is simply min(bucket) — map-side partial
+    // min, then a COUNT per bucket = newly-seen types in that epoch.
+    val typesPerBucket = words.groupBy(col("word"))
+      .agg(min(col("__bkt")).as("__bkt"))
+      .groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("types"))
+    val w = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = tokensPerBucket
+      .join(typesPerBucket, Seq("__bkt"), "full_outer")
+      .select(col("__bkt"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("types"), lit(0L)).as("types"))
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .withColumn("cum_types", sum(col("types")).over(w))
+      .filter(col("cum_toks") > 0L && col("cum_types") > 0L)
+      .withColumn("x", round(log(col("cum_toks").cast("double")), 6))
+      .withColumn("y", round(log(col("cum_types").cast("double")), 6))
+    val s = curve.agg(count(lit(1)).as("n_points"),
+      max(col("cum_toks")).as("total_tokens"),
+      max(col("cum_types")).as("total_types"),
+      graft.core.Det.sumDet(col("x"), 6).as("sx"),
+      graft.core.Det.sumDet(col("y"), 6).as("sy"),
+      graft.core.Det.sumDet(col("x") * col("y"), 6).as("sxy"),
+      graft.core.Det.sumDet(col("x") * col("x"), 6).as("sxx"))
+    val nd = col("n_points").cast("double")
+    val beta = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n_points"), col("total_tokens"), col("total_types"),
+      round(beta, 6).as("beta"),
+      round((col("sy") - beta * col("sx")) / nd, 6).as("log_k"))
+  }
+
   /** Zipf power-law fit over the corpus word-frequency distribution —
     * the distributional-health statistic of corpus QA (natural text shows
     * ln cnt ≈ intercept + slope·ln rank with slope ≈ −1; template/spam

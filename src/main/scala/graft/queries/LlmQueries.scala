@@ -712,7 +712,28 @@ object LlmQueries {
     // signature-store compression before a corpus-scale build.
     "q197_bbit_minhash" -> ((s, dir) =>
       Dedup.bbitMinhashEstimate(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 8, numBands = 4, b = 4))
+        shingleN = 3, numHashes = 8, numBands = 4, b = 4)),
+
+    // Corpus snapshot diff: two deterministic "crawl generations" carved
+    // from the documents table (old drops doc_id%11==0, new drops
+    // doc_id%13==0 and revises doc_id%7==0), then the per-source
+    // add/remove/change/unchanged audit. Content collapses to md5
+    // digests before the one full-outer id join — text never shuffles.
+    "q200_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 0)
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Pipeline.corpusDiff(old, neu, "doc_id", "text", "source")
+    }),
+
+    // Heaps'-law vocabulary-growth fit over 64 id-ordered corpus epochs —
+    // Zipf's (q131) companion distributional-health diagnostic; β far
+    // from ~0.5 flags template floods or vocabulary collapse.
+    "q201_heaps_fit" -> ((s, dir) =>
+      TextAnalysis.heapsFit(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2769,7 +2790,62 @@ object LlmQueries {
          |  CASE WHEN ty IS NOT NULL
          |    THEN ROUND(hapax::DOUBLE / ty, 6) + 0.0 END AS hapax_frac,
          |  entropy + 0.0 AS entropy
-         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q200_corpus_diff" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0),
+         |neu AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |j AS (
+         |  SELECT COALESCE(n.source, o.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+         |         ELSE 'changed' END AS status,
+         |    COALESCE(length(o.text), 0) AS co,
+         |    COALESCE(length(n.text), 0) AS cn
+         |  FROM old o FULL JOIN neu n ON o.doc_id = n.doc_id)
+         |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(co) AS BIGINT) AS chars_old,
+         |  CAST(SUM(cn) AS BIGINT) AS chars_new
+         |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q201_heaps_fit" -> {
+      val sd = (e: String) => graft.core.Det.sumDetSql(e, 6)
+      s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         |wr AS (
+         |  SELECT (doc_id * 64) // (m + 1) AS bkt, unnest($WORDS) AS word
+         |  FROM documents, mx),
+         |tok AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS toks
+         |        FROM wr GROUP BY 1),
+         |typ AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS types FROM (
+         |          SELECT word, MIN(bkt) AS bkt FROM wr GROUP BY 1)
+         |        GROUP BY 1),
+         |c0 AS (
+         |  SELECT COALESCE(t.bkt, y.bkt) AS bkt, COALESCE(toks, 0) AS toks,
+         |    COALESCE(types, 0) AS types
+         |  FROM tok t FULL JOIN typ y ON t.bkt = y.bkt),
+         |c1 AS (
+         |  SELECT CAST(SUM(toks) OVER cum AS BIGINT) AS ct,
+         |    CAST(SUM(types) OVER cum AS BIGINT) AS cy
+         |  FROM c0 WINDOW cum AS (ORDER BY bkt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT ct, cy, ROUND(ln(ct), 6) AS x, ROUND(ln(cy), 6) AS y
+         |      FROM c1 WHERE ct > 0 AND cy > 0),
+         |s AS (
+         |  SELECT COUNT(*) AS n, MAX(ct) AS total_tokens,
+         |    MAX(cy) AS total_types, ${sd("x")} AS sx, ${sd("y")} AS sy,
+         |    ${sd("x * y")} AS sxy, ${sd("x * x")} AS sxx
+         |  FROM t)
+         |SELECT n AS n_points, total_tokens, total_types,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+         |    6) AS log_k
+         |FROM s""".stripMargin
+    }
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

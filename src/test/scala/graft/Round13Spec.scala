@@ -214,4 +214,53 @@ class Round13Spec extends AnyFunSuite {
     assert(got(2L) == ((1L, 2L, 0.5)))
     assert(got(3L) == ((3L, 1L, 1.0)))
   }
+
+  test("corpusDiff: statuses, side-aware sources, char volumes") {
+    val s = spark
+    import s.implicits._
+    val old = Seq(
+      (1L, "srcA", "kept the same"),      // unchanged
+      (2L, "srcA", "will be edited"),     // changed
+      (3L, "srcB", "will be dropped"))    // removed
+      .toDF("doc_id", "source", "text")
+    val neu = Seq(
+      (1L, "srcA", "kept the same"),
+      (2L, "srcA", "was edited here"),
+      (4L, "srcB", "newly crawled"))      // added
+      .toDF("doc_id", "source", "text")
+    val got = graft.llm.Pipeline
+      .corpusDiff(old, neu, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("srcA", "unchanged")) == ((1L, 13L, 13L)))
+    assert(got(("srcA", "changed")) == ((1L, 14L, 15L)))
+    // removed: chars only on the old side; added: only on the new side
+    assert(got(("srcB", "removed")) == ((1L, 15L, 0L)))
+    assert(got(("srcB", "added")) == ((1L, 0L, 13L)))
+    assert(got.size == 4)
+  }
+
+  test("heapsFit: totals exact; beta ~1 for linear growth, low for flat vocab") {
+    val s = spark
+    import s.implicits._
+    // 16 docs, 4 tokens each, every word globally unique -> V(n) = n,
+    // so the log-log slope is exactly 1 wherever >=2 curve points exist.
+    val lin = (0L until 16L)
+      .map(i => (i, (0 until 4).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lf = graft.llm.TextAnalysis.heapsFit(lin, "doc_id", "text",
+      numBuckets = 8).collect().head
+    assert(lf.getLong(1) == 64L && lf.getLong(2) == 64L) // tokens, types
+    assert(math.abs(lf.getDouble(3) - 1.0) < 1e-6, s"beta=${lf.getDouble(3)}")
+    // Same shape but a single shared 4-word vocabulary -> types flat at 4
+    // after the first epoch: beta must collapse toward 0.
+    val flat = (0L until 16L)
+      .map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val ff = graft.llm.TextAnalysis.heapsFit(flat, "doc_id", "text",
+      numBuckets = 8).collect().head
+    assert(ff.getLong(1) == 64L && ff.getLong(2) == 4L)
+    assert(ff.getDouble(3) < 0.05, s"beta=${ff.getDouble(3)}")
+  }
 }
