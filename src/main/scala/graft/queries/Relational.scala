@@ -810,7 +810,14 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"),
           Det.sumDet(col("value")).as("sum_v"))
-    })
+    }),
+
+    // One-pass table profiler (Deequ/TFDV-class data unit test): every
+    // lineitem column's null count, exact cardinality, range, and mean
+    // from ONE scan + ONE aggregation; the per-column rows explode out
+    // of the single aggregate row, so the unpivot costs nothing.
+    "q202_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1321,8 +1328,59 @@ object Relational {
          |SELECT event_type, decile, COUNT(*) AS n,
          |  MIN(value) AS min_v, MAX(value) AS max_v,
          |  ${Det.sumDetSql("value")} AS sum_v
-         |FROM d GROUP BY 1, 2""".stripMargin
+         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    "q202_profile" -> profileOracle
   )
+
+  /** q202's oracle, generated from the same (column, kind) schema list
+    * the Spark profiler introspects — one aggregate CTE, one SELECT per
+    * column row. */
+  private lazy val profileOracle: String = {
+    val cols: Seq[(String, String)] = Seq(
+      "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+      "l_linenumber" -> "int", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double",
+      "l_tax" -> "double", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "timestamp")
+    val aggs = cols.flatMap { case (c, k) =>
+      val base = Seq(
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls",
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}__nd")
+      val typed = k match {
+        case "int" => Seq(
+          s"CAST(MIN($c) AS DOUBLE) AS ${c}__min",
+          s"CAST(MAX($c) AS DOUBLE) AS ${c}__max",
+          s"ROUND(CAST(SUM(CAST($c AS DECIMAL(24,0))) AS DOUBLE) / COUNT($c), 6) AS ${c}__mean")
+        case "double" => Seq(
+          s"MIN($c) AS ${c}__min",
+          s"MAX($c) AS ${c}__max",
+          s"ROUND(${Det.avgDetSql(c)}, 6) AS ${c}__mean")
+        case "string" => Seq(
+          s"MIN($c) AS ${c}__smin", s"MAX($c) AS ${c}__smax")
+        case "timestamp" => Seq(
+          s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS ${c}__smin",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS ${c}__smax")
+      }
+      base ++ typed
+    }
+    val rows = cols.map { case (c, k) =>
+      val numeric = k == "int" || k == "double"
+      val minNum = if (numeric) s"${c}__min" else "CAST(NULL AS DOUBLE)"
+      val maxNum = if (numeric) s"${c}__max" else "CAST(NULL AS DOUBLE)"
+      val mean = if (numeric) s"${c}__mean" else "CAST(NULL AS DOUBLE)"
+      val minStr = if (!numeric) s"${c}__smin" else "CAST(NULL AS VARCHAR)"
+      val maxStr = if (!numeric) s"${c}__smax" else "CAST(NULL AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, '$k' AS dtype, n AS n_rows,
+         |  ${c}__nulls AS n_nulls, ${c}__nd AS n_distinct,
+         |  $minNum AS min_num, $maxNum AS max_num, $mean AS mean,
+         |  $minStr AS min_str, $maxStr AS max_str FROM a""".stripMargin
+    }
+    s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${aggs.mkString(",\n  ")}
+       |FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** q153's oracle: [[graft.ops.PageRank]]'s 5 iterations unrolled as CTEs
     * r1..r5, identical scaled-integer arithmetic (`//` = Spark's `div`;

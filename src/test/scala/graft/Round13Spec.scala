@@ -241,6 +241,38 @@ class Round13Spec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("Profile: one row per column; nulls/cardinality/range/mean; 1 scan") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Some(2.0), Some("a")),
+      (2L, None, Some("c")),
+      (3L, Some(4.0), None),
+      (3L, Some(6.0), Some("a")))
+      .toDF("k", "v", "s")
+    val df = graft.ops.Profile.profile(d)
+    val got = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3)
+    val k = got("k")
+    assert(k.getString(1) == "int" && k.getLong(2) == 4L &&
+      k.getLong(3) == 0L && k.getLong(4) == 3L)
+    assert(k.getDouble(5) == 1.0 && k.getDouble(6) == 3.0 &&
+      k.getDouble(7) == 2.25)
+    val v = got("v")
+    assert(v.getString(1) == "double" && v.getLong(3) == 1L &&
+      v.getLong(4) == 3L && v.getDouble(7) == 4.0) // mean over non-nulls
+    val st = got("s")
+    assert(st.getString(1) == "string" && st.getLong(3) == 1L &&
+      st.getLong(4) == 2L && st.getString(8) == "a" && st.getString(9) == "c")
+    assert(st.isNullAt(5) && st.isNullAt(7))
+    // the whole profile is ONE pass: a single scan feeds one aggregate
+    // (AQE's toString appends the initial plan — inspect the final only)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan ExistingRDD|LocalTableScan".r.findAllIn(plan).size <= 1,
+      "profiler must not re-scan per column")
+  }
+
   test("heapsFit: totals exact; beta ~1 for linear growth, low for flat vocab") {
     val s = spark
     import s.implicits._
