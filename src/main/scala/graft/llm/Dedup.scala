@@ -490,6 +490,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("gram"))
   }
 
+  /** Position cap for packed winnowing fingerprints: documents up to 2^20
+    * chars (1 MiB — crawl-pipeline docs are truncated far below this). */
+  private val WinPosCap = 1L << 20
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every char `k`-gram, then keep, for each
+    * window of `w` consecutive grams, the minimal hash (ties → rightmost
+    * position). Guarantees a shared substring of length ≥ k+w−1 always
+    * yields a shared fingerprint, at expected density 2/(w+1) — the
+    * local-fingerprint robustness the q84 whole-doc rolling hash lacks.
+    *
+    * Map-only: grams, packed (hash, pos) keys, window minima, and the
+    * per-doc distinct are all array expressions inside one projection —
+    * no explode until the final fingerprint rows. The (hash ≪ 20 | cap−1
+    * −pos) packing makes "min hash, rightmost pos" a single integer MIN,
+    * identical in DuckDB. Output: one row per selected (id, hash, pos). */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1)
+    val txt = lower(col(textCol))
+    val m = length(txt) - (k - 1) // char-gram count
+    val grams = transform(sequence(lit(0), m - 1),
+      i => txt.substr(i + 1, lit(k)))
+    val packed = transform(grams, (g, i) =>
+      conv(substr(md5(g), lit(1), lit(8)), 16, 10).cast("long") * WinPosCap
+        + (lit(WinPosCap - 1) - i))
+    val wins = transform(sequence(lit(0), m - w),
+      j => array_min(slice(packed, j + 1, lit(w))))
+    docs
+      .filter(length(txt) >= k + w - 1) // at least one full window
+      .select(col(idCol), explode(array_distinct(wins)).as("__fp"))
+      .select(col(idCol),
+        expr(s"__fp div $WinPosCap").as("h"),
+        (lit(WinPosCap - 1) - (col("__fp") % WinPosCap)).as("pos"))
+  }
+
+  /** Document pairs sharing winnowed fingerprints: the MOSS match report.
+    * Per pair, the count of shared distinct fingerprint hashes and the
+    * containment-style overlap vs the smaller selected set. Blocking is
+    * the fingerprint-hash equi-join with a document-frequency guard
+    * (`maxDf`) — candidate volume is Σ df² over surviving hashes, never
+    * all-pairs, the same bound as the LSH band join. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Int = 10): DataFrame = {
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("h")).distinct()
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val dfTab = fps.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val rare = fps.join(dfTab, Seq("h")).filter(col("__df") <= maxDf)
+    val shared = rare.select(col("h"), col(idCol).as("id_a"))
+      .join(rare.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__sza"), col("__szb")), 6).as("overlap"))
+  }
+
   /** Per-document 60-bit SimHash fingerprints.
     *
     * Explode-side formulation: one 60-bit hash per word row, then 60

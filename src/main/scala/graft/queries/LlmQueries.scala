@@ -733,7 +733,16 @@ object LlmQueries {
     // Zipf's (q131) companion distributional-health diagnostic; β far
     // from ~0.5 flags template floods or vocabulary collapse.
     "q201_heaps_fit" -> ((s, dir) =>
-      TextAnalysis.heapsFit(Tables.documents(s, dir), "doc_id", "text"))
+      TextAnalysis.heapsFit(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Winnowing (MOSS) fingerprint overlap: windowed-min char-gram
+    // selection guarantees any shared substring of >= k+w-1 chars yields
+    // a shared fingerprint — the local-match detector that catches
+    // partial plagiarism/boilerplate the whole-doc hash (q84) and
+    // bag-of-shingles MinHash both miss.
+    "q203_winnowing" -> ((s, dir) =>
+      Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 4, maxDf = 10))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2845,7 +2854,37 @@ object LlmQueries {
          |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
          |    6) AS log_k
          |FROM s""".stripMargin
-    }
+    },
+
+    "q203_winnowing" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lower(text) AS t, length(lower(text)) - 7 AS m
+         |  FROM documents WHERE length(lower(text)) >= 11),
+         |pk AS (
+         |  SELECT doc_id, m, list_transform(range(0, m), i ->
+         |    ('0x' || substr(md5(substr(t, CAST(i + 1 AS INT), 8)), 1, 8))::BIGINT
+         |      * 1048576 + (1048575 - i)) AS p
+         |  FROM g),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, m - 3),
+         |    j -> list_aggregate(p[CAST(j + 1 AS INT):CAST(j + 4 AS INT)],
+         |      'min')))) AS v
+         |  FROM pk),
+         |f AS (SELECT DISTINCT doc_id, v // 1048576 AS h FROM fp),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |       FROM f GROUP BY 1),
+         |dfh AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY 1),
+         |r AS (SELECT f.doc_id, f.h FROM f JOIN dfh USING (h) WHERE df <= 10),
+         |sh AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM r a JOIN r b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) AS overlap
+         |FROM sh
+         |JOIN sz sa ON sa.doc_id = sh.id_a
+         |JOIN sz sb ON sb.doc_id = sh.id_b""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

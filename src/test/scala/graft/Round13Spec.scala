@@ -273,6 +273,32 @@ class Round13Spec extends AnyFunSuite {
       "profiler must not re-scan per column")
   }
 
+  test("winnowing: shared >=k+w-1 substring guarantees a match; rightmost ties") {
+    val s = spark
+    import s.implicits._
+    // k=8, w=4 -> any shared substring of length >= 11 must produce at
+    // least one shared fingerprint (the winnowing guarantee).
+    val common = "the quick brown fox jumps over it"
+    val d = Seq(
+      (1L, s"PREFIX ONE ... $common ... SUFFIX ALPHA"),
+      (2L, s"totally other beginning $common different end"),
+      (3L, "no overlap with anything else at all here"))
+      .toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup
+      .winnowingPairs(d, "doc_id", "text", k = 8, w = 4, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 1L,
+      "guaranteed shared fingerprint missing")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // All-equal gram hashes ("aaaa...") -> every window's min is its
+    // RIGHTMOST gram; selected positions are exactly w-1 .. m-1.
+    val mono = Seq((9L, "a" * 15)).toDF("doc_id", "text") // m = 8 grams
+    val fps = graft.llm.Dedup
+      .winnowingFingerprints(mono, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(2))
+    assert(fps.sorted.sameElements(3L to 7L), s"got ${fps.toSeq.sorted}")
+  }
+
   test("heapsFit: totals exact; beta ~1 for linear growth, low for flat vocab") {
     val s = spark
     import s.implicits._
