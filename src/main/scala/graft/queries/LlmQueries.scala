@@ -742,7 +742,33 @@ object LlmQueries {
     // bag-of-shingles MinHash both miss.
     "q203_winnowing" -> ((s, dir) =>
       Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = 8, w = 4, maxDf = 10))
+        k = 8, w = 4, maxDf = 10)),
+
+    // Tokenizer fertility per language: learned-subword tokens per word
+    // and chars per token from the q166 BPE encode, aggregated over the
+    // lang tag — the per-language cost table that decides sampling
+    // weights when one tokenizer serves a multilingual corpus. Integer
+    // sums + one rounded division; golden oracle extends
+    // tools/golden_bpe.py's independent implementation.
+    "q204_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = graft.llm.Bpe.encode(docs, "doc_id", "text",
+        graft.llm.Bpe.learnMerges(docs, "text", numMerges = 8)
+          .map(m => (m.left, m.right)))
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("__chars"))
+        .join(enc.select(col("doc_id"), col("n_words"), col("n_tokens")),
+          Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_words"),
+          sum("n_tokens").as("total_tokens"),
+          sum("__chars").as("total_chars"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 6)
+            .as("fertility"),
+          round(sum("__chars").cast("double") / sum("n_tokens"), 6)
+            .as("chars_per_token"))
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -1959,6 +1985,7 @@ object LlmQueries {
          |FROM tb FULL JOIN tc USING (doc_id)""".stripMargin,
 
     "q166_bpe_encode" -> KernelQueries.golden("q166_bpe_encode"),
+    "q204_fertility" -> KernelQueries.golden("q204_fertility"),
 
     "q174_pack_boundaries" ->
       s"""WITH nt AS (

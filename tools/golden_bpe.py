@@ -44,7 +44,7 @@ def main():
     out_dir = sys.argv[2] if len(sys.argv) > 2 else \
         str(Path(__file__).parent.parent / "src/test/resources/golden")
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text", "lang"])
 
     wc = {}
     for t in docs["text"]:
@@ -91,6 +91,25 @@ def main():
     out = Path(out_dir) / "q166_bpe_encode.parquet"
     df.to_parquet(out, index=False)
     print(f"wrote {out} ({len(df)} rows)")
+
+    # q204: tokenizer fertility per language — aggregate of the same
+    # per-doc encode, joined with the documents' lang tag and char count.
+    import numpy as np
+    meta = pd.DataFrame({
+        "doc_id": docs["doc_id"].astype("int64"),
+        "lang": docs["lang"],
+        "n_chars": [len(t or "") for t in docs["text"]]})
+    m = df.merge(meta, on="doc_id")
+    g = m.groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "count"), total_words=("n_words", "sum"),
+        total_tokens=("n_tokens", "sum"), total_chars=("n_chars", "sum"))
+    g["fertility"] = np.round(g.total_tokens / g.total_words, 6)
+    g["chars_per_token"] = np.round(g.total_chars / g.total_tokens, 6)
+    g = g.astype({"n_docs": "int64", "total_words": "int64",
+                  "total_tokens": "int64", "total_chars": "int64"})
+    out2 = Path(out_dir) / "q204_fertility.parquet"
+    g.to_parquet(out2, index=False)
+    print(f"wrote {out2} ({len(g)} rows)")
 
 
 if __name__ == "__main__":
