@@ -144,6 +144,41 @@ object TextAnalysis {
         "keep")
   }
 
+  /** Per-source boilerplate detection: the most frequent document
+    * prefixes and suffixes (fixed `gramLen` chars) with their corpus
+    * shares — crawl templates ("subscribe to our newsletter…", cookie
+    * banners, footers) concentrate exactly there, and a high top-1 share
+    * is the signal to strip before dedup/training. One scan → one
+    * (source, kind, gram) hash-aggregate; the per-source top-k is a
+    * rank-limited window over the aggregated table (WindowGroupLimit
+    * prunes it map-side), so nothing corpus-sized is sorted. */
+  def boilerplateGrams(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, gramLen: Int = 16, topK: Int = 3): DataFrame = {
+    require(gramLen >= 1 && topK >= 1)
+    val t = lower(col(textCol))
+    val rows = docs
+      .filter(length(t) >= gramLen)
+      .select(col(sourceCol).as("source"),
+        explode(array(
+          struct(lit("prefix").as("kind"),
+            t.substr(lit(1), lit(gramLen)).as("gram")),
+          struct(lit("suffix").as("kind"),
+            t.substr(length(t) - (gramLen - 1), lit(gramLen)).as("gram"))))
+          .as("g"))
+      .select(col("source"), col("g.kind").as("kind"), col("g.gram").as("gram"))
+    val counts = rows.groupBy("source", "kind", "gram")
+      .agg(count(lit(1)).as("n"))
+    val totals = rows.groupBy("source", "kind").agg(count(lit(1)).as("__tot"))
+    val w = Window.partitionBy("source", "kind")
+      .orderBy(col("n").desc, col("gram"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .join(totals, Seq("source", "kind"))
+      .select(col("source"), col("kind"), col("rank"), col("gram"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("share"))
+  }
+
   /** Heaps'-law vocabulary-growth fit — Zipf's companion diagnostic
     * (Heaps 1978): distinct vocabulary V grows as K·n^β in corpus tokens
     * n (β ≈ 0.4–0.6 for natural text; synthetic/template floods bend the

@@ -768,7 +768,14 @@ object LlmQueries {
             .as("fertility"),
           round(sum("__chars").cast("double") / sum("n_tokens"), 6)
             .as("chars_per_token"))
-    })
+    }),
+
+    // Per-source boilerplate panel: top-3 16-char document prefixes and
+    // suffixes with corpus shares — crawl templates concentrate there;
+    // a high top-1 share means "strip before dedup/training".
+    "q205_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateGrams(Tables.documents(s, dir), "doc_id",
+        "text", "source", gramLen = 16, topK = 3))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2911,7 +2918,31 @@ object LlmQueries {
          |  ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) AS overlap
          |FROM sh
          |JOIN sz sa ON sa.doc_id = sh.id_a
-         |JOIN sz sb ON sb.doc_id = sh.id_b""".stripMargin
+         |JOIN sz sb ON sb.doc_id = sh.id_b""".stripMargin,
+
+    "q205_boilerplate" ->
+      s"""WITH r AS (
+         |  SELECT source, kind, gram FROM (
+         |    SELECT source, lower(text) AS t FROM documents
+         |    WHERE length(lower(text)) >= 16),
+         |  LATERAL (VALUES ('prefix', substr(t, 1, 16)),
+         |                  ('suffix', substr(t, length(t) - 15, 16)))
+         |    AS v(kind, gram)),
+         |c AS (
+         |  SELECT source, kind, gram, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM r GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT source, kind, CAST(COUNT(*) AS BIGINT) AS tot
+         |  FROM r GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT source, kind, gram, n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source, kind
+         |      ORDER BY n DESC, gram) AS BIGINT) AS rank
+         |  FROM c)
+         |SELECT rk.source, rk.kind, rank, gram, n,
+         |  ROUND(n::DOUBLE / tot, 6) AS share
+         |FROM rk JOIN tot ON tot.source = rk.source AND tot.kind = rk.kind
+         |WHERE rank <= 3""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

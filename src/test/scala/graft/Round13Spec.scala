@@ -273,6 +273,29 @@ class Round13Spec extends AnyFunSuite {
       "profiler must not re-scan per column")
   }
 
+  test("boilerplateGrams: top template prefix/suffix with shares") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "sA", "SUBSCRIBE NOW!! article one body ends here ok"),
+      (2L, "sA", "subscribe now!! article two body closes thus x"),
+      (3L, "sA", "an organic piece without any template at all."),
+      (4L, "sB", "short but long enough text entirely unique z"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.llm.TextAnalysis
+      .boilerplateGrams(d, "doc_id", "text", "source", gramLen = 16, topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getString(3), r.getLong(4), r.getDouble(5))).toMap
+    // the lowercased shared 16-char prefix dominates sA: 2 of 3 docs
+    assert(got(("sA", "prefix", 1L)) == (("subscribe now!! ", 2L, 0.666667)))
+    // suffixes all differ -> every sA suffix has count 1
+    assert(got(("sA", "suffix", 1L))._2 == 1L)
+    // singleton source: its one prefix has share 1.0
+    assert(got(("sB", "prefix", 1L))._2 == 1L &&
+      got(("sB", "prefix", 1L))._3 == 1.0)
+  }
+
   test("winnowing: shared >=k+w-1 substring guarantees a match; rightmost ties") {
     val s = spark
     import s.implicits._
