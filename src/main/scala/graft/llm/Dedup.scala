@@ -501,26 +501,36 @@ object Dedup {
     * yields a shared fingerprint, at expected density 2/(w+1) — the
     * local-fingerprint robustness the q84 whole-doc rolling hash lacks.
     *
-    * Map-only: grams, packed (hash, pos) keys, window minima, and the
-    * per-doc distinct are all array expressions inside one projection —
-    * no explode until the final fingerprint rows. The (hash ≪ 20 | cap−1
+    * Map-only, still shuffle-free before the final distinct — but the
+    * packed (hash, pos) array is materialized ONCE per document and the
+    * window minima explode through a Generate that slices the
+    * materialized column. (A nested-HOF formulation — wins' lambda
+    * referencing the packed transform — re-evaluates the whole m-element
+    * md5 transform per window, O(m²) interpreted digests per doc: 745 s
+    * of task time at sf0.1 before this shape.) The (hash ≪ 20 | cap−1
     * −pos) packing makes "min hash, rightmost pos" a single integer MIN,
     * identical in DuckDB. Output: one row per selected (id, hash, pos). */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1)
-    val txt = lower(col(textCol))
+    val txt = col(textCol)
     val m = length(txt) - (k - 1) // char-gram count
-    val grams = transform(sequence(lit(0), m - 1),
-      i => txt.substr(i + 1, lit(k)))
-    val packed = transform(grams, (g, i) =>
-      conv(substr(md5(g), lit(1), lit(8)), 16, 10).cast("long") * WinPosCap
-        + (lit(WinPosCap - 1) - i))
-    val wins = transform(sequence(lit(0), m - w),
-      j => array_min(slice(packed, j + 1, lit(w))))
+    // lower() runs per 8-char gram, not per doc: a lambda referencing a
+    // whole-doc lower(text) would re-lowercase the document per element.
+    val packed = transform(sequence(lit(0), m - 1), i =>
+      conv(substr(md5(lower(txt.substr(i + 1, lit(k)))), lit(1), lit(8)),
+        16, 10).cast("long") * WinPosCap + (lit(WinPosCap - 1) - i))
     docs
       .filter(length(txt) >= k + w - 1) // at least one full window
-      .select(col(idCol), explode(array_distinct(wins)).as("__fp"))
+      .select(col(idCol), packed.as("__packed"))
+      // Generate is the materialization barrier: __packed is computed in
+      // the child projection (once per doc) and carried as a bound
+      // reference; each exploded window start then slices the array.
+      .select(col(idCol), col("__packed"),
+        explode(sequence(lit(0), size(col("__packed")) - w)).as("__j"))
+      .select(col(idCol),
+        array_min(slice(col("__packed"), col("__j") + 1, lit(w))).as("__fp"))
+      .distinct()
       .select(col(idCol),
         expr(s"__fp div $WinPosCap").as("h"),
         (lit(WinPosCap - 1) - (col("__fp") % WinPosCap)).as("pos"))

@@ -24,6 +24,13 @@ object Relational {
     * `W(p)` (SURVEY §2 legend). Deterministic tie-break on event_id. */
   private def wUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
 
+  /** q206's sequence patterns — shared by the Spark body and the oracle
+    * (plain regex, identical semantics in Java regex and RE2). */
+  private val SeqPats: Seq[(String, String)] = Seq(
+    "view_then_purchase" -> "(^|>)view>(.*>)?purchase(>|$)",
+    "ends_in_error" -> "(^|>)error$",
+    "signup_first" -> "^signup(>|$)")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: fixed-bucket segmentation group-agg (SQA.get_artifacts analog,
     // reference pipeline/SQA.py:237-277).
@@ -817,7 +824,42 @@ object Relational {
     // from ONE scan + ONE aggregation; the per-column rows explode out
     // of the single aggregate row, so the unpivot costs nothing.
     "q202_profile" -> ((s, dir) =>
-      graft.ops.Profile.profile(Tables.lineitem(s, dir)))
+      graft.ops.Profile.profile(Tables.lineitem(s, dir))),
+
+    // MATCH_RECOGNIZE-class sequence patterns over sessions: each
+    // session's ordered event types collapse to one '>'-joined string
+    // (per-session bounded — the array_sort runs inside a group, never
+    // across the stream), then THREE regex predicates fold into one
+    // conditional aggregate over the session table; the per-pattern rows
+    // explode out of the single aggregate row. The scale shape is q141's
+    // one per-user exchange plus a session-count-sized scan.
+    "q206_seq_pattern" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val gap = 30L * MIN_US
+      val sess = ev
+        .withColumn("__prev", lag(col("ts_us"), 1).over(wUser))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("ts_us") - col("__prev") > gap, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(wUser))
+      val seqs = sess.groupBy("user_id", "session_id")
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("seq"))
+      val aggExprs = count(lit(1)).as("__n") +:
+        SeqPats.zipWithIndex.map { case ((_, re), i) =>
+          sum(when(col("seq").rlike(re), 1L).otherwise(0L)).as(s"__m$i")
+        }
+      val agg = seqs.agg(aggExprs.head, aggExprs.tail: _*)
+      agg.select(explode(array(SeqPats.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("pattern"), col("__n").as("n_sessions"),
+            col(s"__m$i").as("n_matched"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
+        .withColumn("share",
+          round(col("n_matched").cast("double") / col("n_sessions"), 6))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1330,7 +1372,34 @@ object Relational {
          |  ${Det.sumDetSql("value")} AS sum_v
          |FROM d GROUP BY 1, 2""".stripMargin,
 
-    "q202_profile" -> profileOracle
+    "q202_profile" -> profileOracle,
+
+    "q206_seq_pattern" -> {
+      val ms = SeqPats.zipWithIndex.map { case ((_, re), i) =>
+        s"CAST(SUM(CASE WHEN regexp_matches(seq, '$re') THEN 1 ELSE 0 END) AS BIGINT) AS m$i"
+      }
+      val rows = SeqPats.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT '$name' AS pattern, n AS n_sessions, m$i AS n_matched,
+           |  ROUND(m$i::DOUBLE / n, 6) AS share FROM a""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w > ${30L * MIN_US} THEN 1 ELSE 0 END AS nw
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (
+         |  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |    AS session_id FROM m),
+         |sq AS (
+         |  SELECT user_id, session_id,
+         |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS seq
+         |  FROM s GROUP BY 1, 2),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${ms.mkString(",\n  ")}
+         |      FROM sq)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    }
   )
 
   /** q202's oracle, generated from the same (column, kind) schema list

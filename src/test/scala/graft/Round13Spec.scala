@@ -273,6 +273,30 @@ class Round13Spec extends AnyFunSuite {
       "profiler must not re-scan per column")
   }
 
+  test("q206 seq patterns: regex semantics on session strings (rlike = find)") {
+    // q206's session/ordering machinery is q141's (oracle-verified);
+    // what needs pinning here is the pattern semantics on the '>'-joined
+    // strings — including the token-boundary cases ("review" must not
+    // match "view", "purchase>view" must not match view-then-purchase).
+    val cases = Seq(
+      ("(^|>)view>(.*>)?purchase(>|$)", "view>click>purchase", true),
+      ("(^|>)view>(.*>)?purchase(>|$)", "view>purchase", true),
+      ("(^|>)view>(.*>)?purchase(>|$)", "click>view>purchase>error", true),
+      ("(^|>)view>(.*>)?purchase(>|$)", "purchase>view", false),
+      ("(^|>)view>(.*>)?purchase(>|$)", "review>purchase", false),
+      ("(^|>)view>(.*>)?purchase(>|$)", "view>error", false),
+      ("(^|>)error$", "view>error", true),
+      ("(^|>)error$", "error", true),
+      ("(^|>)error$", "error>view", false),
+      ("^signup(>|$)", "signup>view", true),
+      ("^signup(>|$)", "signup", true),
+      ("^signup(>|$)", "view>signup", false))
+    cases.foreach { case (re, str, want) =>
+      val got = java.util.regex.Pattern.compile(re).matcher(str).find()
+      assert(got == want, s"'$str' vs '$re': got $got")
+    }
+  }
+
   test("boilerplateGrams: top template prefix/suffix with shares") {
     val s = spark
     import s.implicits._
