@@ -501,35 +501,49 @@ object Dedup {
     * yields a shared fingerprint, at expected density 2/(w+1) — the
     * local-fingerprint robustness the q84 whole-doc rolling hash lacks.
     *
-    * Map-only, still shuffle-free before the final distinct — but the
-    * packed (hash, pos) array is materialized ONCE per document and the
-    * window minima explode through a Generate that slices the
-    * materialized column. (A nested-HOF formulation — wins' lambda
-    * referencing the packed transform — re-evaluates the whole m-element
-    * md5 transform per window, O(m²) interpreted digests per doc: 745 s
-    * of task time at sf0.1 before this shape.) The (hash ≪ 20 | cap−1
-    * −pos) packing makes "min hash, rightmost pos" a single integer MIN,
-    * identical in DuckDB. Output: one row per selected (id, hash, pos). */
+    * Shape: gram positions posexplode to ROWS so the md5/conv hashing is
+    * whole-stage codegen (array-lambda formulations evaluate interpreted
+    * — the nested-HOF draft re-ran the m-element md5 transform per
+    * window, O(m²) interpreted digests and 12+ min of task time at
+    * sf0.1; the materialized-array draft still paid ~4 s of interpreted
+    * per-element digests); the w-window minimum is then ONE sliding
+    * window frame over the id-keyed gram rows — the engine's standard
+    * posexplode+window composition (ARCHITECTURE "codegen-first"). The
+    * (hash ≪ 20 | cap−1−pos) packing makes "min hash, rightmost pos" a
+    * single integer MIN, identical in DuckDB. Cost at scale: one
+    * exchange of 24-byte gram rows on the id — the same order as the
+    * MinHash shingle shuffles. Output: one selected (id, hash, pos) row
+    * per fingerprint. */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1)
     val txt = col(textCol)
-    val m = length(txt) - (k - 1) // char-gram count
-    // lower() runs per 8-char gram, not per doc: a lambda referencing a
-    // whole-doc lower(text) would re-lowercase the document per element.
-    val packed = transform(sequence(lit(0), m - 1), i =>
-      conv(substr(md5(lower(txt.substr(i + 1, lit(k)))), lit(1), lit(8)),
-        16, 10).cast("long") * WinPosCap + (lit(WinPosCap - 1) - i))
-    docs
+    val grams = docs
       .filter(length(txt) >= k + w - 1) // at least one full window
-      .select(col(idCol), packed.as("__packed"))
-      // Generate is the materialization barrier: __packed is computed in
-      // the child projection (once per doc) and carried as a bound
-      // reference; each exploded window start then slices the array.
-      .select(col(idCol), col("__packed"),
-        explode(sequence(lit(0), size(col("__packed")) - w)).as("__j"))
-      .select(col(idCol),
-        array_min(slice(col("__packed"), col("__j") + 1, lit(w))).as("__fp"))
+      // repartition on the id BEFORE the CPU-bound hashing (the engine's
+      // standard corpus-scan shape): the exchange then carries compact
+      // doc rows, parallelizes the md5 work across all cores even when
+      // the source is one small file, and already satisfies the window's
+      // clustering — no second exchange of the fatter gram rows. The
+      // partition count is pinned so AQE cannot coalesce the tiny
+      // byte-size doc rows back into one task (the md5 cost is per GRAM,
+      // invisible to size-based coalescing — measured 3x slower when
+      // coalesced).
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol), txt.as("__t"), length(txt).as("__L"),
+        explode(sequence(lit(0), length(txt) - k)).as("__i"))
+      .select(col(idCol), col("__L"), col("__i"),
+        (conv(substr(md5(lower(col("__t").substr(col("__i") + 1, lit(k)))),
+          lit(1), lit(8)), 16, 10).cast("long") * WinPosCap
+          + (lit(WinPosCap - 1) - col("__i"))).as("__p"))
+    val wFrame = Window.partitionBy(idCol).orderBy(col("__i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__fp", min(col("__p")).over(wFrame))
+      // window starts only: j ≤ m − w  ⇔  i ≤ L − (k+w−1)
+      .filter(col("__i") <= col("__L") - (k + w - 1))
+      .select(col(idCol), col("__fp"))
       .distinct()
       .select(col(idCol),
         expr(s"__fp div $WinPosCap").as("h"),
@@ -544,8 +558,12 @@ object Dedup {
     * all-pairs, the same bound as the LSH band join. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Int = 10): DataFrame = {
+    // one (id, hash) row per selected fingerprint — materialized once
+    // (localCheckpoint, the Dedup-wide multi-consumer pattern): sizes,
+    // the df table, and both join sides read it, and recomputing the
+    // hash+window subtree per consumer quadrupled q203's cost.
     val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol), col("h")).distinct()
+      .select(col(idCol), col("h")).distinct().localCheckpoint()
     val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val dfTab = fps.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     val rare = fps.join(dfTab, Seq("h")).filter(col("__df") <= maxDf)

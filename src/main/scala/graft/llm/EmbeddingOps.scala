@@ -298,4 +298,62 @@ object EmbeddingOps {
         StructField(idCol, LongType, nullable = false),
         StructField("max_cos", DoubleType, nullable = true))))
   }
+
+  /** Label-separation audit — the embedding-space health matrix a
+    * classifier or hard-negative miner reads before trusting the space:
+    * per label pair, the cosine between exact per-label centroids
+    * (off-diagonal = class confusability), and on the diagonal the
+    * label's size and mean member-to-own-centroid cosine (class
+    * tightness).
+    *
+    * Scale shape: centroids come from ONE posexplode + (label, dim)
+    * hash-aggregate over [[Q]]-fixed-point ints (exact at any row
+    * count), collected as an L×dim table (L = label cardinality — the
+    * same bounded driver sync as k-means seeds); member scoring is then
+    * a broadcast join + map-only [[graft.functions.DotProductF]] fold;
+    * the L² pair matrix is a broadcast self-cross of the tiny centroid
+    * table. Cosines pin to 6 digits; the intra mean runs through exact
+    * decimal sums. */
+  def labelSeparation(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val s = emb.select(col(labelCol).cast("long").as("label"),
+      posexplode(transform(col(embCol),
+        x => floor(x.cast("double") * Q + lit(0.5)).cast("long")))
+        .as(Seq("i", "v")))
+    val cent = s.groupBy("label", "i")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .collect()
+    val byLabel = cent.groupBy(_.getLong(0)).map { case (l, rs) =>
+      val n = rs.head.getLong(3)
+      val c = new Array[Double](dim)
+      rs.foreach(r => c(r.getInt(1)) = (r.getLong(2).toDouble / Q) / n)
+      (l, n, c, c.map(x => x * x).sum) // left-to-right fold, like the oracle
+    }.toSeq.sortBy(_._1)
+    val centsDf = byLabel.map { case (l, n, c, n2) => (l, n, c.toSeq, n2) }
+      .toDF("label", "n_vecs", "c_emb", "c_n2")
+    val own = emb
+      .select(col(labelCol).cast("long").as("label"), col(embCol).as("emb"))
+      .withColumn("n2", VectorOps.normSq(col("emb")))
+      .join(broadcast(centsDf), Seq("label"))
+      .withColumn("cos", round(VectorOps.dot(col("emb"), col("c_emb")) /
+        sqrt(col("n2") * col("c_n2")), 6))
+    val intra = own.groupBy("label")
+      .agg(round(graft.core.Det.sumDet(col("cos"), 6) / count(lit(1)), 6)
+        .as("mean_intra_cos"))
+    val a = centsDf.select(col("label").as("label_a"),
+      col("n_vecs").as("__na2"), col("c_emb").as("__ea"), col("c_n2").as("__n2a"))
+    val b = centsDf.select(col("label").as("label_b"),
+      col("c_emb").as("__eb"), col("c_n2").as("__n2b"))
+    a.crossJoin(b)
+      .withColumn("centroid_cos", round(VectorOps.dot(col("__ea"), col("__eb")) /
+        sqrt(col("__n2a") * col("__n2b")), 6))
+      .join(intra, col("label_a") === col("label") &&
+        col("label_a") === col("label_b"), "left")
+      .select(col("label_a"), col("label_b"), col("centroid_cos"),
+        when(col("label_a") === col("label_b"), col("__na2")).as("n_vecs"),
+        col("mean_intra_cos"))
+  }
 }

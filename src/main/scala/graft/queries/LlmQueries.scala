@@ -775,7 +775,14 @@ object LlmQueries {
     // a high top-1 share means "strip before dedup/training".
     "q205_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateGrams(Tables.documents(s, dir), "doc_id",
-        "text", "source", gramLen = 16, topK = 3))
+        "text", "source", gramLen = 16, topK = 3)),
+
+    // Label-separation audit: the L x L centroid-cosine confusability
+    // matrix with per-label tightness on the diagonal — the space-health
+    // check before kNN classify (q159) / hard-negative mining (q147).
+    "q207_label_separation" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.labelSeparation(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", dim = 64))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2942,7 +2949,38 @@ object LlmQueries {
          |SELECT rk.source, rk.kind, rank, gram, n,
          |  ROUND(n::DOUBLE / tot, 6) AS share
          |FROM rk JOIN tot ON tot.source = rk.source AND tot.kind = rk.kind
-         |WHERE rank <= 3""".stripMargin
+         |WHERE rank <= 3""".stripMargin,
+
+    "q207_label_separation" ->
+      s"""WITH sv AS (
+         |  SELECT CAST(label AS BIGINT) AS label, list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216 + 0.5) AS BIGINT))
+         |    AS s
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT label, ii.i AS i, CAST(SUM(s[ii.i]) AS BIGINT) AS si,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sv, unnest(range(1, 65)) AS ii(i) GROUP BY 1, 2),
+         |c1 AS (SELECT label, MAX(n) AS n, list(si ORDER BY i) AS sil
+         |       FROM c0 GROUP BY 1),
+         |c2 AS (SELECT label, n, list_transform(sil,
+         |         x -> (CAST(x AS DOUBLE) / 16777216.0) / n) AS c FROM c1),
+         |c3 AS (SELECT label, n, c, ${dot("c", "c")} AS cn2 FROM c2),
+         |own AS (
+         |  SELECT e.label, ROUND(${dot("e.embedding", "c3.c")} /
+         |    sqrt(${dot("e.embedding", "e.embedding")} * c3.cn2), 6) AS cos
+         |  FROM embeddings e JOIN c3 ON c3.label = e.label),
+         |intra AS (
+         |  SELECT label, ROUND(${graft.core.Det.sumDetSql("cos", 6)}
+         |    / COUNT(*), 6) AS mean_intra_cos
+         |  FROM own GROUP BY 1)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  ROUND(${dot("a.c", "b.c")} / sqrt(a.cn2 * b.cn2), 6)
+         |    AS centroid_cos,
+         |  CASE WHEN a.label = b.label THEN a.n END AS n_vecs,
+         |  i.mean_intra_cos
+         |FROM c3 a CROSS JOIN c3 b
+         |LEFT JOIN intra i ON i.label = a.label AND a.label = b.label""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

@@ -42,7 +42,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q180_revenue_pareto",  // broadcast threshold-array + total scalars
     "q181_churn",           // broadcast 1-row max-week scalar
     "q198_multiprobe",      // q30's broadcast 20-query exact side
-    "q201_heaps_fit")       // broadcast 1-row max-id scalar
+    "q201_heaps_fit",       // broadcast 1-row max-id scalar
+    "q207_label_separation") // L x L self-cross of the literal centroid table
 
   test("every query plan: no cartesian product; bounded scan fan-out") {
     val failures = collection.mutable.ArrayBuffer.empty[String]

@@ -297,6 +297,22 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("labelSeparation: tight orthogonal classes -> diag 1, off-diag 0") {
+    val d = emb(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(1.0, 0.0), 0),
+      (3L, Seq(0.0, 1.0), 1), (4L, Seq(0.0, 1.0), 1))
+    val got = graft.llm.EmbeddingOps
+      .labelSeparation(d, "vec_id", "embedding", "label", dim = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.size == 4)
+    val diag0 = got((0L, 0L))
+    assert(diag0.getDouble(2) == 1.0 && diag0.getLong(3) == 2L &&
+      diag0.getDouble(4) == 1.0) // identical members: intra cos 1
+    assert(got((0L, 1L)).getDouble(2) == 0.0) // orthogonal centroids
+    assert(got((0L, 1L)).isNullAt(3) && got((0L, 1L)).isNullAt(4))
+  }
+
   test("boilerplateGrams: top template prefix/suffix with shares") {
     val s = spark
     import s.implicits._
