@@ -782,7 +782,58 @@ object LlmQueries {
     // check before kNN classify (q159) / hard-negative mining (q147).
     "q207_label_separation" -> ((s, dir) =>
       graft.llm.EmbeddingOps.labelSeparation(
-        Tables.embeddings(s, dir), "vec_id", "embedding", "label", dim = 64))
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", dim = 64)),
+
+    // Filter-agreement matrix: Cohen's kappa between the three main keep
+    // decisions (quality score, Gopher rules, perplexity cutoff) — the
+    // "are these filters redundant or complementary" question that
+    // decides a pipeline's filter stack (q199 asks it for quality vs
+    // dup). Three keep columns join on the doc id; all nine counts fold
+    // into ONE conditional aggregate; per-pair rows explode from the
+    // single aggregate row with the kappa arithmetic op-for-op identical
+    // to the oracle's.
+    "q208_filter_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fa = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          coalesce(col("quality_score") >= 0.73, lit(false)).as("fa"))
+      val fb = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 10)
+        .select(col("doc_id"), col("keep").as("fb"))
+      val fc = Pipeline.perplexityFilter(docs, "doc_id", "text", cutoff = 3.39)
+        .select(col("doc_id"), col("kept").as("fc"))
+      val j = fa.join(fb, Seq("doc_id")).join(fc, Seq("doc_id"))
+      val pairs = Seq(("quality", "gopher", "fa", "fb"),
+        ("quality", "perplexity", "fa", "fc"),
+        ("gopher", "perplexity", "fb", "fc"))
+      val aggExprs = count(lit(1)).as("__n") +:
+        pairs.zipWithIndex.flatMap { case ((_, _, x, y), i) =>
+          Seq(sum(when(col(x), 1L).otherwise(0L)).as(s"__ka$i"),
+            sum(when(col(y), 1L).otherwise(0L)).as(s"__kb$i"),
+            sum(when(col(x) && col(y), 1L).otherwise(0L)).as(s"__kab$i"))
+        }
+      val g = j.agg(aggExprs.head, aggExprs.tail: _*)
+      g.select(explode(array(pairs.zipWithIndex.map { case ((na, nb, _, _), i) =>
+          struct(lit(na).as("filter_a"), lit(nb).as("filter_b"),
+            col("__n").as("n_docs"), col(s"__ka$i").as("n_keep_a"),
+            col(s"__kb$i").as("n_keep_b"), col(s"__kab$i").as("n_keep_both"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
+        .withColumn("__pa", col("n_keep_a").cast("double") / col("n_docs"))
+        .withColumn("__pb", col("n_keep_b").cast("double") / col("n_docs"))
+        .withColumn("__po", (col("n_keep_both") * 2 + col("n_docs")
+          - col("n_keep_a") - col("n_keep_b")).cast("double") / col("n_docs"))
+        .withColumn("__pe", col("__pa") * col("__pb")
+          + (lit(1.0) - col("__pa")) * (lit(1.0) - col("__pb")))
+        .select(col("filter_a"), col("filter_b"), col("n_docs"),
+          col("n_keep_a"), col("n_keep_b"), col("n_keep_both"),
+          round(col("__po"), 6).as("po"), round(col("__pe"), 6).as("pe"),
+          // degenerate pair (a filter keeps all or none on both sides):
+          // pe = 1 makes kappa 0/0 — NULL on both engines, not an ANSI
+          // divide-by-zero
+          when(col("__pe") =!= 1.0,
+            round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+            .as("kappa"))
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -898,6 +949,43 @@ object LlmQueries {
   }
 
   /** q27's full SELECT — also the `qual` CTE of q71. */
+  /** q133's full Gopher-rule SELECT (per-doc ratios + keep), shared with
+    * the q208 filter-agreement oracle. */
+  private lazy val gopherSelectSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       |  ellipsis_ratio, alpha_ratio, n_stop_distinct,
+       |  COALESCE(n_words BETWEEN 10 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+       |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+       |    AND n_stop_distinct >= 2, false) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CASE WHEN len(w) > 0 THEN ROUND(
+       |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |        / len(w), 6) END AS mean_word_len,
+       |    CASE WHEN len(w) > 0 THEN ROUND(
+       |      ((length(text) - length(replace(text, '#', '')))
+       |        + (length(text) - length(replace(text, '...', ''))) / 3)
+       |        / len(w), 6) END AS symbol_ratio,
+       |    CASE WHEN len(lines) > 0 THEN ROUND(
+       |      len(list_filter(lines, l -> starts_with(l, '- ')
+       |        OR starts_with(l, '* ') OR starts_with(l, '•')))::DOUBLE
+       |        / len(lines), 6) END AS bullet_ratio,
+       |    CASE WHEN len(lines) > 0 THEN ROUND(
+       |      len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+       |        / len(lines), 6) END AS ellipsis_ratio,
+       |    CASE WHEN len(w) > 0 THEN ROUND(
+       |      len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+       |        / len(w), 6) END AS alpha_ratio,
+       |    CAST(len(list_intersect(list_distinct(w), [$en])) AS BIGINT)
+       |      AS n_stop_distinct
+       |  FROM (SELECT doc_id, text, $WORDS AS w,
+       |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+       |    FROM documents))""".stripMargin
+  }
+
   private lazy val qualitySelectSql: String = {
     val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
     s"""SELECT doc_id, n_words, n_unique,
@@ -2239,40 +2327,7 @@ object LlmQueries {
          |  COALESCE(logw >= 0.0, false) AS kept
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
-    "q133_gopher_rules" -> {
-      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
-      s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
-         |  ellipsis_ratio, alpha_ratio, n_stop_distinct,
-         |  COALESCE(n_words BETWEEN 10 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
-         |    AND n_stop_distinct >= 2, false) AS keep
-         |FROM (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-         |    CASE WHEN len(w) > 0 THEN ROUND(
-         |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-         |        / len(w), 6) END AS mean_word_len,
-         |    CASE WHEN len(w) > 0 THEN ROUND(
-         |      ((length(text) - length(replace(text, '#', '')))
-         |        + (length(text) - length(replace(text, '...', ''))) / 3)
-         |        / len(w), 6) END AS symbol_ratio,
-         |    CASE WHEN len(lines) > 0 THEN ROUND(
-         |      len(list_filter(lines, l -> starts_with(l, '- ')
-         |        OR starts_with(l, '* ') OR starts_with(l, '•')))::DOUBLE
-         |        / len(lines), 6) END AS bullet_ratio,
-         |    CASE WHEN len(lines) > 0 THEN ROUND(
-         |      len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
-         |        / len(lines), 6) END AS ellipsis_ratio,
-         |    CASE WHEN len(w) > 0 THEN ROUND(
-         |      len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-         |        / len(w), 6) END AS alpha_ratio,
-         |    CAST(len(list_intersect(list_distinct(w), [$en])) AS BIGINT)
-         |      AS n_stop_distinct
-         |  FROM (SELECT doc_id, text, $WORDS AS w,
-         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
-         |    FROM documents))""".stripMargin
-    },
+    "q133_gopher_rules" -> gopherSelectSql,
 
     "q131_zipf" -> {
       val sd = (e: String) => graft.core.Det.sumDetSql(e, 6)
@@ -2980,7 +3035,44 @@ object LlmQueries {
          |  CASE WHEN a.label = b.label THEN a.n END AS n_vecs,
          |  i.mean_intra_cos
          |FROM c3 a CROSS JOIN c3 b
-         |LEFT JOIN intra i ON i.label = a.label AND a.label = b.label""".stripMargin
+         |LEFT JOIN intra i ON i.label = a.label AND a.label = b.label""".stripMargin,
+
+    "q208_filter_kappa" -> {
+      val pairs = Seq(("quality", "gopher", "fa", "fb"),
+        ("quality", "perplexity", "fa", "fc"),
+        ("gopher", "perplexity", "fb", "fc"))
+      val sums = pairs.zipWithIndex.flatMap { case ((_, _, x, y), i) =>
+        Seq(s"CAST(SUM(CASE WHEN $x THEN 1 ELSE 0 END) AS BIGINT) AS ka$i",
+          s"CAST(SUM(CASE WHEN $y THEN 1 ELSE 0 END) AS BIGINT) AS kb$i",
+          s"CAST(SUM(CASE WHEN $x AND $y THEN 1 ELSE 0 END) AS BIGINT) AS kab$i")
+      }
+      val rows = pairs.zipWithIndex.map { case ((na, nb, _, _), i) =>
+        s"""SELECT '$na' AS filter_a, '$nb' AS filter_b, n AS n_docs,
+           |  ka$i AS n_keep_a, kb$i AS n_keep_b, kab$i AS n_keep_both,
+           |  ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+           |  CASE WHEN pe <> 1.0
+           |    THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+           |FROM (SELECT n, ka$i, kb$i, kab$i,
+           |  CAST(kab$i * 2 + n - ka$i - kb$i AS DOUBLE) / n AS po,
+           |  (CAST(ka$i AS DOUBLE) / n) * (CAST(kb$i AS DOUBLE) / n)
+           |    + (1.0 - CAST(ka$i AS DOUBLE) / n)
+           |    * (1.0 - CAST(kb$i AS DOUBLE) / n) AS pe
+           |  FROM g)""".stripMargin
+      }
+      s"""WITH qa AS (
+         |  SELECT doc_id, COALESCE(quality_score >= 0.73, false) AS fa
+         |  FROM ($qualitySelectSql)),
+         |gb AS (SELECT doc_id, keep AS fb FROM ($gopherSelectSql)),
+         |pc AS (
+         |  SELECT doc_id, COALESCE(avg_nll <= 3.39, false) AS fc
+         |  FROM ($bigramLmSql)),
+         |j AS (
+         |  SELECT qa.doc_id, fa, fb, fc
+         |  FROM qa JOIN gb USING (doc_id) JOIN pc USING (doc_id)),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sums.mkString(",\n  ")}
+         |      FROM j)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    }
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
