@@ -144,6 +144,27 @@ object TextAnalysis {
         "keep")
   }
 
+  /** Within-group quantile normalization: map a raw score to its exact
+    * percentile rank inside its group — the transform that makes
+    * heterogeneous per-source score distributions comparable under ONE
+    * global threshold (a fixed cutoff on raw scores over- or
+    * under-selects whole sources whose scorer calibrates differently).
+    * One exchange on the group key; the per-group sort is the ranking
+    * cost, and the largest group bounds the task (the standard window
+    * skew profile). percent_rank's tie semantics ((rank−1)/(n−1), ties
+    * share the min rank) are identical in DuckDB, and the integer
+    * division is bit-deterministic — no rounding needed. Null scores are
+    * excluded (engines disagree on null ordering inside window sorts). */
+  def quantileNormalize(scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+    scored
+      .filter(col(scoreCol).isNotNull)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("norm_decile",
+        least(floor(col("pct_rank") * 10), lit(9.0)).cast("long"))
+  }
+
   /** Per-source boilerplate detection: the most frequent document
     * prefixes and suffixes (fixed `gramLen` chars) with their corpus
     * shares — crawl templates ("subscribe to our newsletter…", cookie

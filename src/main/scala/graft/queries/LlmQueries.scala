@@ -784,6 +784,18 @@ object LlmQueries {
       graft.llm.EmbeddingOps.labelSeparation(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", dim = 64)),
 
+    // Per-source quantile normalization of the quality score: raw
+    // scores map to within-source percentile ranks, so one global
+    // threshold selects fairly across sources whose scorers calibrate
+    // differently — the normalization step upstream of every
+    // "keep the global top X%" decision.
+    "q209_quantile_norm" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir), "doc_id",
+        "text", extraCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      TextAnalysis.quantileNormalize(q, "doc_id", "quality_score", "source")
+    }),
+
     // Filter-agreement matrix: Cohen's kappa between the three main keep
     // decisions (quality score, Gopher rules, perplexity cutoff) — the
     // "are these filters redundant or complementary" question that
@@ -3036,6 +3048,24 @@ object LlmQueries {
          |  i.mean_intra_cos
          |FROM c3 a CROSS JOIN c3 b
          |LEFT JOIN intra i ON i.label = a.label AND a.label = b.label""".stripMargin,
+
+    "q209_quantile_norm" -> {
+      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+      s"""WITH wr AS (SELECT doc_id, source, $WORDS AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    ROUND(0.4 * ROUND(len(list_distinct(w))::DOUBLE / len(w), 6)
+         |      + 0.3 * LEAST(len(w)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - ROUND(len(list_filter(w, x -> x IN ($en)))::DOUBLE
+         |          / len(w), 6)), 6) AS quality_score
+         |  FROM wr)
+         |SELECT doc_id, source, quality_score,
+         |  PERCENT_RANK() OVER sw AS pct_rank,
+         |  CAST(LEAST(FLOOR(PERCENT_RANK() OVER sw * 10), 9.0) AS BIGINT)
+         |    AS norm_decile
+         |FROM q WHERE quality_score IS NOT NULL
+         |WINDOW sw AS (PARTITION BY source ORDER BY quality_score)""".stripMargin
+    },
 
     "q208_filter_kappa" -> {
       val pairs = Seq(("quality", "gopher", "fa", "fb"),
