@@ -24,9 +24,10 @@ object Relational {
     * `W(p)` (SURVEY §2 legend). Deterministic tie-break on event_id. */
   private def wUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
 
-  /** q206's sequence patterns — shared by the Spark body and the oracle
-    * (plain regex, identical semantics in Java regex and RE2). */
-  private val SeqPats: Seq[(String, String)] = Seq(
+  /** q206's sequence patterns — shared by the Spark body, the oracle,
+    * and the streaming twin (plain regex, identical semantics in Java
+    * regex and RE2). */
+  private[graft] val SeqPats: Seq[(String, String)] = Seq(
     "view_then_purchase" -> "(^|>)view>(.*>)?purchase(>|$)",
     "ends_in_error" -> "(^|>)error$",
     "signup_first" -> "^signup(>|$)")

@@ -79,6 +79,33 @@ object StreamingSqa {
       .select(col("user_id"), col("session.start").as("start"),
         col("session.end").as("end"), col("n_events"), col("sum_value"))
 
+  /** Streaming form of the q206 sequence-pattern detection: per closed
+    * session, the ordered event-type string plus one boolean per
+    * pattern. Rides the same `session_window` state as [[sessionStats]]
+    * (one open window per (user, session), finalized when the watermark
+    * passes the gap); the event order inside a session is recovered by
+    * sorting the session's collected (ts, event_id, type) triples — a
+    * per-SESSION bounded sort at finalization, never a stream-wide one.
+    * Patterns are [[graft.queries.Relational.SeqPats]], so batch, oracle,
+    * and stream share one definition. Same body runs on a batch frame
+    * for parity (StreamingSpec). */
+  def sessionPatterns(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val seq = concat_ws(">", transform(
+      array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))),
+      x => x.getField("event_type")))
+    val base = events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(seq.as("seq"))
+    graft.queries.Relational.SeqPats.foldLeft(
+      base.select(col("user_id"), col("session.start").as("start"),
+        col("seq"))) { case (df, (name, re)) =>
+      df.withColumn(name, col("seq").rlike(re))
+    }
+  }
+
   /** Streaming form of the q158 trending counts: 3-hour sliding windows
     * (1-hour slide) of per-type event counts, incrementally maintained
     * window state (one distributive count per (window, type) — never a

@@ -52,6 +52,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming session patterns match batch and the q206 session strings") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_pat_stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = StreamingSqa.runStreamToMemory(spark, tmp, "pat_stream")(
+      StreamingSqa.sessionPatterns(_))
+    val batch = StreamingSqa.sessionPatterns(spark.read.parquet(tmp))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the (user, seq) multiset equals the q141-formulation's session
+    // strings (boundaries identical, ordering identical)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val gap = 30L * 60L * 1000000L
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val q141Seqs = ev
+      .withColumn("__prev", lag(col("ts_us"), 1).over(wU))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts_us") - col("__prev") > gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(wU))
+      .groupBy("user_id", "session_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type"))).as("seq"))
+      .select("user_id", "seq")
+    val got = streamed.select("user_id", "seq")
+    assert(got.exceptAll(q141Seqs).count() == 0)
+    assert(q141Seqs.exceptAll(got).count() == 0)
+    // at least one session should trip at least one pattern flag
+    assert(streamed.filter(col("view_then_purchase") ||
+      col("ends_in_error") || col("signup_first")).count() > 0)
+  }
+
   test("streaming session_window sessions match the batch q141 boundaries") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft_sess_stream").toString
