@@ -347,7 +347,7 @@ object EmbeddingOps {
       col("n_vecs").as("__na2"), col("c_emb").as("__ea"), col("c_n2").as("__n2a"))
     val b = centsDf.select(col("label").as("label_b"),
       col("c_emb").as("__eb"), col("c_n2").as("__n2b"))
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b)) // pin BNLJ: planner stats sometimes pick a CartesianProduct for the local-table self-cross
       .withColumn("centroid_cos", round(VectorOps.dot(col("__ea"), col("__eb")) /
         sqrt(col("__n2a") * col("__n2b")), 6))
       .join(intra, col("label_a") === col("label") &&

@@ -771,6 +771,51 @@ object Pipeline {
     * position within the shard = rank by (hash, id). One shuffle on the
     * shard key; shard sizes are balanced by the uniform hash, so the
     * per-shard window does not skew. */
+  /** Neyman (minimum-variance) sampling allocation: split a sampling
+    * budget across strata proportionally to N_h·S_h (stratum size ×
+    * score standard deviation) — the classical optimum for estimating
+    * the corpus mean under a fixed budget (Neyman 1934), and the
+    * statistically-grounded replacement for proportional quotas when
+    * strata differ in score spread.
+    *
+    * One pass: per-stratum (n, Σx, Σx²) through the engine's exact
+    * decimal sums over 6-digit-rounded scores (order-independent, the
+    * q131/q201 moment pattern), variance by the computational formula on
+    * those sums, then shares against a broadcast total. The share
+    * denominator Σ_h N_h·S_h sums the bounded stratum table in exact
+    * decimal too — every double op left in the plan is a single IEEE
+    * division/sqrt, so the oracle matches bit-for-bit. */
+  def neymanAllocation(scored: DataFrame, stratumCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val x = round(col(scoreCol), 6)
+    val perStratum = scored
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.core.Det.sumDet(x, 6).as("__sx"),
+        graft.core.Det.sumDet(x * x, 6).as("__sxx"))
+      .withColumn("mean_score",
+        round(col("__sx") / col("n_docs"), 6))
+      // computational form on the exact sums; single-member strata S=0
+      .withColumn("var_score",
+        when(col("n_docs") > 1L,
+          round((col("__sxx") - col("__sx") * col("__sx") / col("n_docs"))
+            / (col("n_docs") - 1L), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("__ns", round(col("n_docs") * sqrt(col("var_score")), 6))
+    val tot = perStratum.agg(
+      graft.core.Det.sumDet(col("__ns"), 6).as("__tot"))
+    perStratum.crossJoin(broadcast(tot))
+      .withColumn("alloc_share",
+        when(col("__tot") > 0.0, round(col("__ns") / col("__tot"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("n_alloc",
+        floor(col("alloc_share") * budget + 0.5).cast("long"))
+      .select(col("stratum"), col("n_docs"), col("mean_score"),
+        col("var_score"), col("alloc_share"), col("n_alloc"))
+  }
+
   /** Corpus snapshot diff — the add/remove/change audit between two
     * crawls or build generations of the same corpus, the first question a
     * re-train decision asks ("how much actually changed since the last

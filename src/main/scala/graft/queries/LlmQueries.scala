@@ -796,6 +796,18 @@ object LlmQueries {
       TextAnalysis.quantileNormalize(q, "doc_id", "quality_score", "source")
     }),
 
+    // Neyman minimum-variance sampling allocation: a 100-doc labeling
+    // budget split across sources proportional to N_h * S_h — the
+    // classical optimum for estimating the corpus mean quality, and the
+    // principled replacement for proportional quotas (q77) when strata
+    // differ in score spread.
+    "q210_neyman_alloc" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir), "doc_id",
+        "text", extraCols = Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Pipeline.neymanAllocation(q, "source", "quality_score", budget = 100L)
+    }),
+
     // Filter-agreement matrix: Cohen's kappa between the three main keep
     // decisions (quality score, Gopher rules, perplexity cutoff) — the
     // "are these filters redundant or complementary" question that
@@ -3048,6 +3060,40 @@ object LlmQueries {
          |  i.mean_intra_cos
          |FROM c3 a CROSS JOIN c3 b
          |LEFT JOIN intra i ON i.label = a.label AND a.label = b.label""".stripMargin,
+
+    "q210_neyman_alloc" -> {
+      val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
+      val sd = (e: String) => graft.core.Det.sumDetSql(e, 6)
+      s"""WITH wr AS (SELECT doc_id, source, $WORDS AS w FROM documents),
+         |q AS (
+         |  SELECT source,
+         |    ROUND(0.4 * ROUND(len(list_distinct(w))::DOUBLE / len(w), 6)
+         |      + 0.3 * LEAST(len(w)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - ROUND(len(list_filter(w, x -> x IN ($en)))::DOUBLE
+         |          / len(w), 6)), 6) AS qs
+         |  FROM wr),
+         |x AS (SELECT source AS stratum, ROUND(qs, 6) AS x FROM q
+         |      WHERE qs IS NOT NULL),
+         |ps AS (
+         |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    ${sd("x")} AS sx, ${sd("x * x")} AS sxx
+         |  FROM x GROUP BY 1),
+         |v AS (
+         |  SELECT stratum, n_docs, ROUND(sx / n_docs, 6) AS mean_score,
+         |    CASE WHEN n_docs > 1
+         |      THEN ROUND((sxx - sx * sx / n_docs) / (n_docs - 1), 6)
+         |      ELSE 0.0::DOUBLE END AS var_score
+         |  FROM ps),
+         |v2 AS (
+         |  SELECT *, ROUND(n_docs * sqrt(var_score), 6) AS ns FROM v),
+         |tot AS (SELECT ${sd("ns")} AS tot FROM v2)
+         |SELECT stratum, n_docs, mean_score, var_score,
+         |  CASE WHEN tot > 0.0 THEN ROUND(ns / tot, 6)
+         |    ELSE 0.0::DOUBLE END AS alloc_share,
+         |  CAST(FLOOR((CASE WHEN tot > 0.0 THEN ROUND(ns / tot, 6)
+         |    ELSE 0.0::DOUBLE END) * 100 + 0.5) AS BIGINT) AS n_alloc
+         |FROM v2 CROSS JOIN tot""".stripMargin
+    },
 
     "q209_quantile_norm" -> {
       val en = TextAnalysis.stopwords.head._2.map(x => s"'$x'").mkString(", ")
