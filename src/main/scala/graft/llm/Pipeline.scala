@@ -771,6 +771,43 @@ object Pipeline {
     * position within the shard = rank by (hash, id). One shuffle on the
     * shard key; shard sizes are balanced by the uniform hash, so the
     * per-shard window does not skew. */
+  /** Shard-rebalance audit: what fraction of the corpus MOVES when the
+    * shard count grows n → n+1, under plain mod-hashing vs rendezvous
+    * (highest-random-weight) hashing (Thaler & Ravishankar 1998). Mod
+    * moves ≈ n/(n+1) of all keys (nearly everything reshuffles);
+    * rendezvous moves only the ≈ 1/(n+1) won by the new shard — the
+    * measured argument for HRW/consistent placement before a 100 TB
+    * corpus commits to a shard scheme.
+    *
+    * Map-only: per doc, the mod shard is one hash, the HRW shard is
+    * argmax over per-shard hashes — packed as h32·16+s so the argmax is
+    * a single integer GREATEST, portable to DuckDB; both movement flags
+    * fold into ONE aggregate and the two report rows explode from it. */
+  def rebalanceAudit(docs: DataFrame, idCol: String,
+      fromShards: Int): DataFrame = {
+    val n = fromShards
+    require(n >= 1 && n + 1 <= 16, "packing reserves 4 bits for the shard")
+    def h32(s: Int): Column =
+      conv(substr(md5(concat(lit(s"hrw:$s:"), col(idCol).cast("string"))),
+        lit(1), lit(8)), 16, 10).cast("long")
+    val hMod = TextOps.wordHash60(concat(lit("shard1"), col(idCol).cast("string")))
+    val movedMod = pmod(hMod, lit(n.toLong)) =!= pmod(hMod, lit(n.toLong + 1))
+    def hrwShard(k: Int): Column =
+      greatest((0 until k).map(s => h32(s) * 16L + s): _*) % 16L
+    val movedHrw = hrwShard(n) =!= hrwShard(n + 1)
+    val g = docs.agg(count(lit(1)).as("__n"),
+      sum(when(movedMod, 1L).otherwise(0L)).as("__mm"),
+      sum(when(movedHrw, 1L).otherwise(0L)).as("__mh"))
+    g.select(explode(array(
+        struct(lit("mod").as("method"), col("__n").as("n_docs"),
+          col("__mm").as("n_moved")),
+        struct(lit("rendezvous").as("method"), col("__n").as("n_docs"),
+          col("__mh").as("n_moved")))).as("p"))
+      .select(col("p.*"))
+      .withColumn("moved_frac",
+        round(col("n_moved").cast("double") / col("n_docs"), 6))
+  }
+
   /** Neyman (minimum-variance) sampling allocation: split a sampling
     * budget across strata proportionally to N_h·S_h (stratum size ×
     * score standard deviation) — the classical optimum for estimating

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, TextOps, VectorOps}
 
 /** Training-data-pipeline operator suite over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -794,6 +794,34 @@ object LlmQueries {
         "text", extraCols = Seq("source"))
         .select(col("doc_id"), col("source"), col("quality_score"))
       TextAnalysis.quantileNormalize(q, "doc_id", "quality_score", "source")
+    }),
+
+    // Shard-rebalance audit: fraction of docs that move when shards grow
+    // 8 -> 9, mod-hash vs rendezvous — the measured case for HRW
+    // placement before committing a 100 TB corpus to a shard scheme.
+    "q212_rebalance" -> ((s, dir) =>
+      Pipeline.rebalanceAudit(Tables.documents(s, dir), "doc_id",
+        fromShards = 8)),
+
+    // Dedup-adjusted effective token mass per source: raw token counts
+    // vs the soft-weight (1/cluster_size) discounted mass, plus the
+    // inflation ratio — the "how much of this source is really new
+    // signal" number that token budgets (q150) should consume instead
+    // of raw counts. Rides the q155 cluster weights + one token scan.
+    "q211_effective_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = Dedup.softDedupWeights(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
+      docs.select(col("doc_id"), col("source"),
+          size(TextOps.words(col("text"))).cast("long").as("toks"))
+        .join(w.select(col("doc_id"), col("weight")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("raw_tokens"),
+          round(graft.core.Det.sumDet(col("toks") * col("weight"), 6), 6)
+            .as("effective_tokens"))
+        .withColumn("inflation",
+          when(col("effective_tokens") > 0.0,
+            round(col("raw_tokens") / col("effective_tokens"), 6)))
     }),
 
     // Neyman minimum-variance sampling allocation: a 100-doc labeling
@@ -2276,6 +2304,52 @@ object LlmQueries {
          |FROM documents d
          |LEFT JOIN comp c USING (doc_id)
          |LEFT JOIN sz ON sz.cluster_id = c.cluster_id""".stripMargin,
+
+    "q212_rebalance" -> {
+      val ps = (0 to 8).map(s =>
+        s"('0x' || substr(md5('hrw:$s:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + $s AS p_$s")
+      val g8 = (0 until 8).map(s => s"p_$s").mkString(", ")
+      val g9 = (0 to 8).map(s => s"p_$s").mkString(", ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('shard1' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |      ::BIGINT AS hm,
+         |    ${ps.mkString(",\n    ")}
+         |  FROM documents),
+         |f AS (
+         |  SELECT (hm % 8) <> (hm % 9) AS moved_mod,
+         |    (GREATEST($g8) % 16) <> (GREATEST($g9) % 16) AS moved_hrw
+         |  FROM h),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN moved_mod THEN 1 ELSE 0 END) AS BIGINT) AS mm,
+         |    CAST(SUM(CASE WHEN moved_hrw THEN 1 ELSE 0 END) AS BIGINT) AS mh
+         |  FROM f)
+         |SELECT 'mod' AS method, n AS n_docs, mm AS n_moved,
+         |  ROUND(mm::DOUBLE / n, 6) AS moved_frac FROM g
+         |UNION ALL
+         |SELECT 'rendezvous', n, mh, ROUND(mh::DOUBLE / n, 6) FROM g""".stripMargin
+    },
+
+    "q211_effective_tokens" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY 1),
+         |wt AS (
+         |  SELECT d.doc_id, d.source, CAST(len($WORDS) AS BIGINT) AS toks,
+         |    ROUND(1.0::DOUBLE / COALESCE(sz.n, 1), 6) AS weight
+         |  FROM documents d
+         |  LEFT JOIN comp c USING (doc_id)
+         |  LEFT JOIN sz ON sz.cluster_id = c.cluster_id),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+         |    ROUND(${graft.core.Det.sumDetSql("toks * weight", 6)}, 6)
+         |      AS effective_tokens
+         |  FROM wt GROUP BY 1)
+         |SELECT source, n_docs, raw_tokens, effective_tokens,
+         |  CASE WHEN effective_tokens > 0.0
+         |    THEN ROUND(raw_tokens / effective_tokens, 6) END AS inflation
+         |FROM g""".stripMargin,
 
     "q171_weighted_sample" ->
       s"""WITH RECURSIVE $textClusterCtes,
