@@ -26,7 +26,12 @@ object AqeAudit {
       "q180_revenue_pareto", "q186_star_revenue", "q187_pagerank_dangling",
       // r13 additions with non-trivial join graphs: the staged dedup
       // verdict composite and the personalized PageRank loop
-      "q196_dedup_verdict", "q193_ppr")
+      "q196_dedup_verdict", "q193_ppr",
+      // r14 additions: the winnowing pair join, the snapshot full-outer
+      // diff, the three-filter kappa join, and the cluster-weighted
+      // token rollup
+      "q203_winnowing", "q200_corpus_diff", "q208_filter_kappa",
+      "q211_effective_tokens")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
