@@ -242,4 +242,37 @@ class SkewSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.dedup.broadcastIdsMax")
     assert(run() == ((expect, expect)), "gated-broadcast path")
   }
+
+  test("winnowing hot fingerprint: df guard caps candidate fan-out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 120 docs opening with the SAME 40-char template (boilerplate) then
+    // unique tails: the template's fingerprints have df = 120 and would
+    // contribute ~120²/2 pairs each. maxDf = 10 must drop them — every
+    // surviving pair comes from hashes shared by <= 10 docs, bounding
+    // candidate volume at Σ df² over rare hashes regardless of how hot
+    // the template is.
+    val template = "subscribe now and never miss an update "  // 39 chars
+    val docs = (0 until 120).map { i =>
+      (i.toLong, template + s"unique tail number $i with extra words x$i")
+    }.toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .select(col("doc_id"), col("h")).distinct()
+    val hotHashes = fps.groupBy("h").count().filter(col("count") > 10)
+    assert(hotHashes.count() > 0, "rehearsal corpus must produce hot hashes")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+      k = 8, w = 4, maxDf = 10)
+    // every template-only pair is excluded: surviving overlaps can only
+    // come from rare (tail) hashes, so the pair count is bounded by the
+    // rare-hash Σ df·(df−1)/2 — if the hot template leaked, pairs would
+    // include all 120·119/2 template pairs and blow far past this bound
+    val rare = fps.join(hotHashes.select("h"), Seq("h"), "left_anti")
+    val upper = Option(rare.groupBy("h").count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+      .collect().head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nPairs = pairs.count()
+    assert(nPairs <= upper,
+      s"$nPairs pairs exceed the rare-hash candidate bound $upper — hot hashes leaked")
+    assert(nPairs < 120L * 119 / 2, "template pairs were not excluded")
+  }
 }
