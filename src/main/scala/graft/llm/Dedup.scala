@@ -140,6 +140,53 @@ object Dedup {
         round(col("covered_tokens").cast("double") / col("n_words"), 6))
   }
 
+  /** Exact train→eval contamination spans (the cross-SET form of
+    * [[dupSpans]], Lee et al. 2021 §4 "exact substring" applied to
+    * benchmark decontamination — the EXACT counterpart of the q118
+    * Bloom-probe screen): for every train document, the number of k-word
+    * windows whose exact text occurs anywhere in the eval split
+    * (`idCol % evalMod == 0`), and the LONGEST consecutive run of such
+    * windows — `span_tokens = max_run + k − 1` is the length of the
+    * longest verbatim-shared substring at word granularity, the statistic
+    * that distinguishes a quoted sentence from wholesale test-set leakage.
+    *
+    * Scale shape: positioned train windows (≈ corpus token count) meet
+    * the DISTINCT eval gram set in one LEFT SEMI equi-join on the gram
+    * text — each train row matches at most once, so a boilerplate gram
+    * hot on BOTH sides cannot fan out (contrast a pair join's df²). Run
+    * detection then sorts only the MATCHED rows per doc (bounded by the
+    * doc's own window count) in the same exchange as the per-doc rollup:
+    * consecutive positions share `pos − row_number()`, a gaps-and-islands
+    * key needing no self-join. Eval-side distinct collapses map-side. */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, evalMod: Int = 97): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .withColumn("__grams", expr(
+        s"transform(sequence(0, size(__w) - $k), i -> concat_ws(' ', slice(__w, i + 1, $k)))"))
+      .select(col(idCol), posexplode(col("__grams")).as(Seq("pos", "gram")))
+    val evalGrams = wins.filter(col(idCol) % evalMod === 0)
+      .select("gram").distinct()
+    val hits = wins.filter(col(idCol) % evalMod =!= 0)
+      .join(evalGrams, Seq("gram"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val runs = hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__len")).as("n_hits"), max(col("__len")).as("max_run"))
+    base.filter(col(idCol) % evalMod =!= 0)
+      .select(col(idCol), col("n_words"),
+        greatest(col("n_words") - lit(k - 1), lit(0L)).as("n_grams"))
+      .join(runs, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hits", "max_run"))
+      .withColumn("span_tokens",
+        when(col("max_run") > 0, col("max_run") + lit(k - 1)).otherwise(0L))
+  }
+
   /** Universal-hash constants for the k MinHash permutations: one 32-bit
     * base hash per shingle, then h_j = (A_j * h + B_j) mod P — 1 md5 per
     * shingle row instead of k (md5 dominates signature cost at k=8).

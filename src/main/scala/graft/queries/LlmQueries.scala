@@ -436,6 +436,14 @@ object LlmQueries {
     "q145_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)),
 
+    // Exact train→eval contamination spans (Lee et al. 2021 applied to
+    // benchmark decontamination): longest verbatim-shared word run per
+    // train doc against the eval split — the exact counterpart of q118's
+    // Bloom screen and the cross-SET form of q145.
+    "q215_contamination_span" -> ((s, dir) =>
+      Dedup.contaminationSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, evalMod = 97)),
+
     // External cluster-quality check on the k-means assignment: size,
     // majority label, purity per cluster.
     "q146_cluster_purity" -> ((s, dir) =>
@@ -2707,6 +2715,37 @@ object LlmQueries {
          |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
          |  ROUND(COALESCE(cov.covered_tokens, 0)::DOUBLE / b.n_words, 6) AS dup_frac
          |FROM base b LEFT JOIN cov USING (doc_id)""".stripMargin
+    },
+
+    "q215_contamination_span" -> {
+      val K = 8
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len($WORDS) AS BIGINT) AS n_words, $WORDS AS w
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + $K), ' ') AS gram
+         |  FROM base, unnest(range(0, n_words - $K + 1)) AS t(i)
+         |  WHERE n_words >= $K),
+         |eg AS (SELECT DISTINCT gram FROM wins WHERE doc_id % 97 = 0),
+         |h AS (SELECT doc_id, pos FROM wins JOIN eg USING (gram)
+         |      WHERE doc_id % 97 <> 0),
+         |r AS (SELECT doc_id, pos,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+         |          AS grp
+         |      FROM h),
+         |rl AS (SELECT doc_id, COUNT(*) AS len FROM r GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_hits,
+         |          MAX(len) AS max_run
+         |        FROM rl GROUP BY 1)
+         |SELECT b.doc_id, b.n_words,
+         |  GREATEST(b.n_words - ${K - 1}, 0) AS n_grams,
+         |  COALESCE(a.n_hits, 0) AS n_hits,
+         |  COALESCE(a.max_run, 0) AS max_run,
+         |  CASE WHEN COALESCE(a.max_run, 0) > 0 THEN a.max_run + ${K - 1}
+         |       ELSE 0 END AS span_tokens
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |WHERE b.doc_id % 97 <> 0""".stripMargin
     },
 
     "q146_cluster_purity" ->

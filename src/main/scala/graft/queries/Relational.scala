@@ -729,6 +729,62 @@ object Relational {
           round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n), 6).as("cv"))
     }),
 
+    // Per-type OLS trend of value on the epoch-day clock: slope/intercept/
+    // r² in closed form from ONE map-side-combined aggregate of exact
+    // partials (Σt, Σt² as longs — day granularity keeps Σt² < 2^53 so
+    // every long→double cast is exact; Σv, Σv², Σtv in lossless decimal).
+    // The monitoring answer to "is this source's quality drifting?" — no
+    // window, no second pass, shuffle is one collapsed row per type.
+    "q213_value_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val d = ev.select(col("event_type"),
+        expr(s"ts_us div $DAY_US").as("t"), col("value"))
+      val n = count(lit(1))
+      val st = sum(col("t")).cast("double")
+      val stt = sum(col("t") * col("t")).cast("double")
+      val sv = sum(col("value").cast(DecimalType(24, 4))).cast("double")
+      val svv = sum((col("value") * col("value")).cast(DecimalType(38, 8)))
+        .cast("double")
+      // t < 10^6 days: Decimal(6,0) keeps the product at (31,4) — inside
+      // 38 digits on BOTH engines, so no precision-loss rescaling applies
+      val stv = sum(col("t").cast(DecimalType(6, 0)) *
+        col("value").cast(DecimalType(24, 4))).cast("double")
+      d.groupBy("event_type")
+        .agg(n.as("n"), st.as("__st"), stt.as("__stt"), sv.as("__sv"),
+          svv.as("__svv"), stv.as("__stv"))
+        .withColumn("__dent", col("n") * col("__stt") - col("__st") * col("__st"))
+        .withColumn("__denv", col("n") * col("__svv") - col("__sv") * col("__sv"))
+        .withColumn("__num", col("n") * col("__stv") - col("__st") * col("__sv"))
+        .select(col("event_type"), col("n"),
+          round(when(col("__dent") > 0, col("__num") / col("__dent")), 6)
+            .as("slope_per_day"),
+          round(when(col("__dent") > 0,
+            (col("__sv") - col("__num") / col("__dent") * col("__st")) / col("n")), 6)
+            .as("intercept"),
+          round(when(col("__dent") > 0 && col("__denv") > 0,
+            col("__num") * col("__num") / (col("__dent") * col("__denv"))), 6)
+            .as("r2"))
+    }),
+
+    // Exponential time-decay engagement score per user (half-life style
+    // recency weighting, τ = 7 days, anchored at the corpus max clock —
+    // a broadcast scalar, so the whole query is one scan + one groupBy).
+    // Each term is ROUNDED to 8 dp BY DEFINITION and summed exactly in
+    // decimal (order-independent → cross-engine hash-stable despite the
+    // transcendental).
+    "q214_decay_engagement" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max("ts_us").as("__mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("__term", round(
+          exp((col("ts_us") - col("__mx")).cast("double") /
+            lit(7.0 * DAY_US)), 8))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(Det.sumDet(col("__term"), 8), 6).as("decay_score"),
+          max("ts_us").as("last_seen_us"))
+    }),
+
     // Pareto/Lorenz revenue concentration WITHOUT a global sort: exact
     // decile thresholds come from one percentile aggregate (broadcast
     // scalar), customers bucket map-side against the threshold array,
@@ -1295,6 +1351,42 @@ object Relational {
         |  ROUND(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1))
         |    / (s1 / n_gaps), 6) AS cv
         |FROM a""".stripMargin,
+
+    "q213_value_trend" ->
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // $DAY_US AS t, value
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) AS st,
+         |    CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE) AS stt,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sv,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS svv,
+         |    CAST(SUM(CAST(t AS DECIMAL(6,0)) * CAST(value AS DECIMAL(24,4)))
+         |      AS DOUBLE) AS stv
+         |  FROM d GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, n, sv, st,
+         |    n * stt - st * st AS dent,
+         |    n * svv - sv * sv AS denv,
+         |    n * stv - st * sv AS num
+         |  FROM a)
+         |SELECT event_type, n,
+         |  ROUND(CASE WHEN dent > 0 THEN num / dent END, 6) AS slope_per_day,
+         |  ROUND(CASE WHEN dent > 0
+         |    THEN (sv - num / dent * st) / n END, 6) AS intercept,
+         |  ROUND(CASE WHEN dent > 0 AND denv > 0
+         |    THEN num * num / (dent * denv) END, 6) AS r2
+         |FROM b""".stripMargin,
+
+    "q214_decay_engagement" ->
+      s"""WITH mx AS (SELECT epoch_us(MAX(ts)) AS m FROM events)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  ROUND(CAST(SUM(CAST(ROUND(
+         |      exp((epoch_us(ts) - m)::DOUBLE / ${7.0 * DAY_US}),
+         |    8) AS DECIMAL(24,8))) AS DOUBLE), 6) AS decay_score,
+         |  MAX(epoch_us(ts)) AS last_seen_us
+         |FROM events, mx GROUP BY 1""".stripMargin,
 
     "q180_revenue_pareto" ->
       """WITH rev AS (
