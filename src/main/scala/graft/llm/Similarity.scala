@@ -37,6 +37,41 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rnk")
   }
 
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the LASER/CCMatrix selection rule): a forward neighbor
+    * pair (x, y) scores margin = cos(x, y) / ((μ_k(x) + μ_k(y)) / 2),
+    * where μ_k is the mean cosine of each endpoint's OWN k-NN
+    * neighborhood in the opposite language — absolute similarity is a
+    * poor alignment signal under hubness, the ratio margin is not.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes, both with a BOUNDED
+    * broadcast side — the query batch forward, then only the ≤ |Q|·k
+    * retrieved candidates backward against the full source language (the
+    * backward pass prices the candidates' neighborhoods, never all-pairs).
+    * Neighborhood means go through exact DECIMAL sums of the 6-dp scores
+    * (reduction-order independent), division happens once in double. At
+    * corpus scale the two passes swap in ivfTopK unchanged — the margin
+    * algebra only needs (pair, cos, per-endpoint mean). */
+  def marginMining(srcQueries: DataFrame, srcAll: DataFrame,
+      tgtAll: DataFrame, idCol: String, embCol: String,
+      k: Int = 4): DataFrame = {
+    val fwd = bruteForceTopK(srcQueries, tgtAll, idCol, embCol, k)
+    def nbrMean(nbrs: DataFrame, outId: String, outAvg: String) =
+      nbrs.groupBy(col("query_id").as(outId))
+        .agg((sum(col("cos").cast("decimal(24,6)")).cast("double") /
+          count(lit(1))).as(outAvg))
+    val fAvg = nbrMean(fwd, "query_id", "__avg_q")
+    val candVecs = tgtAll.join(
+      fwd.select(col("cand_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val bwd = bruteForceTopK(candVecs, srcAll, idCol, embCol, k)
+    val bAvg = nbrMean(bwd, "cand_id", "__avg_c")
+    fwd.join(fAvg, Seq("query_id")).join(bAvg, Seq("cand_id"))
+      .withColumn("margin",
+        round(col("cos") / ((col("__avg_q") + col("__avg_c")) / 2), 6))
+      .select("query_id", "cand_id", "cos", "rnk", "margin")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most-similar corpus vectors carrying a DIFFERENT label — the pairs a
     * retrieval model most needs to push apart (in-batch-negatives

@@ -444,6 +444,39 @@ object LlmQueries {
       Dedup.contaminationSpans(Tables.documents(s, dir), "doc_id", "text",
         k = 8, evalMod = 97)),
 
+    // Dedup-aware split assignment: the FIX for what q169 audits — the
+    // md5 split bucket is keyed on the near-dup CLUSTER root, not the doc
+    // id, so a duplicate family can never straddle train/val/test.
+    // Singletons root at their own id; cluster members inherit the root's
+    // split wholesale.
+    "q216_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dedupClusters(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
+      val bucket =
+        conv(substr(md5(col("root").cast("string")), lit(1), lit(8)), 16, 10)
+          .cast("long") % 100
+      docs.select(col("doc_id"), col("source"))
+        .join(clusters.select(col("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "source", "root", "split")
+    }),
+
+    // Margin-based bitext mining over the parity-split embedding space:
+    // even ids play the source language, odd the target; a 20-query batch
+    // scores forward neighbors by the Artetxe-Schwenk ratio margin.
+    "q217_margin_mining" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.marginMining(src.filter(col("vec_id") < 40), src, tgt,
+        "vec_id", "embedding", k = 4)
+    }),
+
     // External cluster-quality check on the k-means assignment: size,
     // majority label, purity per cluster.
     "q146_cluster_purity" -> ((s, dir) =>
@@ -2747,6 +2780,59 @@ object LlmQueries {
          |FROM base b LEFT JOIN agg a USING (doc_id)
          |WHERE b.doc_id % 97 <> 0""".stripMargin
     },
+
+    "q216_cluster_split" ->
+      s"""WITH RECURSIVE $textClusterCtes,
+         |r AS (
+         |  SELECT d.doc_id, d.source,
+         |    COALESCE(c.cluster_id, d.doc_id) AS root
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, source, root,
+         |    ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8))::BIGINT % 100
+         |      AS bk
+         |  FROM r)
+         |SELECT doc_id, source, root,
+         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "q217_margin_mining" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |fwd AS (
+         |  SELECT query_id, cand_id, cos, rnk FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |                 c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id % 2 = 0 AND q.vec_id < 40
+         |                     AND c.vec_id % 2 = 1)
+         |  WHERE rnk <= 4),
+         |favg AS (
+         |  SELECT query_id,
+         |    CAST(SUM(CAST(cos AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_q
+         |  FROM fwd GROUP BY 1),
+         |cand AS (SELECT DISTINCT cand_id FROM fwd),
+         |bwd AS (
+         |  SELECT cid AS cand_id, cos FROM (
+         |    SELECT y.vec_id AS cid, s.vec_id AS sid,
+         |      ROUND(${dot("y.embedding", "s.embedding")} / sqrt(y.n2 * s.n2), 6) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY y.vec_id
+         |        ORDER BY ROUND(${dot("y.embedding", "s.embedding")} / sqrt(y.n2 * s.n2), 6) DESC,
+         |                 s.vec_id) AS rnk
+         |    FROM n y JOIN cand ON y.vec_id = cand.cand_id
+         |             JOIN n s ON s.vec_id % 2 = 0)
+         |  WHERE rnk <= 4),
+         |bavg AS (
+         |  SELECT cand_id,
+         |    CAST(SUM(CAST(cos AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_c
+         |  FROM bwd GROUP BY 1)
+         |SELECT f.query_id, f.cand_id, f.cos, f.rnk,
+         |  ROUND(f.cos / ((avg_q + avg_c) / 2), 6) AS margin
+         |FROM fwd f JOIN favg USING (query_id) JOIN bavg USING (cand_id)""".stripMargin,
 
     "q146_cluster_purity" ->
       s"""WITH $kmeansCtes,

@@ -785,6 +785,46 @@ object Relational {
           max("ts_us").as("last_seen_us"))
     }),
 
+    // CUSUM drift detector (Page 1954) over each type's daily count
+    // series: standardize against the series' own mean/sd (exact integer
+    // partials), then the one-sided recursion S_t = max(0, S_{t-1} + z_t
+    // − 0.5) with a running max — folded by an aggregate() HOF over the
+    // day-sorted series. The series is BOUNDED (one element per calendar
+    // day per type — years of data is thousands of doubles), so
+    // collect_list is a per-group scalar, not an unbounded driver pull;
+    // the sequential recursion lives inside one codegen'd expression, not
+    // a window. The changepoint companion to q165's z-score anomalies and
+    // q182's burstiness.
+    "q218_cusum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"), expr(s"ts_us div $DAY_US").as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("__s1"),
+          sum(col("n") * col("n")).as("__s2"),
+          sort_array(collect_list(struct(col("day"), col("n"))))
+            .as("__series"))
+        .withColumn("__mean", col("__s1").cast("double") / col("n_days"))
+        .withColumn("__sd", sqrt(
+          (col("__s2").cast("double") -
+            col("__s1").cast("double") * col("__s1").cast("double") /
+              col("n_days")) / (col("n_days") - 1)))
+        .filter(col("n_days") > 1 && col("__sd") > 0)
+        .withColumn("__zs",
+          expr("transform(__series, x -> (x.n - __mean) / __sd)"))
+        .withColumn("__acc", expr(
+          "aggregate(__zs, array(0D, 0D), (a, z) -> array(" +
+            "greatest(0D, a[0] + z - 0.5D), " +
+            "greatest(a[1], greatest(0D, a[0] + z - 0.5D))))"))
+        .select(col("event_type"), col("n_days"),
+          round(col("__mean"), 6).as("mean_daily"),
+          round(col("__sd"), 6).as("sd_daily"),
+          round(col("__acc")(1), 6).as("cusum_max"),
+          (col("__acc")(1) > 5.0).as("drift_flag"))
+    }),
+
     // Pareto/Lorenz revenue concentration WITHOUT a global sort: exact
     // decile thresholds come from one percentile aggregate (broadcast
     // scalar), customers bucket map-side against the threshold array,
@@ -1387,6 +1427,35 @@ object Relational {
          |    8) AS DECIMAL(24,8))) AS DOUBLE), 6) AS decay_score,
          |  MAX(epoch_us(ts)) AS last_seen_us
          |FROM events, mx GROUP BY 1""".stripMargin,
+
+    "q218_cusum" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DAY_US AS day, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |a AS (
+         |  SELECT event_type, COUNT(*) AS n_days,
+         |    CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS s1,
+         |    CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE) AS s2,
+         |    list(n ORDER BY day) AS series
+         |  FROM daily GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, n_days, s1 / n_days AS mean,
+         |    sqrt((s2 - s1 * s1 / n_days) / (n_days - 1)) AS sd, series
+         |  FROM a WHERE n_days > 1),
+         |c AS (
+         |  SELECT event_type, n_days, mean, sd,
+         |    list_reduce(
+         |      list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+         |        list_transform(series, x -> [(x - mean) / sd, 0.0::DOUBLE])),
+         |      (acc, e) -> [greatest(0.0::DOUBLE, acc[1] + e[1] - 0.5::DOUBLE),
+         |                   greatest(acc[2],
+         |                     greatest(0.0::DOUBLE, acc[1] + e[1] - 0.5::DOUBLE))])
+         |      AS f
+         |  FROM b WHERE sd > 0)
+         |SELECT event_type, n_days, ROUND(mean, 6) AS mean_daily,
+         |  ROUND(sd, 6) AS sd_daily, ROUND(f[2], 6) AS cusum_max,
+         |  f[2] > 5.0::DOUBLE AS drift_flag
+         |FROM c""".stripMargin,
 
     "q180_revenue_pareto" ->
       """WITH rev AS (
