@@ -207,6 +207,22 @@ object Dedup {
     signaturesFromRows(shingleRows(docs, idCol, textCol, shingleN), idCol, numHashes)
       .select(col(idCol), col("mh"))
 
+  /** MERGED MinHash signature per group (Broder's union property:
+    * mh(A ∪ B) = elementwise-min(mh(A), mh(B)) — the MinHash analog of
+    * the q168 per-register HLL MAX merge): one signature per `groupCol`
+    * over the union of all member documents' shingle sets. Mergeability
+    * is what makes this a 100 TB operator — group signatures fall out of
+    * the SAME map-side-partial `min` aggregate as per-doc ones, shuffling
+    * one collapsed row per (partition, group), and shard-level signatures
+    * can later be re-merged without touching the corpus. Pairwise
+    * signature agreement then estimates cross-group Jaccard overlap
+    * (q220) from a groups² table, never a corpus join. */
+  def mergedMinhash(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, shingleN: Int, numHashes: Int): DataFrame =
+    signaturesFromRows(
+      shingleRows(docs, idCol, textCol, shingleN, extraCols = Seq(groupCol)),
+      groupCol, numHashes)
+
   /** Signature + set size in ONE aggregation pass over the shingle rows —
     * (id, mh, __set_size). Callers that need both never re-scan the rows. */
   private def signaturesFromRows(rows: DataFrame, idCol: String,

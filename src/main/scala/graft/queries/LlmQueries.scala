@@ -477,6 +477,73 @@ object LlmQueries {
         "vec_id", "embedding", k = 4)
     }),
 
+    // CCNet-style head/middle/tail perplexity bucketing (Wenzek 2020):
+    // per-LANGUAGE tertile thresholds of the q85 bigram-LM NLL (broadcast
+    // threshold table), docs bucket map-side — the standard "keep the
+    // head, maybe the middle" LM-quality partition of a crawl.
+    "q219_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = Pipeline.bigramLmScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .filter(col("avg_nll").isNotNull)
+      val th = scored.groupBy("lang")
+        .agg(graft.ops.Quantiles.pcts(s, col("avg_nll"),
+          Seq(1.0 / 3, 2.0 / 3)).as("__t"))
+      scored.join(broadcast(th), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_nll") <= col("__t")(0), "head")
+            .when(col("avg_nll") <= col("__t")(1), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("avg_nll"), 6).as("min_nll"),
+          round(max("avg_nll"), 6).as("max_nll"))
+    }),
+
+    // Cross-source overlap matrix from MERGED MinHash signatures
+    // (Broder's union property — one mergeable signature per source, the
+    // pairwise comparison is a groups²-sized table, never a corpus join).
+    "q220_source_overlap" -> ((s, dir) => {
+      val sigs = Dedup.mergedMinhash(Tables.documents(s, dir), "doc_id",
+        "text", "source", shingleN = 3, numHashes = 8)
+      val a = sigs.select(col("source").as("src_a"), col("mh").as("__ma"))
+      val b = sigs.select(col("source").as("src_b"), col("mh").as("__mb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("n_eq", expr(
+          "size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v))")
+          .cast("long"))
+        .withColumn("est_jaccard", round(col("n_eq").cast("double") / 8, 6))
+        .select("src_a", "src_b", "n_eq", "est_jaccard")
+    }),
+
+    // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
+    // the top-V words at candidate vocab sizes — the tokenizer-budget
+    // audit. The global rank runs over the VOCAB count table (bounded;
+    // q131's Zipf class), never over token rows.
+    "q221_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val freq = docs.select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("__c"))
+      val tot = freq.agg(sum(col("__c")).as("__tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__c").desc, col("word"))
+      freq.withColumn("__rank", row_number().over(w))
+        .withColumn("vocab_size",
+          explode(array(Seq(100, 1000, 10000, 100000).map(lit): _*)))
+        .filter(col("__rank") <= col("vocab_size"))
+        .groupBy(col("vocab_size").cast("long").as("vocab_size"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("__c")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("coverage",
+          round(col("covered_tokens").cast("double") / col("__tot"), 6))
+        .withColumn("oov_rate",
+          round((col("__tot") - col("covered_tokens")).cast("double") /
+            col("__tot"), 6))
+        .select("vocab_size", "n_types", "covered_tokens", "coverage",
+          "oov_rate")
+    }),
+
     // External cluster-quality check on the k-means assignment: size,
     // majority label, purity per cluster.
     "q146_cluster_purity" -> ((s, dir) =>
@@ -2833,6 +2900,65 @@ object LlmQueries {
          |SELECT f.query_id, f.cand_id, f.cos, f.rnk,
          |  ROUND(f.cos / ((avg_q + avg_c) / 2), 6) AS margin
          |FROM fwd f JOIN favg USING (query_id) JOIN bavg USING (cand_id)""".stripMargin,
+
+    "q219_ccnet_buckets" ->
+      s"""WITH lm AS ($bigramLmSql),
+         |sc AS (
+         |  SELECT l.doc_id, d.lang, l.avg_nll
+         |  FROM lm l JOIN documents d USING (doc_id)
+         |  WHERE l.avg_nll IS NOT NULL),
+         |th AS (
+         |  SELECT lang, quantile_cont(avg_nll,
+         |    [${1.0 / 3}, ${2.0 / 3}]) AS t
+         |  FROM sc GROUP BY 1)
+         |SELECT sc.lang,
+         |  CASE WHEN avg_nll <= t[1] THEN 'head'
+         |       WHEN avg_nll <= t[2] THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  ROUND(MIN(avg_nll), 6) AS min_nll,
+         |  ROUND(MAX(avg_nll), 6) AS max_nll
+         |FROM sc JOIN th USING (lang)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q220_source_overlap" -> {
+      val a = Dedup.HASH_A.mkString("[", ", ", "]")
+      val b = Dedup.HASH_B.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, unnest(${shinglesSql(3)}) AS shingle
+         |  FROM (SELECT doc_id, source, $WORDS AS w FROM documents)),
+         |h AS (
+         |  SELECT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hb
+         |  FROM sh),
+         |sig AS (
+         |  SELECT source, j,
+         |    MIN((($a)[j+1] * hb + ($b)[j+1]) % ${Dedup.MINHASH_P}) AS mh
+         |  FROM h, unnest(range(0, 8)) AS t(j) GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(COUNT(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS n_eq,
+         |  ROUND((COUNT(*) FILTER (WHERE a.mh = b.mh))::DOUBLE / 8, 6)
+         |    AS est_jaccard
+         |FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q221_vocab_coverage" ->
+      s"""WITH wd AS (SELECT unnest($WORDS) AS word FROM documents),
+         |f AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY 1),
+         |r AS (
+         |  SELECT word, c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk
+         |  FROM f),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM f),
+         |e AS (
+         |  SELECT rnk, c, unnest([100, 1000, 10000, 100000]) AS vsz FROM r),
+         |g AS (
+         |  SELECT vsz, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS covered
+         |  FROM e WHERE rnk <= vsz GROUP BY 1)
+         |SELECT CAST(vsz AS BIGINT) AS vocab_size, n_types,
+         |  covered AS covered_tokens,
+         |  ROUND(covered::DOUBLE / tot, 6) AS coverage,
+         |  ROUND((tot - covered)::DOUBLE / tot, 6) AS oov_rate
+         |FROM g, tot""".stripMargin,
 
     "q146_cluster_purity" ->
       s"""WITH $kmeansCtes,
