@@ -483,9 +483,14 @@ object LlmQueries {
     // head, maybe the middle" LM-quality partition of a crawl.
     "q219_ccnet_buckets" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // One row per doc; localCheckpoint so the threshold pass and the
+      // bucketing pass share ONE materialization of the LM subtree
+      // instead of replanning its scans twice (the two-pass shape is
+      // inherent to exact quantile thresholds).
       val scored = Pipeline.bigramLmScore(docs, "doc_id", "text")
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .filter(col("avg_nll").isNotNull)
+        .localCheckpoint()
       val th = scored.groupBy("lang")
         .agg(graft.ops.Quantiles.pcts(s, col("avg_nll"),
           Seq(1.0 / 3, 2.0 / 3)).as("__t"))
