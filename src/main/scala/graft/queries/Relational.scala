@@ -825,6 +825,86 @@ object Relational {
           (col("__acc")(1) > 5.0).as("drift_flag"))
     }),
 
+    // k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+    // (event_type, day-of-week, value decade): equivalence-class sizes in
+    // DISTINCT users, rolled up per type into the re-identification risk
+    // report — singleton classes and the user mass in classes below k=5.
+    // Two hash aggregates, both map-side-partialed; floor-bucketing (not
+    // round) so the bin edges are rounding-mode-free across engines.
+    "q222_k_anonymity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_type"),
+          expr(s"(ts_us div $DAY_US) % 7").as("__dow"),
+          floor(col("value") / 10).as("__vb"),
+          col("user_id"))
+        .groupBy("event_type", "__dow", "__vb")
+        .agg(countDistinct("user_id").as("__k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("__k") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(col("__k")).as("n_user_slots"),
+          sum(when(col("__k") < 5, col("__k")).otherwise(0L))
+            .as("n_below_k5"))
+        .withColumn("risk_frac",
+          round(col("n_below_k5").cast("double") / col("n_user_slots"), 6))
+    }),
+
+    // Population Stability Index drift per event type: first vs second
+    // half of the calendar range (midpoint and the global value-decile
+    // bin edges are broadcast scalars), add-one-smoothed bin shares over
+    // the OBSERVED bins, PSI = Σ (p2−p1)·ln(p2/p1) from 8-dp-pinned terms
+    // summed exactly. One corpus scan + bounded-dimension aggregates —
+    // the distribution-shift companion to q86's text-feature drift.
+    "q223_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val days = ev.withColumn("__day", expr(s"ts_us div $DAY_US"))
+      val mid = days.agg(
+        floor((min("__day") + max("__day")) / 2).as("__mid"))
+      val th = days.agg(Quantiles.pcts(s, col("value"),
+        (1 to 9).map(_ / 10.0)).as("__t"))
+      val binned = days.crossJoin(broadcast(mid)).crossJoin(broadcast(th))
+        .select(col("event_type"),
+          when(col("__day") <= col("__mid"), 1).otherwise(2).as("__p"),
+          (size(filter(col("__t"), x => x < col("value"))) + 1).as("__bin"))
+      val c = binned.groupBy("event_type", "__bin")
+        .agg(sum(when(col("__p") === 1, 1L).otherwise(0L)).as("__c1"),
+          sum(when(col("__p") === 2, 1L).otherwise(0L)).as("__c2"))
+      val n = c.groupBy("event_type")
+        .agg(sum("__c1").as("__n1"), sum("__c2").as("__n2"))
+      c.join(n, Seq("event_type"))
+        .withColumn("__p1",
+          (col("__c1") + 1).cast("double") / (col("__n1") + 10))
+        .withColumn("__p2",
+          (col("__c2") + 1).cast("double") / (col("__n2") + 10))
+        .withColumn("__term", round(
+          (col("__p2") - col("__p1")) * log(col("__p2") / col("__p1")), 8))
+        .groupBy("event_type")
+        .agg(max("__n1").as("n_before"), max("__n2").as("n_after"),
+          round(Det.sumDet(col("__term"), 8), 6).as("psi"))
+        .withColumn("drifted", col("psi") > 0.2)
+    }),
+
+    // Differentially-private count release (Dwork 2006, ε = 1): per
+    // (type, day) true count plus seeded Laplace noise via the inverse
+    // CDF of a deterministic md5 uniform (the q171 sampling idiom — a DP
+    // release pipeline derives noise from a keyed PRF stream exactly like
+    // this; u ∈ (0,1) strictly by the +0.5/2³² offset, so sign and ln are
+    // total). Pure map over the count table — no extra shuffle.
+    "q224_dp_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val u = (conv(substr(md5(concat_ws(":", lit("dp1"), col("event_type"),
+        col("day").cast("string"))), lit(1), lit(8)), 16, 10)
+        .cast("double") + 0.5) / 4294967296.0
+      ev.withColumn("day", expr(s"ts_us div $DAY_US"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__u", u)
+        .withColumn("noisy_n", round(col("n") -
+          signum(col("__u") - 0.5) *
+            log(lit(1.0) - lit(2.0) * abs(col("__u") - 0.5)), 6))
+        .select("event_type", "day", "n", "noisy_n")
+    }),
+
     // Pareto/Lorenz revenue concentration WITHOUT a global sort: exact
     // decile thresholds come from one percentile aggregate (broadcast
     // scalar), customers bucket map-side against the threshold array,
@@ -1456,6 +1536,72 @@ object Relational {
          |  ROUND(sd, 6) AS sd_daily, ROUND(f[2], 6) AS cusum_max,
          |  f[2] > 5.0::DOUBLE AS drift_flag
          |FROM c""".stripMargin,
+
+    "q222_k_anonymity" ->
+      s"""WITH q AS (
+         |  SELECT event_type, (epoch_us(ts) // $DAY_US) % 7 AS dow,
+         |    floor(value / 10) AS vb, user_id
+         |  FROM events),
+         |cls AS (
+         |  SELECT event_type, dow, vb, COUNT(DISTINCT user_id) AS k
+         |  FROM q GROUP BY 1, 2, 3)
+         |SELECT event_type, COUNT(*) AS n_classes,
+         |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_singletons,
+         |  CAST(SUM(k) AS BIGINT) AS n_user_slots,
+         |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         |    AS n_below_k5,
+         |  ROUND(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         |    ::DOUBLE / CAST(SUM(k) AS BIGINT), 6) AS risk_frac
+         |FROM cls GROUP BY 1""".stripMargin,
+
+    "q223_psi_drift" ->
+      s"""WITH d AS (
+         |  SELECT event_type, value, epoch_us(ts) // $DAY_US AS day
+         |  FROM events),
+         |mid AS (SELECT floor((MIN(day) + MAX(day)) / 2) AS mid FROM d),
+         |th AS (SELECT quantile_cont(value,
+         |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t FROM d),
+         |binned AS (
+         |  SELECT event_type,
+         |    CASE WHEN day <= mid THEN 1 ELSE 2 END AS p,
+         |    len(list_filter(t, x -> x < value)) + 1 AS bin
+         |  FROM d, mid, th),
+         |c AS (
+         |  SELECT event_type, bin,
+         |    CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM binned GROUP BY 1, 2),
+         |n AS (
+         |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2
+         |  FROM c GROUP BY 1),
+         |terms AS (
+         |  SELECT c.event_type, n1, n2,
+         |    ROUND(((c2 + 1)::DOUBLE / (n2 + 10) - (c1 + 1)::DOUBLE / (n1 + 10))
+         |      * ln(((c2 + 1)::DOUBLE / (n2 + 10)) /
+         |           ((c1 + 1)::DOUBLE / (n1 + 10))), 8) AS term
+         |  FROM c JOIN n USING (event_type))
+         |SELECT event_type, MAX(n1) AS n_before, MAX(n2) AS n_after,
+         |  ROUND(${Det.sumDetSql("term", 8)}, 6) AS psi,
+         |  ROUND(${Det.sumDetSql("term", 8)}, 6) > 0.2::DOUBLE AS drifted
+         |FROM terms GROUP BY 1""".stripMargin,
+
+    "q224_dp_counts" ->
+      s"""WITH c AS (
+         |  SELECT event_type, epoch_us(ts) // $DAY_US AS day, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |u AS (
+         |  SELECT event_type, day, n,
+         |    (('0x' || substr(md5('dp1:' || event_type || ':' ||
+         |        CAST(day AS VARCHAR)), 1, 8))::BIGINT + 0.5::DOUBLE)
+         |      / 4294967296.0::DOUBLE AS uu
+         |  FROM c)
+         |SELECT event_type, day, n,
+         |  ROUND(n - sign(uu - 0.5::DOUBLE) *
+         |    ln(1.0::DOUBLE - 2.0::DOUBLE * abs(uu - 0.5::DOUBLE)), 6)
+         |    AS noisy_n
+         |FROM u""".stripMargin,
 
     "q180_revenue_pareto" ->
       """WITH rev AS (

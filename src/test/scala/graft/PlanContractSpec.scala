@@ -46,6 +46,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q214_decay_engagement", // broadcast 1-row max-clock scalar
     "q217_margin_mining",   // q30's broadcast bounded query/candidate sides
     "q220_source_overlap",  // groups-squared inequality join on merged sigs
+    "q223_psi_drift",       // broadcast midpoint + decile-edge scalars
     "q221_vocab_coverage",  // broadcast 1-row token-total scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
