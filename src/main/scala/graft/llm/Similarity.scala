@@ -975,17 +975,25 @@ object Similarity {
     * across engines. Pure map over the embedding scan: zero shuffles,
     * whole-stage codegen; at 100 TB this is the dimensionality-reduction
     * front of any ANN/clustering pipeline (4× fewer bytes into every
-    * downstream shuffle at distance-preservation guaranteed by JL). */
+    * downstream shuffle at distance-preservation guaranteed by JL).
+    *
+    * Each coordinate is a [[graft.functions.SignedGatherSumF]] — a
+    * codegen'd loop over the column's nonzero (index, sign) lists. The
+    * earlier unrolled `±element_at` chains emitted O(inDim·outDim)
+    * generated Java and broke Janino's 64 KB method limit already at
+    * 64→16, silently dropping the stage to interpreted eval; the loop form
+    * keeps generated size O(outDim) and the identical IEEE fold order. */
   def randomProjection(df: DataFrame, idCol: String, embCol: String,
       inDim: Int = 64, outDim: Int = 16): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val m = rpMatrix(inDim, outDim)
     val scale = math.rint(math.sqrt(3.0 / outDim) * 1e6) / 1e6
     val proj = (0 until outDim).map { j =>
-      val terms = (0 until inDim).filter(i => m(i)(j) != 0).map { i =>
-        val e = element_at(col(embCol), i + 1).cast("double")
-        if (m(i)(j) > 0) e else -e
-      }
-      val s = if (terms.isEmpty) lit(0.0d) else terms.reduceLeft(_ + _)
+      val nz = (0 until inDim).filter(i => m(i)(j) != 0)
+      val s =
+        if (nz.isEmpty) lit(0.0d)
+        else graft.functions.VectorExpressions.sgsum(col(embCol),
+          lit(nz.toArray), lit(nz.map(i => m(i)(j)).toArray))
       // IEEE `x + 0.0` maps -0.0 to +0.0 (and is identity elsewhere), so a
       // rounded-to-zero negative sum hashes identically to the oracle's
       // `ROUND(...) + 0.0` — Spark's round() already normalizes the sign,
