@@ -25,9 +25,23 @@ object Det {
   def avgDet(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(24, scale))).cast("double") / count(c)
 
+  /** Exact sum of a ≤`scale`-decimal double column, rounded to `outScale`
+    * WHILE STILL IN DECIMAL, returned as double. `round(sumDet(c))` rounds
+    * the double cast instead, and the two engines disagree on exact
+    * half-way decimals there (Spark HALF_UPs the shortest decimal repr;
+    * DuckDB scales by 10^d in double, which can land exactly on .5 —
+    * the documented cross-engine double-rounding class). Rounding the
+    * exact decimal is boundary-free: both engines round the same exact
+    * value half-away-from-zero, then cast. */
+  def roundSumDet(c: Column, scale: Int, outScale: Int): Column =
+    round(sum(c.cast(DecimalType(24, scale))), outScale).cast("double")
+
   /** Matching DuckDB SQL fragments. */
   def sumDetSql(expr: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(24,$scale))) AS DOUBLE)"
+
+  def roundSumDetSql(expr: String, scale: Int, outScale: Int): String =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(24,$scale))), $outScale) AS DOUBLE)"
 
   def avgDetSql(expr: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(24,$scale))) AS DOUBLE) / COUNT($expr)"

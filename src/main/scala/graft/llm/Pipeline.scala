@@ -704,6 +704,64 @@ object Pipeline {
       .withColumn("bucket", floor(col("avg_nll")))
       .withColumn("kept", coalesce(col("avg_nll") <= cutoff, lit(false)))
 
+  /** DoReMi-style domain mixture weights (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * collapsed to its one-shot core): per-domain EXCESS loss — here the
+    * add-one bigram-LM avg NLL ([[bigramLmScore]], the "proxy") minus the
+    * add-one unigram-LM avg NLL (the "reference"; structure the bigram
+    * model can exploit but the unigram cannot) — exponentiated into
+    * softmax mixture weights. Domains whose text is predictable given
+    * context beyond unigram frequency get down-weighted; high-excess
+    * (hard-to-model) domains get up-weighted, exactly the DoReMi update
+    * direction with the trained-model losses swapped for in-engine LMs.
+    *
+    * Scale shape: the unigram pass is one vocab hash aggregate + a
+    * token→vocab join that shuffles the token stream once on the word
+    * key; the bigram pass is q85's (one bigram-key aggregate, corpus
+    * rows shuffle once); everything downstream is bounded by the domain
+    * count. The softmax max/denominator are 1-row broadcast scalars, and
+    * every fractional term is digit-pinned before its exact decimal sum.
+    * No new corpus scan shape at 100 TB — two LM passes, each
+    * single-shuffle. */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.words(col(textCol))).as("word"))
+    val uc = toks.groupBy("word").agg(count(lit(1)).as("__cw"))
+    val nv = uc.agg(sum(col("__cw")).as("__n"), count(lit(1)).as("__v"))
+    val unll = round(-log((col("__cw") + 1.0) /
+      (col("__n") + col("__v")).cast("double")), 6)
+    val uniDoc = toks.join(uc, Seq("word")).crossJoin(broadcast(nv))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"),
+        graft.core.Det.sumDet(unll, 6).as("__su"))
+      .select(col(idCol), round(col("__su") / col("__nt"), 6).as("__uni"))
+    val bi = bigramLmScore(docs, idCol, textCol)
+      .select(col(idCol), col("avg_nll"))
+    val perDoc = docs.select(col(idCol), col(groupCol).as("source"))
+      .join(uniDoc, Seq(idCol))
+      .join(bi, Seq(idCol))
+      .filter(col("avg_nll").isNotNull)
+      .withColumn("__ex", round(col("avg_nll") - col("__uni"), 6))
+    // The domain table is tiny but its subtree is the whole two-LM
+    // pipeline; the softmax needs it three times (max, numerator,
+    // denominator), so materialize ONCE — without this the corpus is
+    // scanned 36× (measured), with it the LMs run in one pass.
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(graft.core.Det.sumDet(col("__ex"), 6) / count(lit(1)), 6)
+          .as("excess_nll"))
+      .localCheckpoint()
+    val mx = perSrc.agg(max(col("excess_nll")).as("__mx"))
+    val numbered = perSrc.crossJoin(broadcast(mx))
+      .withColumn("__num", round(exp(col("excess_nll") - col("__mx")), 8))
+    val den = numbered.agg(
+      graft.core.Det.sumDet(col("__num"), 8).as("__den"))
+    numbered.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("excess_nll"),
+        round(col("__num") / col("__den"), 6).as("weight"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): estimate target and raw
     * distributions over HASHED bigram features (`numBuckets` buckets of

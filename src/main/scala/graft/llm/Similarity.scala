@@ -1003,6 +1003,65 @@ object Similarity {
     df.select(col(idCol), array(proj: _*).as("proj"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between groups (sources) in
+    * embedding space, over SRP sign-cells (Charikar 2002 hyperplane
+    * rounding of the [[rpMatrix]] projection): each embedding lands in one
+    * of 2^`bits` cells by the sign pattern of its `bits`-dim JL projection,
+    * each group becomes an add-one-smoothed cell histogram over ALL cells
+    * (absent cells carry the 1/(n+2^bits) floor — mandatory, or JS is
+    * undefined), and group pairs compare via
+    * JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2.
+    *
+    * The semantic companion to q223's value-space PSI: "which sources
+    * cover the same embedding territory" drives mixture/dedup decisions
+    * before any expensive cross-source pairwise scan. Scale shape: ONE
+    * corpus-side map (the projection) + one (group, cell) hash aggregate
+    * with map-side partials; everything after is bounded by
+    * groups × 2^bits (the full-cell frame and the groups²/2 × cells
+    * equi-join on the 2^bits-valued cell key — AQE broadcasts both).
+    * Per-pair terms are 8-dp-pinned and summed exactly, so reduction
+    * order cannot shift the hash; `js_dist` is the metric form √JS. */
+  def signCellJsDivergence(df: DataFrame, groupCol: String, embCol: String,
+      inDim: Int = 64, bits: Int = 4): DataFrame = {
+    require(bits > 0 && bits <= 12, s"bits must be in [1,12], got $bits")
+    val nCells = 1 << bits
+    val projected = randomProjection(
+      df.select(col(groupCol).as("__g"), col(embCol)), "__g", embCol,
+      inDim, outDim = bits)
+    val cell = (0 until bits)
+      .map(j => when(col("proj")(j) >= 0, lit(1 << (bits - 1 - j)))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+    // groups × ≤2^bits rows, but its subtree is the corpus-wide
+    // projection pass and four consumers reference it (totals, the
+    // cell-frame join, both pair sides) — materialize once so the corpus
+    // is scanned once, not four times.
+    val counts = projected.select(col("__g"), cell.cast("long").as("cell"))
+      .groupBy("__g", "cell").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val totals = counts.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    val full = totals
+      .withColumn("cell", explode(sequence(lit(0L), lit(nCells - 1L))))
+      .join(counts, Seq("__g", "cell"), "left")
+      .withColumn("__p", (coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+        (col("__n") + nCells))
+    val a = full.select(col("__g").as("src_a"), col("cell"),
+      col("__p").as("__pa"), col("__n").as("n_a"))
+    val b = full.select(col("__g").as("src_b"), col("cell"),
+      col("__p").as("__pb"), col("__n").as("n_b"))
+    a.join(b, Seq("cell")).filter(col("src_a") < col("src_b"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__term", round(
+        (col("__pa") * log(col("__pa") / col("__m")) +
+          col("__pb") * log(col("__pb") / col("__m"))) / 2, 8))
+      .groupBy("src_a", "src_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        graft.core.Det.roundSumDet(col("__term"), 8, 6)
+          .as("js_divergence"))
+      .withColumn("js_dist",
+        round(sqrt(greatest(col("js_divergence"), lit(0.0d))), 6))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): does the first-`subDim`-coordinate prefix
     * of the embedding (truncate + renormalize — exactly cosine over the

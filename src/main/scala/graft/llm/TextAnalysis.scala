@@ -571,6 +571,51 @@ object TextAnalysis {
       .withColumn("label", coalesce(col("prob") >= threshold, lit(false)))
   }
 
+  /** Reliability diagram + Expected Calibration Error (Guo et al. 2017,
+    * "On Calibration of Modern Neural Networks") for the
+    * [[hashClassifier]] probability against a caller-supplied boolean
+    * truth column, per group (source): equal-width probability bins,
+    * per-bin mean confidence vs empirical accuracy, and
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| — the audit that decides whether
+    * a quality-filter score can be thresholded at face value or needs
+    * recalibration before it gates a 100 TB corpus.
+    *
+    * Scale shape: the classifier is a map-only scan; binning adds one
+    * (group, bin) hash aggregate with map-side partials (≤ groups·nBins
+    * rows out), and the ECE rollup runs on that bounded table. Per-bin
+    * confidence sums the 6-dp classifier probs exactly in decimal; the
+    * ECE terms n_b·gap_b are identical IEEE products on both engines and
+    * sum exactly — reduction order cannot shift the hash. */
+  def calibrationEce(docs: DataFrame, idCol: String, textCol: String,
+      truth: Column, groupCol: String, nBins: Int = 10): DataFrame = {
+    val scored = hashClassifier(docs, idCol, textCol)
+      .select(col(idCol), col("prob"))
+    val perBin = docs
+      .select(col(idCol), col(groupCol).as("source"),
+        truth.cast("boolean").as("__y"))
+      .join(scored, Seq(idCol))
+      .filter(col("prob").isNotNull)
+      .withColumn("bin",
+        least(floor(col("prob") * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Det.sumDet(col("prob"), 6).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__npos"))
+      .withColumn("conf", round(col("__sp") / col("n"), 6))
+      .withColumn("acc", round(col("__npos").cast("double") / col("n"), 6))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+      // ≤ groups·nBins rows over a corpus-scan subtree with two consumers
+      // (the ECE rollup and the final join) — materialize once.
+      .localCheckpoint()
+    val ece = perBin.groupBy("source")
+      .agg(sum(col("n")).as("__N"),
+        graft.core.Det.sumDet(round(col("n") * col("gap"), 6), 6)
+          .as("__sg"))
+      .select(col("source"), round(col("__sg") / col("__N"), 6).as("ece"))
+    perBin.join(ece, Seq("source"))
+      .select("source", "bin", "n", "conf", "acc", "gap", "ece")
+  }
+
   /** OOV masking: every word whose corpus document frequency is below
     * `minDf` becomes `<unk>` — the closed-vocabulary normalization step
     * before tokenizer training / n-gram LM fitting (rare-word cutoffs in

@@ -549,6 +549,33 @@ object LlmQueries {
           "oov_rate")
     }),
 
+    // Pairwise Jensen-Shannon divergence between sources in embedding
+    // space over 4-bit SRP sign-cells — the semantic companion to q223's
+    // value-space PSI. One projection map + one (source, cell) aggregate;
+    // everything after is bounded by sources x 16.
+    "q225_embedding_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      Similarity.signCellJsDivergence(
+        Tables.embeddings(s, dir).join(docs, Seq("vec_id")),
+        "source", "embedding", inDim = 64, bits = 4)
+    }),
+
+    // Reliability diagram + ECE of the q129 hash classifier against the
+    // lang='en' weak truth, per source: is the quality score calibrated
+    // enough to threshold at face value?
+    "q226_calibration_ece" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.calibrationEce(docs, "doc_id", "text",
+        col("lang") === "en", "source", nBins = 10)
+    }),
+
+    // DoReMi-lite domain mixture weights: per-source excess NLL (bigram
+    // proxy minus unigram reference LM) softmaxed into sampling weights.
+    "q227_doremi_weights" -> ((s, dir) =>
+      Pipeline.doremiWeights(Tables.documents(s, dir), "doc_id", "text",
+        "source")),
+
     // External cluster-quality check on the k-means assignment: size,
     // majority label, purity per cluster.
     "q146_cluster_purity" -> ((s, dir) =>
@@ -2964,6 +2991,130 @@ object LlmQueries {
          |  ROUND(covered::DOUBLE / tot, 6) AS coverage,
          |  ROUND((tot - covered)::DOUBLE / tot, 6) AS oov_rate
          |FROM g, tot""".stripMargin,
+
+    "q225_embedding_divergence" -> {
+      val m = graft.llm.Similarity.rpMatrix(64, 4)
+      val scale = math.rint(math.sqrt(3.0 / 4) * 1e6) / 1e6
+      val projCols = (0 until 4).map { j =>
+        val terms = (0 until 64).filter(i => m(i)(j) != 0).map { i =>
+          val sign = if (m(i)(j) > 0) "+" else "-"
+          s"$sign (e.embedding[${i + 1}])::DOUBLE"
+        }
+        val body =
+          if (terms.isEmpty) "0.0" else terms.mkString(" ").stripPrefix("+ ")
+        s"ROUND(($body) * $scale, 6) + 0.0 AS p$j"
+      }.mkString(",\n    ")
+      val cellExpr = (0 until 4).map { j =>
+        s"CASE WHEN p$j >= 0 THEN ${1 << (3 - j)} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH pr AS (
+         |  SELECT d.source AS g,
+         |    $projCols
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |cellt AS (SELECT g, CAST($cellExpr AS BIGINT) AS cell FROM pr),
+         |counts AS (SELECT g, cell, COUNT(*) AS c FROM cellt GROUP BY 1, 2),
+         |totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts
+         |           GROUP BY 1),
+         |filled AS (
+         |  SELECT t.g, r.range AS cell, t.n,
+         |    (COALESCE(c.c, 0) + 1)::DOUBLE / (t.n + 16) AS p
+         |  FROM totals t CROSS JOIN range(16) r
+         |  LEFT JOIN counts c ON c.g = t.g AND c.cell = r.range),
+         |pairs AS (
+         |  SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b,
+         |    ROUND((a.p * ln(a.p / ((a.p + b.p) / 2)) +
+         |           b.p * ln(b.p / ((a.p + b.p) / 2))) / 2, 8) AS term
+         |  FROM filled a JOIN filled b ON a.cell = b.cell AND a.g < b.g),
+         |agg AS (
+         |  SELECT src_a, src_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         |    ${graft.core.Det.roundSumDetSql("term", 8, 6)} AS js_divergence
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_a, n_b, js_divergence,
+         |  ROUND(sqrt(GREATEST(js_divergence, 0.0::DOUBLE)), 6) AS js_dist
+         |FROM agg""".stripMargin
+    },
+
+    "q226_calibration_ece" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, CASE WHEN margin IS NOT NULL
+         |    THEN ROUND(1.0 / (1.0 + exp(-margin)), 6) END AS prob
+         |  FROM (
+         |    SELECT doc_id, CASE WHEN len(w) > 0 THEN ROUND(list_reduce(
+         |      list_transform(w, x ->
+         |        ((('0x' || substr(md5('clf:' || x), 1, 15))::BIGINT % 2001)
+         |          - 1000) / 1000.0),
+         |      (a, b) -> a + b) / len(w), 6) END AS margin
+         |    FROM (SELECT doc_id, $WORDS AS w FROM documents))),
+         |j AS (
+         |  SELECT d.source, (d.lang = 'en') AS y, sc.prob,
+         |    CAST(LEAST(floor(sc.prob * 10), 9) AS BIGINT) AS bin
+         |  FROM documents d JOIN sc USING (doc_id)
+         |  WHERE sc.prob IS NOT NULL),
+         |perbin AS (
+         |  SELECT source, bin, COUNT(*) AS n,
+         |    ROUND(${graft.core.Det.sumDetSql("prob", 6)} / COUNT(*), 6)
+         |      AS conf,
+         |    ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |      / COUNT(*), 6) AS acc
+         |  FROM j GROUP BY 1, 2),
+         |g AS (SELECT source, bin, n, conf, acc,
+         |        ROUND(abs(conf - acc), 6) AS gap FROM perbin),
+         |e AS (
+         |  SELECT source,
+         |    ROUND(${graft.core.Det.sumDetSql("ROUND(n * gap, 6)", 6)}
+         |      / CAST(SUM(n) AS BIGINT), 6) AS ece
+         |  FROM g GROUP BY 1)
+         |SELECT g.source, bin, n, conf, acc, gap, ece
+         |FROM g JOIN e USING (source)""".stripMargin,
+
+    "q227_doremi_weights" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wr),
+         |uc AS (SELECT word, COUNT(*) AS cw FROM toks GROUP BY 1),
+         |nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, COUNT(*) AS v FROM uc),
+         |uterm AS (
+         |  SELECT doc_id, ROUND(-ln((cw + 1.0) / CAST(n + v AS DOUBLE)), 6)
+         |    AS unll
+         |  FROM toks JOIN uc USING (word) CROSS JOIN nv),
+         |ud AS (
+         |  SELECT doc_id,
+         |    ROUND(${graft.core.Det.sumDetSql("unll", 6)} / COUNT(*), 6)
+         |      AS uni
+         |  FROM uterm GROUP BY 1),
+         |b2 AS (
+         |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)),
+         |bcounts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bcounts
+         |        GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT word) AS vb FROM toks),
+         |bterm AS (
+         |  SELECT doc_id, ROUND(-ln((c12 + 1.0) / CAST(c1 + vb AS DOUBLE)), 6)
+         |    AS nll
+         |  FROM b2 JOIN bcounts USING (w1, w2) JOIN ctx USING (w1)
+         |  CROSS JOIN vv),
+         |bd AS (
+         |  SELECT doc_id,
+         |    ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(*), 6)
+         |      AS avg_nll
+         |  FROM bterm GROUP BY 1),
+         |pd AS (
+         |  SELECT d.source, ROUND(bd.avg_nll - ud.uni, 6) AS ex
+         |  FROM documents d JOIN ud USING (doc_id) JOIN bd USING (doc_id)),
+         |ps AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    ROUND(${graft.core.Det.sumDetSql("ex", 6)} / COUNT(*), 6)
+         |      AS excess_nll
+         |  FROM pd GROUP BY 1),
+         |mx AS (SELECT MAX(excess_nll) AS mxe FROM ps),
+         |nm AS (SELECT source, n_docs, excess_nll,
+         |         ROUND(exp(excess_nll - mxe), 8) AS num
+         |       FROM ps CROSS JOIN mx),
+         |dn AS (SELECT ${graft.core.Det.sumDetSql("num", 8)} AS den FROM nm)
+         |SELECT source, n_docs, excess_nll, ROUND(num / den, 6) AS weight
+         |FROM nm CROSS JOIN dn""".stripMargin,
 
     "q146_cluster_purity" ->
       s"""WITH $kmeansCtes,
