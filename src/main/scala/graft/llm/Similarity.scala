@@ -1040,16 +1040,18 @@ object Similarity {
       .groupBy("__g", "cell").agg(count(lit(1)).as("__c"))
       .localCheckpoint()
     val totals = counts.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    // The checkpointed table carries no stats, so hint the broadcasts
+    // explicitly — everything below is groups × 2^bits sized.
     val full = totals
       .withColumn("cell", explode(sequence(lit(0L), lit(nCells - 1L))))
-      .join(counts, Seq("__g", "cell"), "left")
+      .join(broadcast(counts), Seq("__g", "cell"), "left")
       .withColumn("__p", (coalesce(col("__c"), lit(0L)) + 1).cast("double") /
         (col("__n") + nCells))
     val a = full.select(col("__g").as("src_a"), col("cell"),
       col("__p").as("__pa"), col("__n").as("n_a"))
     val b = full.select(col("__g").as("src_b"), col("cell"),
       col("__p").as("__pb"), col("__n").as("n_b"))
-    a.join(b, Seq("cell")).filter(col("src_a") < col("src_b"))
+    a.join(broadcast(b), Seq("cell")).filter(col("src_a") < col("src_b"))
       .withColumn("__m", (col("__pa") + col("__pb")) / 2)
       .withColumn("__term", round(
         (col("__pa") * log(col("__pa") / col("__m")) +

@@ -31,7 +31,14 @@ object AqeAudit {
       // diff, the three-filter kappa join, and the cluster-weighted
       // token rollup
       "q203_winnowing", "q200_corpus_diff", "q208_filter_kappa",
-      "q211_effective_tokens")
+      "q211_effective_tokens",
+      // q213–q227 batch: the cluster-rooted split join, the exact
+      // contamination-span join, the merged-signature source matrix,
+      // the k-anonymity double aggregate, the sign-cell JS pair join,
+      // and the two-LM DoReMi composite
+      "q216_cluster_split", "q215_contamination_span",
+      "q220_source_overlap", "q222_k_anonymity",
+      "q225_embedding_divergence", "q227_doremi_weights")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
