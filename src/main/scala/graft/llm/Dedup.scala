@@ -223,6 +223,43 @@ object Dedup {
       shingleRows(docs, idCol, textCol, shingleN, extraCols = Seq(groupCol)),
       groupCol, numHashes)
 
+  /** Distinct-shingle cardinality per group from the SAME k-min-value
+    * sketch the dedup layer already maintains (Bar-Yossef et al. 2002;
+    * with k independent hash minima over n distinct elements each
+    * min/P ~ Beta(1, n), so the MLE is n̂ = k·P / Σmin − 1). Audited
+    * against the exact `COUNT(DISTINCT shingle)` in the same single
+    * aggregation pass — one multi-distinct hash aggregate over the
+    * shingle rows, map-side-partial mins, one collapsed row per group.
+    *
+    * The point at 100 TB: the estimator needs only the k·groups longs a
+    * merged signature already carries (shard sketches re-merge by
+    * elementwise min, like [[mergedMinhash]]), so "how many distinct
+    * shingles does this source contribute" becomes metadata, not a
+    * corpus-wide COUNT DISTINCT. The exact column is the audit side at
+    * gate scale; Σmin is an EXACT long sum, so the estimate is one
+    * deterministic double division on both engines. */
+  def kmvCardinality(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, shingleN: Int = 3,
+      numHashes: Int = 8): DataFrame = {
+    require(numHashes <= HASH_A.size, s"at most ${HASH_A.size} hash functions")
+    val base =
+      conv(substr(md5(col("shingle")), lit(1), lit(8)), 16, 10).cast("long")
+    val mins = (0 until numHashes).map(j =>
+      min((lit(HASH_A(j)) * base + lit(HASH_B(j))) % MINHASH_P)
+        .as(s"__mh$j"))
+    val aggs = countDistinct(col("shingle")).as("n_exact") +: mins
+    shingleRows(docs, idCol, textCol, shingleN, extraCols = Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__smh",
+        (0 until numHashes).map(j => col(s"__mh$j")).reduce(_ + _))
+      .select(col(groupCol), col("n_exact"),
+        round(lit(numHashes.toDouble) * MINHASH_P / col("__smh") - 1.0, 2)
+          .as("est_kmv"))
+      .withColumn("rel_err",
+        round(abs(col("est_kmv") - col("n_exact")) / col("n_exact"), 4))
+  }
+
   /** Signature + set size in ONE aggregation pass over the shingle rows —
     * (id, mh, __set_size). Callers that need both never re-scan the rows. */
   private def signaturesFromRows(rows: DataFrame, idCol: String,

@@ -690,6 +690,58 @@ object Pipeline {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 empirical study) — the smoothing actually used by
+    * production n-gram LM filters, vs [[bigramLmScore]]'s add-one:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+    *
+    * with discount D = 0.75. All four count tables fall out of ONE bigram
+    * hash aggregate: contexts and type fan-outs N1+(w1·) aggregate the
+    * model table by w1, continuation counts N1+(·w2) by w2, the bigram
+    * type total is a 1-row broadcast scalar. Scored corpus-on-itself, so
+    * every scored bigram has c12 ≥ 1 > D and the discounted term stays
+    * positive. The model table (vocab²-bounded) is checkpointed once —
+    * its four consumers must not replan the corpus pass. Per-term ln is
+    * pinned to 6 digits; per-doc sums route through exact decimal. */
+  def kneserNeyLmScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = wordRows(docs, idCol, textCol)
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("word").as("w1"), col("w2"))
+    // The model table is vocab²-bounded; its four consumers (ctx, cont,
+    // the type total, the scoring join) must not each replan the corpus
+    // pass. The bigram ROWS stay un-checkpointed deliberately — caching
+    // a token-stream-sized table trades storage for the same q85-shaped
+    // second pass the scoring join costs anyway.
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint()
+    val ctx = counts.groupBy("w1")
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__t1"))
+    val cont = counts.groupBy("w2").agg(count(lit(1)).as("__n2"))
+    val totB = counts.agg(count(lit(1)).as("__nb"))
+    val nll = round(-log(
+      (col("__c12") - discount) / col("__c1") +
+        (lit(discount) * col("__t1") / col("__c1")) *
+          (col("__n2").cast("double") / col("__nb"))), 6)
+    val model = counts.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+    val scored = bigrams
+      .join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(totB))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.core.Det.sumDet(nll, scale = 6).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum") / col("n_bigrams"), 6).as("avg_nll_kn"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll_kn"))
+  }
+
   /** Perplexity-style quality filtering over the corpus-trained bigram LM
     * (the CCNet/Gopher "LM filter" stage re-expressed on the in-engine
     * model): every document gets its [[bigramLmScore]] average NLL, an

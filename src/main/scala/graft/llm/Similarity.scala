@@ -486,6 +486,61 @@ object Similarity {
       .withColumn("agree", col("label") === col("pred_label"))
   }
 
+  /** Confident-learning label-noise estimate (Northcutt et al. 2021,
+    * "Confident Learning: Estimating Uncertainty in Dataset Labels",
+    * with kNN vote fractions standing in for model probabilities): per
+    * class j the threshold t_j is the mean self-confidence — the average
+    * vote fraction for j among examples LABELED j (absent votes count
+    * as 0 via the labeled-count denominator) — and an example joins the
+    * confident-joint cell (label=i, pred=j) for the highest-fraction
+    * class j whose fraction clears t_j (ties to the lowest label).
+    * Off-diagonal mass is the estimated label-noise rate per class.
+    *
+    * Scale shape: one [[knnGraph]] pass into a checkpointed
+    * (id, class, fraction) table (≤ N·min(k, classes) rows — the two
+    * consumers, thresholds and qualification, must not replan the graph
+    * build); everything after the argmax aggregate is bounded by
+    * classes², and the class-threshold table broadcasts. */
+  def confidentJoint(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, nList: Int = 0,
+      targetCellSize: Int = 0): DataFrame = {
+    val labels = emb.select(col(idCol).as("nbr_id"),
+      col(labelCol).as("nbr_label"))
+    val frac = knnGraph(emb, idCol, embCol, k, nList,
+      targetCellSize = targetCellSize)
+      .join(labels, Seq("nbr_id"))
+      .groupBy(col(idCol), col("nbr_label"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("frac", round(col("__c").cast("double") / k, 6))
+      .localCheckpoint()
+    val lbl = emb.select(col(idCol), col(labelCol).as("label"))
+    val nJ = lbl.groupBy("label").agg(count(lit(1)).as("__nj"))
+    val sumSelf = frac.join(lbl, Seq(idCol))
+      .filter(col("nbr_label") === col("label"))
+      .groupBy("label")
+      .agg(graft.core.Det.sumDet(col("frac"), 6).as("__ss"))
+    val tj = nJ.join(sumSelf, Seq("label"), "left")
+      .select(col("label").as("pred_label"),
+        round(coalesce(col("__ss"), lit(0.0d)) / col("__nj"), 6).as("t_pred"))
+    val assign = frac
+      .join(broadcast(tj), col("nbr_label") === col("pred_label"))
+      .filter(col("frac") >= col("t_pred"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("nbr_label"), struct(-col("frac"), col("nbr_label")))
+        .as("pred_label"))
+    val cj = lbl.join(assign, Seq(idCol))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_confident"))
+      .localCheckpoint()
+    val rowTot = cj.groupBy("label").agg(sum(col("n_confident")).as("__rt"))
+    cj.join(broadcast(rowTot), Seq("label"))
+      .join(broadcast(tj), Seq("pred_label"))
+      .select(col("label"), col("pred_label"), col("n_confident"),
+        round(col("n_confident").cast("double") / col("__rt"), 6)
+          .as("frac_of_label"),
+        col("t_pred"))
+  }
+
   /** Relational Lloyd k-means over an `array<float>` embedding column —
     * the cluster-curation primitive (cluster-balanced sampling, SemDeDup
     * cell sizing, corpus diversity audits all start from it).

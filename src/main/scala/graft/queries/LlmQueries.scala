@@ -576,6 +576,25 @@ object LlmQueries {
       Pipeline.doremiWeights(Tables.documents(s, dir), "doc_id", "text",
         "source")),
 
+    // Distinct-shingle cardinality per source from the k-min-value sketch
+    // the dedup signatures already carry, audited against the exact
+    // distinct count in the same aggregation pass.
+    "q228_kmv_cardinality" -> ((s, dir) =>
+      Dedup.kmvCardinality(Tables.documents(s, dir), "doc_id", "text",
+        "source", shingleN = 3, numHashes = 8)),
+
+    // Confident-learning label-noise matrix over kNN vote fractions:
+    // per-class mean-self-confidence thresholds, confident-joint counts.
+    "q229_confident_joint" -> ((s, dir) =>
+      Similarity.confidentJoint(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 5)),
+
+    // Interpolated Kneser-Ney bigram LM per-doc scoring — the production
+    // n-gram smoothing next to q85's add-one baseline.
+    "q230_kneser_ney" -> ((s, dir) =>
+      Pipeline.kneserNeyLmScore(Tables.documents(s, dir), "doc_id",
+        "text")),
+
     // External cluster-quality check on the k-means assignment: size,
     // majority label, purity per cluster.
     "q146_cluster_purity" -> ((s, dir) =>
@@ -3115,6 +3134,99 @@ object LlmQueries {
          |dn AS (SELECT ${graft.core.Det.sumDetSql("num", 8)} AS den FROM nm)
          |SELECT source, n_docs, excess_nll, ROUND(num / den, 6) AS weight
          |FROM nm CROSS JOIN dn""".stripMargin,
+
+    "q228_kmv_cardinality" -> {
+      val a = Dedup.HASH_A.mkString("[", ", ", "]")
+      val b = Dedup.HASH_B.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, doc_id, shingle FROM (
+         |    SELECT doc_id, source, unnest(${shinglesSql(3)}) AS shingle
+         |    FROM (SELECT doc_id, source, $WORDS AS w FROM documents))),
+         |h AS (
+         |  SELECT source, shingle,
+         |    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hb
+         |  FROM sh),
+         |sig AS (
+         |  SELECT source, j,
+         |    MIN((($a)[j+1] * hb + ($b)[j+1]) % ${Dedup.MINHASH_P}) AS mh
+         |  FROM h, unnest(range(0, 8)) AS t(j) GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT s.source, e.n_exact, CAST(SUM(s.mh) AS BIGINT) AS smh
+         |  FROM sig s JOIN (
+         |    SELECT source, COUNT(DISTINCT shingle) AS n_exact
+         |    FROM sh GROUP BY 1) e USING (source)
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT source, n_exact,
+         |    ROUND(8.0::DOUBLE * ${Dedup.MINHASH_P} / smh - 1.0::DOUBLE, 2)
+         |      AS est_kmv
+         |  FROM agg)
+         |SELECT source, n_exact, est_kmv,
+         |  ROUND(abs(est_kmv - n_exact) / n_exact, 4) AS rel_err
+         |FROM est""".stripMargin
+    },
+
+    "q229_confident_joint" ->
+      s"""WITH $knnGraphCtes,
+         |frac AS (
+         |  SELECT rk.id, l.label AS nbr_label, COUNT(*) AS c,
+         |    ROUND(COUNT(*)::DOUBLE / 5, 6) AS frac
+         |  FROM rk JOIN embeddings l ON l.vec_id = rk.nbr_id
+         |  WHERE rk.nbr_rank <= 5 GROUP BY 1, 2),
+         |nj AS (SELECT label, COUNT(*) AS njn FROM embeddings GROUP BY 1),
+         |ss AS (
+         |  SELECT e.label, ${graft.core.Det.sumDetSql("f.frac", 6)} AS sself
+         |  FROM frac f JOIN embeddings e
+         |    ON e.vec_id = f.id AND e.label = f.nbr_label
+         |  GROUP BY 1),
+         |tj AS (
+         |  SELECT nj.label AS pred_label,
+         |    ROUND(COALESCE(ss.sself, 0.0::DOUBLE) / nj.njn, 6) AS t_pred
+         |  FROM nj LEFT JOIN ss USING (label)),
+         |qual AS (
+         |  SELECT f.id, f.nbr_label, f.frac,
+         |    ROW_NUMBER() OVER (PARTITION BY f.id
+         |      ORDER BY f.frac DESC, f.nbr_label) AS r
+         |  FROM frac f JOIN tj ON f.nbr_label = tj.pred_label
+         |  WHERE f.frac >= tj.t_pred),
+         |assign AS (SELECT id, nbr_label AS pred_label FROM qual WHERE r = 1),
+         |cj AS (
+         |  SELECT e.label, a.pred_label, COUNT(*) AS n_confident
+         |  FROM embeddings e JOIN assign a ON a.id = e.vec_id
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT label, CAST(SUM(n_confident) AS BIGINT) AS rtn
+         |       FROM cj GROUP BY 1)
+         |SELECT cj.label, cj.pred_label, cj.n_confident,
+         |  ROUND(cj.n_confident::DOUBLE / rt.rtn, 6) AS frac_of_label,
+         |  tj.t_pred
+         |FROM cj JOIN rt USING (label)
+         |JOIN tj ON tj.pred_label = cj.pred_label""".stripMargin,
+
+    "q230_kneser_ney" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |b2 AS (
+         |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |          COUNT(*) AS t1 FROM counts GROUP BY 1),
+         |cont AS (SELECT w2, COUNT(*) AS n2 FROM counts GROUP BY 1),
+         |nb AS (SELECT COUNT(*) AS nbt FROM counts),
+         |terms AS (
+         |  SELECT doc_id, ROUND(-ln(
+         |    (c12 - 0.75::DOUBLE) / c1 +
+         |      ((0.75::DOUBLE * t1) / c1) * (n2::DOUBLE / nbt)), 6) AS nll
+         |  FROM b2 JOIN counts USING (w1, w2) JOIN ctx USING (w1)
+         |  JOIN cont USING (w2) CROSS JOIN nb),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(*), 6)
+         |      AS avg_nll_kn
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_nll_kn
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "q146_cluster_purity" ->
       s"""WITH $kmeansCtes,
