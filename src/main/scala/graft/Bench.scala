@@ -79,6 +79,47 @@ object Bench {
     // plateau) and the first-run sum is kept as `cold_total`.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // SPARK_GRAFT_DIAG=1: per-query JVM-state line (GC time delta, code
+    // cache / metaspace occupancy, loaded-class count, block-manager
+    // memory) — the instrumentation that localizes suite-context
+    // inflation to its mechanism instead of guessing.
+    val diag = sys.env.contains("SPARK_GRAFT_DIAG")
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def poolUsedMb(prefix: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix)).map(_.getUsage.getUsed).sum >> 20
+    }
+    var lastGc = gcMillis()
+    def diagLine(name: String): Unit = if (diag) {
+      val gc = gcMillis(); val dGc = gc - lastGc; lastGc = gc
+      val cc = poolUsedMb("CodeHeap")
+      val meta = poolUsedMb("Metaspace")
+      val classes = java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount
+      // shuffle/broadcast state that survived the per-query cleanup:
+      // on-disk block files under the blockmgr-* local dirs.
+      val bm = {
+        import scala.jdk.CollectionConverters._
+        val tmp = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        try java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("blockmgr-"))
+          .map { d =>
+            val s = java.nio.file.Files.walk(d)
+            try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+            finally s.close()
+          }.sum
+        catch { case _: Throwable => -1L }
+      }
+      System.err.println(
+        f"[diag]  $name%-22s gc+${dGc}ms codeheap=${cc}MB " +
+          f"metaspace=${meta}MB classes=$classes blockfiles=$bm")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -111,8 +152,40 @@ object Bench {
           case (id, rdd) if !cachedBefore.contains(id) => rdd.unpersist(false)
         }
         System.gc()
+        diagLine(name)
         (name, dt, times.head)
       }
+    // Measurement-credibility self-check (round-13 verdict #2): re-run
+    // the 3 slowest queries after the suite completes and compare the
+    // end-state median against the in-suite median. If accumulated JVM /
+    // Spark state is still degrading late measurements, the re-run is at
+    // least as degraded and the ratio stays ~1; a ratio well ABOVE 1
+    // means the in-suite number was transiently inflated (the query is
+    // faster once its neighbors' residue is gone) — either way the
+    // per-query numbers should not be trusted as ratchets above 1.3x.
+    val inflation = if (results.size >= 10) {
+      val slowest = results.sortBy(-_._2).take(3)
+      val byName = SparkEntry.queries
+      val ratios = slowest.map { case (name, suiteDt, _) =>
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try byName(name)(spark, sfDir).count()
+          catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache(); System.gc()
+        val re = times.sorted.apply((times.length - 1) / 2)
+        val r = suiteDt / math.max(re, 1e-9)
+        System.err.println(
+          f"[bench] inflation $name%-22s suite=$suiteDt%.2f rerun=$re%.2f ratio=$r%.2f")
+        r
+      }
+      val worst = ratios.max
+      if (worst > 1.3) System.err.println(
+        f"[bench] WARN inflation_ratio=$worst%.2f > 1.3 — in-suite " +
+          "per-query numbers are not trustworthy as ratchets this run")
+      worst
+    } else 1.0
     // The driver keeps only the LAST ~2 kB of this process's stdout, and
     // the JSON line must fit inside that tail WHOLE: round 12's 186-query
     // line grew to ~2.6 kB and was clipped at the FRONT, leaving
@@ -137,13 +210,13 @@ object Bench {
     val fullCold = results.map { case (k, _, c) =>
       "\"" + shortName(k) + "\":" + fmt(c) }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"sf":"$sfDir","queries":$fullQs,"cold_queries":$fullCold}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"inflation_ratio":${fmt2(inflation)},"sf":"$sfDir","queries":$fullQs,"cold_queries":$fullCold}"""
     System.err.println("[bench] full detail: " + detail)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"inflation_ratio":${fmt2(inflation)},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -260,6 +260,59 @@ object Dedup {
         round(abs(col("est_kmv") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** Per-shard mergeable sketches — the first half of the incremental
+    * crawl workflow a 100 TB corpus actually runs: each ingest shard
+    * (deterministic `id mod numShards` here; a crawl dump or date
+    * partition in production) reduces to ONE row per (shard, group)
+    * carrying the k-min signature, and those rows are all that needs to
+    * persist — signatures re-merge by elementwise min
+    * ([[mergeShardSketches]]) with no access to the original text, so
+    * a new shard updates corpus-level overlap (q220) and cardinality
+    * (q228) metadata by touching k longs per group, never re-scanning
+    * the corpus (Broder 1997 union property; Bar-Yossef et al. 2002
+    * KMV). One shingle scan, one hash aggregate; output is
+    * (shard, group, mh, n_docs). */
+  def shardSketches(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, numShards: Int, shingleN: Int,
+      numHashes: Int): DataFrame = {
+    require(numShards > 0)
+    require(numHashes <= HASH_A.size, s"at most ${HASH_A.size} hash functions")
+    val base =
+      conv(substr(md5(col("shingle")), lit(1), lit(8)), 16, 10).cast("long")
+    val mins = (0 until numHashes).map(j =>
+      min((lit(HASH_A(j)) * base + lit(HASH_B(j))) % MINHASH_P)
+        .as(s"__mh$j"))
+    val aggs = countDistinct(col(idCol)).as("n_docs") +: mins
+    shingleRows(docs, idCol, textCol, shingleN, extraCols = Seq(groupCol))
+      .withColumn("shard", pmod(col(idCol), lit(numShards)).cast("int"))
+      .groupBy(col("shard"), col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mh", array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+      .select(col("shard"), col(groupCol), col("mh"), col("n_docs"))
+  }
+
+  /** Re-merge persisted shard sketches into per-group corpus signatures:
+    * elementwise min across shards (exactly [[mergedMinhash]]'s answer,
+    * because min over a partition of the rows is min over the rows),
+    * plus the KMV distinct-shingle estimate read off the merged minima —
+    * the second half of the [[shardSketches]] workflow. Input is the
+    * sketch TABLE (read back from parquet), so the merge never sees
+    * text; one bounded hash aggregate over |shards|x|groups| rows. */
+  def mergeShardSketches(sketches: DataFrame, groupCol: String,
+      numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(col("mh")(j)).as(s"__mh$j"))
+    val aggs = count(lit(1)).as("n_shards") +: mins
+    sketches.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mh", array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+      .withColumn("__smh",
+        (0 until numHashes).map(j => col(s"__mh$j")).reduce(_ + _))
+      .withColumn("est_kmv",
+        round(lit(numHashes.toDouble) * MINHASH_P / col("__smh") - 1.0, 2))
+      .select(col(groupCol), col("n_shards"), col("mh"), col("est_kmv"))
+  }
+
   /** Signature + set size in ONE aggregation pass over the shingle rows —
     * (id, mh, __set_size). Callers that need both never re-scan the rows. */
   private def signaturesFromRows(rows: DataFrame, idCol: String,

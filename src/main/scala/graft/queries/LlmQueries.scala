@@ -513,12 +513,43 @@ object LlmQueries {
         "text", "source", shingleN = 3, numHashes = 8)
       val a = sigs.select(col("source").as("src_a"), col("mh").as("__ma"))
       val b = sigs.select(col("source").as("src_b"), col("mh").as("__mb"))
-      a.join(b, col("src_a") < col("src_b"))
+      // Explicit hint: the merged-sig table is |sources| rows, so the
+      // inequality join must stay a BNLJ under ANY session conf — without
+      // the hint, autoBroadcastJoinThreshold=-1 degrades it to a
+      // CartesianProduct (the r13 plan-contract incident).
+      a.join(broadcast(b), col("src_a") < col("src_b"))
         .withColumn("n_eq", expr(
           "size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v))")
           .cast("long"))
         .withColumn("est_jaccard", round(col("n_eq").cast("double") / 8, 6))
         .select("src_a", "src_b", "n_eq", "est_jaccard")
+    }),
+
+    // Shard-sketch persist + re-merge round trip — the workflow a 100 TB
+    // incremental crawl actually runs (r13 verdict #5): per-shard
+    // mergeable sketches (4 deterministic id-mod shards) go to parquet,
+    // are read back, and re-merge by elementwise min into the per-source
+    // corpus signature + KMV cardinality — verified position-for-position
+    // against the corpus-at-once mergedMinhash (n_eq_sig must be the full
+    // signature width). The text is scanned once, by the shard pass; the
+    // merge touches only |shards|x|sources| sketch rows.
+    "q231_sketch_shard_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${IoQueries.sinkDir}/q231_shard_sketches"
+      Dedup.shardSketches(docs, "doc_id", "text", "source",
+        numShards = 4, shingleN = 3, numHashes = 8)
+        .write.mode("overwrite").parquet(path)
+      val merged = Dedup.mergeShardSketches(s.read.parquet(path), "source",
+        numHashes = 8)
+      val direct = Dedup.mergedMinhash(docs, "doc_id", "text", "source",
+        shingleN = 3, numHashes = 8)
+        .select(col("source"), col("mh").as("__direct"))
+      merged.join(broadcast(direct), Seq("source"))
+        .withColumn("n_eq_sig", expr(
+          "size(filter(zip_with(mh, __direct, (x, y) -> x = y), v -> v))")
+          .cast("long"))
+        .select(col("source"), col("n_shards"), col("n_eq_sig"),
+          col("est_kmv"), (col("n_eq_sig") === 8).as("merge_exact"))
     }),
 
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
@@ -2991,6 +3022,35 @@ object LlmQueries {
          |    AS est_jaccard
          |FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // The parquet round trip is an identity, and min over a partition of
+    // the rows is min over the rows — so the oracle computes the direct
+    // per-source signature and the workflow's invariants: full-width
+    // signature agreement and the KMV estimate off the merged minima.
+    "q231_sketch_shard_merge" -> {
+      val a = Dedup.HASH_A.mkString("[", ", ", "]")
+      val b = Dedup.HASH_B.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, unnest(${shinglesSql(3)}) AS shingle
+         |  FROM (SELECT doc_id, source, $WORDS AS w FROM documents)),
+         |h AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hb
+         |  FROM sh),
+         |sig AS (
+         |  SELECT source, j,
+         |    MIN((($a)[j+1] * hb + ($b)[j+1]) % ${Dedup.MINHASH_P}) AS mh
+         |  FROM h, unnest(range(0, 8)) AS t(j) GROUP BY 1, 2),
+         |ssum AS (
+         |  SELECT source, CAST(SUM(mh) AS BIGINT) AS smh FROM sig GROUP BY 1),
+         |shards AS (
+         |  SELECT source, COUNT(DISTINCT doc_id % 4) AS n_shards FROM sh
+         |  GROUP BY 1)
+         |SELECT s.source, shards.n_shards, CAST(8 AS BIGINT) AS n_eq_sig,
+         |  ROUND(8.0 * ${Dedup.MINHASH_P} / smh - 1.0, 2) AS est_kmv,
+         |  TRUE AS merge_exact
+         |FROM ssum s JOIN shards USING (source)""".stripMargin
     },
 
     "q221_vocab_coverage" ->

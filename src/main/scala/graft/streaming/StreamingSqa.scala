@@ -446,6 +446,132 @@ object StreamingSqa {
       .start()
   }
 
+  /** Streaming CUSUM drift detector — the stateful twin of the batch q218
+    * (Page 1954 over each type's daily count series). State per event
+    * type is the day→count map, BOUNDED by calendar-day cardinality (one
+    * long per day per type — years of feed is thousands of entries), so
+    * the group state is a per-key scalar no matter the event volume. Each
+    * micro-batch merges its day counts into the state and re-folds the
+    * full recursion — correct by construction because CUSUM standardizes
+    * z-scores against the series' OWN mean/sd, so every new day re-prices
+    * the whole series; the re-fold is over the bounded day series, not
+    * the events. Emits in Update mode one row per touched type with the
+    * same algebra and 6-dp rounding as the batch query; `n_total` is
+    * strictly increasing per emit, so "latest row per type" is an
+    * argmax-on-read, and the final row per type equals the batch answer
+    * exactly. Types with n_days <= 1 or sd = 0 emit nothing, like the
+    * batch filter. */
+  def streamingCusum(events: DataFrame)
+      : Dataset[(String, Long, Long, Double, Double, Double, Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long],
+        (String, Long, Long, Double, Double, Double, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Long)],
+            state: GroupState[Map[Long, Long]]) =>
+          var m = if (state.exists) state.get else Map.empty[Long, Long]
+          it.foreach { case (_, d) => m = m.updated(d, m.getOrElse(d, 0L) + 1) }
+          state.update(m)
+          val n = m.size
+          if (n <= 1) Iterator.empty
+          else {
+            val counts = m.toArray.sortBy(_._1).map(_._2)
+            val s1 = counts.sum
+            val s2 = counts.map(c => c * c).sum
+            val mean = s1.toDouble / n
+            val sd = math.sqrt(
+              (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1))
+            if (!(sd > 0)) Iterator.empty
+            else {
+              var s = 0.0; var mx = 0.0
+              counts.foreach { c =>
+                s = math.max(0.0, s + (c - mean) / sd - 0.5)
+                mx = math.max(mx, s)
+              }
+              Iterator.single((typ, s1, n.toLong, r6(mean), r6(sd), r6(mx),
+                mx > 5.0))
+            }
+          }
+      }
+  }
+
+  /** Streaming exponential-decay engagement — the sliding-re-anchor twin
+    * of the batch q214. The batch score anchors every term at the CORPUS
+    * max clock, which moves as the stream advances — so per-user state
+    * anchors at the user's OWN last-seen instant instead:
+    * sum_anchored = Σ exp((ts − last_seen_us)/τ), and each micro-batch
+    * re-anchors the carried sum by one multiply,
+    * `old_sum · exp((old_last − new_last)/τ)`, before adding the new
+    * terms — O(1) state per user (three scalars), no event retention.
+    * The global-anchor score is then a stateless rollup on read:
+    * `decay_score = sum_anchored · exp((last_seen_us − max_clock)/τ)`
+    * with max_clock taken over the emitted rows — exactly the algebra
+    * exp(a−u)·exp(u−M) = exp(a−M). Emits Update-mode rows with strictly
+    * increasing `n_events` for argmax-on-read. (The batch query's 8-dp
+    * per-term rounding is an oracle-stability device with no streaming
+    * counterpart; parity on the score is to float tolerance, exact on
+    * n_events / last_seen_us.) */
+  def streamingDecayEngagement(events: DataFrame,
+      tauUs: Double = 7.0 * 86400e6): Dataset[(Long, Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double), (Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long, Double)]) =>
+          val ts = it.map(_._2).toArray.sorted
+          var (n, last, sum) =
+            if (state.exists) state.get else (0L, Long.MinValue, 0.0)
+          val newLast = math.max(last, ts.last)
+          if (last != Long.MinValue && newLast != last)
+            sum *= math.exp((last - newLast) / tauUs)
+          ts.foreach { t => sum += math.exp((t - newLast) / tauUs); n += 1 }
+          state.update((n, newLast, sum))
+          Iterator.single((uid, n, newLast, sum))
+      }
+  }
+
+  /** Streaming corpus snapshot diff — the stream-static twin of the batch
+    * q200 ([[graft.llm.Pipeline.corpusDiff]]): the NEW crawl generation
+    * arrives as a stream, the old snapshot is the static side, collapsed
+    * to (id, source, md5, chars) exactly like the batch map side — the
+    * text column never enters the join. Each arriving document classifies
+    * itself added / changed / unchanged against the static lookup in a
+    * stateless left join, so the audit is live while the crawl is still
+    * running. `removed` is inherently an end-of-stream verdict (absence
+    * from an append stream is undecidable mid-flight), so it stays an
+    * on-read anti-join of the static side against the emitted ids — the
+    * same rollup-on-read split as [[streamingNewVsReturning]]. */
+  def streamingCorpusDiff(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, sourceCol: String): DataFrame = {
+    val old = oldDocs.select(col(idCol),
+      col(sourceCol).as("__src_o"), md5(col(textCol)).as("__h_o"),
+      length(col(textCol)).cast("long").as("__chars_o"))
+    newDocs
+      .select(col(idCol), col(sourceCol).as("source"),
+        md5(col(textCol)).as("__h_n"),
+        length(col(textCol)).cast("long").as("chars_new"))
+      .join(old, Seq(idCol), "left")
+      .select(col(idCol), col("source"),
+        when(col("__h_o").isNull, lit("added"))
+          .when(col("__h_o") === col("__h_n"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("__chars_o"), lit(0L)).as("chars_old"),
+        col("chars_new"))
+  }
+
   /** Run the streaming plan over a static parquet directory through the
     * memory sink until exhausted; returns the materialized result. Used by
     * tests and as the backfill demonstration. */

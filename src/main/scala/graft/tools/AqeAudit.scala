@@ -38,7 +38,12 @@ object AqeAudit {
       // and the two-LM DoReMi composite
       "q216_cluster_split", "q215_contamination_span",
       "q220_source_overlap", "q222_k_anonymity",
-      "q225_embedding_divergence", "q227_doremi_weights")
+      "q225_embedding_divergence", "q227_doremi_weights",
+      // q228–q231 batch (r14): the KMV shingle aggregate, the
+      // confident-learning joint composite, the Kneser-Ney four-table
+      // checkpoint reuse, and the shard-sketch persist + re-merge
+      "q228_kmv_cardinality", "q229_confident_joint", "q230_kneser_ney",
+      "q231_sketch_shard_merge")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

@@ -54,23 +54,62 @@ class PlanContractSpec extends AnyFunSuite {
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc")    // broadcast 1-row allocation-total scalar
 
-  test("every query plan: no cartesian product; bounded scan fan-out") {
+  /** A session with the shape-relevant confs PINNED — the suite's shared
+    * getOrCreate session picks up conf mutations from other specs (the
+    * r13 incident: BucketedTableSpec's autoBroadcastJoinThreshold=-1
+    * leaked in under getOrCreate and flipped q220's unhinted inequality
+    * join to a CartesianProduct). Every contract test builds plans on its
+    * own pinned copy. */
+  private def pinnedSession(broadcastThreshold: String): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.catalog.clearCache()
+    s2
+  }
+
+  private def sweep(s2: SparkSession)(
+      check: (String, String) => Seq[String]): Unit = {
     val failures = collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = try fn(spark, dir).queryExecution.executedPlan.toString
+      val plan = try fn(s2, dir).queryExecution.executedPlan.toString
       catch { case e: Throwable => failures += s"$name: plan build failed: ${e.getMessage}"; "" }
-      if (plan.nonEmpty) {
-        if (plan.contains("CartesianProduct"))
-          failures += s"$name: CartesianProduct in plan"
-        if (!scalarBroadcastOk(name) && plan.contains("BroadcastNestedLoopJoin"))
-          failures += s"$name: unexpected BroadcastNestedLoopJoin"
-        val scans = "\\(\\d+\\) Scan parquet|Scan parquet ".r
-          .findAllIn(plan).size
-        if (scans > 10)
-          failures += s"$name: $scans parquet scans (subtree replanning?)"
-      }
+      if (plan.nonEmpty) failures ++= check(name, plan)
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every query plan: no cartesian product; bounded scan fan-out") {
+    sweep(pinnedSession("10485760b")) { (name, plan) =>
+      Seq(
+        if (plan.contains("CartesianProduct"))
+          Some(s"$name: CartesianProduct in plan") else None,
+        if (!scalarBroadcastOk(name) && plan.contains("BroadcastNestedLoopJoin"))
+          Some(s"$name: unexpected BroadcastNestedLoopJoin") else None,
+        {
+          val scans = "\\(\\d+\\) Scan parquet|Scan parquet ".r
+            .findAllIn(plan).size
+          if (scans > 10)
+            Some(s"$name: $scans parquet scans (subtree replanning?)") else None
+        }).flatten
+    }
+  }
+
+  // Conf-hostility chaos sweep (r13 verdict #6): with auto-broadcast
+  // DISABLED, equi-joins legitimately fall back to SMJ, but a
+  // non-equi join is only safe if it carries an explicit broadcast()
+  // hint — any query whose plan degrades to a CartesianProduct under
+  // this conf is one session-conf away from an all-pairs corpus join
+  // in production. No allowlist: hints are mandatory for such joins.
+  test("hostile conf (autoBroadcastJoinThreshold=-1): still no cartesian") {
+    sweep(pinnedSession("-1")) { (name, plan) =>
+      if (plan.contains("CartesianProduct"))
+        Seq(s"$name: CartesianProduct under autoBroadcastJoinThreshold=-1 " +
+          "(non-equi join missing an explicit broadcast() hint)")
+      else Nil
+    }
   }
 
   // ---- golden plan shapes (round-8 verdict #6): the ≤10-scan cap above
@@ -91,21 +130,13 @@ class PlanContractSpec extends AnyFunSuite {
     "BroadcastExchange".r.findAllIn(plan).size)
 
   test("golden plan shapes: per-query scan and exchange counts are pinned") {
-    // Plans are built in a dedicated session with the shape-relevant confs
-    // PINNED: the suite's shared getOrCreate session picks up conf
-    // mutations from other specs (e.g. a disabled broadcast threshold
-    // flips joins and the golden would depend on suite order).
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
-    s2.conf.set("spark.sql.adaptive.enabled", "true")
-    s2.conf.set("spark.sql.session.timeZone", "UTC")
     // The CacheManager is SHARED-state: a materialized (or merely
     // registered) cache from earlier suites changes join statistics and
     // flips broadcast decisions, making shape counts depend on suite
-    // order. Start from an empty cache — the edit-frame memo re-persists
-    // on demand, so every run sees the same unmaterialized registration.
-    s2.catalog.clearCache()
+    // order. pinnedSession starts from an empty cache — the edit-frame
+    // memo re-persists on demand, so every run sees the same
+    // unmaterialized registration.
+    val s2 = pinnedSession("10485760b")
     val observed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (s, e, b) = shapeOf(fn(s2, dir).queryExecution.executedPlan.toString)
       f"$name\tscans=$s\texchanges=$e\tbroadcasts=$b"

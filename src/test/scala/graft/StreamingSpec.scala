@@ -635,4 +635,173 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((0L, 3L, 2L), (1L, 1L, 0L), (2L, 2L, 2L)), s"got $got")
     assert(got == batch)
   }
+
+  test("streaming CUSUM re-folds the day series and matches batch q218") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_cusum_stream").toString
+    def df(rows: Seq[(String, String)]) = rows.toDF("event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1)
+    // click: day counts end at (3, 1, 2); b2 ADDS to existing day 0
+    // (re-fold across batches) and opens day 2. flat: (1, 1) → sd = 0,
+    // must emit nothing (batch filter parity). spike: (1, 1, 1, 9) — a
+    // real drift shape with cusum crossing the running-max path.
+    df(Seq(("click", "2026-01-01 01:00:00"), ("click", "2026-01-01 02:00:00"),
+      ("click", "2026-01-02 01:00:00"), ("flat", "2026-01-01 01:00:00"),
+      ("spike", "2026-01-01 01:00:00"), ("spike", "2026-01-02 01:00:00")))
+      .write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    df(Seq(("click", "2026-01-01 03:00:00"), ("click", "2026-01-03 01:00:00"),
+      ("click", "2026-01-03 02:00:00"), ("flat", "2026-01-02 01:00:00"),
+      ("spike", "2026-01-03 01:00:00")) ++
+      (1 to 9).map(i => ("spike", f"2026-01-04 01:0$i:00")))
+      .write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingCusum(stream)
+      .toDF("event_type", "n_total", "n_days", "mean_daily", "sd_daily",
+        "cusum_max", "drift_flag")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cusum_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    // final verdict per type = the emit with the largest n_total
+    // (strictly increasing per trigger)
+    val got = spark.table("cusum_stream")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("n_total").desc)))
+      .filter(col("__rn") === 1)
+      .select("event_type", "n_days", "mean_daily", "sd_daily",
+        "cusum_max", "drift_flag")
+    assert(got.filter(col("event_type") === "flat").count() == 0)
+
+    // the batch q218 body over the union of both batches
+    val daily = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val batch = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("__s1"),
+        sum(col("n") * col("n")).as("__s2"),
+        sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("__series"))
+      .withColumn("__mean", col("__s1").cast("double") / col("n_days"))
+      .withColumn("__sd", sqrt(
+        (col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") /
+            col("n_days")) / (col("n_days") - 1)))
+      .filter(col("n_days") > 1 && col("__sd") > 0)
+      .withColumn("__zs",
+        expr("transform(__series, x -> (x.n - __mean) / __sd)"))
+      .withColumn("__acc", expr(
+        "aggregate(__zs, array(0D, 0D), (a, z) -> array(" +
+          "greatest(0D, a[0] + z - 0.5D), " +
+          "greatest(a[1], greatest(0D, a[0] + z - 0.5D))))"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__mean"), 6).as("mean_daily"),
+        round(col("__sd"), 6).as("sd_daily"),
+        round(col("__acc")(1), 6).as("cusum_max"),
+        (col("__acc")(1) > 5.0).as("drift_flag"))
+    assert(got.count() == 2)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
+  test("streaming decay engagement re-anchors and matches batch q214 algebra") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_decay_stream").toString
+    def df(rows: Seq[(Long, String)]) = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1)
+    // u1 spans both batches (re-anchor: its b1 sum must decay under the
+    // b2 clock); u2 only in b1 (state idle across a trigger); u3 only in
+    // b2. Gaps of days so the exp() terms are far from 1.
+    df(Seq((1L, "2026-01-01 00:00:00"), (1L, "2026-01-03 12:00:00"),
+      (2L, "2026-01-02 06:00:00"))).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    df(Seq((1L, "2026-01-10 00:00:00"), (3L, "2026-01-08 18:00:00"),
+      (1L, "2026-01-12 00:00:00"))).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingDecayEngagement(stream)
+      .toDF("user_id", "n_events", "last_seen_us", "sum_anchored")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decay_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val finalRows = spark.table("decay_stream")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    // rollup on read: re-anchor every user at the global max clock
+    val mx = finalRows.agg(max("last_seen_us")).head.getLong(0)
+    val tau = 7.0 * 86400e6
+    val got = finalRows.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3) * math.exp((r.getLong(2) - mx) / tau)))
+    }.toMap
+    // unrounded batch algebra over the union
+    val all = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mxB = all.map(_._2).max
+    assert(mxB == mx)
+    val batch = all.groupBy(_._1).map { case (u, rs) =>
+      u -> ((rs.length.toLong, rs.map(_._2).max,
+        rs.map(t => math.exp((t._2 - mxB) / tau)).sum))
+    }
+    assert(got.keySet == batch.keySet && got.keySet == Set(1L, 2L, 3L))
+    got.foreach { case (u, (n, l, s)) =>
+      val (bn, bl, bs) = batch(u)
+      assert(n == bn && l == bl, s"user $u meta mismatch")
+      assert(math.abs(s - bs) <= 1e-9 * math.max(1.0, bs.abs),
+        s"user $u score $s vs batch $bs")
+    }
+  }
+
+  test("stream-static corpus diff classifies live and matches batch q200") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_diff_stream").toString
+    val old = Seq((1L, "alpha text", "web"), (2L, "beta text", "web"),
+      (3L, "gamma text", "book"), (5L, "old only", "book"))
+      .toDF("doc_id", "text", "source")
+    // new generation: 1 unchanged, 2 changed, 4 added, 3 changed (b2),
+    // 6 added (b2); 5 never arrives → removed (on-read verdict).
+    Seq((1L, "alpha text", "web"), (2L, "beta text rev2", "web"),
+      (4L, "fresh doc", "web")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    Seq((3L, "gamma text rev2", "book"), (6L, "another fresh", "book"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingCorpusDiff(stream, old, "doc_id", "text",
+      "source")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("diff_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.table("diff_stream")
+    // removed = static docs whose id never arrived — end-of-stream on read
+    val removed = old.select(col("doc_id"), col("source"),
+        lit("removed").as("status"),
+        length(col("text")).cast("long").as("chars_old"),
+        lit(0L).as("chars_new"))
+      .join(emitted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val got = emitted.unionByName(removed)
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("chars_old").as("chars_old"),
+        sum("chars_new").as("chars_new"))
+    val batch = graft.llm.Pipeline.corpusDiff(old,
+      spark.read.parquet(s"$tmp/b1", s"$tmp/b2"), "doc_id", "text", "source")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
 }
