@@ -552,6 +552,165 @@ object LlmQueries {
           col("est_kmv"), (col("n_eq_sig") === 8).as("merge_exact"))
     }),
 
+    // Mergeable bottom-k uniform sample (Cohen & Kaplan 2007) — the
+    // SAMPLING member of q231's mergeable-sketch family: per source, the
+    // 64 docs with the smallest salted-md5 hash rank are a uniform sample
+    // that re-merges across shards by union-then-bottom-k. Spark executes
+    // exactly that merge shape — WindowGroupLimit pushes the rank filter
+    // into per-partition partial top-k before the exchange. The
+    // sample-estimated length quantiles are audited against the exact
+    // percentiles in the same row.
+    "q232_bottomk_sample" -> ((s, dir) => {
+      // localCheckpoint: the exact side and the sample side otherwise
+      // each re-scan the text column for its length — the narrow
+      // (source, id, len, hash) projection is what both consume.
+      val base = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        length(col("text")).cast("double").as("len"),
+        md5(concat(lit("bk1"), col("doc_id").cast("string"))).as("__h"))
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      val samp = base.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= 64)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sample"),
+          graft.ops.Quantiles.pcts(s, col("len"), Seq(0.5, 0.9)).as("__e"))
+      val exact = base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.ops.Quantiles.pcts(s, col("len"), Seq(0.5, 0.9)).as("__x"))
+      exact.join(samp, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_sample"),
+          round(col("__x")(0), 4).as("exact_p50"),
+          round(col("__e")(0), 4).as("est_p50"),
+          round(col("__x")(1), 4).as("exact_p90"),
+          round(col("__e")(1), 4).as("est_p90"),
+          round(abs(col("__e")(0) - col("__x")(0)) / col("__x")(0), 4)
+            .as("err_p50"),
+          round(abs(col("__e")(1) - col("__x")(1)) / col("__x")(1), 4)
+            .as("err_p90"))
+    }),
+
+    // Hill tail-index estimator (Hill 1975) over per-source doc lengths —
+    // the heavy-tail diagnostic that decides whether a source's length
+    // distribution has finite moments (alpha <= 1 means infinite mean:
+    // token-budget and packing math silently breaks). k = 64 upper order
+    // statistics per source; the rank filter is WindowGroupLimit-pruned
+    // like q232's sample, so the sort never materializes beyond the top
+    // slice per partition; each log term pins to 6 dp before the exact
+    // decimal sum (q201's idiom). Sources with <= k docs drop — the
+    // estimator is undefined there. k = 16: the gate corpus carries 25
+    // docs per source; production would run k ~ sqrt(docs-per-source).
+    "q235_hill_tail" -> ((s, dir) => {
+      val k = 16
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("len").desc, col("doc_id"))
+      val ranked = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          length(col("text")).cast("double").as("len"))
+        .withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k + 1)
+        .localCheckpoint() // the threshold row and the top-k share it
+      val thr = ranked.filter(col("__rnk") === k + 1)
+        .select(col("source"), col("len").as("__xk"))
+      ranked.filter(col("__rnk") <= k)
+        .join(broadcast(thr), Seq("source"))
+        .withColumn("__t", round(log(col("len") / col("__xk")), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_top"), max(col("__xk")).as("x_k"),
+          round(graft.core.Det.sumDet(col("__t"), 6) / k, 6)
+            .as("mean_log_excess"))
+        .withColumn("hill_alpha",
+          when(col("mean_log_excess") > 0,
+            round(lit(1.0) / col("mean_log_excess"), 6)))
+    }),
+
+    // Gini concentration of token mass over the vocabulary, per source —
+    // "how much of this source is a few types": template/boilerplate
+    // floods push G toward 1, healthy prose sits far lower. Closed form
+    // over the ASC-sorted vocab table, G = (2·Σi·c_i − (n+1)·Σc)/(n·Σc)
+    // — ALL partials are exact integer sums (order-free), the only
+    // double op is the final division. The per-source rank runs over the
+    // bounded vocab table (q131's Zipf class), never token rows. At
+    // corpus scale where Σi·c_i nears 2^53, route the partials through
+    // the split-long idiom (q191) — the division stays one op.
+    "q236_token_gini" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c"), col("word"))
+      freq.withColumn("__i", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("total_tokens"),
+          sum(col("__i") * col("c")).as("__ic"))
+        .withColumn("gini", round(
+          (lit(2L) * col("__ic") - (col("n_types") + lit(1L)) *
+            col("total_tokens")).cast("double") /
+            (col("n_types") * col("total_tokens")).cast("double"), 6))
+        .select("source", "n_types", "total_tokens", "gini")
+    }),
+
+    // Encoding-corruption (mojibake) audit — the ingest-health check a
+    // multi-crawl corpus runs before mixing sources: count the classic
+    // UTF-8-decoded-as-Latin-1 digraphs (Ã¡, Ã©) and U+FFFD replacement
+    // chars per document, roll up corruption incidence per source. The
+    // synthetic corpus is clean by construction, so a deterministic
+    // carve injects the defect (doc_id%13 docs get 'a' → 'Ã¡') — q200's
+    // generation idiom. Detection is replace-length algebra (codegen'd
+    // string ops, no regex): one corpus scan, one bounded rollup.
+    "q234_mojibake" -> ((s, dir) => {
+      val markers = Seq(("Ã¡", 2), ("Ã©", 2),
+        ("�", 1))
+      val carved = Tables.documents(s, dir).withColumn("__t",
+        when(col("doc_id") % 13 === 0,
+          expr("replace(text, 'a', 'Ã¡')"))
+          .otherwise(col("text")))
+      val bad = markers.map { case (m, l) =>
+        ((length(col("__t")) - length(expr(s"replace(__t, '$m', '')")))
+          / l).cast("long")
+      }.reduce(_ + _)
+      carved.withColumn("__bad", bad)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__bad") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("__bad")).as("total_markers"))
+        .withColumn("flag_rate",
+          round(col("n_flagged").cast("double") / col("n_docs"), 6))
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005): 4 rows x 256
+    // buckets of exact counter mass, estimates = min over rows — the
+    // bounded-memory frequency table whose one-sided error the query
+    // audits against the exact counts for the 20 highest-df words. The
+    // sketch builds from the VOCAB count table (one hash aggregate over
+    // 4x|vocab| bucket rows, mergeable across shards by +), never from
+    // token rows; the probe side is 20 words broadcast against 1024
+    // sketch cells.
+    "q233_countmin" -> ((s, dir) => {
+      val W = 256
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint() // sketch build + top-20 probe share one scan
+      val base =
+        conv(substr(md5(col("word")), lit(1), lit(8)), 16, 10).cast("long")
+      def bucketOf(j: Int) =
+        ((lit(Dedup.HASH_A(j)) * base + lit(Dedup.HASH_B(j))) %
+          Dedup.MINHASH_P % W).cast("int")
+      val sketch = freq
+        .select(col("n_exact"), posexplode(
+          array((0 until 4).map(bucketOf): _*)).as(Seq("j", "bucket")))
+        .groupBy("j", "bucket").agg(sum("n_exact").as("__c"))
+      val top = freq
+        .orderBy(col("n_exact").desc, col("word")).limit(20)
+        .select(col("word"), col("n_exact"), posexplode(
+          array((0 until 4).map(bucketOf): _*)).as(Seq("j", "bucket")))
+      broadcast(top).join(sketch, Seq("j", "bucket"))
+        .groupBy("word")
+        .agg(max("n_exact").as("n_exact"), min("__c").as("n_est"))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+    }),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -3052,6 +3211,127 @@ object LlmQueries {
          |  TRUE AS merge_exact
          |FROM ssum s JOIN shards USING (source)""".stripMargin
     },
+
+    "q232_bottomk_sample" ->
+      """WITH b AS (
+        |  SELECT source, doc_id, LENGTH(text)::DOUBLE AS len,
+        |    md5('bk1' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |samp AS (
+        |  SELECT * FROM (
+        |    SELECT b.*, ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY h, doc_id) AS rnk FROM b)
+        |  WHERE rnk <= 64),
+        |e AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    quantile_cont(len, [0.5, 0.9]) AS q
+        |  FROM b GROUP BY 1),
+        |sm AS (
+        |  SELECT source, COUNT(*) AS n_sample,
+        |    quantile_cont(len, [0.5, 0.9]) AS q
+        |  FROM samp GROUP BY 1)
+        |SELECT e.source, e.n_docs, sm.n_sample,
+        |  ROUND(e.q[1], 4) AS exact_p50, ROUND(sm.q[1], 4) AS est_p50,
+        |  ROUND(e.q[2], 4) AS exact_p90, ROUND(sm.q[2], 4) AS est_p90,
+        |  ROUND(ABS(sm.q[1] - e.q[1]) / e.q[1], 4) AS err_p50,
+        |  ROUND(ABS(sm.q[2] - e.q[2]) / e.q[2], 4) AS err_p90
+        |FROM e JOIN sm USING (source)""".stripMargin,
+
+    "q233_countmin" -> {
+      val a = Dedup.HASH_A.mkString("[", ", ", "]")
+      val b = Dedup.HASH_B.mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT word, COUNT(*) AS n_exact FROM (
+         |    SELECT unnest($WORDS) AS word FROM documents) GROUP BY 1),
+         |hb AS (
+         |  SELECT word, n_exact,
+         |    ('0x' || substr(md5(word), 1, 8))::BIGINT AS base
+         |  FROM f),
+         |cells AS (
+         |  SELECT j,
+         |    ((($a)[j+1] * base + ($b)[j+1]) % ${Dedup.MINHASH_P}) % 256
+         |      AS bucket,
+         |    n_exact
+         |  FROM hb, unnest(range(0, 4)) AS t(j)),
+         |sk AS (
+         |  SELECT j, bucket, CAST(SUM(n_exact) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1, 2),
+         |top AS (
+         |  SELECT word, n_exact, base FROM hb
+         |  ORDER BY n_exact DESC, word LIMIT 20),
+         |probe AS (
+         |  SELECT word, n_exact, j,
+         |    ((($a)[j+1] * base + ($b)[j+1]) % ${Dedup.MINHASH_P}) % 256
+         |      AS bucket
+         |  FROM top, unnest(range(0, 4)) AS t(j))
+         |SELECT p.word, MAX(p.n_exact) AS n_exact, MIN(sk.c) AS n_est,
+         |  MIN(sk.c) - MAX(p.n_exact) AS overcount
+         |FROM probe p JOIN sk USING (j, bucket)
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q235_hill_tail" -> {
+      val sd = graft.core.Det.sumDetSql("tt", 6)
+      s"""WITH b AS (
+         |  SELECT source, doc_id, LENGTH(text)::DOUBLE AS len
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, len, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY len DESC, doc_id) AS rnk
+         |  FROM b),
+         |thr AS (SELECT source, len AS xk FROM r WHERE rnk = 17),
+         |t AS (
+         |  SELECT r.source, ROUND(ln(r.len / thr.xk), 6) AS tt
+         |  FROM r JOIN thr USING (source) WHERE rnk <= 16),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_top, $sd AS st
+         |  FROM t GROUP BY 1)
+         |SELECT g.source, g.n_top, thr.xk AS x_k,
+         |  ROUND(st / 16, 6) AS mean_log_excess,
+         |  CASE WHEN ROUND(st / 16, 6) > 0
+         |       THEN ROUND(1.0::DOUBLE / ROUND(st / 16, 6), 6) END
+         |    AS hill_alpha
+         |FROM g JOIN thr USING (source)""".stripMargin
+    },
+
+    "q236_token_gini" ->
+      s"""WITH f AS (
+         |  SELECT source, word, COUNT(*) AS c FROM (
+         |    SELECT source, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, c, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY c, word) AS i
+         |  FROM f),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_types,
+         |    CAST(SUM(c) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(i * c) AS BIGINT) AS ic
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_types, total_tokens,
+         |  ROUND((2 * ic - (n_types + 1) * total_tokens)::DOUBLE
+         |    / (n_types * total_tokens)::DOUBLE, 6) AS gini
+         |FROM g""".stripMargin,
+
+    "q234_mojibake" ->
+      """WITH carved AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 13 = 0 THEN replace(text, 'a', 'Ã¡')
+        |         ELSE text END AS t
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source,
+        |    (LENGTH(t) - LENGTH(replace(t, 'Ã¡', ''))) // 2
+        |    + (LENGTH(t) - LENGTH(replace(t, 'Ã©', ''))) // 2
+        |    + (LENGTH(t) - LENGTH(replace(t, '�', ''))) AS bad
+        |  FROM carved)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(bad) AS BIGINT) AS total_markers,
+        |  ROUND(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(*), 6) AS flag_rate
+        |FROM cnt GROUP BY 1""".stripMargin,
 
     "q221_vocab_coverage" ->
       s"""WITH wd AS (SELECT unnest($WORDS) AS word FROM documents),
