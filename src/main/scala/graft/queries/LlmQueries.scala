@@ -711,6 +711,136 @@ object LlmQueries {
         .withColumn("overcount", col("n_est") - col("n_exact"))
     }),
 
+    // Moments sketch (Gan et al., VLDB 2018): per-source power sums of
+    // ln(doc length) — a constant-size, merge-by-+ aggregate — with
+    // Cornish-Fisher quantile recovery from (mean, sd, skew, excess
+    // kurtosis), audited against the exact percentiles. THE mergeable
+    // quantile primitive at 100 TB: shards ship five numbers per group,
+    // the re-merge is addition, the estimate is driver-cheap algebra —
+    // and unlike KLL/t-digest the sketch is deterministic, so the audit
+    // is hash-exact. Each power term pins to 8 dp before the exact
+    // decimal sum (q201's idiom) so shard order can never move a digit;
+    // the CF coefficients are precomputed Scala doubles interpolated
+    // verbatim into the oracle so both engines run identical IEEE ops.
+    "q237_moments_quantile" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("source"),
+          round(log(length(col("text")).cast("double")), 8).as("__t"))
+        .withColumn("__t2", round(col("__t") * col("__t"), 8))
+        .withColumn("__t3", round(col("__t2") * col("__t"), 8))
+        .withColumn("__t4", round(col("__t3") * col("__t"), 8))
+      val g = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        graft.core.Det.sumDet(col("__t"), 8).as("__s1"),
+        graft.core.Det.sumDet(col("__t2"), 8).as("__s2"),
+        graft.core.Det.sumDet(col("__t3"), 8).as("__s3"),
+        graft.core.Det.sumDet(col("__t4"), 8).as("__s4"),
+        graft.ops.Quantiles.pcts(s, col("__t"), Seq(0.5, 0.9)).as("__q"))
+        .withColumn("__n", col("n_docs").cast("double"))
+        .withColumn("__mu", col("__s1") / col("__n"))
+        .withColumn("__m2",
+          col("__s2") / col("__n") - col("__mu") * col("__mu"))
+        .withColumn("__sd", sqrt(col("__m2")))
+        .withColumn("__sk",
+          (col("__s3") / col("__n") - lit(3.0) * col("__mu") * col("__m2")
+            - col("__mu") * col("__mu") * col("__mu")) /
+            (col("__m2") * col("__sd")))
+        .withColumn("__ku",
+          (col("__s4") / col("__n")
+            - lit(4.0) * col("__mu") * (col("__s3") / col("__n"))
+            + lit(6.0) * col("__mu") * col("__mu") *
+              (col("__s2") / col("__n"))
+            - lit(3.0) * col("__mu") * col("__mu") * col("__mu") *
+              col("__mu")) / (col("__m2") * col("__m2")) - lit(3.0))
+      def cf(z: Double): org.apache.spark.sql.Column =
+        col("__mu") + col("__sd") * lit(z) +
+          col("__sd") * col("__sk") * lit(CfK1(z)) +
+          col("__sd") * col("__ku") * lit(CfK2(z)) +
+          col("__sd") * col("__sk") * col("__sk") * lit(CfK3(z))
+      g.select(col("source"), col("n_docs"),
+        round(col("__mu"), 6).as("mean_ln"),
+        round(col("__sd"), 6).as("sd_ln"),
+        round(col("__sk"), 6).as("skew"),
+        round(col("__ku"), 6).as("ex_kurt"),
+        round(cf(0.0), 6).as("est_p50"),
+        round(col("__q")(0), 6).as("exact_p50"),
+        round(abs(cf(0.0) - col("__q")(0)), 6).as("err_p50"),
+        round(cf(Z90), 6).as("est_p90"),
+        round(col("__q")(1), 6).as("exact_p90"),
+        round(abs(cf(Z90) - col("__q")(1)), 6).as("err_p90"))
+    }),
+
+    // UniMax mixture allocation (Chung et al. 2023): given token budget
+    // B = 2x corpus and epoch cap E = 4, allocate uniformly across
+    // sources subject to alloc_i <= E*n_i — the waterfilling closed
+    // form. The corpus reduces to ONE hash aggregate (per-source token
+    // counts); everything after runs on the |sources|-row table:
+    // ascending-cap prefix sums decide which sources saturate, the
+    // survivors split the remainder evenly. The saturation decision is
+    // exact integer algebra; doubles appear only in the emitted
+    // allocation, so the plan is hash-exact at any scale.
+    "q238_unimax" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextOps.words(col("text"))).cast("long").as("__w"))
+        .groupBy("source").agg(sum(col("__w")).as("n_tokens"))
+        .withColumn("cap_tokens", col("n_tokens") * lit(4L))
+      val tot = tok.agg((sum(col("n_tokens")) * lit(2L)).as("__B"),
+        count(lit(1)).as("__k"))
+      val w = W.orderBy(col("cap_tokens"), col("source"))
+      val ranked = tok.crossJoin(broadcast(tot))
+        .withColumn("__i", row_number().over(w).cast("long"))
+        .withColumn("__pref", sum(col("cap_tokens")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("__sat",
+          col("cap_tokens") * (col("__k") - col("__i") + lit(1L)) <=
+            col("__B") - (col("__pref") - col("cap_tokens")))
+        .localCheckpoint() // bounded |sources| rows; two consumers
+      val mrow = ranked.agg(
+        max(when(col("__sat"), col("__i")).otherwise(0L)).as("__m"),
+        max(when(col("__sat"), col("__pref")).otherwise(0L)).as("__pm"))
+      val alloc =
+        when(col("__i") <= col("__m"), col("cap_tokens").cast("double"))
+          .otherwise((col("__B") - col("__pm")).cast("double") /
+            (col("__k") - col("__m")).cast("double"))
+      ranked.crossJoin(broadcast(mrow))
+        .select(col("source"), col("n_tokens"), col("cap_tokens"),
+          round(alloc, 4).as("alloc_tokens"),
+          round(alloc / col("n_tokens").cast("double"), 6).as("epochs"),
+          (col("__i") <= col("__m")).cast("int").as("saturated"))
+    }),
+
+    // Temporal n-gram novelty (memorization-risk / staleness signal):
+    // treating doc_id as crawl order, a doc's novelty is the fraction
+    // of its distinct 3-shingles it introduces to the corpus. Gram rows
+    // ~ corpus tokens; first-seen is a window min over the gram key —
+    // ONE scan and ONE gram-scale shuffle (the groupBy-then-join-back
+    // alternative scans the corpus and shuffles gram rows twice; most
+    // grams are unique, so partial aggregation buys nothing there).
+    // Low-novelty docs are the boilerplate/near-dup suspects that
+    // survive exact dedup.
+    "q239_ngram_novelty" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("g"))
+        .select(col("source"), col("doc_id"),
+          substring(md5(col("g")), 1, 16).as("__gk"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy("__gk")
+      grams.withColumn("__first", min(col("doc_id")).over(wf))
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+            .as("__nov"))
+        .withColumn("__r",
+          round(col("__nov").cast("double") / col("__n"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_grams"),
+          round(graft.core.Det.avgDet(col("__r"), 6), 6).as("avg_novelty"),
+          sum(when(col("__r") < 0.5, 1L).otherwise(0L)).as("n_low_novelty"))
+    }),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -1247,6 +1377,16 @@ object LlmQueries {
   /** q78 per-language sampling rates, permille. */
   val SampleRates: Map[String, Int] =
     Map("en" -> 500, "fr" -> 250, "es" -> 250, "de" -> 125)
+
+  /** q237 Cornish-Fisher machinery: Phi^-1(0.9) and the per-z expansion
+    * coefficients, precomputed once as Scala doubles so the Spark plan
+    * (via `lit`) and the DuckDB oracle (via string interpolation) run
+    * identical IEEE arithmetic — Scala's shortest-round-trip double
+    * printing reparses to the same bits on both engines. */
+  private val Z90 = 1.2815515655446004
+  private def CfK1(z: Double): Double = (z * z - 1.0) / 6.0
+  private def CfK2(z: Double): Double = (z * z * z - 3.0 * z) / 24.0
+  private def CfK3(z: Double): Double = -(2.0 * z * z * z - 5.0 * z) / 36.0
 
   /** Shared SQL fragments for the oracle. */
   private val WORDS =
@@ -3332,6 +3472,100 @@ object LlmQueries {
         |  ROUND(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END)::DOUBLE
         |    / COUNT(*), 6) AS flag_rate
         |FROM cnt GROUP BY 1""".stripMargin,
+
+    "q237_moments_quantile" -> {
+      val sd8 = (e: String) => graft.core.Det.sumDetSql(e, 8)
+      def est(z: Double): String =
+        s"mu + sd*($z::DOUBLE) + sd*sk*(${CfK1(z)}::DOUBLE)" +
+          s" + sd*ku*(${CfK2(z)}::DOUBLE) + sd*sk*sk*(${CfK3(z)}::DOUBLE)"
+      s"""WITH b AS (
+         |  SELECT source, ROUND(ln(LENGTH(text)::DOUBLE), 8) AS t
+         |  FROM documents),
+         |p AS (SELECT source, t, ROUND(t*t, 8) AS t2 FROM b),
+         |p2 AS (SELECT source, t, t2, ROUND(t2*t, 8) AS t3 FROM p),
+         |p3 AS (SELECT source, t, t2, t3, ROUND(t3*t, 8) AS t4 FROM p2),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    ${sd8("t")} AS s1, ${sd8("t2")} AS s2,
+         |    ${sd8("t3")} AS s3, ${sd8("t4")} AS s4,
+         |    quantile_cont(t, [0.5, 0.9]) AS q
+         |  FROM p3 GROUP BY 1),
+         |m1 AS (SELECT *, s1 / n_docs AS mu FROM g),
+         |m2c AS (SELECT *, s2 / n_docs - mu * mu AS m2 FROM m1),
+         |m3 AS (SELECT *, sqrt(m2) AS sd FROM m2c),
+         |m4 AS (
+         |  SELECT *,
+         |    (s3 / n_docs - 3 * mu * m2 - mu * mu * mu) / (m2 * sd) AS sk,
+         |    (s4 / n_docs - 4 * mu * (s3 / n_docs)
+         |      + 6 * mu * mu * (s2 / n_docs)
+         |      - 3 * mu * mu * mu * mu) / (m2 * m2) - 3 AS ku
+         |  FROM m3),
+         |e AS (
+         |  SELECT *, ${est(0.0)} AS e50, ${est(1.2815515655446004)} AS e90
+         |  FROM m4)
+         |SELECT source, n_docs,
+         |  ROUND(mu, 6) AS mean_ln, ROUND(sd, 6) AS sd_ln,
+         |  ROUND(sk, 6) AS skew, ROUND(ku, 6) AS ex_kurt,
+         |  ROUND(e50, 6) AS est_p50, ROUND(q[1], 6) AS exact_p50,
+         |  ROUND(ABS(e50 - q[1]), 6) AS err_p50,
+         |  ROUND(e90, 6) AS est_p90, ROUND(q[2], 6) AS exact_p90,
+         |  ROUND(ABS(e90 - q[2]), 6) AS err_p90
+         |FROM e""".stripMargin
+    },
+
+    "q238_unimax" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(SUM(len($WORDS)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |c AS (SELECT source, n_tokens, n_tokens * 4 AS cap_tokens FROM t),
+         |s AS (SELECT CAST(SUM(n_tokens) * 2 AS BIGINT) AS bb,
+         |             COUNT(*) AS k FROM c),
+         |r AS (
+         |  SELECT c.*, s.bb, s.k,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source)
+         |      AS BIGINT) AS i,
+         |    CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref
+         |  FROM c, s),
+         |f AS (
+         |  SELECT *, (cap_tokens * (k - i + 1) <=
+         |             bb - (pref - cap_tokens)) AS sat
+         |  FROM r),
+         |m AS (SELECT COALESCE(MAX(CASE WHEN sat THEN i END), 0) AS mm,
+         |             COALESCE(MAX(CASE WHEN sat THEN pref END), 0) AS pm
+         |      FROM f),
+         |a AS (
+         |  SELECT f.*, m.mm, m.pm,
+         |    CASE WHEN i <= mm THEN cap_tokens::DOUBLE
+         |         ELSE (bb - pm)::DOUBLE / (k - mm)::DOUBLE END AS alloc
+         |  FROM f, m)
+         |SELECT source, n_tokens, cap_tokens,
+         |  ROUND(alloc, 4) AS alloc_tokens,
+         |  ROUND(alloc / n_tokens::DOUBLE, 6) AS epochs,
+         |  CASE WHEN i <= mm THEN 1 ELSE 0 END AS saturated
+         |FROM a""".stripMargin,
+
+    "q239_ngram_novelty" ->
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |g AS (
+         |  SELECT source, doc_id, substr(md5(sh), 1, 16) AS gk
+         |  FROM (SELECT source, doc_id, unnest(${shinglesSql(3)}) AS sh
+         |        FROM wr)),
+         |fo AS (SELECT gk, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+         |d AS (
+         |  SELECT g.source, g.doc_id, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nov
+         |  FROM g JOIN fo USING (gk) GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, doc_id, n,
+         |    ROUND(nov::DOUBLE / n, 6) AS rr
+         |  FROM d)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_grams,
+         |  ROUND(${graft.core.Det.avgDetSql("rr", 6)}, 6) AS avg_novelty,
+         |  CAST(SUM(CASE WHEN rr < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_low_novelty
+         |FROM r GROUP BY 1""".stripMargin,
 
     "q221_vocab_coverage" ->
       s"""WITH wd AS (SELECT unnest($WORDS) AS word FROM documents),
