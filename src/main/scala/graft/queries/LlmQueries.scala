@@ -841,6 +841,18 @@ object LlmQueries {
           sum(when(col("__r") < 0.5, 1L).otherwise(0L)).as("n_low_novelty"))
     }),
 
+    // HyperBall neighborhood function N(t) on the near-dup pair graph
+    // (Boldi & Vigna 2013): per-node HLL ball counters iterated as
+    // register-max message passing, audited per node against the exact
+    // ball sizes — N(t) still growing at t=2 means transitive template
+    // chains that pairwise dedup won't collapse. Register layout,
+    // estimator, and the 100 TB contract live in ops/HyperBall.scala.
+    "q240_hyperball" -> ((s, dir) =>
+      graft.ops.HyperBall.neighborhoodFunction(s,
+        Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
+          .select(col("id_a"), col("id_b")), iters = 2)),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -3566,6 +3578,75 @@ object LlmQueries {
          |  CAST(SUM(CASE WHEN rr < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_low_novelty
          |FROM r GROUP BY 1""".stripMargin,
+
+    "q240_hyperball" -> {
+      // Register-step and ball-step CTE generators; the estimator text is
+      // q139's verbatim (proven cross-engine double parity).
+      def regStep(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT v, bucket, MAX(m) AS m FROM (
+           |    SELECT * FROM $prev
+           |    UNION ALL
+           |    SELECT e.v AS v, r.bucket, r.m
+           |    FROM edges e JOIN $prev r ON r.v = e.u)
+           |  GROUP BY 1, 2)""".stripMargin
+      def ballStep(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT DISTINCT v, w FROM (
+           |    SELECT * FROM $prev
+           |    UNION ALL
+           |    SELECT e.v AS v, b.w FROM edges e JOIN $prev b ON b.v = e.u))"""
+          .stripMargin
+      def estCte(reg: String, out: String) =
+        s"""$out AS (
+           |  SELECT v, CASE WHEN raw <= 160.0 AND zeros > 0
+           |    THEN ROUND(64 * ln(CAST(64.0 AS DOUBLE) / zeros), 4)
+           |    ELSE ROUND(raw, 4) END AS est
+           |  FROM (
+           |    SELECT v, 64 - np AS zeros,
+           |      CAST(2904.064 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+           |        / CAST(psum + (64 - np)::HUGEINT
+           |            * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
+           |    FROM (SELECT v, COUNT(*) AS np,
+           |            SUM((1::BIGINT << (60 - m))::HUGEINT) AS psum
+           |          FROM $reg GROUP BY 1)))""".stripMargin
+      def snapCte(est: String, b: String, t: Int, out: String) =
+        s"""$out AS (
+           |  SELECT CAST($t AS BIGINT) AS t, COUNT(*) AS n_nodes,
+           |    ROUND(${graft.core.Det.avgDetSql("est", 4)}, 4) AS avg_est_ball,
+           |    ROUND(CAST(SUM(c) AS BIGINT)::DOUBLE / COUNT(*), 6)
+           |      AS avg_exact_ball,
+           |    ROUND(${graft.core.Det.avgDetSql("err", 4)}, 4) AS mean_abs_err
+           |  FROM (
+           |    SELECT ee.v, ee.est, x.c,
+           |      ROUND(ABS(ee.est - x.c::DOUBLE), 4) AS err
+           |    FROM $est ee JOIN (SELECT v, COUNT(*) AS c FROM $b GROUP BY 1) x
+           |      USING (v)))""".stripMargin
+      s"""WITH RECURSIVE $textClusterCtes,
+         |nd AS (SELECT DISTINCT u AS v FROM edges),
+         |h0 AS (
+         |  SELECT v, ('0x' || substr(md5('hb:' || CAST(v AS VARCHAR)),
+         |    1, 15))::BIGINT AS hv
+         |  FROM nd),
+         |r0 AS (
+         |  SELECT v, hv & 63 AS bucket,
+         |    CASE WHEN (hv >> 6) = 0 THEN 55
+         |         ELSE 55 - length(bin(hv >> 6)) END AS m
+         |  FROM h0),
+         |${regStep("r0", "r1")},
+         |${regStep("r1", "r2")},
+         |b0 AS (SELECT v, v AS w FROM nd),
+         |${ballStep("b0", "b1")},
+         |${ballStep("b1", "b2")},
+         |${estCte("r0", "e0")},
+         |${estCte("r1", "e1")},
+         |${estCte("r2", "e2")},
+         |${snapCte("e0", "b0", 0, "s0")},
+         |${snapCte("e1", "b1", 1, "s1")},
+         |${snapCte("e2", "b2", 2, "s2")}
+         |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |UNION ALL SELECT * FROM s2""".stripMargin
+    },
 
     "q221_vocab_coverage" ->
       s"""WITH wd AS (SELECT unnest($WORDS) AS word FROM documents),
