@@ -853,6 +853,137 @@ object LlmQueries {
           shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
           .select(col("id_a"), col("id_b")), iters = 2)),
 
+    // Theta-sketch set DIFFERENCE (DataSketches a-not-b; Dasgupta et
+    // al. 2016): |shingles(A) \ shingles(B)| for every ordered source
+    // pair, from per-source bottom-k KMV sketches — the one set
+    // operation the merged-MinHash overlap family (q219/q220) can't
+    // express. theta = min(kth_a, kth_b); the estimate counts A's
+    // retained values below theta that B's retained set lacks, scaled
+    // by 1/theta. The corpus is touched ONCE (distinct-shingle scan +
+    // per-source bottom-k via WindowGroupLimit); everything pairwise
+    // runs on the sources x k retained table, broadcast-hinted so the
+    // non-equi pair join can never degrade (q220's lesson). Audited
+    // against the exact difference from a shingle equi-self-join.
+    "q241_theta_diff" -> ((s, dir) => {
+      val k = 64
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("g"))
+        .select(col("source"), substring(md5(col("g")), 1, 16).as("gk"))
+        .distinct()
+        .withColumn("__h", TextOps.wordHash60(col("gk")))
+        .localCheckpoint() // sketch side and exact side share one scan
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("gk"))
+      val ret = sh.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k)
+        .localCheckpoint() // bounded sources x k rows; three consumers
+      val kth = ret.filter(col("__rnk") === k)
+        .select(col("source"), col("__h").as("__kth"))
+      val pairsSrc = broadcast(kth.select(col("source").as("src_a"),
+          col("__kth").as("__ka")))
+        .join(broadcast(kth.select(col("source").as("src_b"),
+          col("__kth").as("__kb"))), col("src_a") =!= col("src_b"))
+        .withColumn("__theta", least(col("__ka"), col("__kb")))
+      val below = pairsSrc
+        .join(broadcast(ret.select(col("source").as("src_a"),
+          col("gk"), col("__h"))), Seq("src_a"))
+        .filter(col("__h") < col("__theta"))
+      val r = below.join(
+          broadcast(ret.select(col("source").as("src_b"), col("gk"))),
+          Seq("src_b", "gk"), "left_anti")
+        .groupBy("src_a", "src_b", "__theta")
+        .agg(count(lit(1)).as("__r"))
+      val est = pairsSrc.select(col("src_a"), col("src_b"), col("__theta"))
+        .join(r, Seq("src_a", "src_b", "__theta"), "left")
+        .na.fill(0L, Seq("__r"))
+        .withColumn("est_diff", round(col("__r").cast("double") *
+          lit(1152921504606846976L).cast("double") /
+          col("__theta").cast("double"), 4))
+      val nA = sh.groupBy(col("source").as("src_a"))
+        .agg(count(lit(1)).as("n_a"))
+      val inter = sh.select(col("source").as("src_a"), col("gk"))
+        .join(sh.select(col("source").as("src_b"), col("gk")), Seq("gk"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("__i"))
+      est.join(broadcast(nA), Seq("src_a"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("__i"))
+        .withColumn("exact_diff", col("n_a") - col("__i"))
+        .withColumn("rel_err",
+          round(abs(col("est_diff") - col("exact_diff").cast("double")) /
+            col("exact_diff").cast("double"), 6))
+        .select("src_a", "src_b", "n_a", "est_diff", "exact_diff",
+          "rel_err")
+    }),
+
+    // Sorted-neighborhood dedup (Hernandez & Stolfo 1995): sort each
+    // source's docs by a normalized prefix key and compare only rows
+    // within a w=2 window of the sort order — the classic blocking
+    // alternative to LSH, O(n log n + n*w) instead of candidate
+    // hashing. Spark-first: the sort is a per-source window (range
+    // exchange distributes; no global single-partition order), the
+    // window pairs are lead() columns, and the verifier is a
+    // prefix-capped levenshtein (q189's guard) — no join ever
+    // materializes beyond the lead width.
+    "q242_snm_dedup" -> ((s, dir) => {
+      val key = substring(lower(col("text")), 1, 40)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__key"), col("doc_id"))
+      val sorted = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), key.as("__key"))
+        .withColumn("__id1", lead(col("doc_id"), 1).over(w))
+        .withColumn("__k1", lead(col("__key"), 1).over(w))
+        .withColumn("__id2", lead(col("doc_id"), 2).over(w))
+        .withColumn("__k2", lead(col("__key"), 2).over(w))
+      val cand = sorted.select(col("source"), col("doc_id").as("id_a"),
+          col("__key").as("ka"), col("__id1").as("id_b"),
+          col("__k1").as("kb"))
+        .unionByName(sorted.select(col("source"),
+          col("doc_id").as("id_a"), col("__key").as("ka"),
+          col("__id2").as("id_b"), col("__k2").as("kb")))
+        .filter(col("id_b").isNotNull)
+      cand.withColumn("dist", levenshtein(col("ka"), col("kb")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dist") <= 8, 1L).otherwise(0L)).as("n_matches"),
+          round(graft.core.Det.avgDet(col("dist").cast("double"), 1), 4)
+            .as("avg_dist"))
+    }),
+
+    // AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996):
+    // F2 = sum c_w^2 per source — the repetition-mass scalar — from 16
+    // independent +/-1 sign-hash estimators Y_j = sum s_j(w)*c_w. Each
+    // Y_j is an exact integer sum over the VOCAB table (mergeable by +
+    // across shards: the sketch row is (source, j, Y_j)); the estimate
+    // is mean(Y_j^2), exact integers until the final division. Audited
+    // against the exact F2 off the same vocab scan.
+    "q243_ams_f2" -> ((s, dir) => {
+      val nEst = 16
+      val freq = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // sketch and exact sides share the vocab scan
+      val signs = freq.select(col("source"), col("c"), posexplode(
+        array((0 until nEst).map { j =>
+          (lit(1L) - lit(2L) * TextOps.wordHash60(
+            concat(lit(s"ams$j:"), col("w"))).bitwiseAND(lit(1L)))
+        }: _*)).as(Seq("j", "s")))
+      val sk = signs.groupBy("source", "j")
+        .agg(sum(col("s") * col("c")).as("y"))
+      val est = sk.groupBy("source")
+        .agg((sum(col("y") * col("y")).cast("double") /
+          lit(nEst.toDouble)).as("__est"))
+      val exact = freq.groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum(col("c") * col("c")).as("f2_exact"))
+      exact.join(est, Seq("source"))
+        .withColumn("f2_est", round(col("__est"), 4))
+        .withColumn("rel_err",
+          round(abs(col("__est") - col("f2_exact").cast("double")) /
+            col("f2_exact").cast("double"), 6))
+        .select("source", "n_types", "f2_exact", "f2_est", "rel_err")
+    }),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -3647,6 +3778,103 @@ object LlmQueries {
          |SELECT * FROM s0 UNION ALL SELECT * FROM s1
          |UNION ALL SELECT * FROM s2""".stripMargin
     },
+
+    "q241_theta_diff" ->
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, substr(md5(sg), 1, 16) AS gk
+         |  FROM (SELECT source, unnest(${shinglesSql(3)}) AS sg FROM wr)),
+         |hh AS (
+         |  SELECT source, gk,
+         |    ('0x' || substr(md5(gk), 1, 15))::BIGINT AS h
+         |  FROM sh),
+         |ret AS (SELECT * FROM (
+         |  SELECT source, gk, h, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY h, gk) AS rnk
+         |  FROM hh) WHERE rnk <= 64),
+         |kth AS (SELECT source, h AS kth FROM ret WHERE rnk = 64),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    LEAST(a.kth, b.kth) AS theta
+         |  FROM kth a JOIN kth b ON a.source <> b.source),
+         |below AS (
+         |  SELECT pr.src_a, pr.src_b, pr.theta, r.gk
+         |  FROM pr JOIN ret r ON r.source = pr.src_a AND r.h < pr.theta),
+         |rc AS (
+         |  SELECT b.src_a, b.src_b, b.theta, COUNT(*) AS rr
+         |  FROM below b LEFT JOIN ret rb
+         |    ON rb.source = b.src_b AND rb.gk = b.gk
+         |  WHERE rb.gk IS NULL
+         |  GROUP BY 1, 2, 3),
+         |e AS (
+         |  SELECT pr.src_a, pr.src_b,
+         |    ROUND(COALESCE(rc.rr, 0)::DOUBLE
+         |      * CAST(1152921504606846976 AS DOUBLE)
+         |      / pr.theta::DOUBLE, 4) AS est_diff
+         |  FROM pr LEFT JOIN rc USING (src_a, src_b)),
+         |na AS (SELECT source AS src_a, COUNT(*) AS n_a FROM sh GROUP BY 1),
+         |it AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.gk = b.gk AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT e.src_a, e.src_b, na.n_a, e.est_diff,
+         |  na.n_a - COALESCE(it.i, 0) AS exact_diff,
+         |  ROUND(ABS(e.est_diff - (na.n_a - COALESCE(it.i, 0))::DOUBLE)
+         |    / (na.n_a - COALESCE(it.i, 0))::DOUBLE, 6) AS rel_err
+         |FROM e
+         |JOIN na USING (src_a)
+         |LEFT JOIN it ON it.src_a = e.src_a AND it.src_b = e.src_b"""
+        .stripMargin,
+
+    "q242_snm_dedup" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id, substr(lower(text), 1, 40) AS kk
+         |  FROM documents),
+         |l AS (
+         |  SELECT source, doc_id AS id_a, kk AS ka,
+         |    lead(doc_id, 1) OVER (PARTITION BY source
+         |      ORDER BY kk, doc_id) AS id1,
+         |    lead(kk, 1) OVER (PARTITION BY source
+         |      ORDER BY kk, doc_id) AS k1,
+         |    lead(doc_id, 2) OVER (PARTITION BY source
+         |      ORDER BY kk, doc_id) AS id2,
+         |    lead(kk, 2) OVER (PARTITION BY source
+         |      ORDER BY kk, doc_id) AS k2
+         |  FROM k),
+         |c AS (
+         |  SELECT source, id_a, ka, id1 AS id_b, k1 AS kb FROM l
+         |  WHERE id1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT source, id_a, ka, id2, k2 FROM l WHERE id2 IS NOT NULL),
+         |d AS (SELECT source, levenshtein(ka, kb) AS dist FROM c)
+         |SELECT source, COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN dist <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matches,
+         |  ROUND(${graft.core.Det.avgDetSql("dist", 1)}, 4) AS avg_dist
+         |FROM d GROUP BY 1""".stripMargin,
+
+    "q243_ams_f2" ->
+      s"""WITH f AS (
+         |  SELECT source, word, COUNT(*) AS c FROM (
+         |    SELECT source, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |sg AS (
+         |  SELECT source, c, j,
+         |    1 - 2 * (('0x' || substr(md5('ams' || CAST(j AS VARCHAR)
+         |      || ':' || word), 1, 15))::BIGINT & 1) AS s
+         |  FROM f, unnest(range(0, 16)) AS t(j)),
+         |sk AS (SELECT source, j, CAST(SUM(s * c) AS BIGINT) AS y
+         |       FROM sg GROUP BY 1, 2),
+         |e AS (SELECT source, CAST(SUM(y * y) AS BIGINT)::DOUBLE / 16
+         |        AS est
+         |      FROM sk GROUP BY 1),
+         |x AS (SELECT source, COUNT(*) AS n_types,
+         |        CAST(SUM(c * c) AS BIGINT) AS f2_exact
+         |      FROM f GROUP BY 1)
+         |SELECT x.source, x.n_types, x.f2_exact, ROUND(e.est, 4) AS f2_est,
+         |  ROUND(ABS(e.est - f2_exact::DOUBLE) / f2_exact::DOUBLE, 6)
+         |    AS rel_err
+         |FROM x JOIN e USING (source)""".stripMargin,
 
     "q221_vocab_coverage" ->
       s"""WITH wd AS (SELECT unnest($WORDS) AS word FROM documents),

@@ -53,7 +53,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar
-    "q238_unimax")          // broadcast 1-row budget + waterline scalars
+    "q238_unimax",          // broadcast 1-row budget + waterline scalars
+    "q241_theta_diff")      // sources^2 sketch-pair join, hinted both sides
 
   /** A session with the shape-relevant confs PINNED — the suite's shared
     * getOrCreate session picks up conf mutations from other specs (the
