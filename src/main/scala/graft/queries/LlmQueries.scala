@@ -821,7 +821,11 @@ object LlmQueries {
     // Low-novelty docs are the boilerplate/near-dup suspects that
     // survive exact dedup.
     "q239_ngram_novelty" -> ((s, dir) => {
+      // Pinned-count repartition BEFORE the CPU-bound shingle+md5 work:
+      // the corpus is tiny in bytes, so the scan (and AQE) would run the
+      // whole gram build in one task — q203's measured 10x trap.
       val grams = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("source"), col("doc_id"),
           explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("g"))
         .select(col("source"), col("doc_id"),
@@ -866,7 +870,10 @@ object LlmQueries {
     // against the exact difference from a shingle equi-self-join.
     "q241_theta_diff" -> ((s, dir) => {
       val k = 64
+      // Pinned-count repartition before the gram build (q203's trap —
+      // see q239); the byte-tiny scan would otherwise hash in one task.
       val sh = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("source"),
           explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("g"))
         .select(col("source"), substring(md5(col("g")), 1, 16).as("gk"))
