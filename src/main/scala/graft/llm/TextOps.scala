@@ -21,12 +21,23 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(lower(text), " "), w => w =!= "")
 
-  /** Distinct word n-gram shingles (empty array when fewer than n words). */
+  /** Distinct word n-gram shingles (empty array when fewer than n words).
+    *
+    * The words expression is bound to a transform lambda variable via a
+    * one-element array wrap so it is evaluated ONCE per row; referencing
+    * `wordsCol` directly from the gram lambda would re-run the whole
+    * words subtree (filter+split+lower) for every element_at — the
+    * nested-HOF O(m*n) re-evaluation trap (measured 2.8x on the gram
+    * build even after parallelizing).
+    */
   def shingles(wordsCol: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(wordsCol) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(wordsCol, (i + k + 1).cast("int"))): _*))
-    array_distinct(when(size(wordsCol) >= n, grams).otherwise(array()))
+    val bound = transform(array(wordsCol), ws => {
+      val grams = transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, (i + k + 1).cast("int"))): _*))
+      array_distinct(when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
+    })
+    element_at(bound, 1)
   }
 
   /** LSH band keys from a numeric minhash signature (values < 2^31): bands

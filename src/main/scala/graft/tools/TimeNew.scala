@@ -68,6 +68,32 @@ object TimeNew {
     t("q239 full (2)")(q239(spark, dir).count())
     t("q241 full (1)")(q241(spark, dir).count())
     t("q241 full (2)")(q241(spark, dir).count())
+
+    // Lambda-binding shingle variant: evaluate the words array ONCE by
+    // binding it to a transform lambda variable, so element_at hits a
+    // materialized array instead of re-running filter(split(lower())).
+    def shinglesBound(text: org.apache.spark.sql.Column, n: Int) = {
+      val bound = transform(array(TextOps.words(text)), ws => {
+        val grams = transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(ws, (i + k + 1).cast("int"))): _*))
+        array_distinct(when(size(ws) >= n, grams).otherwise(
+          array().cast("array<string>")))
+      })
+      element_at(bound, 1)
+    }
+    val gramsB = docs.repartition(32, col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        explode(shinglesBound(col("text"), 3)).as("g"))
+    t("grams bound count (1)")(gramsB.count())
+    t("grams bound count (2)")(gramsB.count())
+    t("grams bound count (3)")(gramsB.count())
+    val gramsRep2 = docs.repartition(32, col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("g"))
+    t("grams plain count (3)")(gramsRep2.count())
+    t("grams plain count (4)")(gramsRep2.count())
     spark.stop()
   }
 }
