@@ -356,4 +356,62 @@ object EmbeddingOps {
         when(col("label_a") === col("label_b"), col("__na2")).as("n_vecs"),
         col("mean_intra_cos"))
   }
+
+  /** Unbiased linear-kernel Maximum Mean Discrepancy (Gretton et al.,
+    * JMLR 2012) between every label pair — the two-sample domain-distance
+    * test on embedding groups, complementing q225's per-dim JS divergence
+    * (which sees marginals only; MMD sees the mean embedding):
+    *
+    *   MMD²_u(A,B) = (‖ΣA‖² − Σ‖a‖²)/(m(m−1)) + (‖ΣB‖² − Σ‖b‖²)/(n(n−1))
+    *                 − 2·⟨ΣA,ΣB⟩/(mn)
+    *
+    * — for the linear kernel the corpus-pairwise sums collapse onto the
+    * per-group SUM VECTOR, so one scan yields a (labels × dim) moment
+    * table and everything pairwise runs on labels² × dim rows: the
+    * sketch-sized shape (mergeable by vector addition across shards).
+    * Determinism: coordinates pin to 6 dp and sum in exact decimal; the
+    * cross-moment Σ_pos s_a·s_b sums 6-dp-rounded products in exact
+    * decimal (products of exact 6-dp doubles are IEEE-identical
+    * everywhere, and the decimal sum is order-free). */
+  def linearMmd(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String): DataFrame = {
+    val sums = emb.select(col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("pos", "__x")))
+      .groupBy("label", "pos")
+      .agg(graft.core.Det.sumDet(
+        round(col("__x").cast("double"), 6), scale = 6).as("__s"))
+    val stats = emb.select(col(labelCol).as("label"),
+        round(VectorOps.normSq(col(embCol)), 6).as("__n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("m"),
+        graft.core.Det.sumDet(col("__n2"), scale = 6).as("__q"))
+    val cross = sums.select(col("label").as("label_a"), col("pos"),
+        col("__s").as("__sa"))
+      .join(sums.select(col("label").as("label_b"), col("pos"),
+        col("__s").as("__sb")), Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(graft.core.Det.sumDet(
+        round(col("__sa") * col("__sb"), 6), scale = 6).as("__sab"))
+    val self = sums.groupBy("label")
+      .agg(graft.core.Det.sumDet(
+        round(col("__s") * col("__s"), 6), scale = 6).as("__ss"))
+    val a = stats.join(self, Seq("label")).select(
+      col("label").as("label_a"), col("m").as("m_a"),
+      col("__q").as("__qa"), col("__ss").as("__ssa"))
+    val b = stats.join(self, Seq("label")).select(
+      col("label").as("label_b"), col("m").as("m_b"),
+      col("__q").as("__qb"), col("__ss").as("__ssb"))
+    cross.join(broadcast(a), Seq("label_a"))
+      .join(broadcast(b), Seq("label_b"))
+      .withColumn("mmd2", round(
+        (col("__ssa") - col("__qa")) /
+          (col("m_a") * (col("m_a") - 1)).cast("double") +
+        (col("__ssb") - col("__qb")) /
+          (col("m_b") * (col("m_b") - 1)).cast("double") -
+        lit(2.0) * col("__sab") / (col("m_a") * col("m_b")).cast("double"),
+        6))
+      .select(col("label_a"), col("label_b"), col("m_a"), col("m_b"),
+        col("mmd2"))
+  }
 }

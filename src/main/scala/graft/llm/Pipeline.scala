@@ -690,6 +690,62 @@ object Pipeline {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
 
+  /** Moore–Lewis contrastive data selection (Moore & Lewis, ACL 2010):
+    * score every document by the cross-entropy DIFFERENCE between an
+    * in-domain bigram LM (trained on the seed subset) and a general LM
+    * (trained on the whole corpus); ml_score = H_in − H_gen, keep when
+    * negative — "looks more like the seed than like the average crawl".
+    * Both models are [[bigramLmScore]]'s add-one family with each
+    * model's OWN vocabulary size, so unseen seed bigrams degrade to
+    * 1/V_in smoothly. Shapes: the bigram rows come from one corpus
+    * window pass (shared lineage for both count tables and the scoring
+    * join, like q85); both models live in vocab²-bounded tables and the
+    * in-domain counts LEFT-join onto the general model's keys (a subset
+    * — no second corpus-keyed join). */
+  def mooreLewisScore(docs: DataFrame, idCol: String, textCol: String,
+      seed: Column): DataFrame = {
+    val rows = docs.withColumn("__seed", seed)
+      .repartition(col(idCol))
+      .select(col(idCol), col("__seed"),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "word")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = rows
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("__seed"), col("word").as("w1"), col("w2"))
+    val cg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cg12"))
+    val ci = bigrams.filter(col("__seed"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__ci12"))
+    val ctxg = cg.groupBy("w1").agg(sum(col("__cg12")).as("__cg1"))
+    val ctxi = ci.groupBy("w1").agg(sum(col("__ci12")).as("__ci1"))
+    val vg = rows.agg(countDistinct(col("word")).as("__vg"))
+    val vi = rows.filter(col("__seed"))
+      .agg(countDistinct(col("word")).as("__vi"))
+    val model = cg.join(ctxg, Seq("w1"))
+      .join(ci, Seq("w1", "w2"), "left")
+      .join(ctxi, Seq("w1"), "left")
+    val nllG = round(-log((col("__cg12") + 1.0) /
+      (col("__cg1") + col("__vg")).cast("double")), 6)
+    val nllI = round(-log((coalesce(col("__ci12"), lit(0L)) + 1.0) /
+      (coalesce(col("__ci1"), lit(0L)) + col("__vi")).cast("double")), 6)
+    val scored = bigrams.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vg)).crossJoin(broadcast(vi))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.core.Det.sumDet(nllG, scale = 6).as("__sg"),
+        graft.core.Det.sumDet(nllI, scale = 6).as("__si"))
+      .withColumn("avg_nll_gen", round(col("__sg") / col("n_bigrams"), 6))
+      .withColumn("avg_nll_in", round(col("__si") / col("n_bigrams"), 6))
+      .withColumn("ml_score",
+        round(col("avg_nll_in") - col("avg_nll_gen"), 6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll_gen"), col("avg_nll_in"), col("ml_score"),
+        (col("ml_score") < 0.0).as("keep"))
+  }
+
   /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995; Chen &
     * Goodman 1999 empirical study) — the smoothing actually used by
     * production n-gram LM filters, vs [[bigramLmScore]]'s add-one:

@@ -560,6 +560,16 @@ object Similarity {
     * SQL mirror. Output: (id, cluster, d2) after `iters` assignments. */
   def kMeans(docs: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int = 2): DataFrame = {
+    val (n, cents) = kMeansTrained(docs, idCol, embCol, k, iters)
+    kMeansAssign(n, cents)
+      .select(col("id"), col("cluster"), round(col("d2"), 6).as("d2"))
+  }
+
+  /** The Lloyd loop behind [[kMeans]], exposed so diagnostics over the
+    * SAME trained centroids (e.g. [[simplifiedSilhouette]]) reuse it:
+    * returns the normalized point table and the final centroid table. */
+  private def kMeansTrained(docs: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val n = docs.select(col(idCol).as("id"), col(embCol).as("emb"))
@@ -582,16 +592,8 @@ object Similarity {
     // N×k fan-out to one row per id map-side (shuffle N, not N×k); the
     // (d2, cluster) ordering struct is tie-free (cluster unique), so the
     // pick matches the old row_number orderBy exactly.
-    def assign(cents: Array[(Int, Array[Double])]): DataFrame = {
-      n.crossJoin(broadcast(centsDf(cents)))
-        .withColumn("d2",
-          col("n2") + col("c_n2") - lit(2.0) * VectorOps.dot(col("emb"), col("c_emb")))
-        .groupBy("id")
-        .agg(min_by(struct(col("cluster"), col("d2"), col("emb")),
-          struct(col("d2"), col("cluster"))).as("__b"))
-        .select(col("id"), col("__b.cluster").as("cluster"),
-          col("__b.d2").as("d2"), col("__b.emb").as("emb"))
-    }
+    def assign(cents: Array[(Int, Array[Double])]): DataFrame =
+      kMeansAssign(n, centsDf(cents))
     var cents = seeds.zipWithIndex.map { case (c, j) => (j, c) }
     for (_ <- 1 until iters) {
       // update: 6-digit-quantized coordinates averaged through exact
@@ -610,8 +612,48 @@ object Similarity {
           (cl, c)
       }
     }
-    assign(cents)
-      .select(col("id"), col("cluster"), round(col("d2"), 6).as("d2"))
+    (n, centsDf(cents))
+  }
+
+  private def kMeansAssign(n: DataFrame, centsDf: DataFrame): DataFrame =
+    n.crossJoin(broadcast(centsDf))
+      .withColumn("d2",
+        col("n2") + col("c_n2") - lit(2.0) * VectorOps.dot(col("emb"), col("c_emb")))
+      .groupBy("id")
+      .agg(min_by(struct(col("cluster"), col("d2"), col("emb")),
+        struct(col("d2"), col("cluster"))).as("__b"))
+      .select(col("id"), col("__b.cluster").as("cluster"),
+        col("__b.d2").as("d2"), col("__b.emb").as("emb"))
+
+  /** Simplified (centroid-based) silhouette over [[kMeans]]'s trained
+    * centroids (Hruschka et al. 2004 — the O(N·k) silhouette used when
+    * the O(N²) pairwise original can't exist at corpus scale): per point,
+    * a = distance to its own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b); reported per cluster. One broadcast
+    * fan-out to N×k rows collapsed map-side by the same (d2, cluster)
+    * ordering as the assignment — the two smallest centroid distances
+    * per point ARE (a, b), so no second pass and no join. */
+  def simplifiedSilhouette(docs: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val (n, cents) = kMeansTrained(docs, idCol, embCol, k, iters)
+    val two = n.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("n2") + col("c_n2") - lit(2.0) * VectorOps.dot(col("emb"), col("c_emb")))
+      .groupBy("id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("d2"), col("cluster")))), 1, 2).as("__t"))
+      .select(col("id"), col("__t")(0).getField("cluster").as("cluster"),
+        sqrt(greatest(col("__t")(0).getField("d2"), lit(0.0))).as("__a"),
+        sqrt(greatest(col("__t")(1).getField("d2"), lit(0.0))).as("__b"))
+    val s = when(greatest(col("__a"), col("__b")) > 0.0,
+      (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+      .otherwise(lit(0.0))
+    two.groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        round(graft.core.Det.avgDet(round(col("__a"), 6), 6), 6).as("avg_a"),
+        round(graft.core.Det.avgDet(round(col("__b"), 6), 6), 6).as("avg_b"),
+        round(graft.core.Det.avgDet(round(s, 6), 6), 6)
+          .as("avg_silhouette"))
   }
 
   /** Banded ANN: candidates restricted to rows sharing ANY of the query's

@@ -713,4 +713,88 @@ object TextAnalysis {
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")), 6))
   }
+
+  /** Simple Good–Turing smoothed frequency table (Good 1953; Gale &
+    * Sampson 1995) per source: the frequency-of-frequencies N_r over the
+    * word-count table, the Turing estimate r* = (r+1)·N_{r+1}/N_r for
+    * each observed low count, and the unseen-mass estimate p0 = N_1/N —
+    * the smoothing audit behind every count-based LM filter. r* is null
+    * when N_{r+1} is unobserved (the raw Turing estimator is undefined
+    * there; full SGT interpolates — out of scope by design). Shapes: one
+    * corpus scan into a (source, word) hash aggregate, then everything
+    * runs on the count-of-counts table, bounded by distinct counts —
+    * metadata-sized at any corpus scale. */
+  def goodTuring(docs: DataFrame, textCol: String, sourceCol: String,
+      maxR: Int = 10): DataFrame = {
+    val f = docs.select(col(sourceCol).as("source"),
+        explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val nr = f.groupBy(col("source"), col("c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = f.groupBy("source")
+      .agg(sum(col("c")).as("__n"), count(lit(1)).as("n_types"))
+    val n1 = nr.filter(col("r") === 1)
+      .select(col("source"), col("n_r").as("__n1"))
+    val w = Window.partitionBy("source").orderBy("r")
+    nr.withColumn("__rnext", lead(col("r"), 1).over(w))
+      .withColumn("__nnext", lead(col("n_r"), 1).over(w))
+      .join(tot, Seq("source"))
+      .join(n1, Seq("source"), "left")
+      .filter(col("r") <= maxR)
+      .select(col("source"), col("r"), col("n_r"),
+        round(when(col("__rnext") === col("r") + 1,
+          (col("r") + 1).cast("double") * col("__nnext") / col("n_r")), 6)
+          .as("r_star"),
+        round(coalesce(col("__n1"), lit(0L)).cast("double") /
+          col("__n"), 6).as("p_unseen"))
+  }
+
+  /** Bias-corrected Chao1 species-richness estimate (Chao 1984, 1987) of
+    * each source's vocabulary: V + N1(N1−1)/(2(N2+1)) from the singleton
+    * and doubleton type counts — "how many word types does this crawl
+    * REALLY have", the capture-recapture complement to q201's Heaps
+    * extrapolation. One corpus scan into the (source, word) aggregate;
+    * everything after is per-source scalars. */
+  def chao1(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("chao1", round(col("n_types") +
+        (col("n1") * (col("n1") - 1)).cast("double") /
+          (lit(2.0) * (col("n2") + 1)), 4))
+
+  /** Confusion matrix + per-class precision/recall/F1 of the [[langId]]
+    * stopword heuristic against the labeled `lang` column — the
+    * classifier-evaluation audit for the language-ID filter stage
+    * (complements q226's calibration ECE, which scores probabilities;
+    * this scores the hard decision). Two label-bounded hash aggregates
+    * over the scored scan. Languages the heuristic has no stopword list
+    * for (e.g. zh) surface as recall 0, not as silent drops. */
+  def langIdConfusion(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val j = docs.select(col(idCol), col(langCol).as("lang"))
+      .join(langId(docs, idCol, textCol).select(col(idCol),
+        col("pred_lang")), Seq(idCol))
+    val t = j.groupBy("lang")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val p = j.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    val prec = when(col("n_pred") > 0,
+      col("n_correct").cast("double") / col("n_pred"))
+    val rec = col("n_correct").cast("double") / col("n_true")
+    t.join(p, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .withColumn("precision", round(prec, 6))
+      .withColumn("recall", round(rec, 6))
+      .withColumn("f1", round(when(prec + rec > 0.0,
+        lit(2.0) * prec * rec / (prec + rec)).otherwise(0.0), 6))
+      .select("lang", "n_true", "n_pred", "n_correct", "precision",
+        "recall", "f1")
+  }
 }

@@ -991,6 +991,72 @@ object LlmQueries {
         .select("source", "n_types", "f2_exact", "f2_est", "rel_err")
     }),
 
+    // Simple Good–Turing frequency smoothing audit (Good 1953; Gale &
+    // Sampson 1995): freq-of-freq table, Turing estimates, unseen mass.
+    // All computed on the count-of-counts table — metadata-sized.
+    "q244_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(Tables.documents(s, dir), "text", "source")),
+
+    // Moore–Lewis contrastive selection (ACL 2010): in-domain (lang=en)
+    // vs general bigram cross-entropy difference per doc.
+    "q245_moore_lewis" -> ((s, dir) =>
+      Pipeline.mooreLewisScore(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en")),
+
+    // Unbiased linear-kernel MMD between label groups (Gretton 2012):
+    // the two-sample domain-distance test from per-group moment vectors.
+    "q246_mmd" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.linearMmd(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label")),
+
+    // Simplified silhouette over q87's trained k-means centroids
+    // (Hruschka 2004): the O(N·k) cluster-quality diagnostic.
+    "q247_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2)),
+
+    // Language-ID confusion matrix: q26's stopword heuristic scored
+    // against the labeled lang column — per-class precision/recall/F1.
+    "q250_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir), "doc_id",
+        "text", "lang")),
+
+    // Competence-based curriculum pacing (Platanios et al., NAACL 2019):
+    // difficulty = corpus length CDF, competence c(t) = sqrt(t/T), so a
+    // doc unlocks at step t = ceil(T·cdf²) — the data-ordering schedule
+    // for curriculum training, closed-form (no per-step scan). The
+    // global rank is NOT a global-sort window (single partition at
+    // corpus scale): ranks = per-length local row_number (distributed
+    // by length) + a prefix-sum offset over the BOUNDED distinct-length
+    // table, broadcast back. T=1000. Ratios of exact integers squared
+    // in double are engine-identical; ceil on them likewise.
+    "q251_curriculum" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.words(col("text"))).cast("long").as("n_words"))
+      val cnt = docs.groupBy("n_words").agg(count(lit(1)).as("__c"))
+      val pre = cnt.withColumn("__before",
+          coalesce(sum(col("__c")).over(W.orderBy("n_words")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("n_words"), col("__before"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val wd = W.partitionBy("n_words").orderBy("doc_id")
+      docs.join(broadcast(pre), Seq("n_words"))
+        .withColumn("__rn", col("__before") + row_number().over(wd))
+        .crossJoin(broadcast(tot))
+        .withColumn("cdf",
+          round(col("__rn").cast("double") / col("__n"), 6))
+        .withColumn("unlock_step", ceil(lit(1000.0) *
+          (col("__rn").cast("double") / col("__n")) *
+          (col("__rn").cast("double") / col("__n"))).cast("long"))
+        .select("doc_id", "source", "n_words", "cdf", "unlock_step")
+    }),
+
+    // Bias-corrected Chao1 vocabulary richness (Chao 1984) per source.
+    "q252_chao1" -> ((s, dir) =>
+      TextAnalysis.chao1(Tables.documents(s, dir), "text", "source")),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -3785,6 +3851,181 @@ object LlmQueries {
          |SELECT * FROM s0 UNION ALL SELECT * FROM s1
          |UNION ALL SELECT * FROM s2""".stripMargin
     },
+
+    "q250_langid_confusion" ->
+      s"""WITH pred AS ($langSelectSql),
+         |j AS (SELECT d.lang, p.pred_lang
+         |      FROM documents d JOIN pred p USING (doc_id)),
+         |t AS (
+         |  SELECT lang, COUNT(*) AS n_true,
+         |    CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM j GROUP BY 1),
+         |p AS (SELECT pred_lang AS lang, COUNT(*) AS n_pred
+         |      FROM j GROUP BY 1),
+         |m AS (
+         |  SELECT t.lang, n_true, COALESCE(n_pred, 0) AS n_pred, n_correct,
+         |    CASE WHEN COALESCE(n_pred, 0) > 0
+         |      THEN n_correct::DOUBLE / n_pred END AS pr,
+         |    n_correct::DOUBLE / n_true AS rc
+         |  FROM t LEFT JOIN p USING (lang))
+         |SELECT lang, n_true, n_pred, n_correct,
+         |  ROUND(pr, 6) AS "precision", ROUND(rc, 6) AS recall,
+         |  ROUND(CASE WHEN pr + rc > 0.0::DOUBLE
+         |    THEN 2.0 * pr * rc / (pr + rc) ELSE 0.0::DOUBLE END, 6) AS f1
+         |FROM m""".stripMargin,
+
+    "q251_curriculum" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len($WORDS) AS n_words FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM d),
+         |r AS (
+         |  SELECT doc_id, source, n_words,
+         |    ROW_NUMBER() OVER (ORDER BY n_words, doc_id) AS rn
+         |  FROM d)
+         |SELECT doc_id, source, n_words,
+         |  ROUND(rn::DOUBLE / n, 6) AS cdf,
+         |  CAST(ceil(1000.0 * (rn::DOUBLE / n) * (rn::DOUBLE / n))
+         |    AS BIGINT) AS unlock_step
+         |FROM r, tot""".stripMargin,
+
+    "q252_chao1" ->
+      s"""WITH f AS (
+         |  SELECT source, word, COUNT(*) AS c FROM (
+         |    SELECT source, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_types,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM f GROUP BY 1)
+         |SELECT source, n_types, n1, n2,
+         |  ROUND(n_types + (n1 * (n1 - 1))::DOUBLE / (2.0 * (n2 + 1)), 4)
+         |    AS chao1
+         |FROM a""".stripMargin,
+
+    "q244_good_turing" ->
+      s"""WITH f AS (
+         |  SELECT source, word, COUNT(*) AS c FROM (
+         |    SELECT source, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |nr AS (SELECT source, c AS r, COUNT(*) AS n_r FROM f GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         |          COUNT(*) AS n_types
+         |        FROM f GROUP BY 1),
+         |n1 AS (SELECT source, n_r AS c1 FROM nr WHERE r = 1),
+         |l AS (
+         |  SELECT source, r, n_r,
+         |    lead(r) OVER (PARTITION BY source ORDER BY r) AS rnext,
+         |    lead(n_r) OVER (PARTITION BY source ORDER BY r) AS nnext
+         |  FROM nr)
+         |SELECT l.source, r, n_r,
+         |  ROUND(CASE WHEN rnext = r + 1
+         |    THEN (r + 1)::DOUBLE * nnext / n_r END, 6) AS r_star,
+         |  ROUND(COALESCE(c1, 0)::DOUBLE / n, 6) AS p_unseen
+         |FROM l JOIN tot USING (source) LEFT JOIN n1 USING (source)
+         |WHERE r <= 10""".stripMargin,
+
+    "q245_moore_lewis" ->
+      s"""WITH wr AS (
+         |  SELECT doc_id, lang = 'en' AS sd, $WORDS AS w FROM documents),
+         |b2 AS (
+         |  SELECT doc_id, sd, bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, sd, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)),
+         |cg AS (SELECT w1, w2, COUNT(*) AS cg12 FROM b2 GROUP BY 1, 2),
+         |ci AS (SELECT w1, w2, COUNT(*) AS ci12 FROM b2 WHERE sd
+         |       GROUP BY 1, 2),
+         |ctxg AS (SELECT w1, CAST(SUM(cg12) AS BIGINT) AS cg1
+         |         FROM cg GROUP BY 1),
+         |ctxi AS (SELECT w1, CAST(SUM(ci12) AS BIGINT) AS ci1
+         |         FROM ci GROUP BY 1),
+         |vg AS (SELECT COUNT(DISTINCT word) AS vg
+         |       FROM (SELECT unnest(w) AS word FROM wr)),
+         |vi AS (SELECT COUNT(DISTINCT word) AS vi
+         |       FROM (SELECT unnest(w) AS word FROM wr WHERE sd)),
+         |terms AS (
+         |  SELECT doc_id,
+         |    ROUND(-ln((cg12 + 1.0) / CAST(cg1 + vg AS DOUBLE)), 6) AS ng,
+         |    ROUND(-ln((COALESCE(ci12, 0) + 1.0)
+         |      / CAST(COALESCE(ci1, 0) + vi AS DOUBLE)), 6) AS ni
+         |  FROM b2
+         |  JOIN cg USING (w1, w2) JOIN ctxg USING (w1)
+         |  LEFT JOIN ci USING (w1, w2) LEFT JOIN ctxi USING (w1)
+         |  CROSS JOIN vg CROSS JOIN vi),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    ROUND(${graft.core.Det.sumDetSql("ng", 6)} / COUNT(*), 6)
+         |      AS avg_nll_gen,
+         |    ROUND(${graft.core.Det.sumDetSql("ni", 6)} / COUNT(*), 6)
+         |      AS avg_nll_in
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  avg_nll_gen, avg_nll_in,
+         |  ROUND(avg_nll_in - avg_nll_gen, 6) AS ml_score,
+         |  ROUND(avg_nll_in - avg_nll_gen, 6) < 0.0::DOUBLE AS keep
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q246_mmd" ->
+      s"""WITH s AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(ROUND(embedding[pos]::DOUBLE, 6)
+         |      AS DECIMAL(24,6))) AS DOUBLE) AS s
+         |  FROM embeddings, unnest(range(1, 65)) AS t(pos)
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT label, COUNT(*) AS m,
+         |    CAST(SUM(CAST(ROUND(${dot("embedding", "embedding")}, 6)
+         |      AS DECIMAL(24,6))) AS DOUBLE) AS q
+         |  FROM embeddings GROUP BY 1),
+         |sf AS (
+         |  SELECT label,
+         |    CAST(SUM(CAST(ROUND(s * s, 6) AS DECIMAL(24,6))) AS DOUBLE)
+         |      AS ss
+         |  FROM s GROUP BY 1),
+         |cx AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |    CAST(SUM(CAST(ROUND(a.s * b.s, 6) AS DECIMAL(24,6)))
+         |      AS DOUBLE) AS sab
+         |  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT label_a, label_b, sa.m AS m_a, sb.m AS m_b,
+         |  ROUND((sfa.ss - sa.q) / CAST(sa.m * (sa.m - 1) AS DOUBLE)
+         |    + (sfb.ss - sb.q) / CAST(sb.m * (sb.m - 1) AS DOUBLE)
+         |    - 2.0 * sab / CAST(sa.m * sb.m AS DOUBLE), 6) AS mmd2
+         |FROM cx
+         |JOIN st sa ON sa.label = cx.label_a
+         |JOIN st sb ON sb.label = cx.label_b
+         |JOIN sf sfa ON sfa.label = cx.label_a
+         |JOIN sf sfb ON sfb.label = cx.label_b""".stripMargin,
+
+    "q247_silhouette" ->
+      s"""WITH $kmeansCtes,
+         |sil0 AS (
+         |  SELECT n.vec_id, c.cluster,
+         |    n.n2 + c.c_n2 - 2.0 * ${dot("n.embedding", "c.c_emb")} AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.n2 + c.c_n2 - 2.0 * ${dot("n.embedding", "c.c_emb")},
+         |      c.cluster) AS rn
+         |  FROM n CROSS JOIN cents1 c),
+         |silp AS (
+         |  SELECT o.vec_id, o.cluster,
+         |    sqrt(greatest(o.d2, 0.0::DOUBLE)) AS a,
+         |    sqrt(greatest(q.d2, 0.0::DOUBLE)) AS b
+         |  FROM sil0 o JOIN sil0 q
+         |    ON o.vec_id = q.vec_id AND q.rn = 2
+         |  WHERE o.rn = 1),
+         |sils AS (
+         |  SELECT cluster, ROUND(a, 6) AS a6, ROUND(b, 6) AS b6,
+         |    ROUND(CASE WHEN greatest(a, b) > 0.0::DOUBLE
+         |      THEN (b - a) / greatest(a, b) ELSE 0.0::DOUBLE END, 6) AS s6
+         |  FROM silp)
+         |SELECT cluster, COUNT(*) AS n_points,
+         |  ROUND(${graft.core.Det.avgDetSql("a6", 6)}, 6) AS avg_a,
+         |  ROUND(${graft.core.Det.avgDetSql("b6", 6)}, 6) AS avg_b,
+         |  ROUND(${graft.core.Det.avgDetSql("s6", 6)}, 6) AS avg_silhouette
+         |FROM sils GROUP BY 1""".stripMargin,
 
     "q241_theta_diff" ->
       s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),

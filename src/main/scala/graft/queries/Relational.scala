@@ -825,6 +825,101 @@ object Relational {
           (col("__acc")(1) > 5.0).as("drift_flag"))
     }),
 
+    // Mann–Kendall trend test + Sen's slope (Mann 1945; Kendall 1975;
+    // Sen 1968) on each type's daily count series — the nonparametric
+    // companion to q213's least-squares trend (no normality assumption,
+    // robust to outliers) with the tie-corrected variance and the
+    // continuity-corrected Z. The pairwise S statistic runs on the DAILY
+    // table (one row per calendar day per type — bounded by the
+    // calendar, never the corpus; a decade of days is ~7M pairs/type),
+    // checkpointed once for its three consumers. Sen's slope is the
+    // exact median of the 6-dp-pinned pairwise slopes via the
+    // deterministic two-middle-ranks rule.
+    "q248_mann_kendall" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"), expr(s"ts_us div $DAY_US").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val pairs = daily
+        .select(col("event_type"), col("day").as("di"), col("n").as("vi"))
+        .join(daily.select(col("event_type"), col("day").as("dj"),
+          col("n").as("vj")), Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .withColumn("__slope", round(
+          (col("vj") - col("vi")).cast("double") /
+            (col("dj") - col("di")).cast("double"), 6))
+      val wr = Window.partitionBy("event_type").orderBy("__slope")
+      val wc = Window.partitionBy("event_type")
+      val sen = pairs.withColumn("__rn", row_number().over(wr))
+        .withColumn("__np", count(lit(1)).over(wc))
+        .filter(col("__rn") === expr("(__np + 1) div 2") ||
+          col("__rn") === expr("(__np + 2) div 2"))
+        .groupBy("event_type")
+        .agg(round(graft.core.Det.avgDet(col("__slope"), 6), 6)
+          .as("sen_slope"))
+      val sgn = pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(signum((col("vj") - col("vi")).cast("double")).cast("long"))
+            .as("s_stat"))
+      val ties = daily.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("__t"))
+        .groupBy("event_type")
+        .agg(sum(col("__t")).as("n_days"),
+          sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
+            .as("__tie"))
+      val varS = (col("n_days") * (col("n_days") - 1) *
+        (col("n_days") * 2 + 5) - col("__tie")).cast("double") / 18.0
+      val z = when(col("__var") > 0.0,
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(col("__var")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("__var")))
+          .otherwise(lit(0.0)))
+      sgn.join(ties, Seq("event_type")).join(sen, Seq("event_type"))
+        .withColumn("__var", varS)
+        .withColumn("z", round(z, 6))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("s_stat"), round(col("__var"), 6).as("var_s"), col("z"),
+          col("sen_slope"), (abs(col("z")) > 1.96).as("trend_flag"))
+    }),
+
+    // Benford first-digit audit (Benford 1938; Nigrini's forensic
+    // usage) over each type's value column: observed leading-digit
+    // shares vs the Benford expectation, per-digit deviation, and the
+    // per-type chi-square — the synthetic-data / fabricated-metrics
+    // smoke alarm. Digit extraction is engine-identical integer+string
+    // math (floor-quantize to 4 dp, first char of the BIGINT's decimal
+    // form — no log10 on data, whose libm rounding differs across
+    // engines); the Benford probabilities are 6-dp literals shared with
+    // the oracle. One scan + a digit-bounded aggregate.
+    "q249_benford" -> ((s, dir) => {
+      val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910,
+        0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+      val pB = element_at(array(benford.map(lit): _*), col("digit"))
+      val ev = Tables.events(s, dir)
+      val d = ev.select(col("event_type"),
+          floor(abs(col("value")) * 10000 + 0.5).cast("long").as("__iv"))
+        .filter(col("__iv") > 0)
+        .withColumn("digit",
+          substring(col("__iv").cast("string"), 1, 1).cast("int"))
+      val wt = Window.partitionBy("event_type")
+      d.groupBy("event_type", "digit")
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("__n", sum(col("n_obs")).over(wt))
+        .withColumn("p_obs",
+          round(col("n_obs").cast("double") / col("__n"), 6))
+        .withColumn("p_benford", pB)
+        .withColumn("dev", round(col("p_obs") - pB, 6))
+        .withColumn("__chi",
+          round((col("n_obs") - col("__n") * pB) *
+            (col("n_obs") - col("__n") * pB) / (col("__n") * pB), 6))
+        .withColumn("chi2", round(sum(
+          col("__chi").cast(DecimalType(24, 6))).over(wt).cast("double"), 6))
+        .select(col("event_type"), col("digit"), col("n_obs"),
+          col("p_obs"), col("p_benford"), col("dev"), col("chi2"))
+    }),
+
     // k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
     // (event_type, day-of-week, value decade): equivalence-class sizes in
     // DISTINCT users, rolled up per type into the re-identification risk
@@ -1536,6 +1631,86 @@ object Relational {
          |  ROUND(sd, 6) AS sd_daily, ROUND(f[2], 6) AS cusum_max,
          |  f[2] > 5.0::DOUBLE AS drift_flag
          |FROM c""".stripMargin,
+
+    "q248_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DAY_US AS day, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.event_type,
+         |    ROUND((b.n - a.n)::DOUBLE / (b.day - a.day)::DOUBLE, 6)
+         |      AS slope,
+         |    SIGN(b.n - a.n)::BIGINT AS sg
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND a.day < b.day),
+         |sen AS (
+         |  SELECT event_type,
+         |    ROUND(${graft.core.Det.avgDetSql("slope", 6)}, 6) AS sen_slope
+         |  FROM (
+         |    SELECT event_type, slope,
+         |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+         |        AS rn,
+         |      COUNT(*) OVER (PARTITION BY event_type) AS np
+         |    FROM p)
+         |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+         |  GROUP BY 1),
+         |sg AS (
+         |  SELECT event_type, COUNT(*) AS n_pairs,
+         |    CAST(SUM(sg) AS BIGINT) AS s_stat
+         |  FROM p GROUP BY 1),
+         |ties AS (
+         |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+         |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+         |  FROM (SELECT event_type, n, COUNT(*) AS t
+         |        FROM daily GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |v AS (
+         |  SELECT sg.event_type, n_days, n_pairs, s_stat, sen_slope,
+         |    (n_days * (n_days - 1) * (2 * n_days + 5) - tie)::DOUBLE / 18
+         |      AS var_s
+         |  FROM sg JOIN ties USING (event_type) JOIN sen USING (event_type)),
+         |z AS (
+         |  SELECT *, CASE WHEN var_s > 0.0::DOUBLE THEN
+         |      CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+         |           WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+         |           ELSE 0.0::DOUBLE END
+         |    END AS zz
+         |  FROM v)
+         |SELECT event_type, n_days, n_pairs, s_stat,
+         |  ROUND(var_s, 6) AS var_s, ROUND(zz, 6) AS z, sen_slope,
+         |  abs(ROUND(zz, 6)) > 1.96 AS trend_flag
+         |FROM z""".stripMargin,
+
+    "q249_benford" -> {
+      val vals = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757)
+        .zipWithIndex.map { case (p, i) => s"(${i + 1}, $p::DOUBLE)" }
+        .mkString(", ")
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(CAST(floor(abs(value) * 10000 + 0.5)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM events
+         |  WHERE CAST(floor(abs(value) * 10000 + 0.5) AS BIGINT) > 0),
+         |g AS (SELECT event_type, digit, COUNT(*) AS n_obs
+         |      FROM d GROUP BY 1, 2),
+         |b AS (SELECT * FROM (VALUES $vals) AS t(digit, p_benford)),
+         |w AS (
+         |  SELECT g.event_type, g.digit, g.n_obs, b.p_benford,
+         |    CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM g JOIN b USING (digit)),
+         |t AS (
+         |  SELECT event_type, digit, n_obs,
+         |    ROUND(n_obs::DOUBLE / n, 6) AS p_obs, p_benford,
+         |    ROUND(ROUND(n_obs::DOUBLE / n, 6) - p_benford, 6) AS dev,
+         |    ROUND((n_obs - n * p_benford) * (n_obs - n * p_benford)
+         |      / (n * p_benford), 6) AS chi
+         |  FROM w)
+         |SELECT event_type, digit, n_obs, p_obs, p_benford, dev,
+         |  ROUND(CAST(SUM(CAST(chi AS DECIMAL(24,6)))
+         |    OVER (PARTITION BY event_type) AS DOUBLE), 6) AS chi2
+         |FROM t""".stripMargin
+    },
 
     "q222_k_anonymity" ->
       s"""WITH q AS (

@@ -54,7 +54,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar
     "q238_unimax",          // broadcast 1-row budget + waterline scalars
-    "q241_theta_diff")      // sources^2 sketch-pair join, hinted both sides
+    "q241_theta_diff",      // sources^2 sketch-pair join, hinted both sides
+    "q245_moore_lewis",     // broadcast 1-row vocab-size scalars (q85 family)
+    "q247_silhouette",      // kMeans' broadcast-centroid fan-out (q87 family)
+    "q251_curriculum")      // broadcast 1-row corpus-count scalar
 
   /** A session with the shape-relevant confs PINNED — the suite's shared
     * getOrCreate session picks up conf mutations from other specs (the
