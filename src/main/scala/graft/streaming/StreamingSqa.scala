@@ -572,6 +572,39 @@ object StreamingSqa {
         col("chars_new"))
   }
 
+  /** Streaming twin of the q243 AMS F2 sign-sketch (Alon, Matias &
+    * Szegedy 1996): over a stream of documents, Y_j = Σ_occurrences
+    * s_j(w) — the batch form's Σ_w s_j(w)·c_w collapses to the same
+    * exact integer, so the (source, j, y) sketch rows are a plain
+    * streaming SUM: mergeable by + across micro-batches, shards, and
+    * crawls alike. The estimate mean_j(Y_j²) is a driver-side fold over
+    * nEst rows whenever a reader wants it; the STATE is just the sketch. */
+  def streamingAmsF2(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source", nEst: Int = 16): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(graft.llm.TextOps.words(col(textCol))).as("w"))
+      .select(col("source"), posexplode(
+        array((0 until nEst).map { j =>
+          (lit(1L) - lit(2L) * graft.llm.TextOps.wordHash60(
+            concat(lit(s"ams$j:"), col("w"))).bitwiseAND(lit(1L)))
+        }: _*)).as(Seq("j", "s")))
+      .groupBy("source", "j")
+      .agg(sum(col("s")).as("y"), count(lit(1)).as("n_tokens"))
+
+  /** Streaming twin of the q249 Benford first-digit audit: per-type
+    * leading-digit counts as a streaming aggregation (counts are the
+    * sufficient statistic — shares, deviations, and chi² derive from
+    * them at read time). Digit extraction is the same engine-stable
+    * floor-quantize + first-decimal-char as the batch query. */
+  def streamingBenford(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        floor(abs(col("value")) * 10000 + 0.5).cast("long").as("__iv"))
+      .filter(col("__iv") > 0)
+      .withColumn("digit",
+        substring(col("__iv").cast("string"), 1, 1).cast("int"))
+      .groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("n_obs"))
+
   /** Run the streaming plan over a static parquet directory through the
     * memory sink until exhausted; returns the materialized result. Used by
     * tests and as the backfill demonstration. */

@@ -804,4 +804,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
   }
+
+  test("streaming AMS F2 sketch matches the batch count-table sketch " +
+      "exactly across micro-batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ams_stream").toString
+    Seq((1L, "a b a c a b", "web"), (2L, "b c d", "web"),
+      (3L, "x y x", "book")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    Seq((4L, "a a b z", "web"), (5L, "y y y x w", "book"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingAmsF2(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ams_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ams_stream").select("source", "j", "y")
+
+    // batch side: q243's count-table form Σ_w s_j(w)·c_w over the union
+    val freq = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(col("source"),
+        explode(graft.llm.TextOps.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val batch = freq.select(col("source"), col("c"), posexplode(
+        array((0 until 16).map { j =>
+          (lit(1L) - lit(2L) * graft.llm.TextOps.wordHash60(
+            concat(lit(s"ams$j:"), col("w"))).bitwiseAND(lit(1L)))
+        }: _*)).as(Seq("j", "s")))
+      .groupBy("source", "j")
+      .agg(sum(col("s") * col("c")).as("y"))
+    assert(got.count() == 2 * 16)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
+  test("streaming Benford digit counts match the batch q249 counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("benford_stream").toString
+    def df(rows: Seq[(String, Double)]) =
+      rows.toDF("event_type", "value")
+        .withColumn("event_id", lit(1L))
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .withColumn("user_id", lit(1L))
+        .withColumn("props", lit(""))
+    df(Seq(("click", 123.4), ("click", 91.2), ("click", 0.0),
+      ("buy", 17.5), ("buy", 2000.0))).coalesce(1)
+      .write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    df(Seq(("click", 150.0), ("buy", 19.9), ("buy", -33.0)))
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingBenford(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("benford_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("benford_stream")
+    val batch = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(col("event_type"),
+        floor(abs(col("value")) * 10000 + 0.5).cast("long").as("__iv"))
+      .filter(col("__iv") > 0)
+      .withColumn("digit",
+        substring(col("__iv").cast("string"), 1, 1).cast("int"))
+      .groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("n_obs"))
+    // value 0.0 contributes nowhere; 1 leads for 123.4/150/17.5/19.9...
+    assert(got.filter(col("event_type") === "click" &&
+      col("digit") === 1).select("n_obs").as[Long].head() == 2L)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
 }
