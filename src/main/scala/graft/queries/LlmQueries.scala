@@ -1057,6 +1057,50 @@ object LlmQueries {
     "q252_chao1" -> ((s, dir) =>
       TextAnalysis.chao1(Tables.documents(s, dir), "text", "source")),
 
+    // AMS-sketch shard workflow (the q231 pattern on q243's F2 sketch):
+    // per-shard (source, j, Y) sign-sum sketches persist to parquet,
+    // re-merge by plain SUM, and must equal the direct corpus sketch
+    // EXACTLY (integer linearity of Y_j = Σ s_j(w)·c_w) — the
+    // incremental-crawl form: each crawl ships sketch rows, never
+    // re-scans history. The f2 estimate off the MERGED sketch is the
+    // cross-engine-checked value.
+    "q253_ams_shard_merge" -> ((s, dir) => {
+      val nEst = 16
+      def signs(wcol: org.apache.spark.sql.Column) =
+        array((0 until nEst).map { j =>
+          (lit(1L) - lit(2L) * TextOps.wordHash60(
+            concat(lit(s"ams$j:"), wcol)).bitwiseAND(lit(1L)))
+        }: _*)
+      val docs = Tables.documents(s, dir)
+      val path = s"${IoQueries.sinkDir}/q253_ams_shards"
+      docs.select(col("source"), (col("doc_id") % 4).as("shard"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .select(col("source"), col("shard"),
+          posexplode(signs(col("w"))).as(Seq("j", "sg")))
+        .groupBy("source", "shard", "j").agg(sum(col("sg")).as("y"))
+        .write.mode("overwrite").parquet(path)
+      val merged = s.read.parquet(path)
+        .groupBy("source", "j")
+        .agg(sum(col("y")).as("y_m"),
+          countDistinct(col("shard")).as("__ns"))
+      val direct = docs.select(col("source"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .select(col("source"), col("c"),
+          posexplode(signs(col("w"))).as(Seq("j", "sg")))
+        .groupBy("source", "j").agg(sum(col("sg") * col("c")).as("y_d"))
+      merged.join(direct, Seq("source", "j"))
+        .groupBy("source")
+        .agg(max(col("__ns")).as("n_shards"),
+          sum(when(col("y_m") === col("y_d"), 1L).otherwise(0L))
+            .as("n_eq"),
+          (sum(col("y_m") * col("y_m")).cast("double") /
+            lit(nEst.toDouble)).as("__est"))
+        .select(col("source"), col("n_shards"), col("n_eq"),
+          round(col("__est"), 4).as("f2_est"),
+          (col("n_eq") === nEst).as("merge_exact"))
+    }),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -3851,6 +3895,27 @@ object LlmQueries {
          |SELECT * FROM s0 UNION ALL SELECT * FROM s1
          |UNION ALL SELECT * FROM s2""".stripMargin
     },
+
+    "q253_ams_shard_merge" ->
+      s"""WITH wr AS (
+         |  SELECT source, doc_id, unnest($WORDS) AS word FROM documents),
+         |shards AS (
+         |  SELECT source, COUNT(DISTINCT doc_id % 4) AS n_shards
+         |  FROM wr GROUP BY 1),
+         |f AS (SELECT source, word, COUNT(*) AS c FROM wr GROUP BY 1, 2),
+         |sg AS (
+         |  SELECT source, c, j,
+         |    1 - 2 * (('0x' || substr(md5('ams' || CAST(j AS VARCHAR)
+         |      || ':' || word), 1, 15))::BIGINT & 1) AS s
+         |  FROM f, unnest(range(0, 16)) AS t(j)),
+         |sk AS (SELECT source, j, CAST(SUM(s * c) AS BIGINT) AS y
+         |       FROM sg GROUP BY 1, 2),
+         |e AS (SELECT source, CAST(SUM(y * y) AS BIGINT)::DOUBLE / 16
+         |        AS est
+         |      FROM sk GROUP BY 1)
+         |SELECT e.source, shards.n_shards, CAST(16 AS BIGINT) AS n_eq,
+         |  ROUND(e.est, 4) AS f2_est, TRUE AS merge_exact
+         |FROM e JOIN shards USING (source)""".stripMargin,
 
     "q250_langid_confusion" ->
       s"""WITH pred AS ($langSelectSql),

@@ -884,6 +884,72 @@ object Relational {
           col("sen_slope"), (abs(col("z")) > 1.96).as("trend_flag"))
     }),
 
+    // Kolmogorov–Smirnov two-sample test per event type (Kolmogorov
+    // 1933; Smirnov 1948): value distribution of the first calendar
+    // half vs the second — the exact-ECDF companion to q223's binned
+    // PSI. D = max |F1 − F2| from RANGE-framed running counts (ties
+    // collapse correctly; no row-order dependence), the rejection rule
+    // is the large-sample 1.358·sqrt((n1+n2)/(n1·n2)) critical value.
+    // Shape: one scan + per-type sorted windows (range exchange on
+    // (type, value)); every post-window row is (type)-bounded.
+    "q254_ks_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("__mid"))
+      val t = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"), col("value"),
+          (col("ts_us") <= col("__mid")).as("__h1"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      val d = t
+        .withColumn("__c1", sum(when(col("__h1"), 1L).otherwise(0L)).over(w))
+        .withColumn("__c2", sum(when(col("__h1"), 0L).otherwise(1L)).over(w))
+        .withColumn("__n1", sum(when(col("__h1"), 1L).otherwise(0L)).over(wt))
+        .withColumn("__n2", sum(when(col("__h1"), 0L).otherwise(1L)).over(wt))
+        .groupBy("event_type")
+        .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+          max(abs(col("__c1").cast("double") / col("__n1") -
+            col("__c2").cast("double") / col("__n2"))).as("__d"))
+      d.withColumn("__crit", lit(1.358) *
+          sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2")).cast("double")))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(col("__d"), 6).as("d_stat"),
+          round(col("__crit"), 6).as("crit_05"),
+          (col("__d") > col("__crit")).as("reject"))
+    }),
+
+    // Holt double (level + linear-trend) exponential smoothing (Holt
+    // 1957) over each type's daily counts: α=0.5, β=0.3, classic
+    // l₁=x₁ / b₁=x₂−x₁ initialization, one-step-ahead residual MAE and
+    // the next-day forecast. The recursion folds over the BOUNDED
+    // day-sorted series inside one aggregate() HOF expression (q218's
+    // pattern — calendar-bounded state, never a corpus window).
+    "q255_holt_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("event_type"), expr(s"ts_us div $DAY_US").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("n"))))
+            .as("__series"))
+        .filter(col("n_days") >= 2)
+        .withColumn("__xs",
+          expr("transform(__series, p -> CAST(p.n AS DOUBLE))"))
+        .withColumn("__acc", expr(
+          "aggregate(slice(__xs, 2, size(__xs) - 1), " +
+            "array(__xs[0], __xs[1] - __xs[0], 0D, 0D), (a, x) -> array(" +
+            "0.5D * x + 0.5D * (a[0] + a[1]), " +
+            "0.3D * ((0.5D * x + 0.5D * (a[0] + a[1])) - a[0]) + 0.7D * a[1], " +
+            "a[2] + abs(x - a[0] - a[1]), " +
+            "a[3] + 1D))"))
+        .select(col("event_type"), col("n_days"),
+          round(col("__acc")(0), 6).as("level"),
+          round(col("__acc")(1), 6).as("trend"),
+          round(col("__acc")(0) + col("__acc")(1), 6).as("forecast_next"),
+          round(col("__acc")(2) / col("__acc")(3), 6).as("mae"))
+    }),
+
     // Benford first-digit audit (Benford 1938; Nigrini's forensic
     // usage) over each type's value column: observed leading-digit
     // shares vs the Benford expectation, per-digit deviation, and the
@@ -1680,6 +1746,65 @@ object Relational {
          |  ROUND(var_s, 6) AS var_s, ROUND(zz, 6) AS z, sen_slope,
          |  abs(ROUND(zz, 6)) > 1.96 AS trend_flag
          |FROM z""".stripMargin,
+
+    "q254_ks_test" ->
+      s"""WITH mid AS (
+         |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS m
+         |  FROM events),
+         |t AS (
+         |  SELECT event_type, value, epoch_us(ts) <= m AS h1
+         |  FROM events, mid),
+         |r AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY event_type ORDER BY value
+         |      RANGE UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN h1 THEN 0 ELSE 1 END) OVER (
+         |      PARTITION BY event_type ORDER BY value
+         |      RANGE UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+         |    CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY event_type) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN h1 THEN 0 ELSE 1 END) OVER (
+         |      PARTITION BY event_type) AS BIGINT) AS n2
+         |  FROM t),
+         |d AS (
+         |  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+         |    MAX(abs(c1::DOUBLE / n1 - c2::DOUBLE / n2)) AS dd
+         |  FROM r GROUP BY 1)
+         |SELECT event_type, n1, n2, ROUND(dd, 6) AS d_stat,
+         |  ROUND(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE), 6)
+         |    AS crit_05,
+         |  dd > 1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE)
+         |    AS reject
+         |FROM d""".stripMargin,
+
+    "q255_holt_trend" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DAY_US AS day, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |a AS (
+         |  SELECT event_type, COUNT(*) AS n_days,
+         |    list_transform(list(n ORDER BY day), x -> x::DOUBLE) AS xs
+         |  FROM daily GROUP BY 1),
+         |c AS (
+         |  SELECT event_type, n_days,
+         |    list_reduce(
+         |      list_prepend(
+         |        [xs[1], xs[2] - xs[1], 0.0::DOUBLE, 0.0::DOUBLE],
+         |        list_transform(xs[2:],
+         |          x -> [x, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+         |      (a, e) -> [
+         |        0.5::DOUBLE * e[1] + 0.5::DOUBLE * (a[1] + a[2]),
+         |        0.3::DOUBLE * ((0.5::DOUBLE * e[1]
+         |          + 0.5::DOUBLE * (a[1] + a[2])) - a[1])
+         |          + 0.7::DOUBLE * a[2],
+         |        a[3] + abs(e[1] - a[1] - a[2]),
+         |        a[4] + 1.0::DOUBLE]) AS f
+         |  FROM a WHERE n_days >= 2)
+         |SELECT event_type, n_days, ROUND(f[1], 6) AS level,
+         |  ROUND(f[2], 6) AS trend, ROUND(f[1] + f[2], 6) AS forecast_next,
+         |  ROUND(f[3] / f[4], 6) AS mae
+         |FROM c""".stripMargin,
 
     "q249_benford" -> {
       val vals = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,

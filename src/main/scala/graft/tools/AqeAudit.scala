@@ -43,7 +43,17 @@ object AqeAudit {
       // confident-learning joint composite, the Kneser-Ney four-table
       // checkpoint reuse, and the shard-sketch persist + re-merge
       "q228_kmv_cardinality", "q229_confident_joint", "q230_kneser_ney",
-      "q231_sketch_shard_merge")
+      "q231_sketch_shard_merge",
+      // q232–q255 batch (r14): the non-trivial join graphs — blocked
+      // record linkage rode in earlier; here the theta-sketch pair
+      // join, the SNM window chain, the two-LM Moore–Lewis composite,
+      // the MMD moment pair join, the silhouette centroid fan-out, the
+      // MK pairwise self-join, the KS half-split windows, and the AMS
+      // shard persist + re-merge
+      "q239_ngram_novelty", "q240_hyperball", "q241_theta_diff",
+      "q242_snm_dedup", "q245_moore_lewis", "q246_mmd",
+      "q247_silhouette", "q248_mann_kendall", "q250_langid_confusion",
+      "q253_ams_shard_merge", "q254_ks_test")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

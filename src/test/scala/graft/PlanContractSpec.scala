@@ -57,7 +57,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q241_theta_diff",      // sources^2 sketch-pair join, hinted both sides
     "q245_moore_lewis",     // broadcast 1-row vocab-size scalars (q85 family)
     "q247_silhouette",      // kMeans' broadcast-centroid fan-out (q87 family)
-    "q251_curriculum")      // broadcast 1-row corpus-count scalar
+    "q251_curriculum",      // broadcast 1-row corpus-count scalar
+    "q254_ks_test")         // broadcast 1-row calendar-midpoint scalar
 
   /** A session with the shape-relevant confs PINNED — the suite's shared
     * getOrCreate session picks up conf mutations from other specs (the
