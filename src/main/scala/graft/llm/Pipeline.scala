@@ -761,7 +761,19 @@ object Pipeline {
     * its four consumers must not replan the corpus pass. Per-term ln is
     * pinned to 6 digits; per-doc sums route through exact decimal. */
   def kneserNeyLmScore(docs: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75): DataFrame =
+    kneserNeyScore(docs, idCol, textCol,
+      kneserNeyModel(docs, idCol, textCol), discount)
+
+  /** The Kneser–Ney model TABLE: one row per observed bigram carrying
+    * every count the smoothing formula needs — c12, the context totals
+    * c1 / type fan-outs t1, the continuation counts n2, and the bigram
+    * type total nb (a global scalar folded in as a column so the model
+    * is ONE self-contained vocab²-bounded artifact that persists,
+    * reloads, and merges like any other table — the q140/q253 workflow
+    * family, exercised by q256). */
+  def kneserNeyModel(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val bigrams = wordRows(docs, idCol, textCol)
       .withColumn("w2", lead(col("word"), 1).over(w))
@@ -778,14 +790,24 @@ object Pipeline {
       .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__t1"))
     val cont = counts.groupBy("w2").agg(count(lit(1)).as("__n2"))
     val totB = counts.agg(count(lit(1)).as("__nb"))
+    counts.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(totB))
+  }
+
+  /** Score a corpus against a (possibly reloaded) [[kneserNeyModel]]. */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, discount: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = wordRows(docs, idCol, textCol)
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("word").as("w1"), col("w2"))
     val nll = round(-log(
       (col("__c12") - discount) / col("__c1") +
         (lit(discount) * col("__t1") / col("__c1")) *
           (col("__n2").cast("double") / col("__nb"))), 6)
-    val model = counts.join(ctx, Seq("w1")).join(cont, Seq("w2"))
     val scored = bigrams
       .join(model, Seq("w1", "w2"))
-      .crossJoin(broadcast(totB))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         graft.core.Det.sumDet(nll, scale = 6).as("__sum"))

@@ -1101,6 +1101,90 @@ object LlmQueries {
           (col("n_eq") === nEst).as("merge_exact"))
     }),
 
+    // LM persist/reload workflow (the q140/q253 family on the KN LM):
+    // the vocab²-bounded Kneser–Ney model table writes to parquet,
+    // reloads, re-scores the corpus, and must equal the direct scores
+    // doc-for-doc (parquet round-trips longs and the scalar column
+    // exactly) — train-once / score-many-crawls is how an LM filter
+    // actually deploys at 100 TB.
+    "q256_lm_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${IoQueries.sinkDir}/q256_kn_model"
+      Pipeline.kneserNeyModel(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      val direct = Pipeline.kneserNeyLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_nll_kn").as("__direct"))
+      Pipeline.kneserNeyScore(docs, "doc_id", "text", s.read.parquet(path))
+        .join(direct, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("avg_nll_kn").isNotNull, 1L).otherwise(0L))
+            .as("n_scored"),
+          sum(when(col("avg_nll_kn") <=> col("__direct"), 1L)
+            .otherwise(0L)).as("n_eq"))
+        .withColumn("persist_exact", col("n_eq") === col("n_docs"))
+    }),
+
+    // Rendezvous (highest-random-weight) hashing shard assignment
+    // (Thaler & Ravishankar 1998) + the consistent-remap audit: argmax
+    // over per-(doc, shard) hashes for 4 shards, again for 5 — HRW
+    // guarantees every reassigned doc moves TO the new shard (never
+    // between old ones) and ~1/5 of each shard moves, which the query
+    // verifies (n_moved_elsewhere must be 0). Pure map-side expression
+    // work + one doc-keyed aggregate pair — the shard-topology-change
+    // operator a 100 TB store runs on every capacity change.
+    "q257_rendezvous" -> ((s, dir) => {
+      val hs = Tables.documents(s, dir).select(col("doc_id"),
+          posexplode(array((0 until 5).map { sh =>
+            TextOps.wordHash60(concat(lit(s"hrw$sh:"),
+              col("doc_id").cast("string")))
+          }: _*)).as(Seq("s", "h")))
+      def arg(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy("doc_id")
+          .agg(max_by(col("s"), struct(col("h"), col("s"))).as(name))
+      arg(hs.filter(col("s") < 4), "shard4")
+        .join(arg(hs, "shard5"), Seq("doc_id"))
+        .groupBy(col("shard4").as("shard"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("shard5") =!= col("shard4"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("shard5") =!= col("shard4") &&
+            col("shard5") =!= 4, 1L).otherwise(0L))
+            .as("n_moved_elsewhere"))
+        .withColumn("moved_frac",
+          round(col("n_moved").cast("double") / col("n_before"), 6))
+    }),
+
+    // Feature-hashing collision curve (Weinberger et al., ICML 2009):
+    // for bucket counts 2^8/2^10/2^12, the type- and token-mass
+    // collision rates of the hashing trick over the corpus vocabulary —
+    // the audit that sizes q128/q129's hashed feature spaces. One vocab
+    // aggregate fanned out ×3; everything downstream is bucket-bounded.
+    "q258_hash_collisions" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      vocab.select(col("w"), col("c"),
+          explode(array(Seq(8, 10, 12).map(lit): _*)).as("k"))
+        .withColumn("bucket", TextOps.wordHash60(col("w")) %
+          when(col("k") === 8, 256L).when(col("k") === 10, 1024L)
+            .otherwise(4096L))
+        .groupBy("k", "bucket")
+        .agg(count(lit(1)).as("__t"), sum(col("c")).as("__m"))
+        .groupBy("k")
+        .agg(sum(col("__t")).as("n_types"),
+          count(lit(1)).as("n_buckets_used"),
+          sum(when(col("__t") > 1, col("__t")).otherwise(0L))
+            .as("__coll_t"),
+          sum(col("__m")).as("__mass"),
+          sum(when(col("__t") > 1, col("__m")).otherwise(0L))
+            .as("__coll_m"))
+        .select(col("k"), col("n_types"), col("n_buckets_used"),
+          round(col("__coll_t").cast("double") / col("n_types"), 6)
+            .as("type_collision_rate"),
+          round(col("__coll_m").cast("double") / col("__mass"), 6)
+            .as("mass_collision_rate"))
+    }),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -3895,6 +3979,72 @@ object LlmQueries {
          |SELECT * FROM s0 UNION ALL SELECT * FROM s1
          |UNION ALL SELECT * FROM s2""".stripMargin
     },
+
+    "q256_lm_persist" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |b2 AS (
+         |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM b2 GROUP BY 1),
+         |s AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN n_bigrams IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_scored
+         |  FROM documents d LEFT JOIN pd USING (doc_id))
+         |SELECT n_docs, n_scored, n_docs AS n_eq, TRUE AS persist_exact
+         |FROM s""".stripMargin,
+
+    "q257_rendezvous" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, j AS s,
+         |    ('0x' || substr(md5('hrw' || CAST(j AS VARCHAR) || ':'
+         |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents, unnest(range(0, 5)) AS t(j)),
+         |a4 AS (
+         |  SELECT doc_id, s AS shard4 FROM (
+         |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY h DESC, s DESC) AS rn
+         |    FROM hs WHERE s < 4) WHERE rn = 1),
+         |a5 AS (
+         |  SELECT doc_id, s AS shard5 FROM (
+         |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY h DESC, s DESC) AS rn
+         |    FROM hs) WHERE rn = 1)
+         |SELECT shard4 AS shard, COUNT(*) AS n_before,
+         |  CAST(SUM(CASE WHEN shard5 <> shard4 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  CAST(SUM(CASE WHEN shard5 <> shard4 AND shard5 <> 4
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere,
+         |  ROUND(CAST(SUM(CASE WHEN shard5 <> shard4 THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*), 6) AS moved_frac
+         |FROM a4 JOIN a5 USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
+    "q258_hash_collisions" ->
+      s"""WITH v AS (
+         |  SELECT word, COUNT(*) AS c FROM (
+         |    SELECT unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1),
+         |kb AS (
+         |  SELECT k,
+         |    ('0x' || substr(md5(word), 1, 15))::BIGINT
+         |      % (CASE WHEN k = 8 THEN 256 WHEN k = 10 THEN 1024
+         |         ELSE 4096 END) AS bucket,
+         |    c
+         |  FROM v, unnest([8, 10, 12]) AS t(k)),
+         |b AS (
+         |  SELECT k, bucket, COUNT(*) AS t, CAST(SUM(c) AS BIGINT) AS m
+         |  FROM kb GROUP BY 1, 2)
+         |SELECT k, CAST(SUM(t) AS BIGINT) AS n_types,
+         |  COUNT(*) AS n_buckets_used,
+         |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN t ELSE 0 END) AS BIGINT)
+         |    ::DOUBLE / CAST(SUM(t) AS BIGINT), 6) AS type_collision_rate,
+         |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
+         |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
+         |FROM b GROUP BY 1""".stripMargin,
 
     "q253_ams_shard_merge" ->
       s"""WITH wr AS (

@@ -53,7 +53,11 @@ object AqeAudit {
       "q239_ngram_novelty", "q240_hyperball", "q241_theta_diff",
       "q242_snm_dedup", "q245_moore_lewis", "q246_mmd",
       "q247_silhouette", "q248_mann_kendall", "q250_langid_confusion",
-      "q253_ams_shard_merge", "q254_ks_test")
+      "q253_ams_shard_merge", "q254_ks_test",
+      // q256–q258 batch: the KN model persist + re-score join, the
+      // rendezvous double-argmax self-join, and the vocab-bounded
+      // collision fan-out
+      "q256_lm_persist", "q257_rendezvous", "q258_hash_collisions")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
