@@ -1344,4 +1344,99 @@ object Dedup {
             s => s.getField("line")),
           "\n").as("cleaned_text"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks") over a near-dup pair graph: every node
+    * starts as its own label; each round it adopts the PLURALITY label
+    * among its neighbors, ties to the lowest label. Unlike connected
+    * components (which merge everything reachable), LPA splits dense
+    * components along weak cuts — the finer-grained "which docs form a
+    * template family" view. `iters` fixed synchronous rounds keep the
+    * result deterministic and oracle-mirrorable (classic LPA's random
+    * update order is neither).
+    *
+    * Scale shape: per round, one equi-join of the edge table against the
+    * (node, label) table and two map-side-combinable aggregates; edges
+    * are the BOUNDED near-dup pair set, pinned once (localCheckpoint),
+    * and each round's label table is checkpointed so the plan stays flat
+    * (the PageRank/connected-components lineage rule). Output:
+    * (id, community, community_size). */
+  def labelPropagation(pairs: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20, "fixed small iteration count")
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id"))
+      .distinct().withColumn("lab", col("id")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("id").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u"), col("lab"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("u").as("id"))
+        .agg(min_by(col("lab"), struct(-col("__c"), col("lab"))).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lab").as("community"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("community")))
+  }
+
+  /** LSH parameter S-curve audit (Leskovec/Rajaraman/Ullman, "Mining of
+    * Massive Datasets" §3.4.2): for candidate (bands b, rowsPerBand r)
+    * layouts of a 16-hash signature, the probability a pair with
+    * Jaccard s becomes an LSH candidate is P(s) = 1 − (1 − s^r)^b.
+    * Evaluated against the OBSERVED exact-Jaccard distribution of this
+    * corpus's verified candidate pairs: expected recall over true pairs
+    * (j ≥ `threshold`) and expected false-candidate rate over
+    * sub-threshold pairs — the audit that picks (b, r) BEFORE committing
+    * a corpus-scale signature store.
+    *
+    * Scale shape: rides [[minhashPairs]]' bounded candidate table (one
+    * corpus pass), fans each pair out ×|grid|, then one grid-bounded
+    * aggregate. Exactness: s^r and (1−x)^b use explicit squaring chains
+    * (exact IEEE multiplies — `pow` differs across libms), and the means
+    * quantize each P onto the 2^30 grid so sums are integers. */
+  def lshParamCurve(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val grid = 1073741824L // 2^30
+    // squaring chains: x^e for e a power of two
+    def pw(x: Column, e: Int): Column =
+      if (e == 1) x else { val h = pw(x, e / 2); h * h }
+    val configs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+    val pairs = minhashPairs(docs, idCol, textCol, shingleN,
+      numHashes = 8, numBands = 4, threshold = 0.1)
+    val fanned = pairs.select(col("jaccard"),
+      explode(array(configs.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"))
+      }: _*)).as("cfg"))
+      .select(col("jaccard"), col("cfg.bands"), col("cfg.rows_per_band"))
+    val sR = configs.tail.foldLeft(
+      when(col("rows_per_band") === configs.head._2,
+        pw(col("jaccard"), configs.head._2))) { case (acc, (_, r)) =>
+      acc.when(col("rows_per_band") === r, pw(col("jaccard"), r))
+    }
+    val p = configs.tail.foldLeft(
+      when(col("bands") === configs.head._1,
+        lit(1.0) - pw(lit(1.0) - col("__sr"), configs.head._1))) {
+      case (acc, (b, _)) =>
+        acc.when(col("bands") === b,
+          lit(1.0) - pw(lit(1.0) - col("__sr"), b))
+    }
+    def qMean(flag: Column): (Column, Column) = {
+      val n = sum(flag.cast("long"))
+      (n, when(n > 0, round(
+        sum(when(flag, col("__qp")).otherwise(0L)).cast("double") /
+          grid / n, 6)))
+    }
+    val (nTrue, recall) = qMean(col("jaccard") >= threshold)
+    val (nFp, fpRate) = qMean(col("jaccard") < threshold)
+    fanned
+      .withColumn("__sr", sR)
+      .withColumn("__qp", floor(p * grid + 0.5).cast("long"))
+      .groupBy("bands", "rows_per_band")
+      .agg(nTrue.as("n_true_pairs"), recall.as("exp_recall"),
+        nFp.as("n_fp_cand"), fpRate.as("exp_fp_rate"))
+  }
 }

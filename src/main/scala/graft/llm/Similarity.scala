@@ -1201,4 +1201,68 @@ object Similarity {
         (col("top1_full") === col("top1_sub")).as("is_match"),
         col("cos_full_top"), col("cos_sub_top"))
   }
+
+  /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
+    * Theorem 1): under a K-NN utility, each training point's exact
+    * Shapley value for one test point obeys the closed recursion
+    * (train sorted nearest-first, rank i of N)
+    *
+    *   s_N = 1[y_N = y] / N
+    *   s_i = s_{i+1} + (1[y_i = y] − 1[y_{i+1} = y]) · min(K,i) / (K·i)
+    *
+    * which TELESCOPES into a suffix sum — so the whole valuation is one
+    * rank window plus one cumulative-sum window per test point, no
+    * iteration, O(N log N) total. Output: per train point, the mean
+    * Shapley value over the query batch (the "which examples help/hurt
+    * this eval set" curation signal).
+    *
+    * Scale shape: bounded broadcast query side × one corpus scan (the
+    * q30 cost class); the rank window range-partitions by query.
+    * Cross-engine exactness: each rank increment is quantized onto the
+    * 2^30 binary grid (floor(d·2^30 + 0.5); power-of-two scaling is
+    * IEEE-exact), so every suffix and mean is integer arithmetic —
+    * reduction order cannot shift the hash. Ranks sort on the 6-dp
+    * cosine with id tie-break (the q30 convention). */
+  def knnShapley(queries: DataFrame, train: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val grid = 1073741824L // 2^30
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), col(labelCol).as("q_label"))
+      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
+    val c = train.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+      col(labelCol).as("c_label"))
+      .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
+    val byCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val byRank = Window.partitionBy("query_id").orderBy("rnk")
+    val part = Window.partitionBy("query_id")
+    val suffix = Window.partitionBy("query_id").orderBy(col("rnk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        VectorOps.cosine(VectorOps.dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")), 6))
+      .withColumn("rnk", row_number().over(byCos))
+      .withColumn("m", (col("c_label") === col("q_label")).cast("int"))
+      .select("query_id", "cand_id", "rnk", "m")
+    val scored = ranked
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__m2", lead(col("m"), 1).over(byRank))
+      // d_i·2^30 as an exact integer; the lone double op per rank is one
+      // correctly-rounded division, identical on both engines
+      .withColumn("__d", when(col("rnk") < col("__n"),
+        floor(((col("m") - col("__m2")) * least(lit(k), col("rnk")))
+          .cast("double") / (lit(k) * col("rnk")) * grid + 0.5)
+          .cast("long")).otherwise(0L))
+      .withColumn("__sN", max(when(col("rnk") === col("__n"),
+        floor(col("m").cast("double") / col("__n") * grid + 0.5)
+          .cast("long"))).over(part))
+      .withColumn("__s", sum(col("__d")).over(suffix) + col("__sN"))
+    scored.groupBy(col("cand_id").as(idCol))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("__s")).cast("double") / grid /
+          count(lit(1)), 6).as("shap_mean"))
+  }
 }

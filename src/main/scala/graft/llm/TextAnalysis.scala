@@ -797,4 +797,189 @@ object TextAnalysis {
       .select("lang", "n_true", "n_pred", "n_correct", "precision",
         "recall", "f1")
   }
+
+  /** Fleiss' kappa (Fleiss 1971, "Measuring nominal scale agreement
+    * among many raters") across three deterministic binary keep/reject
+    * raters — word-count ≥ 50, alphabetic-word ratio ≥ 0.8 (integer
+    * form 5·nAlpha ≥ 4·nWords, exact), ≥ 2 distinct English stopwords
+    * (the three hard Gopher rules as independent judges). Chance-
+    * corrected agreement beyond what the category base rates predict —
+    * the multi-rater extension of q208's pairwise Cohen kappa.
+    *
+    * Per item with x keep-votes of n=3, Σ_j n_ij(n_ij−1) =
+    * x(x−1) + (3−x)(2−x); P̄ and P_e derive from the two INTEGER corpus
+    * sums Σx and Σ[x(x−1)+(3−x)(2−x)], so the only doubles are four
+    * final divisions — one map-only scan, one 1-row aggregate, exact at
+    * any scale. κ undefined (null) when P_e = 1. */
+  def fleissKappa(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = stopwords.head._2
+    val w = TextOps.words(col(textCol))
+    val nW = size(w)
+    val r1 = (nW >= 50).cast("int")
+    val r2 = (nW > 0 &&
+      size(filter(w, x => x.rlike("[a-z]"))) * 5 >= nW * 4).cast("int")
+    val r3 = (size(array_intersect(array_distinct(w),
+      array(en.map(lit): _*))) >= 2).cast("int")
+    docs.select((r1 + r2 + r3).cast("long").as("__x"))
+      .select(col("__x"),
+        (col("__x") * (col("__x") - 1) +
+          (lit(3L) - col("__x")) * (lit(2L) - col("__x"))).as("__q"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__x")).as("__sx"),
+        sum(col("__q")).as("__sq"))
+      .select(col("n_docs"),
+        (col("__sq").cast("double") / (lit(6.0) * col("n_docs")))
+          .as("__pbar"),
+        (col("__sx").cast("double") / (lit(3.0) * col("n_docs")))
+          .as("__pk"))
+      .select(col("n_docs"), col("__pbar"),
+        (col("__pk") * col("__pk") +
+          (lit(1.0) - col("__pk")) * (lit(1.0) - col("__pk"))).as("__pe"))
+      .select(col("n_docs"), round(col("__pbar"), 6).as("p_bar"),
+        round(col("__pe"), 6).as("p_e"),
+        round(when(col("__pe") =!= 1.0,
+          (col("__pbar") - col("__pe")) / (lit(1.0) - col("__pe"))), 6)
+          .as("kappa"))
+  }
+
+  /** Per-source Spearman rank correlation (Spearman 1904; the
+    * tie-corrected form = Pearson on average ranks) between two quality
+    * scores — the [[hashClassifier]] margin and the mean word length —
+    * answering "do these two filters RANK documents the same way?",
+    * which kappa's binary agreement cannot.
+    *
+    * Average ranks are held as the exact INTEGER 2·rank_avg =
+    * 2·rank_min + ties − 1; every Pearson sum is then integer
+    * arithmetic carried in DECIMAL(38,0) (n·Σxy − Σx·Σy overflows a
+    * long at corpus scale), converted to double once through a STRING
+    * round-trip (decimal-string parse is correctly rounded by spec on
+    * both engines; a direct DECIMAL→DOUBLE cast can differ by 1 ulp).
+    * Scale: windows partition by source — the quantile-norm profile;
+    * the largest source bounds the sort task. */
+  def spearmanScores(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val mwl = when(size(w) > 0, round(
+      aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") /
+        size(w), 6))
+    // margin inlined (the hashClassifier formula) so both scores come
+    // from ONE corpus scan — calling the classifier and re-joining on id
+    // would self-join the corpus for a value computable in place
+    def weight(x: Column): Column =
+      (pmod(TextOps.wordHash60(concat(lit("clf:"), x)), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0
+    val margin = when(size(w) > 0, round(
+      aggregate(w, lit(0.0d), (acc, x) => acc + weight(x)) / size(w), 6))
+    val scored = docs.select(col(idCol), col(groupCol).as("source"),
+        margin.as("margin"), mwl.as("__mwl"))
+      .filter(col("margin").isNotNull && col("__mwl").isNotNull)
+    def ar2(c: String): Column =
+      rank().over(Window.partitionBy("source").orderBy(col(c))) * 2 +
+        count(lit(1)).over(Window.partitionBy("source", c)) - 1
+    val ranked = scored
+      .withColumn("__rx", ar2("margin").cast("long"))
+      .withColumn("__ry", ar2("__mwl").cast("long"))
+    def dsum(c: Column): Column =
+      sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n"), dsum(col("__rx")).as("__sx"),
+        dsum(col("__ry")).as("__sy"),
+        dsum(col("__rx") * col("__rx")).as("__sxx"),
+        dsum(col("__ry") * col("__ry")).as("__syy"),
+        dsum(col("__rx") * col("__ry")).as("__sxy"))
+      .select(col("source"), col("n"),
+        round(d2d(col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt(d2d(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+            d2d(col("n") * col("__syy") - col("__sy") * col("__sy"))), 6)
+          .as("rho_spearman"))
+  }
+
+  /** Misra–Gries heavy hitters as a MERGEABLE summary (Misra & Gries
+    * 1982; merge rule from Agarwal et al. 2012, "Mergeable Summaries"):
+    * per shard, exact word counts reduce to the ≤k words whose count
+    * exceeds the shard's (k+1)-th largest (estimate = count − that
+    * pivot); shard summaries merge by summing estimates and subtracting
+    * the merged (k+1)-th largest again. The theorem: merged estimates
+    * keep the one-sided MG guarantee est ≤ true ≤ est + N/(k+1) over the
+    * TOTAL token count N — audited here per surviving word against the
+    * exact corpus counts (`bound_ok` must be all-true; the integer form
+    * (true − est)·(k+1) ≤ N avoids division).
+    *
+    * Scale shape: the shard stage is one (shard, word) aggregate with
+    * map-side combine + a per-shard window on its own top slice; the
+    * merge touches ≤ shards·k rows. This is the sketch that lets a
+    * 100 TB crawl keep per-shard top-word summaries as metadata and
+    * re-merge them per source/snapshot without rescanning text. */
+  def misraGries(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, numShards: Int = 8): DataFrame = {
+    val words = docs.select(
+      pmod(col(idCol), lit(numShards.toLong)).as("shard"),
+      explode(TextOps.words(col(textCol))).as("word"))
+    val counts = words.groupBy("shard", "word")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    def summarize(df: DataFrame, grpCol: Option[String], est: Column,
+        word: Column): DataFrame = {
+      val part = grpCol.map(g => Window.partitionBy(g))
+        .getOrElse(Window.partitionBy(lit(1)))
+      val byEst = part.orderBy(est.desc, word)
+      df.withColumn("__rn", row_number().over(byEst))
+        .withColumn("__pivot", coalesce(
+          max(when(col("__rn") === k + 1, est)).over(part), lit(0L)))
+        .filter(est > col("__pivot"))
+        .withColumn("__est", est - col("__pivot"))
+    }
+    val shardSumm = summarize(counts, Some("shard"), col("c"), col("word"))
+      .select(col("word"), col("__est").as("e"))
+    val merged = summarize(
+      shardSumm.groupBy("word").agg(sum(col("e")).as("se")),
+      None, col("se"), col("word"))
+      .select(col("word"), col("__est").as("est_count"))
+    val exact = counts.groupBy("word").agg(sum(col("c")).as("true_count"))
+    val total = counts.agg(sum(col("c")).as("__n"))
+    merged.join(exact, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col("word"), col("est_count"), col("true_count"),
+        (col("true_count") - col("est_count")).as("err"),
+        (col("est_count") <= col("true_count") &&
+          (col("true_count") - col("est_count")) * (k + 1) <= col("__n"))
+          .as("bound_ok"))
+  }
+
+  /** Split-conformal coverage audit (Vovk et al. 2005; the split form
+    * popularized by Lei et al. 2018): calibration docs (id % 5 ≠ 0)
+    * supply the nonconformity scores — the [[hashClassifier]] margin —
+    * and q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest; exchangeability then
+    * guarantees E[coverage] ≥ 1−α on the held-out split (id % 5 = 0).
+    * The audit that turns a raw filter score into a threshold with a
+    * finite-sample guarantee before it gates a corpus.
+    *
+    * Scale shape: the quantile is one global-order selection over the
+    * calibration slice (rank windows range-partition; the selected VALUE
+    * broadcasts as a 1-row scalar), coverage is one aggregate over the
+    * test slice. Margins are 6-dp rationals — the rank selection and the
+    * ≤ comparison are exact on both engines. */
+  def conformalCoverage(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    val scored = hashClassifier(docs, idCol, textCol)
+      .select(col(idCol), col("margin"))
+      .filter(col("margin").isNotNull)
+      .withColumn("__cal", pmod(col(idCol), lit(5L)) =!= 0L)
+      .localCheckpoint()
+    val cal = scored.filter(col("__cal"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("margin"), col(idCol))))
+    val qhat = cal
+      .withColumn("__ncal", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("__idx",
+        ceil((col("__ncal") + 1) * (1.0 - alpha)).cast("long"))
+      .filter(col("__rn") === least(col("__idx"), col("__ncal")))
+      .select(col("__ncal").as("n_cal"), col("__idx").as("q_index"),
+        col("margin").as("qhat"))
+    scored.filter(!col("__cal"))
+      .crossJoin(broadcast(qhat))
+      .groupBy("n_cal", "q_index", "qhat")
+      .agg(count(lit(1)).as("n_test"),
+        round(sum((col("margin") <= col("qhat")).cast("long"))
+          .cast("double") / count(lit(1)), 6).as("coverage"))
+  }
 }

@@ -1185,6 +1185,66 @@ object LlmQueries {
             .as("mass_collision_rate"))
     }),
 
+    // Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): per
+    // train vector, the mean exact Shapley value of a 5-NN utility over
+    // the 20-query eval batch — the "which examples help/hurt this eval
+    // set" curation signal. The closed recursion telescopes into a
+    // suffix sum, so the plan is one broadcast query fan-out + two
+    // windows + one aggregate; increments quantize onto the 2^30 binary
+    // grid so every sum is integer-exact (see Similarity.knnShapley).
+    "q259_knn_shapley" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnShapley(emb.filter(col("vec_id") < 20),
+        emb.filter(col("vec_id") >= 20), "vec_id", "embedding", "label",
+        k = 5)
+    }),
+
+    // LSH (bands, rowsPerBand) S-curve audit over the corpus's OBSERVED
+    // verified-pair Jaccard distribution: expected recall on true pairs
+    // and expected false-candidate rate per layout — the audit that
+    // sizes a signature store before committing it (Dedup.lshParamCurve).
+    "q260_lsh_params" -> ((s, dir) =>
+      Dedup.lshParamCurve(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("bands")),
+
+    // Synchronous label-propagation communities (Raghavan 2007) on the
+    // near-dup pair graph, 4 deterministic rounds with min-label
+    // tie-break — the finer-than-connected-components "template family"
+    // view (Dedup.labelPropagation).
+    "q261_label_prop" -> ((s, dir) =>
+      Dedup.labelPropagation(
+        Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3),
+        iters = 4)),
+
+    // Fleiss' kappa across three deterministic binary keep raters (the
+    // hard Gopher rules as independent judges) — multi-rater
+    // chance-corrected filter agreement, integer sums throughout.
+    "q262_fleiss_kappa" -> ((s, dir) =>
+      TextAnalysis.fleissKappa(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Per-source tie-corrected Spearman rank correlation between the
+    // classifier margin and mean word length — do the two filters RANK
+    // documents the same way? Integer average-ranks in DECIMAL(38,0),
+    // string-routed to double once.
+    "q263_spearman_filters" -> ((s, dir) =>
+      TextAnalysis.spearmanScores(Tables.documents(s, dir), "doc_id",
+        "text", "source")),
+
+    // Misra-Gries heavy hitters as a mergeable summary (Agarwal 2012
+    // merge rule): 8 shard summaries re-merge and every surviving word
+    // must satisfy est <= true <= est + N/(k+1) against exact counts.
+    "q264_misra_gries" -> ((s, dir) =>
+      TextAnalysis.misraGries(Tables.documents(s, dir), "doc_id", "text",
+        k = 20, numShards = 8)),
+
+    // Split-conformal coverage audit (Vovk/Lei): calibration-split
+    // margin quantile as the keep threshold, coverage on the held-out
+    // split — the finite-sample-guaranteed way to threshold a filter.
+    "q266_conformal" -> ((s, dir) =>
+      TextAnalysis.conformalCoverage(Tables.documents(s, dir), "doc_id",
+        "text", alpha = 0.1)),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -4045,6 +4105,232 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q259_knn_shapley" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ROUND(${dot("q.embedding", "c.embedding")}
+         |        / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk,
+         |    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS m
+         |  FROM n q JOIN n c ON c.vec_id >= 20
+         |  WHERE q.vec_id < 20),
+         |d AS (
+         |  SELECT query_id, cand_id, rnk, m,
+         |    COUNT(*) OVER (PARTITION BY query_id) AS nn,
+         |    LEAD(m) OVER (PARTITION BY query_id ORDER BY rnk) AS m2
+         |  FROM r),
+         |s AS (
+         |  SELECT query_id, cand_id,
+         |    SUM(CASE WHEN rnk < nn THEN CAST(FLOOR(
+         |        ((m - m2) * LEAST(5, rnk))::DOUBLE / (5 * rnk)
+         |          * 1073741824 + 0.5) AS BIGINT) ELSE 0 END)
+         |      OVER (PARTITION BY query_id ORDER BY rnk DESC
+         |        ROWS UNBOUNDED PRECEDING)
+         |    + MAX(CASE WHEN rnk = nn THEN CAST(FLOOR(
+         |        m::DOUBLE / nn * 1073741824 + 0.5) AS BIGINT) END)
+         |      OVER (PARTITION BY query_id) AS s_scaled
+         |  FROM d)
+         |SELECT cand_id AS vec_id, COUNT(*) AS n_queries,
+         |  ROUND(CAST(SUM(s_scaled) AS BIGINT)::DOUBLE / 1073741824
+         |    / COUNT(*), 6) + 0.0 AS shap_mean
+         |FROM s GROUP BY 1""".stripMargin,
+
+    "q260_lsh_params" -> {
+      def pw(x: String, e: Int): String =
+        if (e == 1) x else { val h = pw(x, e / 2); s"($h * $h)" }
+      val arms = Seq((2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+        val p = s"1.0 - ${pw(s"(1.0 - ${pw("j", r)})", b)}"
+        s"""SELECT $b AS bands, $r AS rows_per_band, j,
+           |  CAST(FLOOR(($p) * 1073741824 + 0.5) AS BIGINT) AS qp
+           |  FROM pr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $lshCandCtes,
+         |pr AS (
+         |  SELECT ROUND(len(list_intersect(sa.shingles, sb.shingles))
+         |    ::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6)
+         |    AS j
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))
+         |    ::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6)
+         |    >= 0.1),
+         |fan AS ($arms)
+         |SELECT bands, rows_per_band,
+         |  CAST(SUM(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true_pairs,
+         |  CASE WHEN CAST(SUM(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) > 0
+         |    THEN ROUND(CAST(SUM(CASE WHEN j >= 0.3 THEN qp ELSE 0 END)
+         |      AS BIGINT)::DOUBLE / 1073741824
+         |      / CAST(SUM(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END)
+         |        AS BIGINT), 6) END AS exp_recall,
+         |  CAST(SUM(CASE WHEN j < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fp_cand,
+         |  CASE WHEN CAST(SUM(CASE WHEN j < 0.3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) > 0
+         |    THEN ROUND(CAST(SUM(CASE WHEN j < 0.3 THEN qp ELSE 0 END)
+         |      AS BIGINT)::DOUBLE / 1073741824
+         |      / CAST(SUM(CASE WHEN j < 0.3 THEN 1 ELSE 0 END)
+         |        AS BIGINT), 6) END AS exp_fp_rate
+         |FROM fan GROUP BY 1, 2
+         |ORDER BY bands""".stripMargin
+    },
+
+    "q261_label_prop" -> {
+      def iterCte(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT u AS id, lab FROM (
+           |    SELECT e.u AS u, l.lab AS lab, COUNT(*) AS c,
+           |      ROW_NUMBER() OVER (PARTITION BY e.u
+           |        ORDER BY COUNT(*) DESC, l.lab) AS rn
+           |    FROM edges e JOIN $prev l ON l.id = e.v
+           |    GROUP BY e.u, l.lab)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $lshCandCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))
+         |    ::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6)
+         |    >= 0.3),
+         |edges AS (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT id_a AS u, id_b AS v FROM pairs
+         |    UNION ALL SELECT id_b, id_a FROM pairs)),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM edges),
+         |${iterCte("l0", "l1")},
+         |${iterCte("l1", "l2")},
+         |${iterCte("l2", "l3")},
+         |${iterCte("l3", "l4")}
+         |SELECT id, lab AS community,
+         |  COUNT(*) OVER (PARTITION BY lab) AS community_size
+         |FROM l4""".stripMargin
+    },
+
+    "q262_fleiss_kappa" ->
+      s"""WITH q AS (
+         |  SELECT CAST((CASE WHEN len(w) >= 50 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN len(w) > 0 AND 5 * len(list_filter(w,
+         |        x -> regexp_matches(x, '[a-z]'))) >= 4 * len(w)
+         |        THEN 1 ELSE 0 END)
+         |    + (CASE WHEN len(list_intersect(list_distinct(w),
+         |        ['the','a','is','of','and','to','in'])) >= 2
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM (SELECT $WORDS AS w FROM documents)),
+         |s AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * (x - 1) + (3 - x) * (2 - x)) AS BIGINT) AS sq
+         |  FROM q),
+         |t AS (
+         |  SELECT n_docs, sx::DOUBLE / (3.0::DOUBLE * n_docs) AS pk,
+         |    sq::DOUBLE / (6.0::DOUBLE * n_docs) AS pbar
+         |  FROM s),
+         |u AS (
+         |  SELECT n_docs, pbar,
+         |    pk * pk + (1.0::DOUBLE - pk) * (1.0::DOUBLE - pk) AS pe
+         |  FROM t)
+         |SELECT n_docs, ROUND(pbar, 6) AS p_bar, ROUND(pe, 6) AS p_e,
+         |  ROUND(CASE WHEN pe <> 1.0 THEN (pbar - pe)
+         |    / (1.0::DOUBLE - pe) END, 6) + 0.0 AS kappa
+         |FROM u""".stripMargin,
+
+    "q263_spearman_filters" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(w) > 0 THEN ROUND(list_reduce(
+         |      list_transform(w, x ->
+         |        ((('0x' || substr(md5('clf:' || x), 1, 15))::BIGINT
+         |          % 2001) - 1000) / 1000.0),
+         |      (a, b) -> a + b) / len(w), 6) END AS margin,
+         |    CASE WHEN len(w) > 0 THEN ROUND(
+         |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |        / len(w), 6) END AS mwl
+         |  FROM (SELECT doc_id, source, $WORDS AS w FROM documents)),
+         |r AS (
+         |  SELECT source,
+         |    2 * RANK() OVER (PARTITION BY source ORDER BY margin)
+         |      + COUNT(*) OVER (PARTITION BY source, margin) - 1 AS rx,
+         |    2 * RANK() OVER (PARTITION BY source ORDER BY mwl)
+         |      + COUNT(*) OVER (PARTITION BY source, mwl) - 1 AS ry
+         |  FROM sc WHERE margin IS NOT NULL AND mwl IS NOT NULL),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+         |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         |    SUM(rx * ry) AS sxy
+         |  FROM r GROUP BY 1)
+         |SELECT source, n,
+         |  ROUND(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         |    / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+         |      * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)), 6)
+         |    + 0.0 AS rho_spearman
+         |FROM a""".stripMargin,
+
+    "q264_misra_gries" ->
+      s"""WITH wc AS (
+         |  SELECT doc_id % 8 AS shard, word, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT shard, word, c, ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY c DESC, word) AS rn
+         |  FROM wc),
+         |pv AS (
+         |  SELECT shard, COALESCE(MAX(CASE WHEN rn = 21 THEN c END), 0)
+         |    AS pvt FROM sp GROUP BY 1),
+         |ss AS (
+         |  SELECT word, c - pvt AS e FROM sp JOIN pv USING (shard)
+         |  WHERE c > pvt),
+         |ms AS (SELECT word, CAST(SUM(e) AS BIGINT) AS se FROM ss
+         |  GROUP BY 1),
+         |mp AS (
+         |  SELECT COALESCE(MAX(CASE WHEN rn = 21 THEN se END), 0)
+         |    AS pvt2
+         |  FROM (SELECT se, ROW_NUMBER() OVER (ORDER BY se DESC, word)
+         |    AS rn FROM ms)),
+         |mg AS (
+         |  SELECT word, se - pvt2 AS est_count FROM ms, mp
+         |  WHERE se > pvt2),
+         |ex AS (SELECT word, CAST(SUM(c) AS BIGINT) AS true_count
+         |  FROM wc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc)
+         |SELECT word, est_count, true_count,
+         |  true_count - est_count AS err,
+         |  (est_count <= true_count
+         |    AND (true_count - est_count) * 21 <= n) AS bound_ok
+         |FROM mg JOIN ex USING (word), tot""".stripMargin,
+
+    "q266_conformal" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) > 0 THEN ROUND(list_reduce(
+         |      list_transform(w, x ->
+         |        ((('0x' || substr(md5('clf:' || x), 1, 15))::BIGINT
+         |          % 2001) - 1000) / 1000.0),
+         |      (a, b) -> a + b) / len(w), 6) END AS margin
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |mm AS (SELECT doc_id, margin FROM m WHERE margin IS NOT NULL),
+         |cal AS (
+         |  SELECT margin,
+         |    ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS rn,
+         |    COUNT(*) OVER () AS ncal
+         |  FROM mm WHERE doc_id % 5 <> 0),
+         |q AS (
+         |  SELECT ncal AS n_cal,
+         |    CAST(CEIL((ncal + 1) * 0.9::DOUBLE) AS BIGINT) AS q_index,
+         |    margin AS qhat
+         |  FROM cal
+         |  WHERE rn = LEAST(CAST(CEIL((ncal + 1) * 0.9::DOUBLE)
+         |    AS BIGINT), ncal))
+         |SELECT n_cal, q_index, qhat, COUNT(*) AS n_test,
+         |  ROUND(CAST(SUM(CASE WHEN margin <= qhat THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*), 6) AS coverage
+         |FROM mm, q WHERE doc_id % 5 = 0
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q253_ams_shard_merge" ->
       s"""WITH wr AS (

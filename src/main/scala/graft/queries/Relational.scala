@@ -1010,6 +1010,23 @@ object Relational {
           round(col("n_below_k5").cast("double") / col("n_user_slots"), 6))
     }),
 
+    // Distinct l-diversity audit (Machanavajjhala et al. 2007,
+    // "l-Diversity: Privacy Beyond k-Anonymity") — q222's companion: a
+    // k-anonymous class still leaks when every member shares one
+    // sensitive value. Quasi-identifiers (lang, 200-char size bucket),
+    // sensitive attribute = source; a class is l-diverse at l=3 when it
+    // carries >= 3 distinct sources. One hash aggregate with map-side
+    // partials (distinct-count over a 4-value domain), class-bounded
+    // output — exact at any corpus scale.
+    "q265_l_diversity" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), expr("n_chars div 200").as("size_bucket"),
+          col("source"))
+        .groupBy("lang", "size_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sensitive"))
+        .withColumn("l_diverse", col("n_sensitive") >= 3)),
+
     // Population Stability Index drift per event type: first vs second
     // half of the calendar range (midpoint and the global value-decile
     // bin edges are broadcast scalars), add-one-smoothed bin shares over
@@ -1854,6 +1871,14 @@ object Relational {
          |  ROUND(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(k) AS BIGINT), 6) AS risk_frac
          |FROM cls GROUP BY 1""".stripMargin,
+
+    "q265_l_diversity" ->
+      s"""SELECT lang, n_chars // 200 AS size_bucket,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sensitive,
+         |  COUNT(DISTINCT source) >= 3 AS l_diverse
+         |FROM documents
+         |GROUP BY 1, 2""".stripMargin,
 
     "q223_psi_drift" ->
       s"""WITH d AS (

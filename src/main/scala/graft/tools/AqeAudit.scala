@@ -57,7 +57,12 @@ object AqeAudit {
       // q256–q258 batch: the KN model persist + re-score join, the
       // rendezvous double-argmax self-join, and the vocab-bounded
       // collision fan-out
-      "q256_lm_persist", "q257_rendezvous", "q258_hash_collisions")
+      "q256_lm_persist", "q257_rendezvous", "q258_hash_collisions",
+      // q259–q266 batch: the Shapley query fan-out + rank windows, the
+      // S-curve pair fan-out, the 4-round LPA join loop, and the
+      // Misra–Gries shard/merge window chain
+      "q259_knn_shapley", "q260_lsh_params", "q261_label_prop",
+      "q264_misra_gries")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

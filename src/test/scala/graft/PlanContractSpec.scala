@@ -51,6 +51,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q227_doremi_weights",  // broadcast 1-row vocab/max/denominator scalars
     "q230_kneser_ney",      // broadcast 1-row bigram-type-total scalar
     "q256_lm_persist",      // q230's broadcast scalar, via the model build
+    "q259_knn_shapley",     // broadcast 20-query side (the q30 family)
+    "q264_misra_gries",     // broadcast 1-row token-total scalar
+    "q266_conformal",       // broadcast 1-row calibration-quantile scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Round-14 operators: exact KNN-Shapley valuation, label-propagation
+  * communities, the mergeable Misra-Gries summary, the LSH S-curve
+  * audit, and the agreement/calibration statistics. */
+class Round14Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def emb(rows: (Long, Seq[Double], Int)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "e", "label")
+      .select(col("vec_id"), col("e").cast("array<float>").as("embedding"),
+        col("label"))
+  }
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("knnShapley: efficiency — per query, values sum to the grand-coalition utility") {
+    // Shapley efficiency for the K-NN utility: Σ_i s_i = (1/K)·|top-K
+    // matching y| (utility of all train minus empty). Distinct cosines
+    // by construction; quantization error ≤ N·2^-30.
+    val queries = emb((0L, Seq(1.0, 0.0), 1))
+    val train = emb(
+      (10L, Seq(0.99, 0.1), 1), (11L, Seq(0.9, 0.3), 0),
+      (12L, Seq(0.7, 0.7), 1), (13L, Seq(0.1, 0.9), 0),
+      (14L, Seq(-0.5, 0.8), 1))
+    val k = 2
+    val got = Similarity.knnShapley(queries, train, "vec_id", "embedding",
+      "label", k = k).collect()
+    assert(got.length == 5)
+    val total = got.map(_.getDouble(2)).sum
+    // top-2 by cosine to (1,0): ids 10 (y=1 ✓) and 11 (y=0 ✗) → 1/2
+    assert(math.abs(total - 0.5) < 1e-5, s"efficiency sum $total != 0.5")
+  }
+
+  test("knnShapley: nearest matching point gets the largest value") {
+    val queries = emb((0L, Seq(1.0, 0.0), 1))
+    val train = emb(
+      (10L, Seq(0.99, 0.1), 1), (11L, Seq(0.9, 0.3), 0),
+      (12L, Seq(0.7, 0.7), 1), (13L, Seq(0.1, 0.9), 0))
+    val got = Similarity.knnShapley(queries, train, "vec_id", "embedding",
+      "label", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) == got.values.max)
+    // mismatching nearest neighbor hurts: strictly negative value
+    assert(got(11L) < 0.0)
+  }
+
+  test("labelPropagation splits bridged triangles that connected components merge") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val lpa = Dedup.labelPropagation(pairs, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(1L) == lpa(2L) && lpa(2L) == lpa(3L))
+    assert(lpa(4L) == lpa(5L) && lpa(5L) == lpa(6L))
+    assert(lpa(1L) != lpa(4L), "bridge should not merge the triangles")
+    // connected components on the same pairs: ONE component
+    val cc = Dedup.clustersFromPairs(pairs, "id")
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("misraGries: k >= vocabulary is exact; small k keeps the merge bound") {
+    val d = docs(
+      (1L, "a a a a b b c", "s"), (2L, "a a b b b d", "s"),
+      (3L, "a c c d e f g", "s"), (4L, "b a a h i j", "s"))
+    val exact = TextAnalysis.misraGries(d, "doc_id", "text",
+      k = 100, numShards = 2).collect()
+    exact.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"k>=|V| must be exact: $r")
+      assert(r.getBoolean(4))
+    }
+    val exactMap = exact.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(exactMap("a") == 9L)
+    val small = TextAnalysis.misraGries(d, "doc_id", "text",
+      k = 2, numShards = 2).collect()
+    assert(small.nonEmpty)
+    small.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), s"overestimate: $r")
+      assert(r.getBoolean(4), s"merge bound violated: $r")
+    }
+  }
+
+  test("lshParamCurve: identical docs (jaccard 1) give expected recall 1 for every layout") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs((1L, t, "s"), (2L, t, "s"), (3L, t, "s"))
+    val got = Dedup.lshParamCurve(d, "doc_id", "text").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getLong(2) == 3L, s"3 true pairs expected: $r")
+      assert(r.getDouble(3) == 1.0, s"P(1) must be 1: $r")
+    }
+  }
+
+  test("fleissKappa: unanimous raters across mixed categories give kappa 1") {
+    val keep = ("the a is of and to in " + Seq.tabulate(60)(i => s"word$i")
+      .mkString(" "), "s")
+    val rej = ("123 456", "s") // fails all three raters (no alpha words)
+    val d = docs((1L, keep._1, "s"), (2L, keep._1, "s"), (3L, rej._1, "s"))
+    val r = TextAnalysis.fleissKappa(d, "doc_id", "text").collect().head
+    assert(r.getDouble(1) == 1.0) // p_bar
+    assert(r.getDouble(3) == 1.0, s"unanimous mixed-category kappa: $r")
+    // degenerate: every doc unanimously the SAME category → P_e = 1 → null
+    val d2 = docs((1L, rej._1, "s"), (2L, rej._1, "s"))
+    val r2 = TextAnalysis.fleissKappa(d2, "doc_id", "text").collect().head
+    assert(r2.isNullAt(3))
+  }
+
+  test("conformalCoverage: quantile index follows the ceil((n+1)(1-alpha)) order statistic") {
+    // 50 docs, ids 1..50: calibration = 40 (id%5 != 0), test = 10.
+    val d = docs((1L to 50L).map(i =>
+      (i, Seq.fill(3)(s"w$i").mkString(" "), "s")): _*)
+    val r = TextAnalysis.conformalCoverage(d, "doc_id", "text", alpha = 0.1)
+      .collect().head
+    assert(r.getLong(0) == 40L)
+    assert(r.getLong(1) == 37L) // ceil(41 * 0.9) = 37
+    assert(r.getLong(3) == 10L)
+    val cov = r.getDouble(4)
+    assert(cov >= 0.0 && cov <= 1.0)
+  }
+
+  test("spearmanScores: bounded, deterministic, and n excludes empty docs") {
+    val d = docs(
+      (1L, "aa bb cc dd ee", "s"), (2L, "a b c", "s"),
+      (3L, "longword anotherlong third fourth", "s"), (4L, "", "s"),
+      (5L, "x yy zzz wwww", "s"))
+    val got = TextAnalysis.spearmanScores(d, "doc_id", "text", "source")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 4L) // empty doc excluded
+    val rho = got.head.getDouble(2)
+    assert(rho >= -1.0 && rho <= 1.0)
+    val again = TextAnalysis.spearmanScores(d, "doc_id", "text", "source")
+      .collect().head.getDouble(2)
+    assert(rho == again)
+  }
+}
