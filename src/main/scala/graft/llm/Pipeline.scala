@@ -1145,4 +1145,62 @@ object Pipeline {
       .groupBy("word_a", "word_b")
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Greedy maximum-coverage document selection (the classic greedy with
+    * Nemhauser/Wolsey/Fisher 1978's 1−1/e guarantee): `k` rounds, each
+    * picking the document that covers the most not-yet-covered distinct
+    * words, ties to the lowest doc id — the "smallest seed set that
+    * spans the vocabulary" curation primitive (data-efficient fine-tune
+    * sets, eval-suite seeding).
+    *
+    * Scale shape: inherently k sequential jobs (greedy is adaptive —
+    * round r's objective depends on rounds 1..r−1), like the k-center
+    * coreset: each round is one anti-join + one map-side-combinable
+    * count aggregate + an argmax reduced to a SINGLE collected row; the
+    * covered-word set (≤ vocabulary) is pinned per round. Output per
+    * round: pick, marginal gain, cumulative coverage fraction. */
+  def maxCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, shingleN: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 50, "fixed small round count")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // coverage universe: distinct `shingleN`-word shingles (phrase
+    // contexts) — a far larger, more discriminative universe than bare
+    // words; shingleN = 1 degrades to word coverage
+    val units =
+      if (shingleN <= 1) array_distinct(TextOps.words(col(textCol)))
+      else TextOps.shingles(TextOps.words(col(textCol)), shingleN)
+    val dw = docs.select(col(idCol).as("doc"), explode(units).as("word"))
+      .localCheckpoint()
+    val totalWords = dw.select("word").distinct().count()
+    var covered: DataFrame = null
+    val picks = collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var r = 1
+    var exhausted = false
+    // greedy stops when the vocabulary is exhausted (every word covered)
+    // — the oracle's per-level CTEs go empty at the same round
+    while (r <= k && !exhausted) {
+      val remaining =
+        if (covered == null) dw else dw.join(covered, Seq("word"), "left_anti")
+      val best = remaining.groupBy("doc").agg(count(lit(1)).as("__gain"))
+        .agg(min_by(struct(col("doc"), col("__gain")),
+          struct(-col("__gain"), col("doc"))).as("__b"))
+        .select(col("__b.doc"), col("__b.__gain")).head()
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        picks += ((r, best.getLong(0), best.getLong(1)))
+        val newWords = dw.filter(col("doc") === best.getLong(0)).select("word")
+        covered = (if (covered == null) newWords
+          else covered.union(newWords).distinct()).localCheckpoint()
+        r += 1
+      }
+    }
+    val cum = picks.scanLeft(0L)(_ + _._3).tail
+    picks.zip(cum).map { case ((r, d, g), c) => (r, d, g, c) }.toSeq
+      .toDF("pick_round", "doc_id", "gain", "cum_words")
+      // Spark's round (not driver math.rint) so the rounding mode is the
+      // same one every other query's oracle mirrors
+      .withColumn("coverage_frac",
+        round(col("cum_words").cast("double") / totalWords, 6))
+  }
 }

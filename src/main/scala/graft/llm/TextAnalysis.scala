@@ -945,6 +945,74 @@ object TextAnalysis {
           .as("bound_ok"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text"): PageRank over the word co-occurrence
+    * graph — window 2, i.e. adjacent-word pairs, undirected — restricted
+    * to words with corpus count ≥ `minCount` so the graph is
+    * vocab-bounded. Node ids are the qualifying vocab's row numbers
+    * (deterministic order-by-word; bounded table, so the global window
+    * is fine); ranks come from the shared scaled-integer
+    * [[graft.ops.PageRank]] loop — exact cross-engine, no float
+    * summation anywhere. Output: (word, rank_scaled) — the corpus
+    * keyword table a retrieval/labeling pipeline seeds from.
+    *
+    * Scale shape: one corpus scan builds both the vocab counts and the
+    * adjacent-pair rows; everything after the vocab joins is bounded by
+    * the qualifying vocabulary and its pair set. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 25, iters: Int = 5): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "word")))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .withColumn("nid",
+        row_number().over(Window.orderBy("word")).cast("long"))
+      .localCheckpoint()
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val adj = words
+      .withColumn("w2", lead(col("word"), 1).over(byPos))
+      .filter(col("w2").isNotNull && col("word") =!= col("w2"))
+      .join(vocab.select(col("word"), col("nid").as("__a")), Seq("word"))
+      .join(vocab.select(col("word").as("w2"), col("nid").as("__b")),
+        Seq("w2"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+    graft.ops.PageRank.run(
+      adj.select(col("u").as("src"), col("v").as("dst"))
+        .union(adj.select(col("v").as("src"), col("u").as("dst"))),
+      iters)
+      .join(vocab.select(col("nid").as("node"), col("word")), Seq("node"))
+      .select(col("word"), col("rank_scaled"))
+  }
+
+  /** Word burstiness (Church & Gale 1995 / Katz 1996): content words
+    * clump — given a word appears in a document at all, it tends to
+    * recur — while function words spread evenly. Per word with df ≥
+    * `minDf`: mean within-document term frequency E[tf | tf>0] and the
+    * variance-to-mean ratio of tf over the documents CONTAINING the
+    * word (VMR 0 = perfectly even, >1 = overdispersed/bursty) — the
+    * signal that separates topical vocabulary from glue.
+    *
+    * One (doc, word) aggregate then one vocab-bounded aggregate; df,
+    * Σtf, Σtf² are integers, so the only doubles are the final
+    * divisions in a pinned operation order. */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 25): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    tf.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("tf_total"),
+        sum(col("__tf") * col("__tf")).as("__tf2"))
+      .filter(col("df") >= minDf)
+      .withColumn("__m", col("tf_total").cast("double") / col("df"))
+      .select(col("word"), col("df"), col("tf_total"),
+        round(col("__m"), 6).as("mean_tf"),
+        round((col("__tf2").cast("double") / col("df") -
+          col("__m") * col("__m")) / col("__m"), 6).as("vmr"))
+  }
+
   /** Split-conformal coverage audit (Vovk et al. 2005; the split form
     * popularized by Lei et al. 2018): calibration docs (id % 5 ≠ 0)
     * supply the nonconformity scores — the [[hashClassifier]] margin —

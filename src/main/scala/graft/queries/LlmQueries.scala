@@ -1245,6 +1245,28 @@ object LlmQueries {
       TextAnalysis.conformalCoverage(Tables.documents(s, dir), "doc_id",
         "text", alpha = 0.1)),
 
+    // TextRank keywords (Mihalcea & Tarau 2004): PageRank on the
+    // adjacent-word co-occurrence graph over the >= 25-count vocabulary,
+    // scaled-integer loop shared with q153 — exact cross-engine.
+    "q267_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 25, iters = 5)),
+
+    // Greedy maximum-coverage seed-set selection (Nemhauser 1978's
+    // 1-1/e greedy): 5 adaptive rounds, each one anti-join + count
+    // aggregate + single-row argmax — the vocabulary-spanning
+    // curation primitive.
+    "q269_max_coverage" -> ((s, dir) =>
+      Pipeline.maxCoverage(Tables.documents(s, dir), "doc_id", "text",
+        k = 5)),
+
+    // Word burstiness (Church & Gale 1995): E[tf | present] and the
+    // tf variance-to-mean ratio per >= 25-df word — content words clump,
+    // function words spread; integer sums, pinned division order.
+    "q270_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(Tables.documents(s, dir), "doc_id", "text",
+        minDf = 25)),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -4105,6 +4127,96 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q267_textrank" -> {
+      val S = graft.ops.PageRank.SCALE
+      val iter = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT n0.node,
+           |    (15 * (SELECT $S // n FROM n)
+           |      + 85 * COALESCE(m.in_mass, 0)) // 100 AS pr
+           |  FROM nodes n0 LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(SUM(r.pr // d.deg) AS BIGINT) AS in_mass
+           |    FROM r${k - 1} r JOIN deg d USING (node)
+           |    JOIN edges e ON e.src = r.node
+           |    GROUP BY 1) m USING (node))""".stripMargin
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |bg AS (
+         |  SELECT bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+         |          i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2)
+         |  WHERE bg[1] <> bg[2]),
+         |vocab AS (
+         |  SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS nid FROM (
+         |    SELECT word FROM (SELECT unnest(w) AS word FROM wr)
+         |    GROUP BY 1 HAVING COUNT(*) >= 25)),
+         |adj AS (
+         |  SELECT DISTINCT LEAST(a.nid, b.nid) AS u,
+         |    GREATEST(a.nid, b.nid) AS v
+         |  FROM bg JOIN vocab a ON a.word = bg.w1
+         |  JOIN vocab b ON b.word = bg.w2),
+         |edges AS (SELECT u AS src, v AS dst FROM adj
+         |          UNION ALL SELECT v, u FROM adj),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst AS node FROM edges),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges
+         |        GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, (SELECT $S // n FROM n) AS pr FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT v.word, r.pr AS rank_scaled
+         |FROM r5 r JOIN vocab v ON v.nid = r.node""".stripMargin
+    },
+
+    "q269_max_coverage" -> {
+      val levels = (2 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT doc, COUNT(*) AS gain FROM dw
+           |  WHERE word NOT IN (SELECT word FROM c${k - 1}) GROUP BY 1
+           |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, doc) = 1),
+           |c$k AS (SELECT word FROM c${k - 1}
+           |        UNION SELECT word FROM dw JOIN p$k USING (doc))"""
+          .stripMargin
+      }.mkString(",\n")
+      val picks = (1 to 5)
+        .map(k => s"SELECT $k AS pick_round, doc AS doc_id, gain FROM p$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH dw AS (
+         |  SELECT doc_id AS doc, word FROM (
+         |    SELECT doc_id, unnest(${shinglesSql(3)}) AS word
+         |    FROM (SELECT doc_id, $WORDS AS w FROM documents))),
+         |tot AS (SELECT COUNT(DISTINCT word) AS t FROM dw),
+         |p1 AS (
+         |  SELECT doc, COUNT(*) AS gain FROM dw GROUP BY 1
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, doc) = 1),
+         |c1 AS (SELECT DISTINCT word FROM dw JOIN p1 USING (doc)),
+         |$levels,
+         |picks AS (
+         |  $picks)
+         |SELECT pick_round, doc_id, gain,
+         |  CAST(SUM(gain) OVER (ORDER BY pick_round) AS BIGINT)
+         |    AS cum_words,
+         |  ROUND(CAST(SUM(gain) OVER (ORDER BY pick_round) AS BIGINT)
+         |    ::DOUBLE / t, 6) AS coverage_frac
+         |FROM picks, tot""".stripMargin
+    },
+
+    "q270_burstiness" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |a AS (
+         |  SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT)
+         |    AS tf_total, CAST(SUM(tf * tf) AS BIGINT) AS tf2
+         |  FROM tf GROUP BY 1 HAVING COUNT(*) >= 25),
+         |m AS (SELECT word, df, tf_total, tf2,
+         |  tf_total::DOUBLE / df AS m FROM a)
+         |SELECT word, df, tf_total, ROUND(m, 6) AS mean_tf,
+         |  ROUND((tf2::DOUBLE / df - m * m) / m, 6) + 0.0 AS vmr
+         |FROM m""".stripMargin,
 
     "q259_knn_shapley" ->
       s"""WITH n AS (

@@ -20,6 +20,19 @@ object Relational {
   private val MIN_US = 60000000L
   private val DAY_US = 86400000000L
 
+  /** Poisson(1) CDF breakpoints for k = 0..6, pre-scaled onto the 2^60
+    * hash grid so q271's weight draw is an integer comparison — the SAME
+    * long literals are injected into the Spark plan and the DuckDB
+    * oracle, so no transcendental is ever evaluated inside a query. */
+  private lazy val poissonThr60: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var acc = 0.0
+    (0 to 6).map { k =>
+      acc += p; p = p / (k + 1)
+      (acc * math.pow(2.0, 60)).toLong
+    }
+  }
+
   /** Window partitioned by user ordered by the sample clock — the engine's
     * `W(p)` (SURVEY §2 legend). Deterministic tie-break on event_id. */
   private def wUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
@@ -1027,6 +1040,78 @@ object Relational {
           countDistinct("source").as("n_sensitive"))
         .withColumn("l_diverse", col("n_sensitive") >= 3)),
 
+    // Modified z-score outlier audit (Iglewicz & Hoaglin 1993): per
+    // source, |0.6745·(n_chars − median)/MAD| > 3.5 flags — the robust
+    // outlier rule (mean/stdev are themselves corrupted by the outliers
+    // they're meant to find). Two percentile passes through the
+    // conf-selectable Quantiles path (exact for the oracle gate,
+    // percentile_approx at 100 TB), both joined back as broadcast
+    // source-bounded tables; the flag is a map-side expression.
+    "q268_modified_z" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+      // both stats tables are source-bounded; checkpoint so the median
+      // pass isn't replanned per consumer (3 corpus scans — the
+      // two-level-median floor — instead of 4)
+      val med = d.groupBy("source")
+        .agg(Quantiles.pct(s, col("n_chars"), 0.5).as("__med"))
+        .localCheckpoint()
+      val mad = d.join(broadcast(med), Seq("source"))
+        .groupBy("source")
+        .agg(Quantiles.pct(s, abs(col("n_chars") - col("__med")), 0.5)
+          .as("__mad"))
+        .localCheckpoint()
+      d.join(broadcast(med), Seq("source"))
+        .join(broadcast(mad), Seq("source"))
+        .withColumn("__mz", when(col("__mad") > 0.0,
+          abs(lit(0.6745) * (col("n_chars") - col("__med")) / col("__mad"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("__med")).as("median_chars"),
+          first(col("__mad")).as("mad_chars"),
+          sum(when(col("__mz") > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_frac",
+          round(col("n_outliers").cast("double") / col("n_docs"), 6))
+    }),
+
+    // Poisson bootstrap CI (Owen & Eckles 2012, "Bootstrapping data
+    // arrays of arbitrary order" — the streaming/distributed bootstrap):
+    // replicate weights w ~ Poisson(1) come from seeded hash-uniforms
+    // against PRE-SCALED integer CDF breakpoints (no float compare),
+    // truncated at 7 (P ≈ 1e-5); each of the 50 replicate means is a
+    // ratio of exact integer sums, and the 95% CI is an order-statistic
+    // pair over the 50-row replicate table. One corpus scan fanned ×B
+    // with immediate map-side combine — the resampling scheme that
+    // works in one pass at 100 TB (classic resampling needs N known up
+    // front and random access).
+    "q271_poisson_bootstrap" -> ((s, dir) => {
+      val thr = poissonThr60
+      val h = graft.llm.TextOps.wordHash60(concat(lit("boot:"),
+        col("b").cast("string"), lit(":"), col("doc_id").cast("string")))
+      val w = thr.indices.tail.foldLeft(
+        when(col("__h") < thr.head, 0)) { (acc, k) =>
+        acc.when(col("__h") < thr(k), k)
+      }.otherwise(7).cast("long")
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val reps = docs
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(49))).as("b"))
+        .withColumn("__h", h)
+        .withColumn("__w", w)
+        .groupBy("b")
+        .agg(sum(col("__w") * col("n_chars")).as("__sx"),
+          sum(col("__w")).as("__sw"))
+        .withColumn("__mean", col("__sx").cast("double") / col("__sw"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("__mean"), col("b"))))
+      val ci = reps.agg(count(lit(1)).as("n_replicates"),
+        max(when(col("__rn") === 2, col("__mean"))).as("ci_lo"),
+        max(when(col("__rn") === 49, col("__mean"))).as("ci_hi"))
+      docs.agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("mean_full"))
+        .crossJoin(broadcast(ci))
+    }),
+
     // Population Stability Index drift per event type: first vs second
     // half of the calendar range (midpoint and the global value-decile
     // bin edges are broadcast scalars), add-one-smoothed bin shares over
@@ -1879,6 +1964,57 @@ object Relational {
          |  COUNT(DISTINCT source) >= 3 AS l_diverse
          |FROM documents
          |GROUP BY 1, 2""".stripMargin,
+
+    "q268_modified_z" ->
+      s"""WITH med AS (
+         |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+         |  FROM documents GROUP BY 1),
+         |mad AS (
+         |  SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+         |  FROM documents JOIN med USING (source) GROUP BY 1)
+         |SELECT d.source, COUNT(*) AS n_docs, MIN(med) AS median_chars,
+         |  MIN(mad) AS mad_chars,
+         |  CAST(SUM(CASE WHEN mad > 0.0::DOUBLE AND
+         |      abs(0.6745::DOUBLE * (n_chars - med) / mad) > 3.5::DOUBLE
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  ROUND(CAST(SUM(CASE WHEN mad > 0.0::DOUBLE AND
+         |      abs(0.6745::DOUBLE * (n_chars - med) / mad) > 3.5::DOUBLE
+         |    THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / COUNT(*), 6)
+         |    AS outlier_frac
+         |FROM documents d JOIN med USING (source) JOIN mad USING (source)
+         |GROUP BY 1""".stripMargin,
+
+    "q271_poisson_bootstrap" -> {
+      val thr = poissonThr60
+      val cases = thr.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString(" ")
+      s"""WITH f AS (
+         |  SELECT doc_id, n_chars, b,
+         |    ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+         |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents, unnest(range(0, 50)) AS t(b)),
+         |r AS (
+         |  SELECT b,
+         |    CAST(SUM((CASE $cases ELSE 7 END) * n_chars) AS BIGINT)
+         |      AS sx,
+         |    CAST(SUM(CASE $cases ELSE 7 END) AS BIGINT) AS sw
+         |  FROM f GROUP BY 1),
+         |m AS (
+         |  SELECT b, sx::DOUBLE / sw AS mean,
+         |    ROW_NUMBER() OVER (ORDER BY sx::DOUBLE / sw, b) AS rn
+         |  FROM r),
+         |ci AS (
+         |  SELECT COUNT(*) AS n_replicates,
+         |    MAX(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
+         |    MAX(CASE WHEN rn = 49 THEN mean END) AS ci_hi
+         |  FROM m)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT)::DOUBLE / COUNT(*) AS mean_full,
+         |  MIN(n_replicates) AS n_replicates, MIN(ci_lo) AS ci_lo,
+         |  MIN(ci_hi) AS ci_hi
+         |FROM documents, ci""".stripMargin
+    },
 
     "q223_psi_drift" ->
       s"""WITH d AS (

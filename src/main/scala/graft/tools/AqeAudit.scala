@@ -62,7 +62,11 @@ object AqeAudit {
       // S-curve pair fan-out, the 4-round LPA join loop, and the
       // Misra–Gries shard/merge window chain
       "q259_knn_shapley", "q260_lsh_params", "q261_label_prop",
-      "q264_misra_gries")
+      "q264_misra_gries",
+      // q267–q271 batch: the TextRank vocab/edge joins + PageRank loop,
+      // the adaptive max-coverage anti-join rounds, and the bootstrap
+      // replicate fan-out
+      "q267_textrank", "q269_max_coverage", "q271_poisson_bootstrap")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

@@ -54,6 +54,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q259_knn_shapley",     // broadcast 20-query side (the q30 family)
     "q264_misra_gries",     // broadcast 1-row token-total scalar
     "q266_conformal",       // broadcast 1-row calibration-quantile scalar
+    "q271_poisson_bootstrap", // broadcast 1-row replicate-CI scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Pipeline, Similarity, TextAnalysis}
 
 /** Round-14 operators: exact KNN-Shapley valuation, label-propagation
   * communities, the mergeable Misra-Gries summary, the LSH S-curve
@@ -133,6 +133,58 @@ class Round14Spec extends AnyFunSuite {
     assert(r.getLong(3) == 10L)
     val cov = r.getDouble(4)
     assert(cov >= 0.0 && cov <= 1.0)
+  }
+
+  test("textRank: the co-occurrence hub outranks peripheral words") {
+    // star graph: 'hub' is adjacent to every spoke, spokes only touch
+    // the hub — PageRank must put the hub first
+    val spokes = (1 to 6).map(i => s"spoke$i")
+    val text = spokes.map(sp => s"hub $sp").mkString(" hub ")
+    val d = docs((1 to 30).map(i => (i.toLong, text, "s")): _*)
+    val got = TextAnalysis.textRank(d, "doc_id", "text", minCount = 5,
+      iters = 5).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (spokes :+ "hub").toSet)
+    assert(got("hub") == got.values.max)
+    spokes.foreach(sp => assert(got(sp) < got("hub")))
+  }
+
+  test("maxCoverage: greedy picks by marginal gain over disjoint shingle sets") {
+    // disjoint word universes per doc → greedy order = size order,
+    // ties to the lowest id; cumulative coverage hits 1.0
+    def body(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = docs(
+      (1L, body("a", 8), "s"), (2L, body("b", 12), "s"),
+      (3L, body("c", 5), "s"))
+    val got = Pipeline.maxCoverage(d, "doc_id", "text", k = 5, shingleN = 3)
+      .collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L, 3L))
+    // shingle counts: n words → n-2 shingles
+    assert(got.map(_.getLong(2)).toSeq == Seq(10L, 6L, 3L))
+    assert(got.last.getDouble(4) == 1.0)
+  }
+
+  test("burstiness: constant tf gives VMR 0; clumped tf is overdispersed") {
+    // 'even' appears exactly twice in every doc; 'bursty' has the same
+    // total mass concentrated in a few docs
+    val even = "even even"
+    val d = docs((1 to 30).map { i =>
+      val b = if (i <= 5) " bursty bursty bursty bursty bursty bursty" else ""
+      (i.toLong, even + b, "s")
+    }: _*)
+    val got = TextAnalysis.burstiness(d, "doc_id", "text", minDf = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    val m = got.map(t => t._1 -> t).toMap
+    assert(m("even")._2 == 2.0 && m("even")._3 == 0.0)
+    assert(m("bursty")._2 == 6.0 && m("bursty")._3 == 0.0)
+    // within-containing-docs both are constant; the burst signal is the
+    // df contrast — re-check VMR > 0 on a genuinely uneven word
+    val d2 = docs((1L, "w w w w", "s"), (2L, "w", "s"), (3L, "w", "s"),
+      (4L, "w", "s"), (5L, "w", "s"))
+    val v = TextAnalysis.burstiness(d2, "doc_id", "text", minDf = 5)
+      .collect().head.getDouble(4)
+    assert(v > 0.0)
   }
 
   test("spearmanScores: bounded, deterministic, and n excludes empty docs") {
