@@ -1073,11 +1073,16 @@ object LlmQueries {
         }: _*)
       val docs = Tables.documents(s, dir)
       val path = s"${IoQueries.sinkDir}/q253_ams_shards"
+      // count word types per (source, shard) FIRST so the 16 sign
+      // hashes run once per TYPE, not per token occurrence (Σ_occ sg =
+      // sg·c exactly) — ~100× fewer md5 evaluations at sf0.1
       docs.select(col("source"), (col("doc_id") % 4).as("shard"),
           explode(TextOps.words(col("text"))).as("w"))
-        .select(col("source"), col("shard"),
+        .groupBy("source", "shard", "w").agg(count(lit(1)).as("__c"))
+        .select(col("source"), col("shard"), col("__c"),
           posexplode(signs(col("w"))).as(Seq("j", "sg")))
-        .groupBy("source", "shard", "j").agg(sum(col("sg")).as("y"))
+        .groupBy("source", "shard", "j")
+        .agg(sum(col("sg") * col("__c")).as("y"))
         .write.mode("overwrite").parquet(path)
       val merged = s.read.parquet(path)
         .groupBy("source", "j")
