@@ -591,6 +591,52 @@ object StreamingSqa {
       .groupBy("source", "j")
       .agg(sum(col("s")).as("y"), count(lit(1)).as("n_tokens"))
 
+  /** Streaming Misra–Gries heavy hitters (Misra & Gries 1982) with the
+    * classic BOUNDED k-counter state — the true streaming form of the
+    * batch q264 (which reduces exact shard counts): per shard, at most
+    * `k` counters; a word not among them takes a free slot or decrements
+    * every counter. State is O(k) per shard REGARDLESS of stream length
+    * — the memory contract that lets a heavy-hitter monitor run
+    * unattended over an unbounded crawl where exact counting cannot.
+    * Estimates depend on arrival order (inherent to one-pass MG), but
+    * the guarantee est ≤ true ≤ est + n_shard/(k+1) — and therefore
+    * "every word above that frequency floor survives" — holds for EVERY
+    * order; the spec asserts the invariant, not order-dependent
+    * equality. Emits (shard, word, est, n_shard) in Update mode, one
+    * summary per shard per micro-batch (n_shard strictly grows, so the
+    * max-n rows are the current summary); the cross-shard merge is the
+    * batch operator's summarize-and-subtract applied on read. */
+  def streamingMisraGries(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 8, numShards: Int = 2)
+      : Dataset[(Long, String, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col(idCol) % numShards).as("shard"),
+        explode(graft.llm.TextOps.words(col(textCol))).as("w"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Map[String, Long], Long),
+        (Long, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[(Long, String)],
+            state: GroupState[(Map[String, Long], Long)]) =>
+          var (m, n) =
+            if (state.exists) state.get else (Map.empty[String, Long], 0L)
+          it.foreach { case (_, w) =>
+            n += 1
+            m.get(w) match {
+              case Some(c) => m = m.updated(w, c + 1)
+              case None if m.size < k => m = m.updated(w, 1L)
+              case None =>
+                m = m.iterator.map { case (kw, c) => kw -> (c - 1) }
+                  .filter(_._2 > 0).toMap
+            }
+          }
+          state.update((m, n))
+          m.iterator.map { case (w, c) => (shard, w, c, n) }
+      }
+  }
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

@@ -842,6 +842,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming Misra-Gries keeps bounded state and the one-sided bound") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mg_stream").toString
+    // skewed stream: 'hot' dominates, long tail of singletons
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "), "s")
+    Seq(doc(1L, Seq.fill(12)("hot") ++ Seq("t1", "t2", "t3")),
+      doc(2L, Seq.fill(6)("warm") ++ Seq("t4", "t5")))
+      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    Seq(doc(3L, Seq.fill(8)("hot") ++ Seq("t6", "t7", "t8", "t9")),
+      doc(4L, Seq.fill(4)("warm") ++ Seq("t10")))
+      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val k = 4
+    val q = StreamingSqa.streamingMisraGries(stream, k = k, numShards = 2)
+      .toDF("shard", "word", "est", "n_shard")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mg_stream").start()
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("mg_stream")
+    // the current summary = the rows of each shard's LAST emission
+    val cur = all.withColumn("__mx",
+        max(col("n_shard")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard")))
+      .filter(col("n_shard") === col("__mx"))
+    val exact = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select((col("doc_id") % 2).as("shard"),
+        explode(graft.llm.TextOps.words(col("text"))).as("word"))
+      .groupBy("shard", "word").agg(count(lit(1)).as("c"))
+    val joined = cur.join(exact, Seq("shard", "word"), "left")
+      .join(exact.groupBy("shard").agg(sum("c").as("n_true")), Seq("shard"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("est"); val c = r.getAs[Long]("c")
+      val n = r.getAs[Long]("n_shard")
+      assert(n == r.getAs[Long]("n_true"), s"token count drift: $r")
+      assert(est <= c, s"MG overestimated: $r")
+      assert((c - est) * (k + 1) <= n, s"MG bound violated: $r")
+    }
+    // bounded state: never more than k counters per shard, in ANY emission
+    val perEmission = all.groupBy("shard", "n_shard").count().collect()
+    perEmission.foreach(r => assert(r.getLong(2) <= k, s"state > k: $r"))
+    // the frequency-floor guarantee: every word with c > n/(k+1) survives
+    val floors = exact.join(
+        exact.groupBy("shard").agg(sum("c").as("n_true")), Seq("shard"))
+      .filter(col("c") * (k + 1) > col("n_true"))
+      .select("shard", "word").collect().map(r => (r.getLong(0), r.getString(1)))
+    val curSet = cur.select("shard", "word").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    floors.foreach(f => assert(curSet.contains(f), s"hot word lost: $f"))
+  }
+
   test("streaming Benford digit counts match the batch q249 counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("benford_stream").toString
