@@ -1111,6 +1111,80 @@ object Dedup {
           .as("transitivity"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998,
+    * "Collective dynamics of 'small-world' networks"): cc(u) =
+    * 2·T(u)/(deg(u)·(deg(u)−1)), T(u) = closed neighbor pairs — the
+    * node-level refinement of [[dupGraphStats]]' global transitivity,
+    * flagging WHICH documents sit in clique-like dup cores (safe to
+    * collapse) vs chain joints (collapse merges distinct content).
+    *
+    * Scale shape: per-node triangle counts ride the same id-oriented
+    * edge-pair join as the census, crediting each closed triangle to
+    * its three corners via one explode over a 3-literal array — all
+    * joins confined to the BOUNDED pair table. Nodes with deg < 2 emit
+    * null cc. */
+  def clusteringCoefficient(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 8,
+      numBands: Int = 4, threshold: Double = 0.3): DataFrame = {
+    val e = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+      .select(col("id_a").as("u"), col("id_b").as("v")).localCheckpoint()
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triCorners = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
+        "left_semi")
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+        .as("id"))
+      .groupBy("id").agg(count(lit(1)).as("__t"))
+    deg.join(triCorners, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, round(
+          lit(2.0) * coalesce(col("__t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6)).as("local_cc"))
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * directed edge list — positive means hubs attach to hubs (one giant
+    * template family), negative means hubs attach to leaves (star-shaped
+    * boilerplate radiating into unique docs); the two need different
+    * dedup policies. All sums are exact integers over the bounded edge
+    * table; the three final divisions run in one pinned order. */
+  def degreeAssortativity(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val e = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val dir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("d"))
+    val xy = dir
+      .join(deg.select(col("u"), col("d").as("__dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("__dy")), Seq("v"))
+    xy.agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("__dx")).as("__sx"), sum(col("__dy")).as("__sy"),
+        sum(col("__dx") * col("__dx")).as("__sxx"),
+        sum(col("__dy") * col("__dy")).as("__syy"),
+        sum(col("__dx") * col("__dy")).as("__sxy"))
+      .withColumn("__vx",
+        col("n_dir_edges") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy",
+        col("n_dir_edges") * col("__syy") - col("__sy") * col("__sy"))
+      // each variance factor stays an exact long; convert BEFORE the
+      // product (the long product would overflow first)
+      .select(col("n_dir_edges"),
+        round(when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n_dir_edges") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            sqrt(col("__vx").cast("double") * col("__vy").cast("double"))),
+          6).as("assortativity"))
+  }
+
   /** Soft deduplication — the D4/SemDeDup-style DOWN-WEIGHTING policy
     * applied on top of near-dup clustering: instead of dropping
     * near-duplicates, every document gets sampling weight

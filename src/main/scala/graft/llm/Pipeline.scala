@@ -1146,6 +1146,40 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Positional exact-phrase search, end-to-end: resolve the corpus's
+    * most frequent bigram (deterministic argmax, count ties to the
+    * lexicographically lowest pair) and return every document containing
+    * it as an ADJACENT pair, with match count and first position — the
+    * inverted-index-with-positions operator behind exact-phrase
+    * retrieval (bag-of-words indexes cannot distinguish "new york" from
+    * "york new"; the position join can).
+    *
+    * Scale shape: one corpus scan into (doc, pos, w1, w2) rows, pinned
+    * once for its two consumers; the phrase-count table is
+    * vocab²-bounded with map-side combine, and the 1-row argmax
+    * broadcasts back as an equi-join key. */
+  def phraseSearch(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val bg = docs.select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .localCheckpoint()
+    val top = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
+      .agg(min_by(struct(col("w1"), col("w2")),
+        struct(-col("__c"), col("w1"), col("w2"))).as("__p"))
+      .select(col("__p.w1").as("__p1"), col("__p.w2").as("__p2"))
+    bg.join(broadcast(top),
+        col("w1") === col("__p1") && col("w2") === col("__p2"))
+      .groupBy(col(idCol), col("__p1"), col("__p2"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .select(col(idCol),
+        concat_ws(" ", col("__p1"), col("__p2")).as("phrase"),
+        col("n_matches"), col("first_pos"))
+  }
+
   /** Greedy maximum-coverage document selection (the classic greedy with
     * Nemhauser/Wolsey/Fisher 1978's 1−1/e guarantee): `k` rounds, each
     * picking the document that covers the most not-yet-covered distinct

@@ -1013,6 +1013,82 @@ object TextAnalysis {
           col("__m") * col("__m")) / col("__m"), 6).as("vmr"))
   }
 
+  /** Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models"): per group,
+    * distinct unigrams / total tokens and distinct bigrams / total
+    * bigrams — the standard degenerate-repetition metric for generated
+    * or crawled text (low distinct-2 = template spam). Two hash
+    * aggregates with map-side partials; counts are exact integers, the
+    * two ratios divide once. */
+  def distinctN(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val uni = docs.select(col(groupCol).as("grp"), explode(w).as("g"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("g")).as("n_distinct_1"))
+    val bi = docs.select(col(groupCol).as("grp"),
+        explode(TextOps.shingles(w, 2)).as("g"))
+      .groupBy("grp").agg(countDistinct(col("g")).as("n_distinct_2"))
+    val biTot = docs.select(col(groupCol).as("grp"),
+        greatest(size(w) - 1, lit(0)).cast("long").as("__nb"))
+      .groupBy("grp").agg(sum(col("__nb")).as("n_bigrams"))
+    uni.join(bi, Seq("grp")).join(biTot, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        col("n_distinct_1"),
+        round(col("n_distinct_1").cast("double") / col("n_tokens"), 6)
+          .as("distinct_1"),
+        col("n_bigrams"), col("n_distinct_2"),
+        when(col("n_bigrams") > 0, round(
+          col("n_distinct_2").cast("double") / col("n_bigrams"), 6))
+          .as("distinct_2"))
+  }
+
+  /** k-ary randomized response (Warner 1965; the direct-encoding local-DP
+    * mechanism RAPPOR generalizes): each token occurrence reports its
+    * true word with probability p, otherwise a (hash-)uniform draw from
+    * the global vocabulary; the collector DEBIASES observed counts with
+    * est = (obs − n·(1−p)/V) / (p − (1−p)/V). ε-LDP with
+    * ε = ln(1 + V·p/(1−p)). The mechanism is seeded per occurrence
+    * (hash of doc, position), so the whole privacy channel is
+    * deterministic and oracle-checkable; p's threshold is pre-scaled to
+    * the 2^60 integer hash grid — no float comparison.
+    *
+    * Scale shape: one corpus scan; the vocabulary (bounded) broadcasts
+    * as a sorted array for the uniform draw; per-word aggregate +
+    * debias expression. Output joins estimated vs true counts. */
+  def randomizedResponse(docs: DataFrame, idCol: String, textCol: String,
+      p: Double = 0.75): DataFrame = {
+    val thr = (p * math.pow(2.0, 60)).toLong
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "word")))
+    // ONE vocab-bounded count table feeds truth, the vocabulary array,
+    // and the scalars — checkpointed so the corpus scans stay at the
+    // 2-scan floor (per-occurrence hashes + this count pass)
+    val truth = toks.groupBy("word").agg(count(lit(1)).as("true_count"))
+      .localCheckpoint()
+    val stats = truth.agg(sort_array(collect_list(col("word"))).as("__v"),
+      count(lit(1)).as("__vn"), sum(col("true_count")).as("__n"))
+    val reported = toks.crossJoin(broadcast(stats))
+      .withColumn("__h", TextOps.wordHash60(concat(lit("rr:"),
+        col(idCol).cast("string"), lit(":"), col("pos").cast("string"))))
+      .withColumn("__rep", when(col("__h") < thr, col("word"))
+        .otherwise(element_at(col("__v"),
+          (pmod(TextOps.wordHash60(concat(lit("rrpick:"),
+            col(idCol).cast("string"), lit(":"),
+            col("pos").cast("string"))), col("__vn")) + 1).cast("int"))))
+    val obs = reported.groupBy(col("__rep").as("word"))
+      .agg(count(lit(1)).as("obs_count"))
+    obs.join(truth, Seq("word"), "full")
+      .crossJoin(broadcast(stats.select(col("__n"), col("__vn"))))
+      .select(col("word"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"),
+        coalesce(col("obs_count"), lit(0L)).as("obs_count"),
+        round((coalesce(col("obs_count"), lit(0L)).cast("double") -
+          col("__n") * (lit(1.0) - p) / col("__vn")) /
+          (lit(p) - (lit(1.0) - p) / col("__vn")), 4).as("est_count"))
+  }
+
   /** Split-conformal coverage audit (Vovk et al. 2005; the split form
     * popularized by Lei et al. 2018): calibration docs (id % 5 ≠ 0)
     * supply the nonconformity scores — the [[hashClassifier]] margin —

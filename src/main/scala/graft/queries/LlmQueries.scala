@@ -1272,6 +1272,41 @@ object LlmQueries {
       TextAnalysis.burstiness(Tables.documents(s, dir), "doc_id", "text",
         minDf = 25)),
 
+    // Positional exact-phrase search for the corpus's top bigram —
+    // inverted-index-with-positions retrieval, end-to-end (argmax
+    // phrase -> adjacency match -> per-doc stats).
+    "q272_phrase_search" -> ((s, dir) =>
+      Pipeline.phraseSearch(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Per-node local clustering coefficient (Watts-Strogatz) on the
+    // near-dup graph — which docs sit in clique-like dup cores vs
+    // chain joints (q170's global transitivity, localized).
+    "q273_clustering_coeff" -> ((s, dir) =>
+      Dedup.clusteringCoefficient(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.3)),
+
+    // Degree assortativity (Newman 2002) of the near-dup graph —
+    // hub-hub vs hub-leaf mixing; exact integer sums over the bounded
+    // edge table.
+    "q274_assortativity" -> ((s, dir) =>
+      Dedup.degreeAssortativity(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.3)),
+
+    // Distinct-1/distinct-2 diversity per source (Li et al. 2016) —
+    // the degenerate-repetition metric.
+    "q275_distinct_n" -> ((s, dir) =>
+      TextAnalysis.distinctN(Tables.documents(s, dir), "doc_id", "text",
+        "source")),
+
+    // k-ary randomized response (Warner 1965) with debiased collection —
+    // the local-DP frequency channel, seeded per occurrence so the whole
+    // mechanism is deterministic and oracle-checkable.
+    "q277_randomized_response" -> ((s, dir) =>
+      TextAnalysis.randomizedResponse(Tables.documents(s, dir), "doc_id",
+        "text", p = 0.75)),
+
     // Vocabulary coverage / OOV-rate curve: corpus token mass covered by
     // the top-V words at candidate vocab sizes — the tokenizer-budget
     // audit. The global rank runs over the VOCAB count table (bounded;
@@ -4132,6 +4167,131 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q272_phrase_search" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i+1] AS w2
+         |  FROM wr, unnest(range(1, len(w))) AS t(i)),
+         |top AS (
+         |  SELECT w1, w2 FROM bg GROUP BY 1, 2
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) = 1)
+         |SELECT doc_id, w1 || ' ' || w2 AS phrase, COUNT(*) AS n_matches,
+         |  CAST(MIN(pos) AS BIGINT) AS first_pos
+         |FROM bg JOIN top USING (w1, w2)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q273_clustering_coeff" ->
+      s"""WITH $lshCandCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))
+         |    ::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6)
+         |    >= 0.3),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+         |deg AS (
+         |  SELECT id, COUNT(*) AS deg FROM (
+         |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT id, COUNT(*) AS t FROM (
+         |    SELECT unnest([e1.u, e1.v, e2.v]) AS id
+         |    FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |    WHERE EXISTS (SELECT 1 FROM e e3
+         |                  WHERE e3.u = e1.u AND e3.v = e2.v))
+         |  GROUP BY 1)
+         |SELECT deg.id, deg.deg, COALESCE(t, 0) AS n_triangles,
+         |  CASE WHEN deg >= 2 THEN ROUND(
+         |    2.0::DOUBLE * COALESCE(t, 0) / (deg * (deg - 1)), 6) END
+         |    AS local_cc
+         |FROM deg LEFT JOIN tri USING (id)""".stripMargin,
+
+    "q274_assortativity" ->
+      s"""WITH $lshCandCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))
+         |    ::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6)
+         |    >= 0.3),
+         |dir AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT u, COUNT(*) AS d FROM dir GROUP BY 1),
+         |xy AS (
+         |  SELECT dx.d AS x, dy.d AS y
+         |  FROM dir JOIN deg dx ON dx.u = dir.u
+         |  JOIN deg dy ON dy.u = dir.v),
+         |a AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM xy),
+         |b AS (
+         |  SELECT n, sxy, sx, sy,
+         |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+         |  FROM a)
+         |SELECT n AS n_dir_edges,
+         |  ROUND(CASE WHEN vx > 0 AND vy > 0 THEN
+         |    CAST(n * sxy - sx * sy AS BIGINT)::DOUBLE
+         |      / sqrt(CAST(vx AS BIGINT)::DOUBLE
+         |        * CAST(vy AS BIGINT)::DOUBLE) END, 6) + 0.0
+         |    AS assortativity
+         |FROM b""".stripMargin,
+
+    "q275_distinct_n" ->
+      s"""WITH u AS (
+         |  SELECT source, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT word) AS n_distinct_1
+         |  FROM (SELECT source, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT source, COUNT(DISTINCT g) AS n_distinct_2 FROM (
+         |    SELECT source, unnest(${shinglesSql(2)}) AS g
+         |    FROM (SELECT source, $WORDS AS w FROM documents))
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT source, CAST(SUM(CASE WHEN len(w) > 1 THEN len(w) - 1
+         |    ELSE 0 END) AS BIGINT) AS n_bigrams
+         |  FROM (SELECT source, $WORDS AS w FROM documents) GROUP BY 1)
+         |SELECT source, n_tokens, n_distinct_1,
+         |  ROUND(n_distinct_1::DOUBLE / n_tokens, 6) AS distinct_1,
+         |  n_bigrams, n_distinct_2,
+         |  CASE WHEN n_bigrams > 0 THEN
+         |    ROUND(n_distinct_2::DOUBLE / n_bigrams, 6) END AS distinct_2
+         |FROM u JOIN b USING (source) JOIN t USING (source)""".stripMargin,
+
+    "q277_randomized_response" -> {
+      val thr = (0.75 * math.pow(2.0, 60)).toLong
+      s"""WITH toks AS (
+         |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents),
+         |    unnest(range(1, len(w) + 1)) AS t(i)),
+         |v AS (
+         |  SELECT list_sort(list(word)) AS vl, COUNT(*) AS vn
+         |  FROM (SELECT DISTINCT word FROM toks)),
+         |rep AS (
+         |  SELECT CASE WHEN
+         |      ('0x' || substr(md5('rr:' || CAST(doc_id AS VARCHAR)
+         |        || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT < $thr
+         |    THEN word
+         |    ELSE vl[(('0x' || substr(md5('rrpick:'
+         |      || CAST(doc_id AS VARCHAR) || ':'
+         |      || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % vn) + 1]
+         |    END AS word
+         |  FROM toks, v),
+         |obs AS (SELECT word, COUNT(*) AS obs_count FROM rep GROUP BY 1),
+         |truth AS (SELECT word, COUNT(*) AS true_count FROM toks
+         |  GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n, (SELECT vn FROM v) AS vn FROM toks)
+         |SELECT word, COALESCE(true_count, 0) AS true_count,
+         |  COALESCE(obs_count, 0) AS obs_count,
+         |  ROUND((COALESCE(obs_count, 0)::DOUBLE - n * 0.25::DOUBLE / vn)
+         |    / (0.75::DOUBLE - 0.25::DOUBLE / vn), 4) + 0.0 AS est_count
+         |FROM obs FULL JOIN truth USING (word), n""".stripMargin
+    },
 
     "q267_textrank" -> {
       val S = graft.ops.PageRank.SCALE

@@ -1112,6 +1112,29 @@ object Relational {
         .crossJoin(broadcast(ci))
     }),
 
+    // Join-key skew profiler — the plan-engineering audit that decides
+    // salting/AQE-skew settings BEFORE a 100 TB join is launched: per
+    // candidate key column, cardinality, hottest-key frequency, and the
+    // skew factor max/mean (= max_freq·n_keys/n_rows). One map-side-
+    // combined aggregate per column; the per-column rollup is 1 row.
+    "q276_skew_profile" -> ((s, dir) => {
+      def prof(df: DataFrame, keyCol: String, tag: String) =
+        df.select(col(keyCol).cast("string").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("__c"))
+          .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("__c")).as("max_freq"))
+          .select(lit(tag).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_freq"),
+            round((col("max_freq") * col("n_keys")) /
+              col("n_rows").cast("double"), 6).as("skew_factor"))
+      val li = Tables.table(s, dir, "lineitem")
+      prof(li, "l_suppkey", "lineitem.l_suppkey")
+        .unionAll(prof(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionAll(prof(Tables.events(s, dir), "user_id", "events.user_id"))
+        .unionAll(prof(Tables.documents(s, dir), "source",
+          "documents.source"))
+    }),
+
     // Population Stability Index drift per event type: first vs second
     // half of the calendar range (midpoint and the global value-decile
     // bin edges are broadcast scalars), add-one-smoothed bin shares over
@@ -1964,6 +1987,21 @@ object Relational {
          |  COUNT(DISTINCT source) >= 3 AS l_diverse
          |FROM documents
          |GROUP BY 1, 2""".stripMargin,
+
+    "q276_skew_profile" -> {
+      def prof(src: String, key: String, tag: String) =
+        s"""SELECT '$tag' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  COUNT(*) AS n_keys, MAX(c) AS max_freq,
+           |  ROUND((MAX(c) * COUNT(*))
+           |    / CAST(SUM(c) AS BIGINT)::DOUBLE, 6) AS skew_factor
+           |FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+           |      FROM $src GROUP BY 1)""".stripMargin
+      Seq(prof("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+        prof("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        prof("events", "user_id", "events.user_id"),
+        prof("documents", "source", "documents.source"))
+        .mkString("\nUNION ALL\n")
+    },
 
     "q268_modified_z" ->
       s"""WITH med AS (

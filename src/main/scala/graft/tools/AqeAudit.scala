@@ -66,7 +66,12 @@ object AqeAudit {
       // q267–q271 batch: the TextRank vocab/edge joins + PageRank loop,
       // the adaptive max-coverage anti-join rounds, and the bootstrap
       // replicate fan-out
-      "q267_textrank", "q269_max_coverage", "q271_poisson_bootstrap")
+      "q267_textrank", "q269_max_coverage", "q271_poisson_bootstrap",
+      // q272–q277 batch: the phrase argmax + match joins, the two
+      // near-dup graph statistics (triangle corners, degree pairs), and
+      // the RR vocab-broadcast channel
+      "q272_phrase_search", "q273_clustering_coeff", "q274_assortativity",
+      "q277_randomized_response")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

@@ -55,6 +55,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q264_misra_gries",     // broadcast 1-row token-total scalar
     "q266_conformal",       // broadcast 1-row calibration-quantile scalar
     "q271_poisson_bootstrap", // broadcast 1-row replicate-CI scalar
+    "q277_randomized_response", // broadcast 1-row vocab-array scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar
