@@ -616,6 +616,99 @@ object TextAnalysis {
       .select("source", "bin", "n", "conf", "acc", "gap", "ece")
   }
 
+  /** Disparate-impact audit of a quality filter across languages
+    * (Feldman et al., KDD 2015, "Certifying and Removing Disparate
+    * Impact" — the EEOC 80% rule): per language, the
+    * [[hashClassifier]] keep rate; the DI ratio is each group's rate
+    * over the best group's, and any group under 0.8 is flagged — the
+    * corpus-governance check that a "quality" filter is not just a
+    * fluency-in-the-majority-language filter. One map-only scan, one
+    * language-bounded aggregate, one broadcast max-rate scalar. */
+  def disparateImpact(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, threshold: Double = 0.5): DataFrame = {
+    // the classifier formula inlined (q263's single-scan rule): scoring
+    // and grouping in ONE corpus pass instead of a corpus self-join
+    val w = TextOps.words(col(textCol))
+    def weight(x: Column): Column =
+      (pmod(TextOps.wordHash60(concat(lit("clf:"), x)), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0
+    val margin = round(
+      aggregate(w, lit(0.0d), (acc, x) => acc + weight(x)) / size(w), 6)
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-margin)), 6)
+    val label = coalesce(when(size(w) > 0, prob >= threshold), lit(false))
+    val rates = docs
+      .select(col(groupCol).as("grp"), label.as("label"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("__rate", col("n_keep").cast("double") / col("n_docs"))
+      .localCheckpoint()
+    val mx = rates.agg(max(col("__rate")).as("__mx"))
+    rates.crossJoin(broadcast(mx))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_keep"),
+        round(col("__rate"), 6).as("keep_rate"),
+        round(when(col("__mx") > 0.0, col("__rate") / col("__mx")), 6)
+          .as("di_ratio"),
+        coalesce(when(col("__mx") > 0.0,
+          col("__rate") / col("__mx") < 0.8), lit(false))
+          .as("below_80pct_rule"))
+  }
+
+  /** Brier-score decomposition (Murphy 1973, "A New Vector Partition of
+    * the Probability Score"): over the same equal-width bins as
+    * [[calibrationEce]], Brier = REL − RES + UNC with
+    * REL = Σ n_b(conf_b − acc_b)²/N (calibration error, lower better),
+    * RES = Σ n_b(acc_b − ȳ)²/N (resolution — discrimination, higher
+    * better), UNC = ȳ(1−ȳ) (irreducible base-rate term). ECE says THAT
+    * a filter is miscalibrated; the decomposition says whether
+    * recalibrating is worth it (high RES) or the score carries no
+    * signal (RES ≈ 0). The direct Brier mean is emitted alongside from
+    * its own exactly-summed terms. Per-bin terms round to 6 dp and sum
+    * through exact decimal — the ECE determinism discipline. */
+  def brierDecomposition(docs: DataFrame, idCol: String, textCol: String,
+      truth: Column, groupCol: String, nBins: Int = 10): DataFrame = {
+    val scored = hashClassifier(docs, idCol, textCol)
+      .select(col(idCol), col("prob"))
+    val rows = docs
+      .select(col(idCol), col(groupCol).as("source"),
+        truth.cast("boolean").as("__y"))
+      .join(scored, Seq(idCol))
+      .filter(col("prob").isNotNull)
+      .withColumn("bin",
+        least(floor(col("prob") * nBins), lit(nBins - 1L)).cast("long"))
+      .localCheckpoint()
+    val perBin = rows.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Det.sumDet(col("prob"), 6).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__npos"))
+      .withColumn("conf", round(col("__sp") / col("n"), 6))
+      .withColumn("acc", round(col("__npos").cast("double") / col("n"), 6))
+    val base = rows.groupBy("source")
+      .agg(count(lit(1)).as("__N"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__Npos"),
+        graft.core.Det.sumDet(round(
+          (col("prob") - when(col("__y"), 1.0d).otherwise(0.0d)) *
+            (col("prob") - when(col("__y"), 1.0d).otherwise(0.0d)), 6), 6)
+          .as("__sb"))
+      .withColumn("__ybar", round(col("__Npos").cast("double") / col("__N"), 6))
+    perBin.join(broadcast(base), Seq("source"))
+      .groupBy(col("source"), col("__N"), col("__ybar"), col("__sb"))
+      .agg(
+        graft.core.Det.sumDet(round(col("n") *
+          ((col("conf") - col("acc")) * (col("conf") - col("acc"))), 6), 6)
+          .as("__rel"),
+        graft.core.Det.sumDet(round(col("n") *
+          ((col("acc") - col("__ybar")) * (col("acc") - col("__ybar"))), 6), 6)
+          .as("__res"))
+      .select(col("source"), col("__N").as("n_docs"),
+        col("__ybar").as("base_rate"),
+        round(col("__rel") / col("__N"), 6).as("reliability"),
+        round(col("__res") / col("__N"), 6).as("resolution"),
+        round(col("__ybar") * (lit(1.0) - col("__ybar")), 6)
+          .as("uncertainty"),
+        round(col("__sb") / col("__N"), 6).as("brier"))
+  }
+
   /** OOV masking: every word whose corpus document frequency is below
     * `minDf` becomes `<unk>` — the closed-vocabulary normalization step
     * before tokenizer training / n-gram LM fitting (rare-word cutoffs in

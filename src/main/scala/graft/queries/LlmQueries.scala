@@ -1272,6 +1272,55 @@ object LlmQueries {
       TextAnalysis.burstiness(Tables.documents(s, dir), "doc_id", "text",
         minDf = 25)),
 
+    // Chinchilla-optimal token-budget audit (Hoffmann et al. 2022,
+    // "Training Compute-Optimal Large Language Models" — the ~20
+    // tokens/parameter rule): for a model-size grid, whether this
+    // corpus's token mass — total, and exact-dedup effective (tokens of
+    // keeper docs only) — covers the compute-optimal budget, and how
+    // many epochs of the deduped corpus the budget implies. One corpus
+    // scan + a 16-byte-key dedup aggregate; the grid is a 6-row literal.
+    "q278_chinchilla_budget" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .withColumn("__n", size(TextOps.words(col("text"))).cast("long"))
+        .withColumn("__h", md5(col("text").cast("binary")))
+        .join(Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("text_hash").as("__h"), col("keep_id")), Seq("__h"))
+        .agg(sum(col("__n")).as("corpus_tokens"),
+          sum(when(col("doc_id") === col("keep_id"), col("__n"))
+            .otherwise(0L)).as("effective_tokens"))
+      Seq(("125M", 125000000L), ("350M", 350000000L),
+        ("1.3B", 1300000000L), ("2.7B", 2700000000L),
+        ("6.7B", 6700000000L), ("13B", 13000000000L))
+        .toDF("model", "params")
+        .crossJoin(broadcast(toks))
+        .select(col("model"), col("params"),
+          (col("params") * 20).as("need_tokens"),
+          col("corpus_tokens"), col("effective_tokens"),
+          round(col("corpus_tokens").cast("double") /
+            (col("params") * 20), 8).as("coverage"),
+          round((col("params") * 20).cast("double") /
+            col("effective_tokens"), 2).as("epochs_needed"))
+    }),
+
+    // Disparate-impact audit (Feldman 2015 / EEOC 80% rule) of the
+    // quality classifier across languages — keep-rate ratios vs the
+    // best-treated group; the governance check that "quality" is not
+    // just majority-language fluency.
+    "q279_disparate_impact" -> ((s, dir) =>
+      TextAnalysis.disparateImpact(Tables.documents(s, dir), "doc_id",
+        "text", "lang", threshold = 0.5)),
+
+    // Brier-score decomposition (Murphy 1973): reliability, resolution,
+    // uncertainty per source over the q226 bins — says whether a
+    // miscalibrated filter score is worth recalibrating (resolution)
+    // or carries no signal.
+    "q281_brier_decomposition" -> ((s, dir) =>
+      TextAnalysis.brierDecomposition(Tables.documents(s, dir), "doc_id",
+        "text", col("lang") === "en", "source", nBins = 10)),
+
     // Positional exact-phrase search for the corpus's top bigram —
     // inverted-index-with-positions retrieval, end-to-end (argmax
     // phrase -> adjacency match -> per-doc stats).
@@ -4167,6 +4216,103 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q278_chinchilla_budget" ->
+      s"""WITH t AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS corpus_tokens,
+         |    CAST(SUM(CASE WHEN doc_id = keep_id THEN n ELSE 0 END)
+         |      AS BIGINT) AS effective_tokens
+         |  FROM (
+         |    SELECT d.doc_id, len($WORDS) AS n, k.keep_id
+         |    FROM documents d JOIN (
+         |      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+         |      FROM documents GROUP BY 1) k ON md5(d.text) = k.h)),
+         |g AS (SELECT * FROM (VALUES
+         |  ('125M', 125000000), ('350M', 350000000),
+         |  ('1.3B', 1300000000), ('2.7B', 2700000000),
+         |  ('6.7B', 6700000000), ('13B', 13000000000))
+         |  AS v(model, params))
+         |SELECT model, CAST(params AS BIGINT) AS params,
+         |  CAST(params * 20 AS BIGINT) AS need_tokens,
+         |  corpus_tokens, effective_tokens,
+         |  ROUND(corpus_tokens::DOUBLE / (params * 20), 8) AS coverage,
+         |  ROUND((params * 20)::DOUBLE / effective_tokens, 2)
+         |    AS epochs_needed
+         |FROM g, t""".stripMargin,
+
+    "q279_disparate_impact" ->
+      s"""WITH m AS (
+         |  SELECT lang,
+         |    COALESCE(CASE WHEN margin IS NOT NULL
+         |      THEN ROUND(1.0 / (1.0 + exp(-margin)), 6) END >= 0.5,
+         |      false) AS label
+         |  FROM (
+         |    SELECT lang, CASE WHEN len(w) > 0 THEN ROUND(list_reduce(
+         |      list_transform(w, x ->
+         |        ((('0x' || substr(md5('clf:' || x), 1, 15))::BIGINT
+         |          % 2001) - 1000) / 1000.0),
+         |      (a, b) -> a + b) / len(w), 6) END AS margin
+         |    FROM (SELECT lang, $WORDS AS w FROM documents))),
+         |r AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep
+         |  FROM m GROUP BY 1),
+         |x AS (SELECT MAX(n_keep::DOUBLE / n_docs) AS mx FROM r)
+         |SELECT lang, n_docs, n_keep,
+         |  ROUND(n_keep::DOUBLE / n_docs, 6) AS keep_rate,
+         |  ROUND(CASE WHEN mx > 0.0::DOUBLE
+         |    THEN (n_keep::DOUBLE / n_docs) / mx END, 6) AS di_ratio,
+         |  COALESCE(CASE WHEN mx > 0.0::DOUBLE
+         |    THEN (n_keep::DOUBLE / n_docs) / mx < 0.8::DOUBLE END,
+         |    false) AS below_80pct_rule
+         |FROM r, x""".stripMargin,
+
+    "q281_brier_decomposition" ->
+      s"""WITH sc AS (
+         |  SELECT source, lang = 'en' AS y,
+         |    CASE WHEN margin IS NOT NULL
+         |      THEN ROUND(1.0 / (1.0 + exp(-margin)), 6) END AS prob
+         |  FROM (
+         |    SELECT source, lang, CASE WHEN len(w) > 0 THEN ROUND(
+         |      list_reduce(list_transform(w, x ->
+         |        ((('0x' || substr(md5('clf:' || x), 1, 15))::BIGINT
+         |          % 2001) - 1000) / 1000.0),
+         |      (a, b) -> a + b) / len(w), 6) END AS margin
+         |    FROM (SELECT source, lang, $WORDS AS w FROM documents))),
+         |rows_ AS (
+         |  SELECT source, y, prob,
+         |    LEAST(CAST(FLOOR(prob * 10) AS BIGINT), 9) AS bin
+         |  FROM sc WHERE prob IS NOT NULL),
+         |pb AS (
+         |  SELECT source, bin, COUNT(*) AS n,
+         |    ROUND(${graft.core.Det.sumDetSql("prob", 6)} / COUNT(*), 6)
+         |      AS conf,
+         |    ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |      ::DOUBLE / COUNT(*), 6) AS acc
+         |  FROM rows_ GROUP BY 1, 2),
+         |base AS (
+         |  SELECT source, COUNT(*) AS nn,
+         |    ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |      ::DOUBLE / COUNT(*), 6) AS ybar,
+         |    ${graft.core.Det.sumDetSql(
+             "ROUND((prob - CASE WHEN y THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * " +
+               "(prob - CASE WHEN y THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6)", 6)}
+         |      AS sb
+         |  FROM rows_ GROUP BY 1)
+         |SELECT source, nn AS n_docs, ybar AS base_rate,
+         |  ROUND(rel / nn, 6) AS reliability,
+         |  ROUND(res / nn, 6) AS resolution,
+         |  ROUND(ybar * (1.0::DOUBLE - ybar), 6) AS uncertainty,
+         |  ROUND(sb / nn, 6) AS brier
+         |FROM (
+         |  SELECT source, nn, ybar, sb,
+         |    ${graft.core.Det.sumDetSql(
+             "ROUND(n * ((conf - acc) * (conf - acc)), 6)", 6)} AS rel,
+         |    ${graft.core.Det.sumDetSql(
+             "ROUND(n * ((acc - ybar) * (acc - ybar)), 6)", 6)} AS res
+         |  FROM pb JOIN base USING (source)
+         |  GROUP BY 1, 2, 3, 4)""".stripMargin,
 
     "q272_phrase_search" ->
       s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),

@@ -20,6 +20,15 @@ object Relational {
   private val MIN_US = 60000000L
   private val DAY_US = 86400000000L
 
+  /** (z_{0.025} + z_{0.2})² for q280's power formula — computed once in
+    * Scala and injected as the SAME double literal into the Spark plan
+    * and the DuckDB oracle (no transcendental inside either query). */
+  private lazy val AbPowerZSum2: Double = {
+    val za = 1.959963984540054 // Φ⁻¹(0.975)
+    val zb = 0.8416212335729143 // Φ⁻¹(0.8)
+    (za + zb) * (za + zb)
+  }
+
   /** Poisson(1) CDF breakpoints for k = 0..6, pre-scaled onto the 2^60
     * hash grid so q271's weight draw is an integer comparison — the SAME
     * long literals are injected into the Spark plan and the DuckDB
@@ -1112,6 +1121,37 @@ object Relational {
         .crossJoin(broadcast(ci))
     }),
 
+    // A/B test power analysis (Cohen 1988's two-sample normal
+    // approximation): per event type, the sample size each arm needs to
+    // detect a 5% relative lift at α=0.05 / power 0.8 given the
+    // OBSERVED variance — n = 2σ²(z_{α/2}+z_β)²/Δ². The z-constant
+    // square is ONE Scala-computed literal injected into both engines;
+    // moments come from the q156 exact-decimal sums, so the only
+    // doubles are the final pinned-order arithmetic. The pre-launch
+    // audit that says whether an experiment is even worth running.
+    "q280_ab_power" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("value").cast("decimal(24,4)")).cast("double")
+            .as("__s1"),
+          sum((col("value") * col("value")).cast("decimal(38,8)"))
+            .cast("double").as("__s2"))
+        .filter(col("n_obs") > 1)
+        .withColumn("__mean", col("__s1") / col("n_obs"))
+        .withColumn("__var",
+          (col("__s2") - col("__s1") * col("__s1") / col("n_obs")) /
+            (col("n_obs") - 1))
+        .withColumn("__mde", lit(0.05) * col("__mean"))
+        .select(col("event_type"), col("n_obs"),
+          round(col("__mean"), 6).as("mean_value"),
+          round(col("__var"), 6).as("variance"),
+          round(col("__mde"), 6).as("mde"),
+          when(col("__mde") * col("__mde") > 0.0 && col("__var") > 0.0,
+            ceil(lit(2.0) * col("__var") * lit(AbPowerZSum2) /
+              (col("__mde") * col("__mde"))).cast("long"))
+            .as("n_per_arm"))),
+
     // Join-key skew profiler — the plan-engineering audit that decides
     // salting/AQE-skew settings BEFORE a 100 TB join is launched: per
     // candidate key column, cardinality, hottest-key frequency, and the
@@ -1987,6 +2027,27 @@ object Relational {
          |  COUNT(DISTINCT source) >= 3 AS l_diverse
          |FROM documents
          |GROUP BY 1, 2""".stripMargin,
+
+    "q280_ab_power" ->
+      s"""WITH a AS (
+         |  SELECT event_type, COUNT(*) AS n_obs,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE)
+         |      AS s2
+         |  FROM events GROUP BY 1 HAVING COUNT(*) > 1),
+         |b AS (
+         |  SELECT event_type, n_obs, s1 / n_obs AS mean,
+         |    (s2 - s1 * s1 / n_obs) / (n_obs - 1) AS var,
+         |    0.05::DOUBLE * (s1 / n_obs) AS mde
+         |  FROM a)
+         |SELECT event_type, n_obs,
+         |  ROUND(mean, 6) + 0.0 AS mean_value,
+         |  ROUND(var, 6) AS variance,
+         |  ROUND(mde, 6) + 0.0 AS mde,
+         |  CASE WHEN mde * mde > 0.0::DOUBLE AND var > 0.0::DOUBLE
+         |    THEN CAST(CEIL(2.0::DOUBLE * var * $AbPowerZSum2
+         |      / (mde * mde)) AS BIGINT) END AS n_per_arm
+         |FROM b""".stripMargin,
 
     "q276_skew_profile" -> {
       def prof(src: String, key: String, tag: String) =

@@ -71,7 +71,10 @@ object AqeAudit {
       // near-dup graph statistics (triangle corners, degree pairs), and
       // the RR vocab-broadcast channel
       "q272_phrase_search", "q273_clustering_coeff", "q274_assortativity",
-      "q277_randomized_response")
+      "q277_randomized_response",
+      // q278–q281 batch: the dedup-keyed token budget, the calibration
+      // bin joins
+      "q278_chinchilla_budget", "q281_brier_decomposition")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

@@ -252,6 +252,37 @@ class Round14Spec extends AnyFunSuite {
     assert(got(2L) == ("x y", 1L, 1L))
   }
 
+  test("disparateImpact: best-treated group anchors di_ratio at 1") {
+    val d = docs((1 to 30).map(i =>
+      (i.toLong, s"word$i another$i third$i",
+        if (i <= 15) "en" else "fr")): _*)
+      .withColumnRenamed("source", "lang")
+    val got = TextAnalysis.disparateImpact(d, "doc_id", "text", "lang")
+      .collect()
+    assert(got.length == 2)
+    val ratios = got.flatMap(r => Option(r.get(4)).map(_.toString.toDouble))
+    if (ratios.nonEmpty) assert(ratios.max == 1.0)
+    got.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("brierDecomposition: uncertainty equals ybar(1-ybar); terms bounded") {
+    val d = docs((1 to 40).map(i =>
+      (i.toLong, s"alpha beta w$i x$i", "s")): _*)
+      .withColumn("lang", when(col("doc_id") % 4 === 0, "en")
+        .otherwise("fr"))
+    val r = TextAnalysis.brierDecomposition(d, "doc_id", "text",
+      col("lang") === "en", "source").collect().head
+    val ybar = r.getDouble(2)
+    assert(math.abs(r.getDouble(5) -
+      math.rint(ybar * (1 - ybar) * 1e6) / 1e6) < 2e-6)
+    assert(r.getDouble(3) >= 0.0) // reliability
+    assert(r.getDouble(4) >= 0.0) // resolution
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0) // brier
+  }
+
   test("spearmanScores: bounded, deterministic, and n excludes empty docs") {
     val d = docs(
       (1L, "aa bb cc dd ee", "s"), (2L, "a b c", "s"),
