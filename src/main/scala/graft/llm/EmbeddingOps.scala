@@ -414,4 +414,31 @@ object EmbeddingOps {
       .select(col("label_a"), col("label_b"), col("m_a"), col("m_b"),
         col("mmd2"))
   }
+
+  /** Participation-ratio dimensionality (the PR dimension of statistical
+    * physics, used as an eigendecomposition-free effective-rank measure;
+    * cf. Roy & Vetterli 2007's effective rank): PR = tr(C)² / tr(C²) =
+    * (Σλ)²/Σλ² over the covariance spectrum — 1 when one direction
+    * dominates, dim when variance spreads evenly — WITHOUT computing
+    * eigenvalues, since tr(C) is the diagonal sum and tr(C²) = ‖C‖²_F
+    * for symmetric C. The embedding-collapse diagnostic that q191's
+    * top-1 power iteration can only bound.
+    *
+    * Scale shape: rides [[covarianceCells]]' one exact-integer corpus
+    * pass; both traces are dim²-bounded aggregates of 12/14-dp-rounded
+    * terms through exact decimal. */
+  def participationRatio(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int = 64): DataFrame = {
+    val cells = covarianceCells(emb, idCol, embCol)
+    cells.agg(
+      graft.core.Det.sumDet(when(col("i") === col("j"),
+        round(col("cov"), 12)).otherwise(0.0d), 12).as("__tr"),
+      graft.core.Det.sumDet(round(col("cov") * col("cov"), 14), 14)
+        .as("__f2"))
+      .select(lit(dim).as("dim"), round(col("__tr"), 8).as("trace"),
+        round(col("__f2"), 10).as("frobenius_sq"),
+        round(when(col("__f2") > 0.0,
+          col("__tr") * col("__tr") / col("__f2")), 4)
+          .as("participation_ratio"))
+  }
 }

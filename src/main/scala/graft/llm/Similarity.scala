@@ -1202,6 +1202,37 @@ object Similarity {
         col("cos_full_top"), col("cos_sub_top"))
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017, "Estimating
+    * the intrinsic dimension of datasets by a minimal neighborhood
+    * information"): under a locally uniform density the ratio
+    * μ = r₂/r₁ of each point's 2nd/1st-neighbor distances is
+    * Pareto(id), so the MLE is id = N / Σ ln μᵢ — two neighbors per
+    * point is ALL the information needed. Distances here are the cosine
+    * distance 1−cos on the 6-dp graph scores (the standard embedding
+    * practice); pairs with r₁ = 0 (exact duplicates) carry no ratio
+    * information and are excluded, as in the paper's protocol.
+    *
+    * Scale shape: rides the cell-confined [[knnGraph]] at k = 2 (the
+    * ANN-backed TwoNN everyone runs at scale — exact 2-NN would be
+    * all-pairs); per-point log terms round to 8 dp and sum through
+    * exact decimal. Output: one row (n_used, sum_log, intrinsic_dim). */
+  def twoNN(emb: DataFrame, idCol: String, embCol: String,
+      nList: Int = 0): DataFrame = {
+    val g = knnGraph(emb, idCol, embCol, k = 2, nList = nList)
+    g.groupBy(col(idCol))
+      .agg(max(when(col("nbr_rank") === 1, col("cos"))).as("__c1"),
+        max(when(col("nbr_rank") === 2, col("cos"))).as("__c2"))
+      .filter(col("__c2").isNotNull && col("__c1") < 1.0)
+      .withColumn("__l", round(log(
+        (lit(1.0) - col("__c2")) / (lit(1.0) - col("__c1"))), 8))
+      .agg(count(lit(1)).as("n_used"),
+        graft.core.Det.sumDet(col("__l"), 8).as("__s"))
+      .select(col("n_used"), round(col("__s"), 6).as("sum_log"),
+        round(when(col("__s") > 0.0,
+          col("n_used").cast("double") / col("__s")), 4)
+          .as("intrinsic_dim"))
+  }
+
   /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019, "Efficient
     * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
     * Theorem 1): under a K-NN utility, each training point's exact

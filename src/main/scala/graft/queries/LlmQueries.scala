@@ -1272,6 +1272,18 @@ object LlmQueries {
       TextAnalysis.burstiness(Tables.documents(s, dir), "doc_id", "text",
         minDf = 25)),
 
+    // Participation-ratio dimensionality: (Σλ)²/Σλ² of the covariance
+    // spectrum WITHOUT eigendecomposition (tr and Frobenius only) —
+    // the embedding-collapse diagnostic, riding q191's exact Gramian.
+    "q285_participation_ratio" -> ((s, dir) =>
+      graft.llm.EmbeddingOps.participationRatio(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
+    // TwoNN intrinsic dimension (Facco 2017): Pareto MLE over 2nd/1st
+    // neighbor cosine-distance ratios from the cell-confined 2-NN graph.
+    "q286_twonn" -> ((s, dir) =>
+      Similarity.twoNN(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     // Chinchilla-optimal token-budget audit (Hoffmann et al. 2022,
     // "Training Compute-Optimal Large Language Models" — the ~20
     // tokens/parameter rule): for a model-size grid, whether this
@@ -4216,6 +4228,41 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q285_participation_ratio" ->
+      s"""WITH $topPcCtes
+         |SELECT 64 AS dim, ROUND(tr2, 8) AS trace,
+         |  ROUND(f2, 10) AS frobenius_sq,
+         |  ROUND(CASE WHEN f2 > 0.0::DOUBLE THEN tr2 * tr2 / f2 END, 4)
+         |    AS participation_ratio
+         |FROM (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN i = j
+         |      THEN CAST(ROUND(cov, 12) AS DECIMAL(24,12))
+         |      ELSE CAST(0.0 AS DECIMAL(24,12)) END) AS DOUBLE) AS tr2,
+         |    CAST(SUM(CAST(ROUND(cov * cov, 14) AS DECIMAL(24,14)))
+         |      AS DOUBLE) AS f2
+         |  FROM cov)""".stripMargin,
+
+    "q286_twonn" ->
+      s"""WITH $knnGraphCtes,
+         |p AS (
+         |  SELECT id,
+         |    MAX(CASE WHEN nbr_rank = 1 THEN ROUND(c, 6) END) AS c1,
+         |    MAX(CASE WHEN nbr_rank = 2 THEN ROUND(c, 6) END) AS c2
+         |  FROM rk WHERE nbr_rank <= 2 GROUP BY 1),
+         |l AS (
+         |  SELECT ROUND(ln((1.0::DOUBLE - c2) / (1.0::DOUBLE - c1)), 8)
+         |    AS lg
+         |  FROM p WHERE c2 IS NOT NULL AND c1 < 1.0::DOUBLE),
+         |a AS (
+         |  SELECT COUNT(*) AS n_used,
+         |    CAST(SUM(CAST(lg AS DECIMAL(24,8))) AS DOUBLE) AS s
+         |  FROM l)
+         |SELECT n_used, ROUND(s, 6) AS sum_log,
+         |  ROUND(CASE WHEN s > 0.0::DOUBLE THEN n_used::DOUBLE / s END, 4)
+         |    AS intrinsic_dim
+         |FROM a""".stripMargin,
 
     "q278_chinchilla_budget" ->
       s"""WITH t AS (

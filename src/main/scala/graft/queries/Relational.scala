@@ -1121,6 +1121,115 @@ object Relational {
         .crossJoin(broadcast(ci))
     }),
 
+    // CUPED variance reduction (Deng et al., WSDM 2013, "Improving the
+    // Sensitivity of Online Controlled Experiments by Utilizing
+    // Pre-Experiment Data"): per event type, split each user's value
+    // mass at the calendar midpoint into pre-period covariate X and
+    // experiment metric Y; θ = cov(X,Y)/var(X) and the CUPED-adjusted
+    // variance is var(Y)·(1−ρ²) — the audit that says how much
+    // experiment runtime the pre-period data buys. Per-user sums are
+    // exact 4-dp decimals, their moments exact 8-dp decimals (q156's
+    // discipline); the midpoint is one broadcast scalar.
+    "q282_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("__day", expr(s"ts_us div $DAY_US"))
+      val mid = ev.agg(
+        floor((min("__day") + max("__day")) / 2).as("__mid"))
+      val zero = lit(0).cast(DecimalType(24, 4))
+      val ux = ev.crossJoin(broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+          sum(when(col("__day") <= col("__mid"),
+            col("value").cast(DecimalType(24, 4))).otherwise(zero))
+            .cast("double").as("x"),
+          sum(when(col("__day") > col("__mid"),
+            col("value").cast(DecimalType(24, 4))).otherwise(zero))
+            .cast("double").as("y"))
+      ux.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x").cast(DecimalType(24, 4))).cast("double").as("__sx"),
+          sum(col("y").cast(DecimalType(24, 4))).cast("double").as("__sy"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 8)))
+            .cast("double").as("__sxy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 8)))
+            .cast("double").as("__sxx"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 8)))
+            .cast("double").as("__syy"))
+        .filter(col("n_users") > 1)
+        .withColumn("__cov", (col("__sxy") -
+          col("__sx") * col("__sy") / col("n_users")) / (col("n_users") - 1))
+        .withColumn("__vx", (col("__sxx") -
+          col("__sx") * col("__sx") / col("n_users")) / (col("n_users") - 1))
+        .withColumn("__vy", (col("__syy") -
+          col("__sy") * col("__sy") / col("n_users")) / (col("n_users") - 1))
+        .select(col("event_type"), col("n_users"),
+          round(when(col("__vx") > 0.0, col("__cov") / col("__vx")), 6)
+            .as("theta"),
+          round(col("__vy"), 6).as("var_y"),
+          round(when(col("__vx") > 0.0,
+            col("__vy") - col("__cov") * col("__cov") / col("__vx")), 6)
+            .as("var_cuped"),
+          round(when(col("__vx") > 0.0 && col("__vy") > 0.0,
+            (col("__cov") * col("__cov") / col("__vx")) / col("__vy")), 6)
+            .as("var_reduction"))
+    }),
+
+    // Mann-Whitney U / Wilcoxon rank-sum (Mann & Whitney 1947): the
+    // nonparametric A/B location test — q156's Welch t assumes
+    // near-normal arms, the rank test does not. Average ranks are held
+    // as the exact integer 2·rank (the q263 trick), U_A derives in
+    // closed form, and z uses the tie-uncorrected normal approximation
+    // (documented; exact on continuous values). Per-type rank windows
+    // partition by event_type — the quantile-norm scale profile.
+    "q283_mann_whitney" -> ((s, dir) => {
+      val isA = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 2 === 0
+      val byVal = Window.partitionBy("event_type").orderBy("value")
+      val ties = Window.partitionBy("event_type", "value")
+      val r = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), isA.as("__a"))
+        .withColumn("__r2",
+          (rank().over(byVal) * 2 + count(lit(1)).over(ties) - 1)
+            .cast("long"))
+      r.groupBy("event_type")
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("__a"), col("__r2")).otherwise(0L)).as("__s2a"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("u_a",
+          (col("__s2a") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0)
+        .select(col("event_type"), col("n_a"), col("n_b"), col("u_a"),
+          round(when(col("n_a") + col("n_b") > 1,
+            (col("u_a") - col("n_a").cast("double") * col("n_b") / 2.0) /
+              sqrt(col("n_a").cast("double") * col("n_b") *
+                (col("n_a") + col("n_b") + 1) / 12.0)), 6).as("z"))
+    }),
+
+    // Delete-a-group jackknife (Quenouille 1956 / Tukey 1958; the
+    // grouped form of Kott 2001): per source, the leave-that-source-out
+    // corpus mean of n_chars, the Tukey pseudo-value
+    // g·θ̂ − (g−1)·θ̂₍ᵢ₎, and the influence θ̂ − θ̂₍ᵢ₎ — which sources
+    // PULL the corpus statistic, the group-level cousin of q259's
+    // per-example Shapley. One aggregate; everything after is
+    // group-bounded integer arithmetic with pinned final divisions.
+    "q284_jackknife" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("__s"))
+        .localCheckpoint()
+      val tot = g.agg(sum(col("n_docs")).as("__tn"),
+        sum(col("__s")).as("__ts"), count(lit(1)).as("__g"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("__theta", col("__ts").cast("double") / col("__tn"))
+        .withColumn("__loo", (col("__ts") - col("__s")).cast("double") /
+          (col("__tn") - col("n_docs")))
+        .select(col("source"), col("n_docs"),
+          round(col("__loo"), 6).as("loo_mean"),
+          round(col("__g") * col("__theta") -
+            (col("__g") - 1) * col("__loo"), 6).as("pseudo_value"),
+          round(col("__theta") - col("__loo"), 6).as("influence"))
+    }),
+
     // A/B test power analysis (Cohen 1988's two-sample normal
     // approximation): per event type, the sample size each arm needs to
     // detect a 5% relative lift at α=0.05 / power 0.8 given the
@@ -2027,6 +2136,91 @@ object Relational {
          |  COUNT(DISTINCT source) >= 3 AS l_diverse
          |FROM documents
          |GROUP BY 1, 2""".stripMargin,
+
+    "q282_cuped" ->
+      s"""WITH e AS (
+         |  SELECT event_type, user_id, value,
+         |    epoch_us(ts) // $DAY_US AS day
+         |  FROM events),
+         |mid AS (SELECT floor((MIN(day) + MAX(day)) / 2) AS mid FROM e),
+         |ux AS (
+         |  SELECT event_type, user_id,
+         |    CAST(SUM(CASE WHEN day <= mid THEN CAST(value AS
+         |      DECIMAL(24,4)) ELSE CAST(0 AS DECIMAL(24,4)) END)
+         |      AS DOUBLE) AS x,
+         |    CAST(SUM(CASE WHEN day > mid THEN CAST(value AS
+         |      DECIMAL(24,4)) ELSE CAST(0 AS DECIMAL(24,4)) END)
+         |      AS DOUBLE) AS y
+         |  FROM e, mid GROUP BY 1, 2),
+         |a AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(24,4))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(24,4))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+         |  FROM ux GROUP BY 1 HAVING COUNT(*) > 1),
+         |b AS (
+         |  SELECT event_type, n, (sxy - sx * sy / n) / (n - 1) AS cov,
+         |    (sxx - sx * sx / n) / (n - 1) AS vx,
+         |    (syy - sy * sy / n) / (n - 1) AS vy
+         |  FROM a)
+         |SELECT event_type, n AS n_users,
+         |  ROUND(CASE WHEN vx > 0.0::DOUBLE THEN cov / vx END, 6) + 0.0
+         |    AS theta,
+         |  ROUND(vy, 6) AS var_y,
+         |  ROUND(CASE WHEN vx > 0.0::DOUBLE
+         |    THEN vy - cov * cov / vx END, 6) + 0.0 AS var_cuped,
+         |  ROUND(CASE WHEN vx > 0.0::DOUBLE AND vy > 0.0::DOUBLE
+         |    THEN (cov * cov / vx) / vy END, 6) AS var_reduction
+         |FROM b""".stripMargin,
+
+    "q283_mann_whitney" ->
+      s"""WITH v AS (
+         |  SELECT event_type, value,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 2 = 0 AS is_a
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, is_a,
+         |    2 * RANK() OVER (PARTITION BY event_type ORDER BY value)
+         |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+         |  FROM v),
+         |a AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN is_a THEN r2 ELSE 0 END) AS BIGINT)
+         |      AS s2a
+         |  FROM r GROUP BY 1),
+         |f AS (SELECT * FROM a WHERE n_a > 0 AND n_b > 0)
+         |SELECT event_type, n_a, n_b,
+         |  (s2a - n_a * (n_a + 1))::DOUBLE / 2.0::DOUBLE AS u_a,
+         |  ROUND(CASE WHEN n_a + n_b > 1 THEN
+         |    ((s2a - n_a * (n_a + 1))::DOUBLE / 2.0::DOUBLE
+         |      - n_a::DOUBLE * n_b / 2.0::DOUBLE)
+         |    / sqrt(n_a::DOUBLE * n_b * (n_a + n_b + 1) / 12.0::DOUBLE)
+         |    END, 6) + 0.0 AS z
+         |FROM f""".stripMargin,
+
+    "q284_jackknife" ->
+      s"""WITH g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS s
+         |  FROM documents GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+         |    CAST(SUM(s) AS BIGINT) AS ss, COUNT(*) AS ng
+         |  FROM g)
+         |SELECT source, n_docs,
+         |  ROUND((ss - s)::DOUBLE / (nn - n_docs), 6) AS loo_mean,
+         |  ROUND(ng * (ss::DOUBLE / nn)
+         |    - (ng - 1) * ((ss - s)::DOUBLE / (nn - n_docs)), 6) + 0.0
+         |    AS pseudo_value,
+         |  ROUND(ss::DOUBLE / nn - (ss - s)::DOUBLE / (nn - n_docs), 6)
+         |    + 0.0 AS influence
+         |FROM g, t""".stripMargin,
 
     "q280_ab_power" ->
       s"""WITH a AS (

@@ -74,7 +74,11 @@ object AqeAudit {
       "q277_randomized_response",
       // q278–q281 batch: the dedup-keyed token budget, the calibration
       // bin joins
-      "q278_chinchilla_budget", "q281_brier_decomposition")
+      "q278_chinchilla_budget", "q281_brier_decomposition",
+      // q282–q286 batch: the per-user CUPED moment join, the rank-sum
+      // windows, the Gramian trace pass, and the 2-NN cell graph
+      "q282_cuped", "q283_mann_whitney", "q285_participation_ratio",
+      "q286_twonn")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

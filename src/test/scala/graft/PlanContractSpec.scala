@@ -58,6 +58,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q277_randomized_response", // broadcast 1-row vocab-array scalar
     "q278_chinchilla_budget", // broadcast 1-row corpus-token scalars
     "q279_disparate_impact",  // broadcast 1-row max-rate scalar
+    "q282_cuped",             // broadcast 1-row calendar-midpoint scalar
+    "q284_jackknife",         // broadcast 1-row corpus-total scalars
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar

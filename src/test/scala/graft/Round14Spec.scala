@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.{Dedup, Pipeline, Similarity, TextAnalysis}
+import graft.queries.Relational
 
 /** Round-14 operators: exact KNN-Shapley valuation, label-propagation
   * communities, the mergeable Misra-Gries summary, the LSH S-curve
@@ -281,6 +282,60 @@ class Round14Spec extends AnyFunSuite {
     assert(r.getDouble(3) >= 0.0) // reliability
     assert(r.getDouble(4) >= 0.0) // resolution
     assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0) // brier
+  }
+
+  test("participationRatio: rank-1 data gives PR 1; isotropic 2D gives ~2") {
+    def pad(v: Seq[Double]) = v ++ Seq.fill(64 - v.size)(0.0)
+    // rank-1: every vector a multiple of one direction
+    val d1 = emb((1 to 12).map(i =>
+      (i.toLong, pad(Seq(i * 0.1, i * 0.2)), 0)): _*)
+    val pr1 = graft.llm.EmbeddingOps.participationRatio(d1, "vec_id",
+      "embedding").collect().head.getDouble(3)
+    assert(math.abs(pr1 - 1.0) < 0.01, s"rank-1 PR was $pr1")
+    // two equal independent directions: alternate +/- on two axes
+    val d2 = emb((1 to 16).map { i =>
+      val x = if (i % 2 == 0) 1.0 else -1.0
+      val y = if ((i / 2) % 2 == 0) 1.0 else -1.0
+      (i.toLong, pad(Seq(x, y)), 0)
+    }: _*)
+    val pr2 = graft.llm.EmbeddingOps.participationRatio(d2, "vec_id",
+      "embedding").collect().head.getDouble(3)
+    assert(math.abs(pr2 - 2.0) < 0.1, s"isotropic-2D PR was $pr2")
+  }
+
+  test("cuped: perfectly correlated pre/post gives theta 1 and full reduction") {
+    val s = spark
+    import s.implicits._
+    // each user: one pre-midpoint event and one post event, same value
+    val rows = (1 to 20).flatMap { u =>
+      Seq((u.toLong, "m", u.toDouble, "2026-01-01 00:00:00"),
+        (u.toLong, "m", u.toDouble, "2026-01-09 00:00:00"))
+    }
+    val ev = rows.toDF("user_id", "event_type", "value", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("event_id", col("user_id"))
+      .withColumn("props", lit(""))
+    val dir = java.nio.file.Files.createTempDirectory("cuped").toString
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.queries("q282_cuped")(spark, dir).collect().head
+    assert(got.getDouble(2) == 1.0, s"theta: $got")
+    assert(got.getDouble(5) == 1.0, s"var_reduction: $got")
+  }
+
+  test("jackknife: removing a high-mean source yields positive influence") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jk").toString
+    Seq((1L, "a", "en", "big", 1000L), (2L, "a", "en", "big", 1000L),
+      (3L, "a", "en", "small", 10L), (4L, "a", "en", "small", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Relational.queries("q284_jackknife")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("big") > 0, s"removing 'big' must lower the mean: $got")
+    assert(got("small") < 0, s"removing 'small' must raise the mean: $got")
   }
 
   test("spearmanScores: bounded, deterministic, and n excludes empty docs") {
