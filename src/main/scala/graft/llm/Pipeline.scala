@@ -1146,6 +1146,43 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    * 1998; smoothing per Zhai & Lafferty 2001): score(q, d) =
+    * Σ_t ln((tf_td + μ·P(t|C)) / (dl_d + μ)) — the third classic
+    * lexical scorer beside TF-IDF (q75) and BM25 (q76), with a proper
+    * probabilistic smoothing story (document language model shrunk
+    * toward the collection model by pseudo-count μ). Query terms must
+    * occur in the collection (P(t|C) > 0), as with the BM25 terms.
+    *
+    * Scale shape: the BM25 per-doc discipline verbatim — ONE word-row
+    * scan into a checkpointed per-doc (dl, tf…) table; the collection
+    * stats are a 1-row broadcast; scoring is a map-only expression with
+    * each ln pinned to 6 dp and the (≤|terms|) term sum in one fixed
+    * association order. */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Double = 10.0): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val words = wordRows(docs, idCol, textCol)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = words.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+      .localCheckpoint()
+    val statAggs = Seq(sum(col("dl")).as("__ct")) ++
+      terms.indices.map(i => sum(col(s"__tf$i")).as(s"__cf$i"))
+    val corpus = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val contribs = terms.indices.map { i =>
+      round(log(
+        (col(s"__tf$i").cast("double") +
+          lit(mu) * (col(s"__cf$i").cast("double") / col("__ct"))) /
+          (col("dl").cast("double") + lit(mu))), 6)
+    }
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col(idCol), col("dl"),
+        round(contribs.reduce(_ + _), 6).as("score"))
+  }
+
   /** Positional exact-phrase search, end-to-end: resolve the corpus's
     * most frequent bigram (deterministic argmax, count ties to the
     * lexicographically lowest pair) and return every document containing

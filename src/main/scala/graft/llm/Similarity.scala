@@ -1202,6 +1202,47 @@ object Similarity {
         col("cos_full_top"), col("cos_sub_top"))
   }
 
+  /** Local Outlier Factor (Breunig et al., SIGMOD 2000): density-based
+    * embedding outliers — LOF(p) = mean(lrd of p's neighbors)/lrd(p),
+    * where lrd is the inverse mean REACHABILITY distance
+    * max(k-distance(o), d(p,o)) — ≈1 inside any uniform-density region
+    * regardless of its density (the property a global z-score lacks),
+    * ≫1 for isolated points. Distances are the 6-dp cosine distance
+    * 1−cos on the cell-confined [[knnGraph]] (the ANN-backed LOF used
+    * at scale).
+    *
+    * Scale shape: three equi-join/aggregate rounds over the N·k graph
+    * rows (pinned once). Reachability values stay on the exact 6-dp
+    * grid (max of exact values) so their sums are exact; lrd rounds to
+    * 8 dp before the second aggregation so ITS sums are exact too —
+    * nothing order-dependent anywhere. Points whose reach-sum is 0
+    * (all-duplicate neighborhoods) have undefined lrd → null LOF. */
+  def lof(emb: DataFrame, idCol: String, embCol: String, k: Int = 3,
+      nList: Int = 0): DataFrame = {
+    val g = knnGraph(emb, idCol, embCol, k, nList)
+      .select(col(idCol).as("p"), col("nbr_id").as("o"),
+        (lit(1.0) - col("cos")).as("d"))
+      .localCheckpoint()
+    val kdist = g.groupBy("p").agg(max(col("d")).as("kd"))
+    val lrd = g
+      .join(kdist.select(col("p").as("o"), col("kd").as("__kdo")), Seq("o"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("__n"),
+        graft.core.Det.sumDet(greatest(col("__kdo"), col("d")), 6)
+          .as("__sr"))
+      .withColumn("lrd", when(col("__sr") > 0.0,
+        round(col("__n").cast("double") / col("__sr"), 8)))
+      .localCheckpoint()
+    g.join(lrd.select(col("p").as("o"), col("lrd").as("__lo")), Seq("o"))
+      .groupBy("p")
+      .agg(count(col("__lo")).as("n_nbrs"),
+        graft.core.Det.sumDet(col("__lo"), 8).as("__sl"))
+      .join(lrd.select(col("p"), col("lrd")), Seq("p"))
+      .select(col("p").as(idCol), col("n_nbrs"), col("lrd"),
+        round(when(col("lrd") > 0.0 && col("n_nbrs") > 0,
+          col("__sl") / col("n_nbrs") / col("lrd")), 6).as("lof"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017, "Estimating
     * the intrinsic dimension of datasets by a minimal neighborhood
     * information"): under a locally uniform density the ratio

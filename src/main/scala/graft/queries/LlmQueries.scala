@@ -1272,6 +1272,48 @@ object LlmQueries {
       TextAnalysis.burstiness(Tables.documents(s, dir), "doc_id", "text",
         minDf = 25)),
 
+    // Local Outlier Factor (Breunig 2000) over the 3-NN cell graph —
+    // density-relative embedding outliers a global z-score cannot see.
+    "q287_lof" -> ((s, dir) =>
+      Similarity.lof(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 3)),
+
+    // nDCG@5 of the IVF ANN ranking against the exact brute-force
+    // ranking per query (Järvelin & Kekäläinen 2002) — the graded
+    // ranking-quality audit that recall@k (q89) flattens; discounts are
+    // Scala-computed literals shared with the oracle.
+    "q288_ann_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 5).select(col("query_id"), col("cand_id"),
+        (lit(6) - col("rnk")).cast("long").as("__rel"))
+      val ann = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+        nProbe = 2)
+      val disc = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      val idcg = (1 to 5).map(i => (6 - i) * disc(i - 1)).sum
+      val dchain = (2 to 5).foldLeft(
+        when(col("rnk") === 1, lit(disc(0)))) { (acc, i) =>
+        acc.when(col("rnk") === i, lit(disc(i - 1)))
+      }.otherwise(0.0)
+      ann.join(exact, Seq("query_id", "cand_id"), "left")
+        .na.fill(0L, Seq("__rel"))
+        .withColumn("__g", round(col("__rel").cast("double") * dchain, 8))
+        .groupBy("query_id")
+        .agg(sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+          graft.core.Det.sumDet(col("__g"), 8).as("__dcg"))
+        .select(col("query_id"), col("n_hits"),
+          round(col("__dcg"), 6).as("dcg"),
+          round(col("__dcg") / idcg, 6).as("ndcg"))
+    }),
+
+    // Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    // Croft / Zhai & Lafferty) on the q76 terms — the third classic
+    // lexical scorer, one word-row scan.
+    "q289_query_likelihood" -> ((s, dir) =>
+      Pipeline.queryLikelihood(Tables.documents(s, dir), "doc_id", "text",
+        terms = Bm25Terms, mu = 10.0)),
+
     // Participation-ratio dimensionality: (Σλ)²/Σλ² of the covariance
     // spectrum WITHOUT eigendecomposition (tr and Frobenius only) —
     // the embedding-collapse diagnostic, riding q191's exact Gramian.
@@ -4228,6 +4270,117 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q287_lof" ->
+      s"""WITH $knnGraphCtes,
+         |g AS (
+         |  SELECT id AS p, nbr_id AS o, 1.0::DOUBLE - ROUND(c, 6) AS d
+         |  FROM rk WHERE nbr_rank <= 3),
+         |kd AS (SELECT p, MAX(d) AS kd FROM g GROUP BY 1),
+         |lrd AS (
+         |  SELECT p, n,
+         |    CASE WHEN sr > 0.0::DOUBLE THEN ROUND(n::DOUBLE / sr, 8) END
+         |      AS lrd
+         |  FROM (
+         |    SELECT g.p, COUNT(*) AS n,
+         |      CAST(SUM(CAST(GREATEST(k2.kd, g.d) AS DECIMAL(24,6)))
+         |        AS DOUBLE) AS sr
+         |    FROM g JOIN kd k2 ON k2.p = g.o
+         |    GROUP BY 1)),
+         |agg AS (
+         |  SELECT g.p, COUNT(l2.lrd) AS n_nbrs,
+         |    CAST(SUM(CAST(l2.lrd AS DECIMAL(24,8))) AS DOUBLE) AS sl
+         |  FROM g JOIN lrd l2 ON l2.p = g.o
+         |  GROUP BY 1)
+         |SELECT agg.p AS vec_id, n_nbrs, lrd.lrd AS lrd,
+         |  ROUND(CASE WHEN lrd.lrd > 0.0::DOUBLE AND n_nbrs > 0
+         |    THEN sl / n_nbrs / lrd.lrd END, 6) AS lof
+         |FROM agg JOIN lrd ON lrd.p = agg.p""".stripMargin,
+
+    "q288_ann_ndcg" -> {
+      val disc = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      val idcg = (1 to 5).map(i => (6 - i) * disc(i - 1)).sum
+      val dcase = (1 to 5).map(i => s"WHEN rnk = $i THEN ${disc(i - 1)}")
+        .mkString(" ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |exact AS (
+         |  SELECT query_id, cand_id, 6 - rnk AS rel FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${dot("q.embedding", "c.embedding")}
+         |          / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 20)
+         |  WHERE rnk <= 5),
+         |cents AS (
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM n)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+         |ranked AS (
+         |  SELECT n.vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${dot("n.embedding", "cents.c_emb")}
+         |        / sqrt(n.n2 * cents.c_n2) DESC, cent_id) AS rn
+         |  FROM n CROSS JOIN cents),
+         |cells AS (SELECT vec_id AS cand_id, cent_id AS cell
+         |          FROM ranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id AS cell
+         |  FROM ranked WHERE rn <= 2 AND vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT query_id, cand_id
+         |  FROM probes JOIN cells USING (cell)
+         |  WHERE cand_id <> query_id),
+         |ann AS (
+         |  SELECT query_id, cand_id, rnk FROM (
+         |    SELECT query_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY ROUND(${dot("q.embedding", "c.embedding")}
+         |          / sqrt(q.n2 * c.n2), 6) DESC, cand_id) AS rnk
+         |    FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |              JOIN n c ON cand.cand_id = c.vec_id)
+         |  WHERE rnk <= 5),
+         |j AS (
+         |  SELECT ann.query_id,
+         |    COALESCE(exact.rel, 0) AS rel,
+         |    ROUND(COALESCE(exact.rel, 0)::DOUBLE *
+         |      (CASE $dcase ELSE 0.0::DOUBLE END), 8) AS g
+         |  FROM ann LEFT JOIN exact USING (query_id, cand_id))
+         |SELECT query_id,
+         |  CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  ROUND(CAST(SUM(CAST(g AS DECIMAL(24,8))) AS DOUBLE), 6)
+         |    AS dcg,
+         |  ROUND(CAST(SUM(CAST(g AS DECIMAL(24,8))) AS DOUBLE)
+         |    / $idcg, 6) AS ndcg
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
+    "q289_query_likelihood" -> {
+      val ts = Bm25Terms
+      val tfCols = ts.indices.map(i =>
+        s"CAST(SUM(CASE WHEN word = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i")
+        .mkString(", ")
+      val cfCols = ts.indices.map(i =>
+        s"CAST(SUM(tf$i) AS BIGINT) AS cf$i").mkString(", ")
+      val contribs = ts.indices.map(i =>
+        s"""ROUND(ln((tf$i::DOUBLE + 10.0::DOUBLE * (cf$i::DOUBLE / ct))
+           | / (dl::DOUBLE + 10.0::DOUBLE)), 6)""".stripMargin
+          .replace("\n", ""))
+        .mkString(" + ")
+      s"""WITH wr AS (SELECT doc_id, unnest($WORDS) AS word FROM documents),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS dl, $tfCols
+         |  FROM wr GROUP BY 1),
+         |c AS (SELECT CAST(SUM(dl) AS BIGINT) AS ct, $cfCols FROM pd)
+         |SELECT doc_id, dl, ROUND($contribs, 6) + 0.0 AS score
+         |FROM pd, c""".stripMargin
+    },
 
     "q285_participation_ratio" ->
       s"""WITH $topPcCtes

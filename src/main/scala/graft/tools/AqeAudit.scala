@@ -78,7 +78,10 @@ object AqeAudit {
       // q282–q286 batch: the per-user CUPED moment join, the rank-sum
       // windows, the Gramian trace pass, and the 2-NN cell graph
       "q282_cuped", "q283_mann_whitney", "q285_participation_ratio",
-      "q286_twonn")
+      "q286_twonn",
+      // q287–q289 batch: the three-round LOF graph joins, the
+      // exact-vs-IVF ranking join, and the QL per-doc scorer
+      "q287_lof", "q288_ann_ndcg", "q289_query_likelihood")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

@@ -60,6 +60,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q279_disparate_impact",  // broadcast 1-row max-rate scalar
     "q282_cuped",             // broadcast 1-row calendar-midpoint scalar
     "q284_jackknife",         // broadcast 1-row corpus-total scalars
+    "q288_ann_ndcg",          // q89's broadcast query/exact sides
+    "q289_query_likelihood",  // broadcast 1-row collection-stats scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg
     "q210_neyman_alloc",    // broadcast 1-row allocation-total scalar

