@@ -148,8 +148,13 @@ object Bench {
         // needs it starts cold — same as isolation); the RDD loop drops
         // localCheckpoint state, which the CacheManager does not track.
         spark.catalog.clearCache()
+        // BLOCKING unpersist: the async form returns while block removal
+        // is still in flight, and a heavy previous query's checkpoint
+        // blocks then drain DURING the next query's first repeat
+        // (observed: q273 1.87x slower in-suite than rerun, with
+        // q272's corpus-row checkpoint as its neighbor).
         spark.sparkContext.getPersistentRDDs.collect {
-          case (id, rdd) if !cachedBefore.contains(id) => rdd.unpersist(false)
+          case (id, rdd) if !cachedBefore.contains(id) => rdd.unpersist(true)
         }
         System.gc()
         diagLine(name)
