@@ -709,6 +709,95 @@ object TextAnalysis {
         round(col("__sb") / col("__N"), 6).as("brier"))
   }
 
+  /** Fightin' Words (Monroe, Colaresi & Quinn 2008, "Fightin' Words:
+    * Lexical Feature Selection and Evaluation for Identifying the
+    * Content of Political Conflict"): per (group, word) over the
+    * ≥`minCount` vocabulary, the Dirichlet-smoothed log-odds of the
+    * word in the group vs the REST of the corpus, z-scored by the
+    * delta's approximate variance 1/(y+α) + 1/(y′+α) — the
+    * statistically honest "which words characterize this source"
+    * ranking (raw log-odds overweight rare words; the z fixes it).
+    * Output only observed (group, word) cells.
+    *
+    * Scale shape: one token scan into (group, word) counts, then
+    * vocab×groups-bounded joins with broadcast corpus scalars. The two
+    * lns pin to 6 dp; everything else is a fixed-order expression. */
+  def fightinWords(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, alphaW: Double = 0.01,
+      minCount: Long = 25): DataFrame = {
+    val c = docs.select(col(groupCol).as("grp"),
+        explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy("grp", "word").agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val w = c.groupBy("word").agg(sum(col("y")).as("__yw"))
+      .filter(col("__yw") >= minCount)
+    val g = c.groupBy("grp").agg(sum(col("y")).as("__ni"))
+    val keep = c.join(w, Seq("word")).join(g, Seq("grp"))
+    val tot = keep.agg(sum(col("y")).as("__N"),
+      countDistinct(col("word")).as("__V"))
+    val aw = lit(alphaW)
+    val scored = keep.crossJoin(broadcast(tot))
+      .withColumn("__a0", aw * col("__V"))
+      .withColumn("__yr", col("__yw") - col("y"))
+      .withColumn("__l1", round(log(
+        (col("y") + aw) / (col("__ni") + col("__a0") - col("y") - aw)), 6))
+      .withColumn("__l2", round(log(
+        (col("__yr") + aw) /
+          (col("__N") - col("__ni") + col("__a0") - col("__yr") - aw)), 6))
+      .withColumn("__var",
+        lit(1.0) / (col("y") + aw) + lit(1.0) / (col("__yr") + aw))
+    scored.select(col("grp").as(groupCol), col("word"), col("y"),
+      col("__yw").as("y_total"),
+      round(col("__l1") - col("__l2"), 6).as("log_odds"),
+      round((col("__l1") - col("__l2")) / sqrt(col("__var")), 4)
+        .as("z"))
+  }
+
+  /** Markov entropy rate of the corpus bigram chain per group (Shannon
+    * 1948 §7): the conditional entropy H(W₂|W₁) = −Σ c₁₂·ln(c₁₂/c₁)/NB
+    * against the unigram entropy H(W) = −Σ c·ln(c/N)/N — their gap is
+    * how much one word of context predicts the next, i.e. the
+    * sequential-structure signal that distinguishes real prose from
+    * shuffled-word spam at equal unigram statistics.
+    *
+    * Scale shape: the bigram and unigram count tables are the q230
+    * shapes (vocab²/vocab-bounded with map-side combine); each entropy
+    * term rounds to 6 dp and sums through exact decimal. */
+  def entropyRate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val toks = docs.select(col(groupCol).as("grp"), col(idCol),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "word")))
+    val uc = toks.groupBy("grp", "word").agg(count(lit(1)).as("c"))
+    val un = uc.groupBy("grp").agg(sum(col("c")).as("n_tokens"))
+    val hUni = uc.join(broadcast(un), Seq("grp"))
+      .withColumn("__t", round(col("c") *
+        log(col("c").cast("double") / col("n_tokens")), 6))
+      .groupBy("grp")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        graft.core.Det.sumDet(col("__t"), 6).as("__su"))
+    val bg = toks
+      .withColumn("w2", lead(col("word"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("grp"), col("word").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = bg.groupBy("grp", "w1").agg(sum(col("c12")).as("__c1"))
+    val bn = bg.groupBy("grp").agg(sum(col("c12")).as("n_bigrams"))
+    val hCond = bg.join(ctx, Seq("grp", "w1"))
+      .withColumn("__t", round(col("c12") *
+        log(col("c12").cast("double") / col("__c1")), 6))
+      .groupBy("grp")
+      .agg(graft.core.Det.sumDet(col("__t"), 6).as("__sc"))
+      .join(bn, Seq("grp"))
+    hUni.join(hCond, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("n_bigrams"),
+        round(-col("__su") / col("n_tokens"), 6).as("h_unigram"),
+        round(-col("__sc") / col("n_bigrams"), 6).as("h_cond"),
+        round(-col("__su") / col("n_tokens") -
+          (-col("__sc") / col("n_bigrams")), 6).as("info_gain"))
+  }
+
   /** OOV masking: every word whose corpus document frequency is below
     * `minDf` becomes `<unk>` — the closed-vocabulary normalization step
     * before tokenizer training / n-gram LM fitting (rare-word cutoffs in

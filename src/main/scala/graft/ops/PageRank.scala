@@ -141,4 +141,51 @@ object PageRank {
     }
     ranks.select(col("node"), col("pr").as("rank_scaled"))
   }
+
+  /** HITS score scale: 1.0 == 1e6 units — smaller than the PageRank
+    * [[SCALE]] because the normalization multiply `raw · scale` must
+    * stay inside a long for raw up to Σscore·maxdeg. */
+  val HitsScale = 1000000L
+
+  /** HITS hubs and authorities (Kleinberg 1999, "Authoritative Sources
+    * in a Hyperlinked Environment") over DIRECTED `edges` (src → dst):
+    * per round a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v), each side
+    * L1-renormalized to total mass [[HitsScale]] by integer floor
+    * division — all-integer arithmetic, so the fixed-point loop is
+    * bit-identical across engines like the PageRank loop. On a
+    * bipartite purchase graph the hub side ranks buyers by how much
+    * authoritative supply they touch and vice versa — the
+    * mutual-reinforcement view PageRank's single score collapses.
+    *
+    * Scale shape: each half-round is one equi-join + one
+    * map-side-combined aggregate on the pinned edge table; the L1 total
+    * is a broadcast 1-row scalar; score tables are checkpointed so the
+    * plan stays flat (the PageRank lineage rule). */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "fixed small iteration count")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    def normalize(df: DataFrame, raw: String, out: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(raw)).as("__t"))))
+        .select(col("node"),
+          expr(s"($raw * $HitsScale) div __t").as(out))
+        .localCheckpoint()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(HitsScale)).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = normalize(
+        e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__ar")),
+        "__ar", "a")
+      h = normalize(
+        e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("__hr")),
+        "__hr", "h")
+    }
+    h.select(col("node"), lit("hub").as("role"),
+        col("h").as("score_scaled"))
+      .unionAll(a.select(col("node"), lit("authority").as("role"),
+        col("a").as("score_scaled")))
+  }
 }

@@ -1272,6 +1272,63 @@ object LlmQueries {
       TextAnalysis.burstiness(Tables.documents(s, dir), "doc_id", "text",
         minDf = 25)),
 
+    // HITS hubs & authorities (Kleinberg 1999) on the customer→supplier
+    // purchase graph — mutual-reinforcement link analysis in all-integer
+    // L1-normalized arithmetic, the alternating-update companion to
+    // q153's PageRank.
+    "q290_hits" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.PageRank.hits(edges, iters = 5)
+    }),
+
+    // Dedup-method Venn audit: the MinHash-LSH pair set vs the
+    // SimHash-band pair set on the same corpus — |both|, each-only, and
+    // the pair-set Jaccard; the governance check before swapping one
+    // near-dup detector for another at 100 TB (both pair tables are the
+    // bounded candidate sets; the full outer join is pair-keyed).
+    "q291_dedup_venn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3,
+        numHashes = 8, numBands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), lit(1).as("__m"))
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text", numBands = 4,
+        maxHamming = 10)
+        .select(col("id_a"), col("id_b"), lit(1).as("__s"))
+      mh.join(sh, Seq("id_a", "id_b"), "full")
+        .agg(
+          sum(when(col("__m") === 1 && col("__s") === 1, 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col("__m") === 1 && col("__s").isNull, 1L).otherwise(0L))
+            .as("n_minhash_only"),
+          sum(when(col("__m").isNull && col("__s") === 1, 1L).otherwise(0L))
+            .as("n_simhash_only"))
+        .withColumn("pair_jaccard", round(col("n_both").cast("double") /
+          (col("n_both") + col("n_minhash_only") + col("n_simhash_only")),
+          6))
+    }),
+
+    // Fightin' Words (Monroe/Colaresi/Quinn 2008): Dirichlet-smoothed
+    // z-scored log-odds of each word per source vs the rest — the
+    // statistically honest "characteristic vocabulary" ranking.
+    "q292_fightin_words" -> ((s, dir) =>
+      TextAnalysis.fightinWords(Tables.documents(s, dir), "doc_id",
+        "text", "source", alphaW = 0.01, minCount = 25)),
+
+    // Markov entropy rate (Shannon 1948): per source, conditional
+    // bigram entropy vs unigram entropy — how much one word of context
+    // predicts the next; real prose vs shuffled-word spam at equal
+    // unigram stats.
+    "q293_entropy_rate" -> ((s, dir) =>
+      TextAnalysis.entropyRate(Tables.documents(s, dir), "doc_id",
+        "text", "source")),
+
     // Local Outlier Factor (Breunig 2000) over the 3-NN cell graph —
     // density-relative embedding outliers a global z-score cannot see.
     "q287_lof" -> ((s, dir) =>
@@ -4270,6 +4327,144 @@ object LlmQueries {
          |  ROUND(CAST(SUM(CASE WHEN t > 1 THEN m ELSE 0 END) AS BIGINT)
          |    ::DOUBLE / CAST(SUM(m) AS BIGINT), 6) AS mass_collision_rate
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q290_hits" -> {
+      val S = graft.ops.PageRank.HitsScale
+      val iter = (k: Int) =>
+        s"""a${k}r AS MATERIALIZED (
+           |  SELECT s AS node, CAST(SUM(h) AS BIGINT) AS r
+           |  FROM cs JOIN h${k - 1} ON h${k - 1}.node = cs.c GROUP BY 1),
+           |a$k AS MATERIALIZED (
+           |  SELECT node, (r * $S)
+           |    // (SELECT CAST(SUM(r) AS BIGINT) FROM a${k}r) AS a
+           |  FROM a${k}r),
+           |h${k}r AS MATERIALIZED (
+           |  SELECT c AS node, CAST(SUM(a) AS BIGINT) AS r
+           |  FROM cs JOIN a$k ON a$k.node = cs.s GROUP BY 1),
+           |h$k AS MATERIALIZED (
+           |  SELECT node, (r * $S)
+           |    // (SELECT CAST(SUM(r) AS BIGINT) FROM h${k}r) AS h
+           |  FROM h${k}r)""".stripMargin
+      s"""WITH cs AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |h0 AS MATERIALIZED (SELECT DISTINCT c AS node,
+         |       CAST($S AS BIGINT) AS h FROM cs),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, 'hub' AS role, h AS score_scaled FROM h5
+         |UNION ALL
+         |SELECT node, 'authority' AS role, a AS score_scaled
+         |FROM a5""".stripMargin
+    },
+
+    "q291_dedup_venn" ->
+      s"""WITH $lshCandCtes,
+         |mp AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))
+         |    ::DOUBLE / len(list_distinct(sa.shingles || sb.shingles)), 6)
+         |    >= 0.3),
+         |hh AS (
+         |  SELECT doc_id, list_transform($WORDS, w2 ->
+         |    ('0x' || substr(md5(w2), 1, 15))::BIGINT) AS hs
+         |  FROM documents WHERE len($WORDS) > 0),
+         |fp AS (
+         |  SELECT doc_id, CAST(list_reduce(list_transform(range(0, 60),
+         |    j -> CASE WHEN CAST(list_sum(list_transform(hs, x ->
+         |        CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END))
+         |        AS BIGINT) > 0
+         |      THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+         |    (a, b) -> a + b) AS BIGINT) AS simhash
+         |  FROM hh),
+         |sbands AS (
+         |  SELECT doc_id, simhash, b AS band_idx,
+         |    (simhash >> (b * 15)) & 32767 AS band_val
+         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |sp AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sbands a JOIN sbands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 10),
+         |j AS (
+         |  SELECT m.id_a IS NOT NULL AS in_m, s2.id_a IS NOT NULL AS in_s
+         |  FROM mp m FULL JOIN sp s2
+         |    ON m.id_a = s2.id_a AND m.id_b = s2.id_b)
+         |SELECT
+         |  CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_both,
+         |  CAST(SUM(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_minhash_only,
+         |  CAST(SUM(CASE WHEN NOT in_m AND in_s THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_simhash_only,
+         |  ROUND(CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*), 6) AS pair_jaccard
+         |FROM j""".stripMargin,
+
+    "q292_fightin_words" ->
+      s"""WITH c AS (
+         |  SELECT grp, word, COUNT(*) AS y FROM (
+         |    SELECT source AS grp, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT word, CAST(SUM(y) AS BIGINT) AS yw FROM c GROUP BY 1
+         |  HAVING CAST(SUM(y) AS BIGINT) >= 25),
+         |g AS (SELECT grp, CAST(SUM(y) AS BIGINT) AS ni FROM c
+         |      GROUP BY 1),
+         |k AS (SELECT c.grp, c.word, y, yw, ni
+         |      FROM c JOIN w USING (word) JOIN g USING (grp)),
+         |t AS (SELECT CAST(SUM(y) AS BIGINT) AS n,
+         |        COUNT(DISTINCT word) AS v FROM k),
+         |sc AS (
+         |  SELECT grp, word, y, yw,
+         |    ROUND(ln((y + 0.01::DOUBLE)
+         |      / (ni + 0.01::DOUBLE * v - y - 0.01::DOUBLE)), 6) AS l1,
+         |    ROUND(ln(((yw - y) + 0.01::DOUBLE)
+         |      / (n - ni + 0.01::DOUBLE * v - (yw - y) - 0.01::DOUBLE)),
+         |      6) AS l2,
+         |    1.0::DOUBLE / (y + 0.01::DOUBLE)
+         |      + 1.0::DOUBLE / ((yw - y) + 0.01::DOUBLE) AS var
+         |  FROM k, t)
+         |SELECT grp AS source, word, y, yw AS y_total,
+         |  ROUND(l1 - l2, 6) + 0.0 AS log_odds,
+         |  ROUND((l1 - l2) / sqrt(var), 4) + 0.0 AS z
+         |FROM sc""".stripMargin,
+
+    "q293_entropy_rate" ->
+      s"""WITH uc AS (
+         |  SELECT grp, word, COUNT(*) AS c FROM (
+         |    SELECT source AS grp, unnest($WORDS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |un AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc
+         |       GROUP BY 1),
+         |hu AS (
+         |  SELECT grp, MAX(n_tokens) AS n_tokens,
+         |    CAST(SUM(CAST(ROUND(c * ln(c::DOUBLE / n_tokens), 6)
+         |      AS DECIMAL(24,6))) AS DOUBLE) AS su
+         |  FROM uc JOIN un USING (grp) GROUP BY 1),
+         |b2 AS (
+         |  SELECT grp, bg[1] AS w1, bg[2] AS w2 FROM (
+         |    SELECT source AS grp, unnest(list_transform(
+         |      range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |    FROM (SELECT source, doc_id, $WORDS AS w FROM documents)
+         |    WHERE len(w) >= 2)),
+         |bg AS (SELECT grp, w1, w2, COUNT(*) AS c12 FROM b2
+         |       GROUP BY 1, 2, 3),
+         |ctx AS (SELECT grp, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg
+         |        GROUP BY 1, 2),
+         |bn AS (SELECT grp, CAST(SUM(c12) AS BIGINT) AS n_bigrams
+         |       FROM bg GROUP BY 1),
+         |hc AS (
+         |  SELECT grp, CAST(SUM(CAST(ROUND(c12 * ln(c12::DOUBLE / c1), 6)
+         |    AS DECIMAL(24,6))) AS DOUBLE) AS sc2
+         |  FROM bg JOIN ctx USING (grp, w1) GROUP BY 1)
+         |SELECT grp AS source, n_tokens, n_bigrams,
+         |  ROUND(-su / n_tokens, 6) AS h_unigram,
+         |  ROUND(-sc2 / n_bigrams, 6) AS h_cond,
+         |  ROUND(-su / n_tokens - (-sc2 / n_bigrams), 6) + 0.0
+         |    AS info_gain
+         |FROM hu JOIN hc USING (grp) JOIN bn USING (grp)""".stripMargin,
 
     "q287_lof" ->
       s"""WITH $knnGraphCtes,

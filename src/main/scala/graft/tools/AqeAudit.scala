@@ -81,7 +81,12 @@ object AqeAudit {
       "q286_twonn",
       // q287–q289 batch: the three-round LOF graph joins, the
       // exact-vs-IVF ranking join, and the QL per-doc scorer
-      "q287_lof", "q288_ann_ndcg", "q289_query_likelihood")
+      "q287_lof", "q288_ann_ndcg", "q289_query_likelihood",
+      // q290–q293 batch: the HITS alternating join loop, the two-method
+      // pair-set full outer, the Fightin'-Words vocab joins, and the
+      // bigram entropy chain
+      "q290_hits", "q291_dedup_venn", "q292_fightin_words",
+      "q293_entropy_rate")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

@@ -61,6 +61,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q282_cuped",             // broadcast 1-row calendar-midpoint scalar
     "q284_jackknife",         // broadcast 1-row corpus-total scalars
     "q288_ann_ndcg",          // q89's broadcast query/exact sides
+    "q290_hits",              // broadcast 1-row L1-total scalars
+    "q292_fightin_words",     // broadcast 1-row corpus N/V scalars
     "q289_query_likelihood",  // broadcast 1-row collection-stats scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
     "q208_filter_kappa",    // q125's broadcast 1-row vocab scalar, via the LM leg

@@ -386,6 +386,51 @@ class Round14Spec extends AnyFunSuite {
     assert(got(1L) > got(3L) && got(2L) > got(3L))
   }
 
+  test("hits: scores are L1-normalized and the popular authority ranks top") {
+    val s = spark
+    import s.implicits._
+    // star-ish bipartite: supplier 101 bought by all three customers,
+    // 103 by one — 101 must out-rank 103
+    val edges = Seq((2L, 101L), (4L, 101L), (6L, 101L), (2L, 103L))
+      .toDF("src", "dst")
+    val got = graft.ops.PageRank.hits(edges, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val auth = got.filter(_._2 == "authority").map(t => t._1 -> t._3).toMap
+    val hubs = got.filter(_._2 == "hub").map(t => t._1 -> t._3).toMap
+    assert(auth(101L) > auth(103L))
+    // L1 mass ~= HitsScale on each side (floor loss < #nodes)
+    assert(math.abs(auth.values.sum - graft.ops.PageRank.HitsScale) < 10)
+    assert(math.abs(hubs.values.sum - graft.ops.PageRank.HitsScale) < 10)
+    // hub 2 touches both suppliers; 4 and 6 only the big one
+    assert(hubs(2L) >= hubs(4L) && hubs(4L) == hubs(6L))
+  }
+
+  test("fightinWords: a group-exclusive word gets a positive z in its group") {
+    val d = docs(
+      (1 to 20).map(i => (i.toLong,
+        "shared words " + (if (i <= 10) "onlya onlya" else "onlyb onlyb"),
+        if (i <= 10) "ga" else "gb")): _*)
+    val got = TextAnalysis.fightinWords(d, "doc_id", "text", "source",
+      alphaW = 0.01, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got(("ga", "onlya")) > 0)
+    assert(got(("gb", "onlyb")) > 0)
+    // the shared word is characteristic of NEITHER group
+    assert(math.abs(got(("ga", "shared"))) < got(("ga", "onlya")))
+  }
+
+  test("entropyRate: deterministic bigrams have zero conditional entropy") {
+    // every w1 always followed by the same w2 → H(W2|W1) = 0, while the
+    // unigram entropy is positive
+    val d = docs((1 to 10).map(i =>
+      (i.toLong, "a b a b a b", "s")): _*)
+    val r = TextAnalysis.entropyRate(d, "doc_id", "text", "source")
+      .collect().head
+    assert(r.getDouble(4) == 0.0, s"h_cond: $r")
+    assert(r.getDouble(3) > 0.0, s"h_unigram: $r")
+    assert(r.getDouble(5) == r.getDouble(3), s"gain = h_uni here: $r")
+  }
+
   test("spearmanScores: bounded, deterministic, and n excludes empty docs") {
     val d = docs(
       (1L, "aa bb cc dd ee", "s"), (2L, "a b c", "s"),
