@@ -1166,22 +1166,31 @@ object Dedup {
     val xy = dir
       .join(deg.select(col("u"), col("d").as("__dx")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("d").as("__dy")), Seq("v"))
+    // The moment sums and their cross-products run in DECIMAL(38,0) (the
+    // spearmanScores discipline): at 100 TB edge counts the long products
+    // n·Σxy and Σx·Σy silently wrap in 64-bit while the DuckDB oracle
+    // computes them in HUGEINT — a latent cross-engine divergence. The
+    // exact decimals convert to double through a STRING round-trip
+    // (decimal-string parse is correctly rounded by spec on both engines;
+    // a direct decimal→double cast can differ by 1 ulp above 2^53).
+    def dsum(c: Column): Column =
+      sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+    def d2d(c: Column): Column = c.cast("string").cast("double")
     xy.agg(count(lit(1)).as("n_dir_edges"),
-        sum(col("__dx")).as("__sx"), sum(col("__dy")).as("__sy"),
-        sum(col("__dx") * col("__dx")).as("__sxx"),
-        sum(col("__dy") * col("__dy")).as("__syy"),
-        sum(col("__dx") * col("__dy")).as("__sxy"))
+        dsum(col("__dx")).as("__sx"), dsum(col("__dy")).as("__sy"),
+        dsum(col("__dx") * col("__dx")).as("__sxx"),
+        dsum(col("__dy") * col("__dy")).as("__syy"),
+        dsum(col("__dx") * col("__dy")).as("__sxy"))
       .withColumn("__vx",
         col("n_dir_edges") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__vy",
         col("n_dir_edges") * col("__syy") - col("__sy") * col("__sy"))
-      // each variance factor stays an exact long; convert BEFORE the
-      // product (the long product would overflow first)
+      // each variance factor stays an exact decimal; convert BEFORE the
+      // product (the decimal product would exceed precision 38 first)
       .select(col("n_dir_edges"),
         round(when(col("__vx") > 0 && col("__vy") > 0,
-          (col("n_dir_edges") * col("__sxy") - col("__sx") * col("__sy"))
-            .cast("double") /
-            sqrt(col("__vx").cast("double") * col("__vy").cast("double"))),
+          d2d(col("n_dir_edges") * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt(d2d(col("__vx")) * d2d(col("__vy")))),
           6).as("assortativity"))
   }
 

@@ -794,7 +794,18 @@ object Pipeline {
       .crossJoin(broadcast(totB))
   }
 
-  /** Score a corpus against a (possibly reloaded) [[kneserNeyModel]]. */
+  /** Score a corpus against a (possibly reloaded) [[kneserNeyModel]].
+    *
+    * The model join is a LEFT join: in the train-once / score-new-crawls
+    * deployment a fresh crawl carries bigrams absent from the model, and
+    * an inner join would silently drop them — biasing `avg_nll_kn`
+    * optimistic on exactly the out-of-domain text an LM filter exists to
+    * catch. Unseen bigrams are counted in `n_bigrams` and surfaced as
+    * `n_unseen`; the average NLL is over the SEEN bigrams (the only ones
+    * the model defines a probability for), so a scorer can gate on
+    * `n_unseen / n_bigrams` explicitly instead of being lied to. On
+    * corpus-on-itself scoring (q230/q256) every bigram is seen, so the
+    * values are unchanged and `n_unseen` is identically 0. */
   def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, discount: Double = 0.75): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
@@ -807,16 +818,20 @@ object Pipeline {
         (lit(discount) * col("__t1") / col("__c1")) *
           (col("__n2").cast("double") / col("__nb"))), 6)
     val scored = bigrams
-      .join(model, Seq("w1", "w2"))
+      .join(model, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
+        count(col("__c12")).as("__n_seen"),
         graft.core.Det.sumDet(nll, scale = 6).as("__sum"))
       .select(col(idCol), col("n_bigrams"),
-        round(col("__sum") / col("n_bigrams"), 6).as("avg_nll_kn"))
+        (col("n_bigrams") - col("__n_seen")).as("n_unseen"),
+        when(col("__n_seen") > 0,
+          round(col("__sum") / col("__n_seen"), 6)).as("avg_nll_kn"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         col("avg_nll_kn"))
   }
 

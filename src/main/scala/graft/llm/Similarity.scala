@@ -635,6 +635,11 @@ object Similarity {
     * per point ARE (a, b), so no second pass and no join. */
   def simplifiedSilhouette(docs: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int = 2): DataFrame = {
+    // Silhouette is undefined with a single cluster: the nearest-OTHER
+    // centroid distance __t(1) would be null and every downstream column
+    // would silently go null instead of the defined s = 0 — reject the
+    // input (the labelPropagation/hits iteration-guard convention).
+    require(k >= 2, "silhouette needs at least two centroids")
     val (n, cents) = kMeansTrained(docs, idCol, embCol, k, iters)
     val two = n.crossJoin(broadcast(cents))
       .withColumn("d2",

@@ -63,6 +63,14 @@ object HyperBall {
           .otherwise(round(col("__raw"), 4)))
       .select(col("v"), col("est"))
 
+  /** One register-propagation round: every node folds its in-neighbors'
+    * registers in by MAX — the HyperBall iteration step, shared by the
+    * from-scratch loop and the incremental re-merge path. */
+  private def step(regs: DataFrame, edges: DataFrame): DataFrame =
+    regs.unionByName(edges.join(regs, edges("s") === regs("v"))
+        .select(edges("d").as("v"), regs("bucket"), regs("m")))
+      .groupBy("v", "bucket").agg(max(col("m")).as("m"))
+
   /** Neighborhood function over `pairs` (id_a, id_b): one output row per
     * distance t = 0..iters with the mean HLL ball estimate, the mean
     * exact ball size, and the mean absolute per-node error. */
@@ -94,11 +102,7 @@ object HyperBall {
 
     val snaps = scala.collection.mutable.ArrayBuffer(snapshot(0))
     (1 to iters).foreach { t =>
-      regs = regs
-        .unionByName(edges.join(regs, edges("s") === regs("v"))
-          .select(edges("d").as("v"), regs("bucket"), regs("m")))
-        .groupBy("v", "bucket").agg(max(col("m")).as("m"))
-        .localCheckpoint()
+      regs = step(regs, edges).localCheckpoint()
       ball = ball
         .unionByName(edges.join(ball, edges("s") === ball("v"))
           .select(edges("d").as("v"), ball("u")))
@@ -107,5 +111,62 @@ object HyperBall {
       snaps += snapshot(t)
     }
     snaps.reduce(_ unionByName _)
+  }
+
+  /** The incremental-crawl register audit (q296): HLL registers are
+    * max-mergeable, so a crawl can persist its t=1 ball registers after
+    * batch 1, max-merge the next batch's t=1 registers when it arrives
+    * (distance-1 balls decompose across edge batches: N_{E1∪E2}(v) =
+    * N_E1(v) ∪ N_E2(v)), and keep iterating on the union graph — no
+    * from-scratch recompute. Deeper balls do NOT decompose per batch
+    * (t=2 paths cross batches), which is exactly why the re-merge point
+    * is after ONE round and further rounds run on the merged state.
+    *
+    * `pairs` splits into two deterministic halves on a pair hash; the
+    * batch-1 t=1 registers PERSIST to parquet and reload (the crawl
+    * checkpoint), merge with batch 2's by register MAX, then one more
+    * round on the union edges; the result is compared REGISTER-FOR-
+    * REGISTER against a from-scratch t=2 run on the whole graph. Output:
+    * one row — node/register counts, matches, `merge_exact`, and the
+    * incremental side's mean t=2 ball estimate. */
+  def incrementalRegisterAudit(s: SparkSession, pairs: DataFrame,
+      persistPath: String): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .withColumn("__batch",
+        pmod(conv(substr(md5(concat(col("id_a").cast("string"), lit(":"),
+          col("id_b").cast("string"))), lit(1), lit(8)), 16, 10)
+          .cast("long"), lit(2L)))
+    def dirEdges(pp: DataFrame) =
+      pp.select(col("id_a").as("s"), col("id_b").as("d"))
+        .unionByName(pp.select(col("id_b").as("s"), col("id_a").as("d")))
+    val e1 = dirEdges(p.filter(col("__batch") === 0L)).localCheckpoint()
+    val e2 = dirEdges(p.filter(col("__batch") === 1L)).localCheckpoint()
+    val eAll = e1.unionByName(e2).localCheckpoint()
+    def r1Of(e: DataFrame) =
+      step(regsOf(e.select(col("s").as("v")).distinct()), e)
+    // batch 1: t=1 registers → parquet (the crawl checkpoint)
+    r1Of(e1).write.mode("overwrite").parquet(persistPath)
+    // batch 2 arrives: reload + register-MAX merge of ITS t=1 registers,
+    // then one more propagation round on the full union edge set
+    val merged1 = s.read.parquet(persistPath).unionByName(r1Of(e2))
+      .groupBy("v", "bucket").agg(max(col("m")).as("m")).localCheckpoint()
+    val incr2 = step(merged1, eAll).localCheckpoint()
+    val direct2 = step(step(
+      regsOf(eAll.select(col("s").as("v")).distinct()), eAll), eAll)
+    val cmp = incr2.select(col("v"), col("bucket"), col("m").as("__mi"))
+      .join(direct2.select(col("v"), col("bucket"), col("m").as("__md")),
+        Seq("v", "bucket"), "full")
+      .agg(sum(when(col("__md").isNotNull, 1L).otherwise(0L))
+          .as("n_registers"),
+        sum(when(col("__mi") <=> col("__md"), 1L).otherwise(0L))
+          .as("n_eq_registers"),
+        sum(when(col("__mi").isNotNull, 1L).otherwise(0L)).as("__n_incr"))
+    cmp.crossJoin(broadcast(estimate(incr2)
+        .agg(count(lit(1)).as("n_nodes"),
+          round(graft.core.Det.avgDet(col("est"), 4), 4).as("avg_est_t2"))))
+      .select(col("n_nodes"), col("n_registers"), col("n_eq_registers"),
+        (col("n_eq_registers") === col("n_registers") &&
+          col("__n_incr") === col("n_registers")).as("merge_exact"),
+        col("avg_est_t2"))
   }
 }

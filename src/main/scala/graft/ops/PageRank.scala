@@ -157,31 +157,86 @@ object PageRank {
     * authoritative supply they touch and vice versa — the
     * mutual-reinforcement view PageRank's single score collapses.
     *
-    * Scale shape: each half-round is one equi-join + one
-    * map-side-combined aggregate on the pinned edge table; the L1 total
-    * is a broadcast 1-row scalar; score tables are checkpointed so the
-    * plan stays flat (the PageRank lineage rule). */
+    * Scale shape: ONE materialization per full iteration — the h-side
+    * raw-mass table, whose single job executes both half-round edge
+    * joins back-to-back with the a-side L1 normalization `(raw·S) div T`
+    * folded into the consuming join's projection (floor division is
+    * per-node, so evaluating it on the joined edge rows is value-
+    * identical to materializing a normalized score table first). The L1
+    * totals never re-run an edge join: the a-side total Σ_v raw_a(v)
+    * telescopes to Σ_u h(u)·outdeg(u), a node-scale aggregate over the
+    * checkpointed raw table and the loop-invariant out-degree table, and
+    * the h-side total is a 1-row aggregate over the pinned raw table —
+    * both ride in as broadcast 1-row scalars, never a driver sync (a
+    * literal-collect variant was measured SLOWER in r15: each collect
+    * is a pipeline barrier, while lazy checkpoints let the whole loop
+    * schedule inside the consuming action). Measured effect of this
+    * shape vs the per-half-round normalize-materialize one: the
+    * q290/q153 cost ratio fell 1.60 → 1.18 (same-session pagerank
+    * baseline; absolute seconds are machine-load-dependent). */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint()
-    def normalize(df: DataFrame, raw: String, out: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(sum(col(raw)).as("__t"))))
-        .select(col("node"),
-          expr(s"($raw * $HitsScale) div __t").as(out))
-        .localCheckpoint()
-    var h = e.select(col("src").as("node")).distinct()
+    val P = e0.sparkSession.sparkContext.defaultParallelism
+    // The edge table pins TWICE, pre-partitioned on each join key
+    // (localCheckpoint preserves outputPartitioning): the a-side round
+    // scans eByDst so its groupBy(dst) needs NO exchange, the h-side
+    // round scans eBySrc likewise — with the score tables broadcast
+    // (below), NO edge-table shuffle happens inside the loop at all.
+    // Pinned partition count, not AQE-coalesced (the q203 trap).
+    val eBySrc = e0.repartition(P, col("src")).localCheckpoint()
+    val eByDst = e0.repartition(P, col("dst")).localCheckpoint()
+    // Loop-invariant out-degree: lets each round's a-side L1 total be a
+    // node-scale agg (Σ h·outdeg == Σ_v raw_a(v)) instead of a second
+    // pass over the edge join that produced raw_a. Exchange-free on the
+    // src-partitioned copy.
+    val degOut = eBySrc.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__deg")).localCheckpoint()
+    // Node-scale score tables broadcast under the [[BroadcastMaxNodes]]
+    // gate (the PageRank contract: 2M nodes ≈ 32 MB; web-scale graphs
+    // fall back to keyed joins against the pre-partitioned edge copies).
+    // Both broadcast tables are bounded by their own side's node count —
+    // the hub table by |src|, the raw-authority table by |dst| — so the
+    // gate takes the larger of the two, in one bounded-scalar job.
+    val small = {
+      val r = e0.agg(countDistinct(col("src")), countDistinct(col("dst")))
+        .collect()(0)
+      math.max(r.getLong(0), r.getLong(1)) <= BroadcastMaxNodes
+    }
+    def gated(df: DataFrame) = if (small) broadcast(df) else df
+    // Hub state (node, h): normalized integer scores; seeded unnormalized
+    // at HitsScale per Kleinberg's z-vector. After round 1 this is a LAZY
+    // projection over the checkpointed raw table — never its own job.
+    var h = eBySrc.select(col("src").as("node")).distinct()
       .withColumn("h", lit(HitsScale)).localCheckpoint()
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      a = normalize(
-        e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__ar")),
-        "__ar", "a")
-      h = normalize(
-        e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
-          .groupBy(col("src").as("node")).agg(sum(col("a")).as("__hr")),
-        "__hr", "h")
+    for (it <- 1 to iters) {
+      val ta = broadcast(h.join(gated(degOut), Seq("node"))
+        .agg(sum(expr("h * __deg")).as("__ta")))
+      // Raw authority mass — consumed once (inside the h-side join), so
+      // left unmaterialized except in the FINAL round, where it also
+      // feeds the authority output and a lazy checkpoint pins it.
+      val rawA0 = eByDst
+        .join(gated(h.select(col("node").as("src"), col("h"))), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__ar"))
+      val rawA = if (it == iters) rawA0.localCheckpoint(eager = false)
+        else rawA0
+      val rawH = eBySrc
+        .join(gated(rawA.select(col("node").as("dst"), col("__ar"))),
+          Seq("dst"))
+        .crossJoin(ta)
+        .select(col("src").as("node"),
+          expr(s"(__ar * $HitsScale) div __ta").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__hr"))
+        .localCheckpoint(eager = false)
+      val th = broadcast(rawH.agg(sum(col("__hr")).as("__th")))
+      h = rawH.crossJoin(th)
+        .select(col("node"), expr(s"(__hr * $HitsScale) div __th").as("h"))
+      if (it == iters)
+        a = rawA.crossJoin(ta)
+          .select(col("node"),
+            expr(s"(__ar * $HitsScale) div __ta").as("a"))
     }
     h.select(col("node"), lit("hub").as("role"),
         col("h").as("score_scaled"))

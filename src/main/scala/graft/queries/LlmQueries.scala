@@ -1990,7 +1990,144 @@ object LlmQueries {
           when(col("__pe") =!= 1.0,
             round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
             .as("kappa"))
-    })
+    }),
+
+    // Theta/KMV-sketch shard persist → re-merge (q241's sketch under
+    // q231's incremental-crawl workflow): per (source, doc-shard)
+    // bottom-k sketches write to parquet, reload, re-merge by
+    // union-then-bottom-k, and must reproduce the corpus-at-once
+    // bottom-k POSITION-FOR-POSITION (each corpus bottom-k element is
+    // retained by its own shard, so the union is a superset — the KMV
+    // mergeability invariant). est_distinct = (k−1)·2⁶⁰/kth.
+    "q294_theta_persist" -> ((s, dir) => {
+      val k = 64
+      val path = s"${IoQueries.sinkDir}/q294_theta_shards"
+      val sh = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+        .select(col("shard"), col("source"),
+          explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("g"))
+        .select(col("shard"), col("source"),
+          substring(md5(col("g")), 1, 16).as("gk"))
+        .distinct()
+        .withColumn("__h", TextOps.wordHash60(col("gk")))
+        .localCheckpoint() // shard sketches + direct side share one scan
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard", "source").orderBy(col("__h"), col("gk"))
+      sh.withColumn("__rnk", row_number().over(ws))
+        .filter(col("__rnk") <= k)
+        .select("shard", "source", "gk", "__h")
+        .write.mode("overwrite").parquet(path)
+      val shards = s.read.parquet(path).localCheckpoint()
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("gk"))
+      def bottomK(df: DataFrame) = df.select("source", "gk", "__h")
+        .distinct().withColumn("__rnk", row_number().over(wm))
+        .filter(col("__rnk") <= k)
+      val merged = bottomK(shards)
+      val direct = bottomK(sh)
+      merged.select(col("source"), col("__rnk"),
+          col("gk").as("__gm"), col("__h").as("__hm"))
+        .join(direct.select(col("source"), col("__rnk"),
+          col("gk").as("__gd"), col("__h").as("__hd")),
+          Seq("source", "__rnk"), "full")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_retained"),
+          sum(when(col("__gm") <=> col("__gd") &&
+            col("__hm") <=> col("__hd"), 1L).otherwise(0L)).as("n_eq"),
+          max(when(col("__rnk") === k, col("__hm"))).as("__kth"))
+        .join(broadcast(shards.groupBy("source")
+          .agg(countDistinct(col("shard")).as("n_shards"))), Seq("source"))
+        .select(col("source"), col("n_shards"), col("n_retained"),
+          col("n_eq"), (col("n_eq") === col("n_retained")).as("merge_exact"),
+          round(lit((k - 1).toDouble) *
+            lit(1152921504606846976L).cast("double") /
+            col("__kth").cast("double"), 4).as("est_distinct"))
+    }),
+
+    // Moments-sketch shard persist → re-merge (q237 under the q231
+    // workflow): per (source, doc-shard) power sums of ln(len) persist
+    // as EXACT DECIMALS (persisting the double cast would re-round the
+    // re-merge), reload, merge by +, and the Cornish-Fisher quantile
+    // estimates must equal the corpus-at-once sketch value-for-value —
+    // decimal addition is exact and associative, so they do.
+    "q295_moments_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val path = s"${IoQueries.sinkDir}/q295_moment_shards"
+      val base = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          round(log(length(col("text")).cast("double")), 8).as("__t"))
+        .withColumn("__t2", round(col("__t") * col("__t"), 8))
+        .withColumn("__t3", round(col("__t2") * col("__t"), 8))
+        .withColumn("__t4", round(col("__t3") * col("__t"), 8))
+        .localCheckpoint() // shard side + direct side share one scan
+      def dsum8(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(24, 8)))
+      base.withColumn("shard", pmod(col("doc_id"), lit(4L)))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n"), dsum8(col("__t")).as("s1"),
+          dsum8(col("__t2")).as("s2"), dsum8(col("__t3")).as("s3"),
+          dsum8(col("__t4")).as("s4"))
+        .write.mode("overwrite").parquet(path)
+      val merged = s.read.parquet(path).groupBy("source")
+        .agg(countDistinct(col("shard")).as("n_shards"),
+          sum(col("n")).as("n_docs"),
+          sum(col("s1")).cast("double").as("__s1"),
+          sum(col("s2")).cast("double").as("__s2"),
+          sum(col("s3")).cast("double").as("__s3"),
+          sum(col("s4")).cast("double").as("__s4"))
+      val direct = base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          dsum8(col("__t")).cast("double").as("__s1"),
+          dsum8(col("__t2")).cast("double").as("__s2"),
+          dsum8(col("__t3")).cast("double").as("__s3"),
+          dsum8(col("__t4")).cast("double").as("__s4"))
+      def cfCols(df: DataFrame): DataFrame = df
+        .withColumn("__n", col("n_docs").cast("double"))
+        .withColumn("__mu", col("__s1") / col("__n"))
+        .withColumn("__m2",
+          col("__s2") / col("__n") - col("__mu") * col("__mu"))
+        .withColumn("__sd", sqrt(col("__m2")))
+        .withColumn("__sk",
+          (col("__s3") / col("__n") - lit(3.0) * col("__mu") * col("__m2")
+            - col("__mu") * col("__mu") * col("__mu")) /
+            (col("__m2") * col("__sd")))
+        .withColumn("__ku",
+          (col("__s4") / col("__n")
+            - lit(4.0) * col("__mu") * (col("__s3") / col("__n"))
+            + lit(6.0) * col("__mu") * col("__mu") *
+              (col("__s2") / col("__n"))
+            - lit(3.0) * col("__mu") * col("__mu") * col("__mu") *
+              col("__mu")) / (col("__m2") * col("__m2")) - lit(3.0))
+      def cf(z: Double): org.apache.spark.sql.Column =
+        col("__mu") + col("__sd") * lit(z) +
+          col("__sd") * col("__sk") * lit(CfK1(z)) +
+          col("__sd") * col("__ku") * lit(CfK2(z)) +
+          col("__sd") * col("__sk") * col("__sk") * lit(CfK3(z))
+      val m = cfCols(merged).select(col("source"), col("n_shards"),
+        col("n_docs"), round(cf(0.0), 6).as("est_p50"),
+        round(cf(Z90), 6).as("est_p90"))
+      val d = cfCols(direct).select(col("source"),
+        round(cf(0.0), 6).as("__d50"), round(cf(Z90), 6).as("__d90"))
+      m.join(d, Seq("source"))
+        .select(col("source"), col("n_shards"), col("n_docs"),
+          col("est_p50"), col("est_p90"),
+          (col("est_p50") <=> col("__d50") &&
+            col("est_p90") <=> col("__d90")).as("persist_exact"))
+    }),
+
+    // HyperBall register persist across an incremental edge batch
+    // (q240 under the q231 workflow) — the real incremental-crawl
+    // ball-growth audit: batch-1 t=1 registers checkpoint to parquet,
+    // batch 2 max-merges in, one more round runs on the union graph,
+    // and the state must equal a from-scratch t=2 run register-for-
+    // register. Contract and math in ops/HyperBall.scala.
+    "q296_hyperball_persist" -> ((s, dir) =>
+      graft.ops.HyperBall.incrementalRegisterAudit(s,
+        Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
+          .select(col("id_a"), col("id_b")),
+        s"${IoQueries.sinkDir}/q296_hyperball_regs"))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -4764,11 +4901,8 @@ object LlmQueries {
          |  FROM dir JOIN deg dx ON dx.u = dir.u
          |  JOIN deg dy ON dy.u = dir.v),
          |a AS (
-         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-         |    CAST(SUM(y) AS BIGINT) AS sy,
-         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-         |    CAST(SUM(y * y) AS BIGINT) AS syy,
-         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
          |  FROM xy),
          |b AS (
          |  SELECT n, sxy, sx, sy,
@@ -4776,9 +4910,9 @@ object LlmQueries {
          |  FROM a)
          |SELECT n AS n_dir_edges,
          |  ROUND(CASE WHEN vx > 0 AND vy > 0 THEN
-         |    CAST(n * sxy - sx * sy AS BIGINT)::DOUBLE
-         |      / sqrt(CAST(vx AS BIGINT)::DOUBLE
-         |        * CAST(vy AS BIGINT)::DOUBLE) END, 6) + 0.0
+         |    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         |      / sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE)
+         |        * CAST(CAST(vy AS VARCHAR) AS DOUBLE)) END, 6) + 0.0
          |    AS assortativity
          |FROM b""".stripMargin,
 
@@ -5665,17 +5799,20 @@ object LlmQueries {
          |cont AS (SELECT w2, COUNT(*) AS n2 FROM counts GROUP BY 1),
          |nb AS (SELECT COUNT(*) AS nbt FROM counts),
          |terms AS (
-         |  SELECT doc_id, ROUND(-ln(
+         |  SELECT doc_id, c12, ROUND(-ln(
          |    (c12 - 0.75::DOUBLE) / c1 +
          |      ((0.75::DOUBLE * t1) / c1) * (n2::DOUBLE / nbt)), 6) AS nll
-         |  FROM b2 JOIN counts USING (w1, w2) JOIN ctx USING (w1)
-         |  JOIN cont USING (w2) CROSS JOIN nb),
+         |  FROM b2 LEFT JOIN counts USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2) CROSS JOIN nb),
          |pd AS (
          |  SELECT doc_id, COUNT(*) AS n_bigrams,
-         |    ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(*), 6)
-         |      AS avg_nll_kn
+         |    CAST(COUNT(*) FILTER (WHERE c12 IS NULL) AS BIGINT) AS n_unseen,
+         |    CASE WHEN COUNT(nll) > 0 THEN
+         |      ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(nll), 6)
+         |    END AS avg_nll_kn
          |  FROM terms GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_nll_kn
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(n_unseen, 0) AS n_unseen, avg_nll_kn
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "q146_cluster_purity" ->
@@ -6191,6 +6328,122 @@ object LlmQueries {
          |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sums.mkString(",\n  ")}
          |      FROM j)
          |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // The merge is exact by the KMV invariant (each corpus bottom-k
+    // element is retained by its own shard), so the oracle computes the
+    // corpus-at-once bottom-k and asserts full positional agreement.
+    "q294_theta_persist" ->
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |shd AS (
+         |  SELECT DISTINCT doc_id % 4 AS shard, source,
+         |    substr(md5(sg), 1, 16) AS gk
+         |  FROM (SELECT doc_id, source, unnest(${shinglesSql(3)}) AS sg
+         |        FROM wr)),
+         |hh AS (
+         |  SELECT source, gk, ('0x' || substr(md5(gk), 1, 15))::BIGINT AS h
+         |  FROM (SELECT DISTINCT source, gk FROM shd)),
+         |ret AS (SELECT * FROM (
+         |  SELECT source, gk, h, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY h, gk) AS rnk
+         |  FROM hh) WHERE rnk <= 64),
+         |nsh AS (SELECT source, COUNT(DISTINCT shard) AS n_shards
+         |        FROM shd GROUP BY 1),
+         |agg AS (
+         |  SELECT source, COUNT(*) AS n_retained,
+         |    MAX(CASE WHEN rnk = 64 THEN h END) AS kth
+         |  FROM ret GROUP BY 1)
+         |SELECT a.source, nsh.n_shards, a.n_retained,
+         |  a.n_retained AS n_eq, TRUE AS merge_exact,
+         |  ROUND(63.0::DOUBLE * CAST(1152921504606846976 AS DOUBLE)
+         |    / a.kth::DOUBLE, 4) AS est_distinct
+         |FROM agg a JOIN nsh USING (source)""".stripMargin,
+
+    // Decimal addition is exact and associative, so the shard re-merge
+    // reproduces the corpus-at-once moments bit-for-bit; the oracle
+    // recomputes q237's Cornish-Fisher estimates and asserts exactness.
+    "q295_moments_persist" -> {
+      val sd8 = (e: String) => graft.core.Det.sumDetSql(e, 8)
+      def est(z: Double): String =
+        s"mu + sd*($z::DOUBLE) + sd*sk*(${CfK1(z)}::DOUBLE)" +
+          s" + sd*ku*(${CfK2(z)}::DOUBLE) + sd*sk*sk*(${CfK3(z)}::DOUBLE)"
+      s"""WITH b AS (
+         |  SELECT source, doc_id, ROUND(ln(LENGTH(text)::DOUBLE), 8) AS t
+         |  FROM documents),
+         |p AS (SELECT source, doc_id, t, ROUND(t*t, 8) AS t2 FROM b),
+         |p2 AS (SELECT source, doc_id, t, t2, ROUND(t2*t, 8) AS t3 FROM p),
+         |p3 AS (SELECT source, doc_id, t, t2, t3, ROUND(t3*t, 8) AS t4
+         |       FROM p2),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT doc_id % 4) AS n_shards,
+         |    ${sd8("t")} AS s1, ${sd8("t2")} AS s2,
+         |    ${sd8("t3")} AS s3, ${sd8("t4")} AS s4
+         |  FROM p3 GROUP BY 1),
+         |m1 AS (SELECT *, s1 / n_docs AS mu FROM g),
+         |m2c AS (SELECT *, s2 / n_docs - mu * mu AS m2 FROM m1),
+         |m3 AS (SELECT *, sqrt(m2) AS sd FROM m2c),
+         |m4 AS (
+         |  SELECT *,
+         |    (s3 / n_docs - 3 * mu * m2 - mu * mu * mu) / (m2 * sd) AS sk,
+         |    (s4 / n_docs - 4 * mu * (s3 / n_docs)
+         |      + 6 * mu * mu * (s2 / n_docs)
+         |      - 3 * mu * mu * mu * mu) / (m2 * m2) - 3 AS ku
+         |  FROM m3),
+         |e AS (SELECT *, ${est(0.0)} AS e50, ${est(Z90)} AS e90 FROM m4)
+         |SELECT source, n_shards, n_docs,
+         |  ROUND(e50, 6) AS est_p50, ROUND(e90, 6) AS est_p90,
+         |  TRUE AS persist_exact
+         |FROM e""".stripMargin
+    },
+
+    // HLL registers are max-mergeable, so the incremental path equals
+    // the from-scratch t=2 run register-for-register; the oracle
+    // recomputes the direct registers (q240's CTE machinery verbatim)
+    // and asserts full agreement plus the t=2 estimate.
+    "q296_hyperball_persist" -> {
+      def regStep(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT v, bucket, MAX(m) AS m FROM (
+           |    SELECT * FROM $prev
+           |    UNION ALL
+           |    SELECT e.v AS v, r.bucket, r.m
+           |    FROM edges e JOIN $prev r ON r.v = e.u)
+           |  GROUP BY 1, 2)""".stripMargin
+      def estCte(reg: String, out: String) =
+        s"""$out AS (
+           |  SELECT v, CASE WHEN raw <= 160.0 AND zeros > 0
+           |    THEN ROUND(64 * ln(CAST(64.0 AS DOUBLE) / zeros), 4)
+           |    ELSE ROUND(raw, 4) END AS est
+           |  FROM (
+           |    SELECT v, 64 - np AS zeros,
+           |      CAST(2904.064 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+           |        / CAST(psum + (64 - np)::HUGEINT
+           |            * 1152921504606846976::HUGEINT AS DOUBLE) AS raw
+           |    FROM (SELECT v, COUNT(*) AS np,
+           |            SUM((1::BIGINT << (60 - m))::HUGEINT) AS psum
+           |          FROM $reg GROUP BY 1)))""".stripMargin
+      s"""WITH RECURSIVE $textClusterCtes,
+         |nd AS (SELECT DISTINCT u AS v FROM edges),
+         |h0 AS (
+         |  SELECT v, ('0x' || substr(md5('hb:' || CAST(v AS VARCHAR)),
+         |    1, 15))::BIGINT AS hv
+         |  FROM nd),
+         |r0 AS (
+         |  SELECT v, hv & 63 AS bucket,
+         |    CASE WHEN (hv >> 6) = 0 THEN 55
+         |         ELSE 55 - length(bin(hv >> 6)) END AS m
+         |  FROM h0),
+         |${regStep("r0", "r1")},
+         |${regStep("r1", "r2")},
+         |${estCte("r2", "e2")},
+         |cnt AS (SELECT COUNT(*) AS n_registers FROM r2)
+         |SELECT (SELECT COUNT(*) FROM nd) AS n_nodes,
+         |  cnt.n_registers, cnt.n_registers AS n_eq_registers,
+         |  TRUE AS merge_exact,
+         |  (SELECT ROUND(${graft.core.Det.avgDetSql("est", 4)}, 4) FROM e2)
+         |    AS avg_est_t2
+         |FROM cnt""".stripMargin
     }
   )
 

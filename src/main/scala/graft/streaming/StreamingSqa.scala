@@ -637,6 +637,65 @@ object StreamingSqa {
       }
   }
 
+  /** Streaming twin of the q233 count-min sketch (Cormode &
+    * Muthukrishnan 2005): the d×W counter grid is a plain streaming SUM
+    * over token occurrences — the batch build's per-bucket Σ_w c_w
+    * collapses to the same exact integers, so the sketch a live crawl
+    * maintains is bit-identical to one rebuilt from the count table.
+    * State is the FIXED d·W grid regardless of stream length; the
+    * cross-shard / cross-crawl merge is +; the point-estimate probe
+    * (min over the d rows) happens at read time, never in the state. */
+  def streamingCountMin(docs: DataFrame, textCol: String = "text",
+      width: Int = 256, depth: Int = 4): DataFrame = {
+    val base =
+      conv(substr(md5(col("w")), lit(1), lit(8)), 16, 10).cast("long")
+    docs.select(explode(graft.llm.TextOps.words(col(textCol))).as("w"))
+      .select(posexplode(array((0 until depth).map { j =>
+        ((lit(graft.llm.Dedup.HASH_A(j)) * base +
+          lit(graft.llm.Dedup.HASH_B(j))) %
+          graft.llm.Dedup.MINHASH_P % width).cast("int")
+      }: _*)).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("mass"))
+  }
+
+  /** Streaming bottom-k uniform sample (Cohen & Kaplan 2007) — q232's
+    * twin: per source keep only the k docs with the smallest salted-md5
+    * hash rank. State is O(k) per source REGARDLESS of stream length,
+    * and — unlike Misra–Gries — the result is ORDER-INDEPENDENT: the
+    * retained set after any arrival order equals the batch bottom-k
+    * exactly (the k smallest of a set don't depend on visit order), so
+    * the spec asserts exact parity, not just an invariant. Emits the
+    * current sample (source, doc_id, hash rank, chars, n_seen) per
+    * micro-batch in Update mode; the max-n_seen rows are the current
+    * sample; the cross-shard merge is union-then-bottom-k on read. */
+  def streamingBottomK(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source", k: Int = 64)
+      : Dataset[(String, Long, String, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        md5(concat(lit("bk1"), col(idCol).cast("string"))),
+        length(col(textCol)).cast("long"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(String, Long, Long)], Long),
+        (String, Long, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(String, Long, String, Long)],
+            state: GroupState[(Seq[(String, Long, Long)], Long)]) =>
+          var (keep, n) = if (state.exists) state.get
+            else (Seq.empty[(String, Long, Long)], 0L)
+          val arrived = it.map { case (_, id, h, len) => (h, id, len) }.toSeq
+          n += arrived.size
+          // one sort per micro-batch group invocation, then truncate:
+          // the (hash, id) order is the batch query's (__h, doc_id)
+          // tie-break, so retention is deterministic under hash ties.
+          keep = (keep ++ arrived).sortBy(t => (t._1, t._2)).take(k)
+          state.update((keep, n))
+          keep.iterator.map { case (h, id, len) => (src, id, h, len, n) }
+      }
+  }
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

@@ -897,6 +897,98 @@ class StreamingSpec extends AnyFunSuite {
     floors.foreach(f => assert(curSet.contains(f), s"hot word lost: $f"))
   }
 
+  test("streaming count-min grid matches the batch count-table sketch " +
+      "exactly across micro-batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cm_stream").toString
+    Seq((1L, "a b a c a b", "web"), (2L, "b c d e f", "web"),
+      (3L, "x y x a", "book")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    Seq((4L, "a a b z q", "web"), (5L, "y y y x w", "book"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingCountMin(stream, width = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cm_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cm_stream")
+
+    // batch side: q233's count-table form — Σ_w c_w per (row, bucket)
+    val freq = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(explode(graft.llm.TextOps.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val base = conv(substr(md5(col("word")), lit(1), lit(8)), 16, 10)
+      .cast("long")
+    val batch = freq.select(col("c"), posexplode(
+        array((0 until 4).map { j =>
+          ((lit(graft.llm.Dedup.HASH_A(j)) * base +
+            lit(graft.llm.Dedup.HASH_B(j))) %
+            graft.llm.Dedup.MINHASH_P % 16).cast("int")
+        }: _*)).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(sum("c").as("mass"))
+    assert(got.count() > 0 && got.count() <= 4 * 16)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    // the grid never grows past d x W, in ANY emission
+    assert(got.select("j", "bucket").distinct().count() == got.count())
+  }
+
+  test("streaming bottom-k sample equals the batch bottom-k exactly " +
+      "(order-independent) with O(k) state") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bk_stream").toString
+    def doc(id: Long, src: String) = (id, "w" * (id.toInt % 7 + 1), src)
+    // arrival order deliberately scrambled vs doc_id order
+    Seq(doc(9L, "web"), doc(2L, "web"), doc(14L, "book"), doc(5L, "web"),
+      doc(11L, "book")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    Seq(doc(1L, "web"), doc(17L, "book"), doc(3L, "web"), doc(8L, "web"),
+      doc(13L, "book"), doc(4L, "web")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val k = 4
+    val q = StreamingSqa.streamingBottomK(stream, k = k)
+      .toDF("source", "doc_id", "h", "chars", "n_seen")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bk_stream").start()
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("bk_stream")
+    // current sample = each source's last emission (n_seen grows strictly)
+    val cur = all.withColumn("__mx",
+        max(col("n_seen")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .filter(col("n_seen") === col("__mx"))
+    // batch side: q232's bottom-k over the full corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val batch = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("bk1"), col("doc_id").cast("string"))).as("h"),
+        length(col("text")).cast("long").as("chars"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k).drop("__rnk")
+    val curKeys = cur.select("source", "doc_id", "h", "chars")
+    assert(curKeys.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(curKeys).count() == 0)
+    // bounded state: never more than k rows per source, in ANY emission
+    val perEmission = all.groupBy("source", "n_seen").count().collect()
+    perEmission.foreach(r => assert(r.getLong(2) <= k, s"state > k: $r"))
+    // n_seen honest: final count equals true per-source doc count
+    val trueN = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cur.select("source", "n_seen").distinct().collect().foreach { r =>
+      assert(r.getLong(1) == trueN(r.getString(0)), s"n_seen drift: $r")
+    }
+  }
+
   test("streaming Benford digit counts match the batch q249 counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("benford_stream").toString
