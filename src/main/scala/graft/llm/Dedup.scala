@@ -1123,6 +1123,65 @@ object Dedup {
     * its three corners via one explode over a 3-literal array — all
     * joins confined to the BOUNDED pair table. Nodes with deg < 2 emit
     * null cc. */
+  /** Fixed-round k-core peeling audit over the near-dup pair graph
+    * (Seidman 1983, "Network structure and minimum degree"; the peeling
+    * formulation of Matula & Beck 1983): each round removes every node
+    * with fewer than k SURVIVING neighbors, so what remains after
+    * convergence is the k-core — the dense template-family backbone
+    * that single-pass pairwise dedup underestimates (a node can look
+    * low-degree only because its neighbors were boilerplate). Reported
+    * per round: survivors, surviving directed edges, removals — with a
+    * FIXED round count so the loop is bit-reproducible cross-engine
+    * (the HITS/PageRank contract); `n_removed = 0` on the last row
+    * means the peel converged inside the budget.
+    *
+    * Scale shape: each round is one degree aggregate + two semi-join
+    * filters on the bounded dup-edge table; survivor and edge sets are
+    * localCheckpoint-pinned per round (flat lineage, the PageRank
+    * rule); the per-round tallies are 1-row broadcast scalars. Nothing
+    * is ever all-pairs — the edge table is [[minhashPairs]]'s bounded
+    * candidate set. */
+  def kCorePeel(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, rounds: Int = 3, shingleN: Int = 3, numHashes: Int = 8,
+      numBands: Int = 4, threshold: Double = 0.3): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20,
+      "fixed small peel-round budget")
+    val p = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      numBands, threshold)
+    var eAlive = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(p.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var alive = eAlive.select(col("u")).distinct().localCheckpoint()
+    def snap(round: Int, a: DataFrame, e: DataFrame,
+        prev: DataFrame): DataFrame =
+      a.agg(count(lit(1)).as("n_alive"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_dir_edges"))))
+        .crossJoin(broadcast(prev.agg(count(lit(1)).as("__np"))))
+        .select(lit(round.toLong).as("round"), col("n_alive"),
+          col("n_dir_edges"),
+          (col("__np") - col("n_alive")).as("n_removed"))
+    val snaps = scala.collection.mutable.ArrayBuffer(
+      snap(0, alive, eAlive, alive))
+    (1 to rounds).foreach { r =>
+      // LAZY pins (eager = false): each round's survivor/edge sets still
+      // materialize exactly once (on first use) so no round recomputes,
+      // but no per-round synchronous job barrier — the whole peel
+      // schedules inside the consuming action (the HITS loop lesson).
+      val aliveNext = eAlive.groupBy("u")
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("u")
+        .localCheckpoint(eager = false)
+      val eNext = eAlive
+        .join(aliveNext, Seq("u"), "left_semi")
+        .join(aliveNext.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint(eager = false)
+      snaps += snap(r, aliveNext, eNext, alive)
+      alive = aliveNext
+      eAlive = eNext
+    }
+    snaps.reduce(_ unionByName _)
+  }
+
   def clusteringCoefficient(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, numHashes: Int = 8,
       numBands: Int = 4, threshold: Double = 0.3): DataFrame = {

@@ -763,6 +763,72 @@ object TextAnalysis {
     * Scale shape: the bigram and unigram count tables are the q230
     * shapes (vocab²/vocab-bounded with map-side combine); each entropy
     * term rounds to 6 dp and sums through exact decimal. */
+  /** TextTiling-style topical cohesion (Hearst 1997, "TextTiling:
+    * Segmenting Text into Multi-paragraph Subtopic Passages", collapsed
+    * to its lexical-cohesion core): tokens split into fixed
+    * `blockTokens`-token blocks; adjacent blocks compare by cosine over
+    * their term-frequency vectors; a gap whose cosine falls below
+    * `boundaryBelow` is a topic boundary. Low mean cohesion with many
+    * boundaries marks concatenation artifacts (scraped pages glued into
+    * one "document") — a segmentation-before-training signal that
+    * doc-level quality scores miss.
+    *
+    * Cross-engine exactness: block term counts are integers, so the
+    * dot product and squared norms are EXACT integer sums (blocks are
+    * ≤ `blockTokens` tokens — all products fit 2^53); the cosine does
+    * one double division against an IEEE-exact sqrt of an exact integer
+    * product, rounded to 6 dp before any aggregation (per-doc means go
+    * through exact decimal). One token scan; the adjacent-gap join is
+    * block-keyed on (doc, block) — never cross-document. */
+  def textTiling(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 20, boundaryBelow: Double = 0.15): DataFrame = {
+    val counts = docs
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(col(idCol), expr(s"__pos div $blockTokens").as("__b"),
+        col("__w"))
+      .groupBy(col(idCol), col("__b"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // gap join + norms share one token scan
+    val norms = counts.groupBy(col(idCol), col("__b"))
+      .agg(sum(col("__c") * col("__c")).as("__n2"))
+    val dots = counts.as("a")
+      .join(counts.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("a.__b") + 1 === col("b.__b") && col("a.__w") === col("b.__w"))
+      .groupBy(col(s"a.$idCol").as(idCol), col("a.__b").as("__b"))
+      .agg(sum(col("a.__c") * col("b.__c")).as("__dot"))
+    val gaps = norms.as("na")
+      .join(norms.as("nb"),
+        col(s"na.$idCol") === col(s"nb.$idCol") &&
+          col("na.__b") + 1 === col("nb.__b"))
+      .select(col(s"na.$idCol").as(idCol), col("na.__b").as("__b"),
+        col("na.__n2").as("__na"), col("nb.__n2").as("__nb"))
+      .join(dots, Seq(idCol, "__b"), "left")
+      .select(col(idCol),
+        round(coalesce(col("__dot"), lit(0L)).cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("__cos"))
+    val perDoc = gaps.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        // UNROUNDED: sum is exact decimal, so the one double division
+        // is bit-identical cross-engine — rounding it would re-enter
+        // the double-rounding boundary class (hit at the gate scale on
+        // this query's first run)
+        graft.core.Det.avgDet(col("__cos"), 6).as("avg_cohesion"),
+        sum(when(col("__cos") < boundaryBelow, 1L).otherwise(0L))
+          .as("n_boundaries"))
+    docs.select(col(idCol))
+      .join(counts.groupBy(col(idCol))
+        .agg((max(col("__b")) + 1).cast("long").as("n_blocks")),
+        Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        col("avg_cohesion"),
+        coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"))
+  }
+
   def entropyRate(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -2127,7 +2127,23 @@ object LlmQueries {
         Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.3)
           .select(col("id_a"), col("id_b")),
-        s"${IoQueries.sinkDir}/q296_hyperball_regs"))
+        s"${IoQueries.sinkDir}/q296_hyperball_regs")),
+
+    // Fixed-round k-core peeling (Seidman 1983) on the near-dup graph —
+    // the dense template-family backbone that per-pair degree
+    // underestimates; n_removed = 0 on the last row means converged.
+    "q297_kcore" -> ((s, dir) =>
+      Dedup.kCorePeel(Tables.documents(s, dir), "doc_id", "text",
+        k = 2, rounds = 3, shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.3)),
+
+    // TextTiling lexical cohesion (Hearst 1997): adjacent fixed-size
+    // token blocks compared by exact-integer cosine — low cohesion +
+    // many boundaries flags concatenation artifacts that doc-level
+    // quality scores miss.
+    "q298_texttiling" -> ((s, dir) =>
+      TextAnalysis.textTiling(Tables.documents(s, dir), "doc_id", "text",
+        blockTokens = 20, boundaryBelow = 0.15))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -6444,7 +6460,76 @@ object LlmQueries {
          |  (SELECT ROUND(${graft.core.Det.avgDetSql("est", 4)}, 4) FROM e2)
          |    AS avg_est_t2
          |FROM cnt""".stripMargin
-    }
+    },
+
+    // The per-round survivor sets are each referenced three times (two
+    // edge-filter legs + the tally) and chain three levels deep — every
+    // round CTE is AS MATERIALIZED or DuckDB's per-reference inlining
+    // re-expands the chain exponentially (the q290 HITS oracle lesson).
+    "q297_kcore" -> {
+      def peel(prevA: String, prevE: String, a: String, e: String) =
+        s"""$a AS MATERIALIZED (
+           |  SELECT u FROM (
+           |    SELECT u, COUNT(*) AS d FROM $prevE GROUP BY 1)
+           |  WHERE d >= 2),
+           |$e AS MATERIALIZED (
+           |  SELECT pe.u, pe.v FROM $prevE pe
+           |  JOIN $a x ON x.u = pe.u JOIN $a y ON y.u = pe.v)""".stripMargin
+      def row(r: Int, a: String, e: String, prevA: String) =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT COUNT(*) FROM $a) AS n_alive,
+           |  (SELECT COUNT(*) FROM $e) AS n_dir_edges,
+           |  CAST((SELECT COUNT(*) FROM $prevA)
+           |    - (SELECT COUNT(*) FROM $a) AS BIGINT) AS n_removed"""
+          .stripMargin
+      s"""WITH RECURSIVE $textClusterCtes,
+         |e0 AS MATERIALIZED (SELECT u, v FROM edges),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u FROM e0),
+         |${peel("a0", "e0", "a1", "e1")},
+         |${peel("a1", "e1", "a2", "e2")},
+         |${peel("a2", "e2", "a3", "e3")}
+         |${row(0, "a0", "e0", "a0")}
+         |UNION ALL ${row(1, "a1", "e1", "a0")}
+         |UNION ALL ${row(2, "a2", "e2", "a1")}
+         |UNION ALL ${row(3, "a3", "e3", "a2")}""".stripMargin
+    },
+
+    "q298_texttiling" ->
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |tok AS (
+         |  SELECT doc_id, (i - 1) // 20 AS b, w[i] AS word
+         |  FROM wr, unnest(range(1, len(w) + 1)) AS t(i)),
+         |cnt AS (
+         |  SELECT doc_id, b, word, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+         |nrm AS (
+         |  SELECT doc_id, b, CAST(SUM(c * c) AS BIGINT) AS n2
+         |  FROM cnt GROUP BY 1, 2),
+         |dt AS (
+         |  SELECT a.doc_id, a.b, CAST(SUM(a.c * bb.c) AS BIGINT) AS dot
+         |  FROM cnt a JOIN cnt bb ON bb.doc_id = a.doc_id
+         |    AND bb.b = a.b + 1 AND bb.word = a.word
+         |  GROUP BY 1, 2),
+         |gap AS (
+         |  SELECT na.doc_id,
+         |    ROUND(COALESCE(dot, 0)::DOUBLE
+         |      / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6) AS cs
+         |  FROM nrm na JOIN nrm nb ON nb.doc_id = na.doc_id
+         |    AND nb.b = na.b + 1
+         |  LEFT JOIN dt ON dt.doc_id = na.doc_id AND dt.b = na.b),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_gaps,
+         |    ${graft.core.Det.avgDetSql("cs", 6)} AS avg_cohesion,
+         |    CAST(SUM(CASE WHEN cs < 0.15::DOUBLE THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boundaries
+         |  FROM gap GROUP BY 1),
+         |nb2 AS (
+         |  SELECT doc_id, CAST(MAX(b) + 1 AS BIGINT) AS n_blocks
+         |  FROM cnt GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_blocks, 0) AS n_blocks,
+         |  COALESCE(n_gaps, 0) AS n_gaps, avg_cohesion,
+         |  COALESCE(n_boundaries, 0) AS n_boundaries
+         |FROM documents d LEFT JOIN nb2 USING (doc_id)
+         |LEFT JOIN pd USING (doc_id)""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

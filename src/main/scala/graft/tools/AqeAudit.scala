@@ -86,7 +86,13 @@ object AqeAudit {
       // pair-set full outer, the Fightin'-Words vocab joins, and the
       // bigram entropy chain
       "q290_hits", "q291_dedup_venn", "q292_fightin_words",
-      "q293_entropy_rate")
+      "q293_entropy_rate",
+      // q294–q298 batch (r15): the theta shard persist + positional
+      // re-merge join, the moments shard re-merge, the HyperBall
+      // incremental register merge + full-outer compare, the k-core
+      // peel loop, and the TextTiling adjacent-block joins
+      "q294_theta_persist", "q295_moments_persist",
+      "q296_hyperball_persist", "q297_kcore", "q298_texttiling")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan

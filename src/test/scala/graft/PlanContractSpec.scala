@@ -73,7 +73,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q247_silhouette",      // kMeans' broadcast-centroid fan-out (q87 family)
     "q251_curriculum",      // broadcast 1-row corpus-count scalar
     "q254_ks_test",         // broadcast 1-row calendar-midpoint scalar
-    "q296_hyperball_persist") // broadcast 1-row register-census scalars
+    "q296_hyperball_persist", // broadcast 1-row register-census scalars
+    "q297_kcore")             // broadcast 1-row per-round tally scalars
 
   /** A session with the shape-relevant confs PINNED — the suite's shared
     * getOrCreate session picks up conf mutations from other specs (the
