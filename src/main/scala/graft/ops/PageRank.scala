@@ -78,15 +78,28 @@ object PageRank {
       .localCheckpoint()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val e = e0
-      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
-      .localCheckpoint()
     // One bounded scalar: the node count feeds the teleport literal and
     // the broadcast gate.
     val n = nodes.count()
     val base = SCALE / n
     val small = n <= BroadcastMaxNodes
     def gated(df: DataFrame) = if (small) broadcast(df) else df
+    // Under the broadcast gate the rank table rides in as a broadcast, so
+    // the per-iteration contribution join never shuffles the edge table —
+    // which makes the groupBy(dst) the loop's ONLY edge-sized exchange.
+    // Pinning the degree-annotated edge table PRE-PARTITIONED ON dst
+    // (localCheckpoint preserves outputPartitioning; pinned count, not
+    // AQE-coalesced — the q203 trap) removes that exchange too: the loop
+    // body then shuffles nothing edge-sized (the r15 HITS lesson). Above
+    // the gate the join itself must exchange on src, so the copy
+    // partitions by src instead and the agg exchange is the honest cost.
+    val P = e0.sparkSession.sparkContext.defaultParallelism
+    val e = {
+      val withDeg = e0
+        .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      (if (small) withDeg.repartition(P, col("dst"))
+       else withDeg.repartition(P, col("src"))).localCheckpoint()
+    }
     // Loop-invariant dangling-node set (no out-edges), pinned once. Its
     // per-round summed rank is ONE scalar — carried into the update as a
     // broadcast 1-row cross join, never a driver sync, so each iteration
