@@ -1123,6 +1123,71 @@ object Dedup {
     * its three corners via one explode over a 3-literal array — all
     * joins confined to the BOUNDED pair table. Nodes with deg < 2 emit
     * null cc. */
+  /** Exact duplicated-substring profile (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr view,
+    * token-windowed): every `gramN`-token window whose text occurs more
+    * than once in the corpus marks its positions duplicated; per doc the
+    * flagged windows merge into maximal verbatim spans, and the profile
+    * reports per source how many docs carry a duplicated span and what
+    * fraction of the source's tokens sit inside one — the
+    * memorization-risk signal DOC-level dedup (exact/MinHash) cannot
+    * see, because partial verbatim overlap survives it.
+    *
+    * Scale shape: one token scan (pinned-count repartition before the
+    * per-token hashing — the q203 trap) builds positioned grams via
+    * lead() windows; duplicate keys come from ONE gram-keyed aggregate
+    * (bounded by the distinct-gram vocabulary) and flow back over a
+    * left-semi join; span merging is a per-doc running-max window (no
+    * join); everything downstream is per-doc then per-source. Exact
+    * integer arithmetic throughout; the final fraction is ONE double
+    * division of exact integers, left unrounded (bit-identical
+    * cross-engine — the q298 rule). */
+  def exactSubstringDupProfile(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, gramN: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(sourceCol).as("source"), col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .localCheckpoint() // token totals + the gram build share one scan
+    val grams = toks
+      .withColumn("__g", concat_ws(" ",
+        col("__w") +: (1 until gramN).map(k =>
+          lead(col("__w"), k).over(w)): _*))
+      .withColumn("__last", lead(col("__w"), gramN - 1).over(w))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__pos"),
+        substring(md5(col("__g")), 1, 16).as("gk"))
+      .localCheckpoint() // key census + flag-back share the gram pass
+    val dupKeys = grams.groupBy("gk").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("gk")
+    val sw = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = grams.join(dupKeys, Seq("gk"), "left_semi")
+      .withColumn("__pmax", max(col("__pos") + gramN).over(
+        sw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__pmax").isNull ||
+        col("__pos") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        sw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__sid"))
+      .agg(min(col("__pos")).as("__s"),
+        max(col("__pos") + gramN).as("__e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sum((col("__e") - col("__s")).cast("long")).as("__dup"))
+    toks.groupBy(col("source"), col(idCol))
+      .agg(count(lit(1)).as("__nt"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("__dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup") > 0, 1L).otherwise(0L)).as("n_docs_dup"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__dup")).as("n_dup_tokens"))
+      .withColumn("dup_token_frac",
+        col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Fixed-round k-core peeling audit over the near-dup pair graph
     * (Seidman 1983, "Network structure and minimum degree"; the peeling
     * formulation of Matula & Beck 1983): each round removes every node

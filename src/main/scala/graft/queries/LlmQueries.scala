@@ -2143,7 +2143,15 @@ object LlmQueries {
     // quality scores miss.
     "q298_texttiling" -> ((s, dir) =>
       TextAnalysis.textTiling(Tables.documents(s, dir), "doc_id", "text",
-        blockTokens = 20, boundaryBelow = 0.15))
+        blockTokens = 20, boundaryBelow = 0.15)),
+
+    // Exact duplicated-substring profile (Lee et al. 2022, ExactSubstr):
+    // per source, the docs carrying ≥1 verbatim 8-token span that occurs
+    // elsewhere in the corpus and the token mass inside such spans — the
+    // partial-overlap memorization signal doc-level dedup cannot see.
+    "q299_substring_dup" -> ((s, dir) =>
+      Dedup.exactSubstringDupProfile(Tables.documents(s, dir), "doc_id",
+        "text", "source", gramN = 8))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -6529,7 +6537,45 @@ object LlmQueries {
          |  COALESCE(n_gaps, 0) AS n_gaps, avg_cohesion,
          |  COALESCE(n_boundaries, 0) AS n_boundaries
          |FROM documents d LEFT JOIN nb2 USING (doc_id)
-         |LEFT JOIN pd USING (doc_id)""".stripMargin
+         |LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q299_substring_dup" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |tok AS (
+         |  SELECT source, doc_id, COUNT(*) AS nt
+         |  FROM (SELECT source, doc_id, unnest(w) FROM wr) GROUP BY 1, 2),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos, substr(md5($gram), 1, 16) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+         |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gk)),
+         |m AS (
+         |  SELECT doc_id, pos,
+         |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM f),
+         |sid AS (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+         |      END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+         |  FROM m),
+         |spans AS (
+         |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 8) AS e0
+         |  FROM sid GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(e0 - s0) AS BIGINT) AS dup_t
+         |  FROM spans GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(dup_t, 0) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_dup,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT) AS n_dup_tokens,
+         |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT)::DOUBLE
+         |    / CAST(SUM(nt) AS BIGINT)::DOUBLE AS dup_token_frac
+         |FROM tok LEFT JOIN pd USING (doc_id) GROUP BY 1""".stripMargin
+    }
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

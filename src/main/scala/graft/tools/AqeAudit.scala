@@ -92,7 +92,9 @@ object AqeAudit {
       // incremental register merge + full-outer compare, the k-core
       // peel loop, and the TextTiling adjacent-block joins
       "q294_theta_persist", "q295_moments_persist",
-      "q296_hyperball_persist", "q297_kcore", "q298_texttiling")
+      "q296_hyperball_persist", "q297_kcore", "q298_texttiling",
+      // the gram-keyed duplicate census + semi-join flag-back
+      "q299_substring_dup")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // materialize: AQE finalizes the plan
