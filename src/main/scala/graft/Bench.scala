@@ -140,12 +140,28 @@ object Bench {
             .queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
         val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        val times = (1 to repeat).map { _ =>
+        val times = (1 to repeat).map { r =>
+          // Snapshot BEFORE the repeat so the cleanup below drops only what
+          // this repeat created (never a persist that predates the query).
+          val beforeRepeat = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
             case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // BETWEEN-repeat cleanup (round-15 verdict #1): checkpoint-heavy
+          // queries (q59 cvxEDA) create localCheckpoint blocks per run;
+          // dropping them only after the 3-repeat loop left repeats 2-3
+          // running with repeats 1-2's blocks resident — q59's warm median
+          // read 3.8x its own cold first run. Blocking unpersist of the
+          // repeat's own delta restores repeat-to-repeat independence.
+          if (r < repeat) {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.collect {
+              case (id, rdd) if !beforeRepeat.contains(id) => rdd.unpersist(true)
+            }
+          }
+          dt
         }
         val dt = times.sorted.apply((times.length - 1) / 2) // lower median
         System.err.println(
@@ -183,11 +199,17 @@ object Bench {
     // protocol IS the isolated measurement the judge uses, so the ratio
     // it yields is the honest one. Child failures are EXCLUDED from the
     // ratio (never counted as near-zero elapsed); if the fork itself
-    // fails the ratio is reported as -1 — unknown, not falsely green.
+    // fails the ratio is JSON null with inflation_known:false — unknown,
+    // never a value a `<= 1.3` ratchet could misread as green.
     def shortName(k: String): String = k.takeWhile(_ != '_')
-    val inflation = if (results.size >= 10 &&
+    val (inflation, freshQueries) = if (results.size >= 10 &&
         !sys.env.get("SPARK_GRAFT_FRESH_CHECK").contains("0")) {
-      val slowest = results.sortBy(-_._2).take(5)
+      // q290 rides along regardless of suite rank (round-15 verdict #6):
+      // the r14 "HITS isolated <= 2.5 s" criterion needs a driver-artifact
+      // fresh-JVM number, not an A/B cost ratio.
+      val forced = Set("q290_hits")
+      val slowest = (results.sortBy(-_._2).take(5) ++
+        results.filter(r => forced.contains(r._1))).distinctBy(_._1)
       val childDetail = java.nio.file.Files.createTempFile("bench_fresh", ".json")
       val childLog = java.nio.file.Files.createTempFile("bench_fresh", ".log")
       val freshTimes: Map[String, Double] = try {
@@ -228,28 +250,30 @@ object Bench {
           s" (log: $childLog)")
         Map.empty[String, Double]
       }
-      val ratios = slowest.flatMap { case (name, suiteDt, _) =>
+      val pairs = slowest.flatMap { case (name, suiteDt, _) =>
         freshTimes.get(shortName(name)) match {
           case Some(fresh) if fresh > 1e-3 =>
             val r = suiteDt / fresh
             System.err.println(
               f"[bench] inflation $name%-22s suite=$suiteDt%.2f fresh=$fresh%.2f ratio=$r%.2f")
-            Some(r)
+            Some((name, fresh, r))
           case _ =>
             System.err.println(s"[bench] inflation $name: no fresh-JVM " +
               "measurement (child failed?) — EXCLUDED from ratio")
             None
         }
       }
-      if (ratios.isEmpty) -1.0
+      // No numeric sentinel for "unknown" (a -1 reads as green to any
+      // `<= 1.3` ratchet): unknown is JSON null + inflation_known:false.
+      if (pairs.isEmpty) (None, Map.empty[String, Double])
       else {
-        val worst = ratios.max
+        val worst = pairs.map(_._3).max
         if (worst > 1.3) System.err.println(
           f"[bench] WARN inflation_ratio=$worst%.2f > 1.3 — in-suite " +
             "per-query numbers are not trustworthy as ratchets this run")
-        worst
+        (Some(worst), pairs.map(p => p._1 -> p._2).toMap)
       }
-    } else 1.0
+    } else (Some(1.0), Map.empty[String, Double])
     // The driver keeps only the LAST ~2 kB of this process's stdout, and
     // the JSON line must fit inside that tail WHOLE: round 12's 186-query
     // line grew to ~2.6 kB and was clipped at the FRONT, leaving
@@ -272,8 +296,17 @@ object Bench {
       "\"" + shortName(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullCold = results.map { case (k, _, c) =>
       "\"" + shortName(k) + "\":" + fmt(c) }.mkString("{", ",", "}")
+    // Honest-measurement fields (round-15 verdict #1): the fresh-JVM
+    // per-query warm medians ride in the JSON so the artifact carries the
+    // isolated numbers directly, not only the worst suite/fresh ratio.
+    val inflJson = inflation.map(fmt2).getOrElse("null")
+    val inflKnown = inflation.isDefined
+    val freshQs = freshQueries.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + shortName(k) + "\":" + fmt2(v) }.mkString("{", ",", "}")
+    val credJson =
+      s""""inflation_ratio":$inflJson,"inflation_known":$inflKnown,"fresh_queries":$freshQs"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"inflation_ratio":${fmt2(inflation)},"sf":"$sfDir","queries":$fullQs,"cold_queries":$fullCold}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},$credJson,"sf":"$sfDir","queries":$fullQs,"cold_queries":$fullCold}"""
     System.err.println("[bench] full detail: " + detail)
     // SPARK_GRAFT_DETAIL_OUT: where the full-detail JSON goes — the
     // fresh-JVM self-check child writes to a temp path so it never
@@ -283,7 +316,7 @@ object Bench {
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},"inflation_ratio":${fmt2(inflation)},"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},$credJson,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

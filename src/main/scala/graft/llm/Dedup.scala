@@ -1141,24 +1141,19 @@ object Dedup {
     * join); everything downstream is per-doc then per-source. Exact
     * integer arithmetic throughout; the final fraction is ONE double
     * division of exact integers, left unrounded (bit-identical
-    * cross-engine — the q298 rule). */
+    * cross-engine — the q298 rule). Gram keys are the FULL 128-bit md5:
+    * at ~1e12 distinct grams (100 TB) a 64-bit key has ~3% birthday
+    * collision odds per 5e8 grams and would falsely flag windows;
+    * 128 bits keeps the operator's "exact" claim honest at scale. */
   def exactSubstringDupProfile(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, gramN: Int = 8): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val toks = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
       .select(col(sourceCol).as("source"), col(idCol),
         posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
       .localCheckpoint() // token totals + the gram build share one scan
-    val grams = toks
-      .withColumn("__g", concat_ws(" ",
-        col("__w") +: (1 until gramN).map(k =>
-          lead(col("__w"), k).over(w)): _*))
-      .withColumn("__last", lead(col("__w"), gramN - 1).over(w))
-      .filter(col("__last").isNotNull)
-      .select(col(idCol), col("__pos"),
-        substring(md5(col("__g")), 1, 16).as("gk"))
+    val grams = gramKeys(toks, idCol, gramN)
       .localCheckpoint() // key census + flag-back share the gram pass
     val dupKeys = grams.groupBy("gk").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("gk")
@@ -1186,6 +1181,78 @@ object Dedup {
         sum(col("__dup")).as("n_dup_tokens"))
       .withColumn("dup_token_frac",
         col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Positioned `gramN`-token window keys over a (id, __pos, __w) token
+    * frame → (id, __pos, gk). gk is the FULL 128-bit md5 of the
+    * space-joined window (round-15 verdict #2): the previous
+    * 16-hex-char key was 64 bits, and at 100 TB (~1e12 distinct grams)
+    * 64-bit birthday collisions (~50% odds at 5e9 distinct) falsely
+    * mark windows duplicated in an operator documented "exact"; at
+    * 128 bits the odds stay below 1e-14 at 1e12 grams. One window
+    * pass, no join. */
+  private def gramKeys(toks: DataFrame, idCol: String,
+      gramN: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    toks
+      .withColumn("__g", concat_ws(" ",
+        col("__w") +: (1 until gramN).map(k =>
+          lead(col("__w"), k).over(w)): _*))
+      .withColumn("__last", lead(col("__w"), gramN - 1).over(w))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__pos"), md5(col("__g")).as("gk"))
+  }
+
+  /** ExactSubstr census persist → re-merge round-trip (the q294/q295
+    * treatment for [[exactSubstringDupProfile]]'s dup-key census): the
+    * gram census `gk → count` is a mergeable count table, so an
+    * incremental crawl persists one census per document batch and
+    * re-merges by a single `sum` per key — this audit shards the corpus,
+    * persists the per-shard censuses to parquet, reloads, re-merges, and
+    * proves key-for-key count parity against the corpus-at-once census
+    * (`merge_exact`), plus the downstream signal both must agree on:
+    * how many docs carry a duplicated window under the merged census.
+    *
+    * Scale shape: ONE gram pass (pinned) feeds the shard census, the
+    * direct census, and the dup flag-back; the persisted table is
+    * vocab-bounded (distinct grams × shards); the re-merge is one hash
+    * aggregate on the reloaded parquet; the parity check is a full
+    * outer join of two vocab-bounded count tables. Integer-exact
+    * throughout — count merging has no rounding to diverge on. */
+  def exactSubstringCensusRoundTrip(docs: DataFrame, idCol: String,
+      textCol: String, path: String, gramN: Int = 8,
+      numShards: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+    val grams = gramKeys(toks, idCol, gramN)
+      .select(col(idCol), col("gk"))
+      .localCheckpoint() // shard censuses + direct census + flag-back
+    grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+      .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(path)
+    val shards = spark.read.parquet(path)
+    val merged = shards.groupBy("gk").agg(sum(col("c")).as("cm"))
+    val direct = grams.groupBy("gk").agg(count(lit(1)).as("cd"))
+    val cmp = merged.join(direct, Seq("gk"), "full")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("cm") >= 2, 1L).otherwise(0L)).as("n_dup_keys_merged"),
+        sum(when(col("cd") >= 2, 1L).otherwise(0L)).as("n_dup_keys_direct"),
+        sum(when(col("cm") <=> col("cd"), 0L).otherwise(1L)).as("__nmis"))
+    val dupDocs = grams
+      .join(merged.filter(col("cm") >= 2).select("gk"), Seq("gk"),
+        "left_semi")
+      .select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs_dup"))
+    cmp
+      .crossJoin(broadcast(dupDocs))
+      .crossJoin(broadcast(
+        shards.agg(countDistinct(col("shard")).as("n_shards"))))
+      .select(col("n_shards"), col("n_keys"), col("n_dup_keys_merged"),
+        col("n_dup_keys_direct"), (col("__nmis") === 0).as("merge_exact"),
+        col("n_docs_dup"))
   }
 
   /** Fixed-round k-core peeling audit over the near-dup pair graph
@@ -1300,11 +1367,16 @@ object Dedup {
     def dsum(c: Column): Column =
       sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
     def d2d(c: Column): Column = c.cast("string").cast("double")
+    // Per-row products ALSO run in decimal (not just the sums): a long
+    // degree product wraps silently above ~3e9·3e9 in Spark while the
+    // DuckDB oracle's HUGEINT product raises — the operands must be
+    // widened BEFORE the multiply on both engines.
+    def dec(name: String): Column = col(name).cast("decimal(38,0)")
     xy.agg(count(lit(1)).as("n_dir_edges"),
         dsum(col("__dx")).as("__sx"), dsum(col("__dy")).as("__sy"),
-        dsum(col("__dx") * col("__dx")).as("__sxx"),
-        dsum(col("__dy") * col("__dy")).as("__syy"),
-        dsum(col("__dx") * col("__dy")).as("__sxy"))
+        dsum(dec("__dx") * dec("__dx")).as("__sxx"),
+        dsum(dec("__dy") * dec("__dy")).as("__syy"),
+        dsum(dec("__dx") * dec("__dy")).as("__sxy"))
       .withColumn("__vx",
         col("n_dir_edges") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__vy",

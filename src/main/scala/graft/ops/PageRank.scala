@@ -185,8 +185,9 @@ object PageRank {
     * is a pipeline barrier, while lazy checkpoints let the whole loop
     * schedule inside the consuming action). Measured effect of this
     * shape vs the per-half-round normalize-materialize one: the
-    * q290/q153 cost ratio fell 1.60 → 1.18 (same-session pagerank
-    * baseline; absolute seconds are machine-load-dependent). */
+    * q290/q153 cost ratio fell 1.60 → 1.10–1.18 across two
+    * same-session A/Bs (pagerank baseline; absolute seconds are
+    * machine-load-dependent, so the honest claim is the range). */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))

@@ -2151,7 +2151,17 @@ object LlmQueries {
     // partial-overlap memorization signal doc-level dedup cannot see.
     "q299_substring_dup" -> ((s, dir) =>
       Dedup.exactSubstringDupProfile(Tables.documents(s, dir), "doc_id",
-        "text", "source", gramN = 8))
+        "text", "source", gramN = 8)),
+
+    // ExactSubstr dup-key census persist → re-merge (q299's census under
+    // the q294/q295 incremental-crawl workflow): per-shard gram-count
+    // tables persist to parquet, reload, re-merge by one sum per key,
+    // and must reproduce the corpus-at-once census key-for-key — the
+    // memorization-risk audit run the way a real crawl would run it.
+    "q300_substr_census_persist" -> ((s, dir) =>
+      Dedup.exactSubstringCensusRoundTrip(Tables.documents(s, dir),
+        "doc_id", "text", s"${IoQueries.sinkDir}/q300_substr_census",
+        gramN = 8, numShards = 4))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -4926,7 +4936,9 @@ object LlmQueries {
          |  JOIN deg dy ON dy.u = dir.v),
          |a AS (
          |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
          |  FROM xy),
          |b AS (
          |  SELECT n, sxy, sx, sy,
@@ -6546,7 +6558,7 @@ object LlmQueries {
          |  SELECT source, doc_id, COUNT(*) AS nt
          |  FROM (SELECT source, doc_id, unnest(w) FROM wr) GROUP BY 1, 2),
          |g AS (
-         |  SELECT doc_id, i - 1 AS pos, substr(md5($gram), 1, 16) AS gk
+         |  SELECT doc_id, i - 1 AS pos, md5($gram) AS gk
          |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
          |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
          |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gk)),
@@ -6575,6 +6587,40 @@ object LlmQueries {
          |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT)::DOUBLE
          |    / CAST(SUM(nt) AS BIGINT)::DOUBLE AS dup_token_frac
          |FROM tok LEFT JOIN pd USING (doc_id) GROUP BY 1""".stripMargin
+    },
+
+    // The oracle mirrors the shard → merge arithmetic (not just the
+    // direct census) so the BIGINT count grain and the full-outer
+    // parity columns are computed the same way on both engines; the
+    // parquet round-trip itself is the Spark-side subject under test.
+    "q300_substr_census_persist" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, md5($gram) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+         |sc AS (
+         |  SELECT doc_id % 4 AS shard, gk, COUNT(*) AS c
+         |  FROM g GROUP BY 1, 2),
+         |m AS (SELECT gk, CAST(SUM(c) AS BIGINT) AS cm FROM sc GROUP BY 1),
+         |d AS (SELECT gk, COUNT(*) AS cd FROM g GROUP BY 1),
+         |cmp AS (
+         |  SELECT COUNT(*) AS n_keys,
+         |    CAST(SUM(CASE WHEN cm >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_keys_merged,
+         |    CAST(SUM(CASE WHEN cd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_keys_direct,
+         |    CAST(SUM(CASE WHEN cm IS NOT DISTINCT FROM cd THEN 0 ELSE 1
+         |      END) AS BIGINT) AS nmis
+         |  FROM m FULL JOIN d USING (gk)),
+         |dd AS (
+         |  SELECT COUNT(DISTINCT doc_id) AS n_docs_dup
+         |  FROM g WHERE gk IN (SELECT gk FROM m WHERE cm >= 2)),
+         |ns AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+         |       FROM sc)
+         |SELECT n_shards, n_keys, n_dup_keys_merged, n_dup_keys_direct,
+         |  nmis = 0 AS merge_exact, n_docs_dup
+         |FROM cmp, dd, ns""".stripMargin
     }
   )
 

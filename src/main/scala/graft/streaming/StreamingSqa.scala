@@ -696,6 +696,40 @@ object StreamingSqa {
       }
   }
 
+  /** Streaming twin of the q299/q300 ExactSubstr census audit (Lee et
+    * al. 2022): arriving documents screen their `gramN`-token windows
+    * against the PERSISTED merged gram census (q300's mergeable
+    * `gk → count` table) — a window whose gram already exists in the
+    * censused corpus is verbatim-duplicated the moment it arrives, so
+    * the memorization-risk signal is live while the crawl is running.
+    *
+    * Shape: gram keys are built PER ROW (no window functions — streams
+    * don't support them): the words array materializes once per row
+    * behind the Generate's child projection (multi-referenced alias, so
+    * CollapseProject cannot inline it — the nested-HOF O(n²) trap), and
+    * each of the n−gramN+1 slices hashes independently (full 128-bit
+    * md5, the q299 key). The census side is a static left join keyed on
+    * gk; the rollup is a bounded per-source streaming SUM — counts are
+    * the sufficient statistic, mergeable by + across micro-batches,
+    * shards, and crawls, so the spec asserts exact batch parity. */
+  def streamingSubstrCensus(newDocs: DataFrame, census: DataFrame,
+      textCol: String = "text", sourceCol: String = "source",
+      gramN: Int = 8): DataFrame = {
+    val w = col("__w")
+    val gks = when(size(w) >= gramN,
+      transform(sequence(lit(0), size(w) - gramN),
+        i => md5(array_join(slice(w, i + lit(1), lit(gramN)), " "))))
+    newDocs
+      .select(col(sourceCol).as("source"),
+        graft.llm.TextOps.words(col(textCol)).as("__w"))
+      .select(col("source"), explode(gks).as("gk"))
+      .join(census.select(col("gk")).distinct()
+        .withColumn("__hit", lit(1L)), Seq("gk"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_dup_windows"))
+  }
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

@@ -1026,4 +1026,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
   }
+
+  test("stream-static substring census flags verbatim windows live and " +
+      "matches the batch join exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("substr_stream").toString
+    val g = 4
+    // censused corpus: one 4-gram ("the quick brown fox") that a new doc
+    // will repeat verbatim, plus unique filler
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "completely unrelated filler text goes here now", "book"))
+      .toDF("doc_id", "text", "source")
+    // persisted merged census (gk -> count), the q300 artifact shape
+    val censusPath = s"$tmp/census"
+    val w = graft.llm.TextOps.words(col("text"))
+    old.select(explode(transform(sequence(lit(0), size(w) - g),
+        i => md5(array_join(slice(w, i + lit(1), lit(g)), " ")))).as("gk"))
+      .groupBy("gk").agg(count(lit(1)).as("cm"))
+      .write.parquet(censusPath)
+    val census = spark.read.parquet(censusPath)
+    // batch 1 repeats the censused 4-gram mid-sentence; batch 2 is
+    // clean plus a too-short doc (< gramN tokens, contributes nothing)
+    Seq((10L, "he said the quick brown fox again", "web"),
+        (11L, "nothing shared with anything else whatsoever", "web"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    Seq((12L, "fresh unseen content streaming in cleanly", "book"),
+        (13L, "too short", "book"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingSubstrCensus(stream, census, gramN = g)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("substr_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("substr_stream")
+    // the same (pure, batch-applicable) plan over the unioned files IS
+    // the batch side — counts are mergeable sums, so exact parity holds
+    val batch = StreamingSqa.streamingSubstrCensus(
+      spark.read.parquet(s"$tmp/b1", s"$tmp/b2"), census, gramN = g)
+    // doc 10 has 4 windows, exactly 1 of them ("the quick brown fox")
+    // is censused; doc 11 adds 3 clean windows
+    val web = got.filter(col("source") === "web")
+      .select("n_windows", "n_dup_windows").as[(Long, Long)].head()
+    assert(web == ((7L, 1L)), s"web rollup was $web")
+    // doc 13 (2 tokens < gramN) must contribute zero windows
+    val book = got.filter(col("source") === "book")
+      .select("n_windows", "n_dup_windows").as[(Long, Long)].head()
+    assert(book == ((3L, 0L)), s"book rollup was $book")
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
 }

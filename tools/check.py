@@ -83,12 +83,16 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
-    passed, failed = [], []
+    passed, failed, not_run = [], [], []
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
-            print(f"FAIL {name}: no Spark output")
+            # A missing qdir means the query was never executed (filtered
+            # dump) — a different fact from "ran and mismatched". Census
+            # mode must not adjudicate it as a NEW extra-scale failure.
+            print(f"FAIL {name}: no Spark output (not run)")
             n_fail += 1
+            not_run.append(name)
             continue
         try:
             got = canon(pd.read_parquet(qdir))
@@ -146,12 +150,19 @@ def main():
                 parts = line.split("\t")
                 allowed[parts[0]] = parts[1] if len(parts) > 1 else ""
         # the loop above appends names from `oracle`'s key order, but the
-        # "no Spark output" / exception branches don't reach `failed` —
-        # recount from the printed tallies instead: every checked name is
-        # in passed or implicitly failed
+        # exception branches don't reach `failed` — recount from the
+        # printed tallies instead: every EXECUTED name is in passed or
+        # implicitly failed. Never-run names (missing qdir under a
+        # filtered dump) are a separate category: "not run" is not
+        # evidence a query joined the extra-scale failure class.
         new = [n for n in sorted(oracle)
-               if n not in passed and n not in allowed]
+               if n not in passed and n not in allowed and n not in not_run]
         stale = [n for n in passed if n in allowed]
+        if not_run:
+            print(f"CENSUS WARN: {len(not_run)} quer"
+                  f"{'y' if len(not_run) == 1 else 'ies'} not run in this "
+                  "dump (filtered/partial) — census verdict covers only "
+                  "the executed subset")
         for n in stale:
             print(f"CENSUS stale: {n} now passes at this scale — drop it "
                   f"from {census_golden.name}")
