@@ -1191,8 +1191,8 @@ object Dedup {
     * mark windows duplicated in an operator documented "exact"; at
     * 128 bits the odds stay below 1e-14 at 1e12 grams. One window
     * pass, no join. */
-  private def gramKeys(toks: DataFrame, idCol: String,
-      gramN: Int): DataFrame = {
+  private def gramKeys(toks: DataFrame, idCol: String, gramN: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     toks
       .withColumn("__g", concat_ws(" ",
@@ -1200,7 +1200,67 @@ object Dedup {
           lead(col("__w"), k).over(w)): _*))
       .withColumn("__last", lead(col("__w"), gramN - 1).over(w))
       .filter(col("__last").isNotNull)
-      .select(col(idCol), col("__pos"), md5(col("__g")).as("gk"))
+      .select(col(idCol) +: carry.map(col) :+ col("__pos") :+
+        md5(col("__g")).as("gk"): _*)
+  }
+
+  /** Within-document duplicated n-gram token mass (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", app. A1 — the dup-n-gram repetition filters):
+    * per doc, the fraction of tokens inside maximal spans covered by
+    * `gramN`-token windows occurring ≥ 2 times WITHIN THE SAME
+    * document. This is the INTRA-doc complement of
+    * [[exactSubstringDupProfile]] (cross-doc memorization risk): a doc
+    * can be globally unique yet internally degenerate (loops, template
+    * stutter), which is a quality-filter signal, not a dedup signal.
+    * A doc is flagged when dup mass exceeds `flagNum/flagDen` — the
+    * threshold compares as an integer cross-multiply on both engines,
+    * so the flag never sits on a double-rounding boundary.
+    *
+    * Scale shape: one token scan; the in-doc window frequency is a
+    * count window over (id, gk) — no join, no cross-doc traffic at
+    * all, so the operator scales embarrassingly (each doc is
+    * independent); span merging is the q299 per-doc running-max
+    * window; the rollup is one hash aggregate on (source). The final
+    * fraction is ONE double division of exact integers, unrounded
+    * (the q298 rule). */
+  def intraDocDupGramProfile(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, gramN: Int = 5,
+      flagNum: Int = 1, flagDen: Int = 5): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(sourceCol).as("source"), col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .localCheckpoint() // token totals + the gram build share one scan
+    val wk = Window.partitionBy(col(idCol), col("gk"))
+    val sw = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = gramKeys(toks, idCol, gramN)
+      .withColumn("__c", count(lit(1)).over(wk))
+      .filter(col("__c") >= 2)
+      .withColumn("__pmax", max(col("__pos") + gramN).over(
+        sw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__pmax").isNull ||
+        col("__pos") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        sw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__sid"))
+      .agg(min(col("__pos")).as("__s"),
+        max(col("__pos") + gramN).as("__e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sum((col("__e") - col("__s")).cast("long")).as("__dup"))
+    toks.groupBy(col("source"), col(idCol))
+      .agg(count(lit(1)).as("__nt"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("__dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup") * flagDen > col("__nt") * flagNum, 1L)
+          .otherwise(0L)).as("n_docs_flagged"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__dup")).as("n_dup_tokens"))
+      .withColumn("dup_token_frac",
+        col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** ExactSubstr census persist → re-merge round-trip (the q294/q295
@@ -1253,6 +1313,52 @@ object Dedup {
       .select(col("n_shards"), col("n_keys"), col("n_dup_keys_merged"),
         col("n_dup_keys_direct"), (col("__nmis") === 0).as("merge_exact"),
         col("n_docs_dup"))
+  }
+
+  /** Cross-source verbatim leakage matrix — the SUB-document complement
+    * of doc-level source overlap (q138's near-dup pair attribution,
+    * q220's merged-MinHash estimate): for every unordered source pair,
+    * the count of distinct `gramN`-token windows BOTH sources contain
+    * verbatim, with per-pair containment (shared / smaller side) and
+    * Jaccard. This is the decontamination question at the source grain
+    * — an eval split can be doc-level clean against a crawl and still
+    * share verbatim spans with it.
+    *
+    * Scale shape: the unit is the DISTINCT (source, gram) set — bounded
+    * by vocab × n_sources, a tiny fraction of the token stream — pinned
+    * once; the pair table is a gk-keyed self-join whose per-gram fan-out
+    * is capped at n_sources² (sources are dozens, not documents), never
+    * a corpus join; totals are one hash aggregate. Count arithmetic is
+    * exact; the two fractions are single double divisions of exact
+    * integers, unrounded (the q298 rule). */
+  def sourceGramLeakage(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, gramN: Int = 8): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(sourceCol).as("source"), col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+    val sg = gramKeys(toks, idCol, gramN, carry = Seq("source"))
+      .select(col("source"), col("gk")).distinct()
+      .localCheckpoint() // totals + both sides of the pair join
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    sg.as("a")
+      .join(sg.as("b"),
+        col("a.gk") === col("b.gk") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .join(totals.select(col("source").as("source_a"),
+        col("n").as("n_grams_a")), Seq("source_a"))
+      .join(totals.select(col("source").as("source_b"),
+        col("n").as("n_grams_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_grams"),
+        col("n_grams_a"), col("n_grams_b"),
+        (col("n_shared_grams").cast("double") /
+          least(col("n_grams_a"), col("n_grams_b")).cast("double"))
+          .as("containment"),
+        (col("n_shared_grams").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_shared_grams"))
+            .cast("double")).as("jaccard"))
   }
 
   /** Fixed-round k-core peeling audit over the near-dup pair graph

@@ -877,6 +877,44 @@ object Similarity {
     recallVsExact(queries, candidates, idCol, embCol, k,
       ivfTopK(queries, candidates, idCol, embCol, k, nList, nProbe))
 
+  /** SQ8 (per-dimension uint8 scalar quantization) top-k: brute-force
+    * cosine over DEQUANTIZED vectors, with min/max ranges learned from
+    * the candidate corpus — the index-build side. Composed with
+    * [[recallVsExact]] this prices what the 4× storage compression
+    * costs in retrieval quality: the serving-layer decision that
+    * per-dimension reconstruction error (q190) cannot answer, because
+    * coordinate errors do not compose linearly into rank flips.
+    *
+    * Scale shape: the range table is ONE corpus aggregate (posexplode →
+    * dim-sized groupBy, map-side partial) collapsed to a single row of
+    * dim-length struct arrays and broadcast; de/quantization is then a
+    * pure per-row zip_with — NO corpus shuffle at all — and the search
+    * is [[bruteForceTopK]] on the dequantized column (swap in ivfTopK
+    * unchanged at corpus scale). Determinism: code =
+    * clamp(floor((x−mn)/scale + 0.5), 0..255) and dq = mn + code·scale
+    * are IEEE double ops on exactly-widened f32 values, bit-identical
+    * cross-engine; the cosine rounds to 6 dp with the id tie-break like
+    * every retrieval op here. */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val ranges = candidates
+      .select(posexplode(col(embCol).cast("array<double>"))
+        .as(Seq("__p", "__x")))
+      .groupBy("__p").agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .agg(sort_array(collect_list(struct(col("__p"), col("__mn"),
+        ((col("__mx") - col("__mn")) / 255.0).as("__sc")))).as("__r"))
+    def dq(c: Column): Column = zip_with(c.cast("array<double>"), col("__r"),
+      (x, r) => {
+        val mn = r.getField("__mn")
+        val sc = r.getField("__sc")
+        when(sc === 0.0, mn).otherwise(mn + least(lit(255.0),
+          greatest(lit(0.0), floor((x - mn) / sc + lit(0.5)))) * sc)
+      })
+    def side(df: DataFrame) = df.crossJoin(broadcast(ranges))
+      .select(col(idCol), dq(col(embCol)).as(embCol))
+    bruteForceTopK(side(queries), side(candidates), idCol, embCol, k)
+  }
+
   /** IVF-PQ / IVFADC (Jegou, Douze, Schmid 2011 §IV-A — the actual
     * billion-vector layout): the IVF coarse quantizer assigns every
     * candidate to a cell, ONE shared PQ codebook is trained on the cell

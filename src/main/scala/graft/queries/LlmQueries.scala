@@ -2161,7 +2161,37 @@ object LlmQueries {
     "q300_substr_census_persist" -> ((s, dir) =>
       Dedup.exactSubstringCensusRoundTrip(Tables.documents(s, dir),
         "doc_id", "text", s"${IoQueries.sinkDir}/q300_substr_census",
-        gramN = 8, numShards = 4))
+        gramN = 8, numShards = 4)),
+
+    // Within-doc duplicated 5-gram token mass (Rae et al. 2021, the
+    // Gopher dup-n-gram repetition filters): the INTRA-doc complement
+    // of q299 — a globally unique doc can still be internally
+    // degenerate (loops, template stutter), a quality signal doc-level
+    // and cross-doc dedup both miss. Flag threshold 1/5 compares as an
+    // integer cross-multiply, never a double boundary.
+    "q301_intradoc_dupgrams" -> ((s, dir) =>
+      Dedup.intraDocDupGramProfile(Tables.documents(s, dir), "doc_id",
+        "text", "source", gramN = 5, flagNum = 1, flagDen = 5)),
+
+    // SQ8 retrieval-degradation audit: recall@5 of brute cosine over
+    // per-dim uint8 dequantized vectors vs exact float — what the 4x
+    // storage compression costs in RANKING (q190 prices reconstruction
+    // error; errors do not compose linearly into rank flips).
+    "q302_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.recallVsExact(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5,
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5))
+    }),
+
+    // Cross-source verbatim leakage matrix: distinct 8-token windows
+    // shared by each source pair, with containment + Jaccard — the
+    // sub-document decontamination grain doc-level overlap (q138/q220)
+    // cannot see.
+    "q303_source_gram_leakage" -> ((s, dir) =>
+      Dedup.sourceGramLeakage(Tables.documents(s, dir), "doc_id",
+        "text", "source", gramN = 8))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -6621,6 +6651,109 @@ object LlmQueries {
          |SELECT n_shards, n_keys, n_dup_keys_merged, n_dup_keys_direct,
          |  nmis = 0 AS merge_exact, n_docs_dup
          |FROM cmp, dd, ns""".stripMargin
+    },
+
+    "q301_intradoc_dupgrams" -> {
+      val gram = (0 until 5).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |tok AS (
+         |  SELECT source, doc_id, COUNT(*) AS nt
+         |  FROM (SELECT source, doc_id, unnest(w) FROM wr) GROUP BY 1, 2),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos, md5($gram) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 3)) AS t(i)),
+         |f AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      COUNT(*) OVER (PARTITION BY doc_id, gk) AS c FROM g)
+         |  WHERE c >= 2),
+         |m AS (
+         |  SELECT doc_id, pos,
+         |    MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM f),
+         |sid AS (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+         |      END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+         |  FROM m),
+         |spans AS (
+         |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 5) AS e0
+         |  FROM sid GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(e0 - s0) AS BIGINT) AS dup_t
+         |  FROM spans GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(dup_t, 0) * 5 > nt THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_docs_flagged,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT) AS n_dup_tokens,
+         |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT)::DOUBLE
+         |    / CAST(SUM(nt) AS BIGINT)::DOUBLE AS dup_token_frac
+         |FROM tok LEFT JOIN pd USING (doc_id) GROUP BY 1""".stripMargin
+    },
+
+    "q302_sq8_recall" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(${dot("q.embedding", "c.embedding")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |        c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         |c AS (
+         |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, 65)) AS i(i)),
+         |r AS (
+         |  SELECT i, MIN(x) AS mn, (MAX(x) - MIN(x)) / 255.0 AS sc
+         |  FROM c GROUP BY 1),
+         |dq AS (
+         |  SELECT vec_id, list(CASE WHEN sc = 0 THEN mn
+         |    ELSE mn + LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+         |      FLOOR((x - mn) / sc + 0.5))) * sc END ORDER BY i) AS e
+         |  FROM c JOIN r USING (i) GROUP BY 1),
+         |dn AS (SELECT vec_id, e, ${dot("e", "e")} AS n2 FROM dq),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(${dot("q.e", "c.e")} / sqrt(q.n2 * c.n2), 6) DESC,
+         |        c.vec_id) AS rnk
+         |    FROM dn q JOIN dn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT e.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |    / COUNT(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |GROUP BY 1""".stripMargin,
+
+    "q303_source_gram_leakage" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source, md5($gram) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+         |t AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_shared_grams
+         |  FROM g a JOIN g b ON a.gk = b.gk AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared_grams,
+         |  ta.n AS n_grams_a, tb.n AS n_grams_b,
+         |  n_shared_grams::DOUBLE / LEAST(ta.n, tb.n)::DOUBLE
+         |    AS containment,
+         |  n_shared_grams::DOUBLE / (ta.n + tb.n - n_shared_grams)::DOUBLE
+         |    AS jaccard
+         |FROM p JOIN t ta ON ta.source = p.source_a
+         |       JOIN t tb ON tb.source = p.source_b""".stripMargin
     }
   )
 
