@@ -877,6 +877,61 @@ object Similarity {
     recallVsExact(queries, candidates, idCol, embCol, k,
       ivfTopK(queries, candidates, idCol, embCol, k, nList, nProbe))
 
+  /** IVF cell-drift audit after an incremental batch — the index-
+    * maintenance question q148's incremental SemDeDup answers for
+    * clusters and q296's HyperBall answers for registers, asked of the
+    * SERVING ANN index: a frozen coarse quantizer (trained on the old
+    * corpus) assigns each new-crawl vector to its nearest existing
+    * cell; cells that outgrow the fleet mean need re-splitting before
+    * probe-time latency degrades. Per cell: old/new/total populations,
+    * the post-batch load factor (population ÷ mean population), and a
+    * needs_split verdict at load factor > 2 — computed as the integer
+    * cross-multiply n_total·nLists > 2·N, never a double boundary.
+    *
+    * Scale shape: the centroid table is the ⌈√N⌉ broadcast seed set
+    * (the q72 rule); BOTH assignment passes are the map-side-combinable
+    * argmax aggregate (shuffle volume = corpus rows, not rows×cells);
+    * the audit table is nLists rows. The load factor is ONE double
+    * division of exact integers, unrounded (the q298 rule). */
+  def ivfCellDriftAudit(oldBatch: DataFrame, newBatch: DataFrame,
+      idCol: String, embCol: String, nList: Int = 0): DataFrame = {
+    graft.functions.VectorExpressions.register(oldBatch.sparkSession)
+    def norm(df: DataFrame) = df.select(col(idCol).as("vid"),
+      col(embCol).as("emb")).withColumn("n2", VectorOps.normSq(col("emb")))
+    val n0 = norm(oldBatch)
+    val lists = if (nList > 0) nList else autoNList(n0.count())
+    val cents = n0.orderBy("vid").limit(lists)
+      .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
+        col("n2").as("c_n2"))
+    def cellsOf(df: DataFrame) = df.crossJoin(broadcast(cents))
+      .withColumn("__cc", VectorOps.cosine(
+        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .groupBy(col("vid"))
+      .agg(max_by(col("cent_id"), struct(col("__cc"), -col("cent_id")))
+        .as("cell"))
+      .groupBy("cell").agg(count(lit(1)))
+    val oldCells = cellsOf(n0).withColumnRenamed("count(1)", "n_old")
+    val newCells = cellsOf(norm(newBatch))
+      .withColumnRenamed("count(1)", "n_new")
+    val byCell = cents.select(col("cent_id").as("cell"))
+      .join(oldCells, Seq("cell"), "left")
+      .join(newCells, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .withColumn("n_total", col("n_old") + col("n_new"))
+      .localCheckpoint() // nLists rows: totals + the per-cell verdicts
+    // products in decimal (the q274 discipline): a skewed cell's
+    // n_total·nLists wraps in long at N ≳ 4e12 while the DuckDB
+    // HUGEINT mirror raises — widen BEFORE the multiply on both engines
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    byCell
+      .crossJoin(broadcast(byCell.agg(sum(col("n_total")).as("__N"))))
+      .select(col("cell"), col("n_old"), col("n_new"), col("n_total"),
+        ((dec(col("n_total")) * lists).cast("string").cast("double") /
+          col("__N").cast("double")).as("load_factor"),
+        (dec(col("n_total")) * lists > dec(col("__N")) * 2)
+          .as("needs_split"))
+  }
+
   /** SQ8 (per-dimension uint8 scalar quantization) top-k: brute-force
     * cosine over DEQUANTIZED vectors, with min/max ranges learned from
     * the candidate corpus — the index-build side. Composed with

@@ -2191,7 +2191,20 @@ object LlmQueries {
     // cannot see.
     "q303_source_gram_leakage" -> ((s, dir) =>
       Dedup.sourceGramLeakage(Tables.documents(s, dir), "doc_id",
-        "text", "source", gramN = 8))
+        "text", "source", gramN = 8)),
+
+    // IVF cell-drift audit after an incremental crawl batch: the frozen
+    // coarse quantizer (trained on the even-id half) absorbs the odd-id
+    // half; per cell, old/new/total populations, post-batch load factor,
+    // and a needs_split verdict at load > 2x mean (integer
+    // cross-multiply) - the ANN-index maintenance signal.
+    "q305_ivf_cell_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfCellDriftAudit(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+        "vec_id", "embedding")
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -6754,7 +6767,51 @@ object LlmQueries {
          |    AS jaccard
          |FROM p JOIN t ta ON ta.source = p.source_a
          |       JOIN t tb ON tb.source = p.source_b""".stripMargin
-    }
+    },
+
+    "q305_ivf_cell_drift" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |o AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+         |nw AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+         |cents AS (
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM o)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+         |lst AS (SELECT COUNT(*) AS l FROM cents),
+         |ao AS (
+         |  SELECT cent_id AS cell, COUNT(*) AS n_old FROM (
+         |    SELECT o.vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY o.vec_id ORDER BY
+         |        ${dot("o.embedding", "cents.c_emb")} / sqrt(o.n2 * cents.c_n2) DESC,
+         |        cent_id) AS rn
+         |    FROM o CROSS JOIN cents)
+         |  WHERE rn = 1 GROUP BY 1),
+         |an AS (
+         |  SELECT cent_id AS cell, COUNT(*) AS n_new FROM (
+         |    SELECT nw.vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY nw.vec_id ORDER BY
+         |        ${dot("nw.embedding", "cents.c_emb")} / sqrt(nw.n2 * cents.c_n2) DESC,
+         |        cent_id) AS rn
+         |    FROM nw CROSS JOIN cents)
+         |  WHERE rn = 1 GROUP BY 1),
+         |byc AS (
+         |  SELECT cent_id AS cell, COALESCE(n_old, 0) AS n_old,
+         |    COALESCE(n_new, 0) AS n_new,
+         |    COALESCE(n_old, 0) + COALESCE(n_new, 0) AS n_total
+         |  FROM cents LEFT JOIN ao ON ao.cell = cents.cent_id
+         |             LEFT JOIN an ON an.cell = cents.cent_id),
+         |tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS nn FROM byc)
+         |SELECT cell, n_old, n_new, n_total,
+         |  CAST(CAST(CAST(n_total AS HUGEINT) * l AS VARCHAR) AS DOUBLE)
+         |    / nn::DOUBLE AS load_factor,
+         |  CAST(n_total AS HUGEINT) * l > CAST(nn AS HUGEINT) * 2
+         |    AS needs_split
+         |FROM byc, tot, lst""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

@@ -1049,6 +1049,48 @@ object Relational {
           countDistinct("source").as("n_sensitive"))
         .withColumn("l_diverse", col("n_sensitive") >= 3)),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    // member of the q222/q265 privacy family: an l-diverse class still
+    // leaks when its sensitive-value DISTRIBUTION diverges from the
+    // table's (skewness attack). Categorical sensitive attribute =
+    // source, so EMD reduces to variational distance
+    // 0.5·Σ|p_class − p_global|. Everything runs in exact integers:
+    // the per-source term is |n_cs·n − n_s·n_c| (decimal products —
+    // they wrap in long at corpus scale), the distance is ONE double
+    // division of the exact sum, and the t ≤ 1/4 verdict is the
+    // integer cross-multiply 2·S ≤ n_c·n, never a double boundary.
+    // Scale shape: ONE corpus scan to the (class, source) count table;
+    // the class×source grid is bounded (classes × sources), built with
+    // an explicit broadcast; global totals are broadcast 1-row scalars.
+    "q304_t_closeness" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cs = Tables.documents(s, dir)
+        .select(col("lang"), expr("n_chars div 200").as("size_bucket"),
+          col("source"))
+        .groupBy("lang", "size_bucket", "source")
+        .agg(count(lit(1)).as("__ncs"))
+        .localCheckpoint() // class totals + source totals + grid side
+      val cls = cs.groupBy("lang", "size_bucket")
+        .agg(sum(col("__ncs")).as("__nc"))
+      val src = cs.groupBy("source").agg(sum(col("__ncs")).as("__ns"))
+      val tot = cs.agg(sum(col("__ncs")).as("__n"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      cls.crossJoin(broadcast(src))
+        .join(cs, Seq("lang", "size_bucket", "source"), "left")
+        .na.fill(0L, Seq("__ncs"))
+        .crossJoin(broadcast(tot))
+        .groupBy("lang", "size_bucket")
+        .agg(max(col("__nc")).as("__nc"), max(col("__n")).as("__n"),
+          sum(abs(dec(col("__ncs")) * dec(col("__n")) -
+            dec(col("__ns")) * dec(col("__nc")))).as("__s"))
+        .select(col("lang"), col("size_bucket"), col("__nc").as("n_docs"),
+          (col("__s").cast("string").cast("double") /
+            (dec(col("__nc")) * dec(col("__n")) * lit(2).cast("decimal(2,0)"))
+              .cast("string").cast("double")).as("t_distance"),
+          (dec(col("__s")) * lit(2).cast("decimal(2,0)") <=
+            dec(col("__nc")) * dec(col("__n"))).as("t_close"))
+    }),
+
     // Modified z-score outlier audit (Iglewicz & Hoaglin 1993): per
     // source, |0.6745·(n_chars − median)/MAD| > 3.5 flags — the robust
     // outlier rule (mean/stdev are themselves corrupted by the outliers
@@ -2136,6 +2178,36 @@ object Relational {
          |  COUNT(DISTINCT source) >= 3 AS l_diverse
          |FROM documents
          |GROUP BY 1, 2""".stripMargin,
+
+    "q304_t_closeness" ->
+      s"""WITH cs AS (
+         |  SELECT lang, n_chars // 200 AS size_bucket, source,
+         |    COUNT(*) AS ncs
+         |  FROM documents GROUP BY 1, 2, 3),
+         |cls AS (
+         |  SELECT lang, size_bucket, CAST(SUM(ncs) AS BIGINT) AS nc
+         |  FROM cs GROUP BY 1, 2),
+         |src AS (SELECT source, CAST(SUM(ncs) AS BIGINT) AS ns
+         |        FROM cs GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ncs) AS BIGINT) AS n FROM cs),
+         |grid AS (
+         |  SELECT cls.lang, cls.size_bucket, cls.nc, src.source, src.ns,
+         |    COALESCE(cs.ncs, 0) AS ncs, tot.n
+         |  FROM cls CROSS JOIN src CROSS JOIN tot
+         |  LEFT JOIN cs ON cs.lang = cls.lang
+         |    AND cs.size_bucket = cls.size_bucket
+         |    AND cs.source = src.source),
+         |agg AS (
+         |  SELECT lang, size_bucket, MAX(nc) AS nc, MAX(n) AS n,
+         |    SUM(ABS(CAST(ncs AS HUGEINT) * n - CAST(ns AS HUGEINT) * nc))
+         |      AS s
+         |  FROM grid GROUP BY 1, 2)
+         |SELECT lang, size_bucket, nc AS n_docs,
+         |  CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+         |    CAST(CAST(CAST(nc AS HUGEINT) * n * 2 AS VARCHAR) AS DOUBLE)
+         |    AS t_distance,
+         |  s * 2 <= CAST(nc AS HUGEINT) * n AS t_close
+         |FROM agg""".stripMargin,
 
     "q282_cuped" ->
       s"""WITH e AS (
