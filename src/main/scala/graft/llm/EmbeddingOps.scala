@@ -67,6 +67,51 @@ object EmbeddingOps {
           .as("mean_abs_err"))
   }
 
+  /** Per-label embedding centroid drift between crawl batches — the
+    * FIRST-moment companion to the sign-cell JS divergence (q225): per
+    * label, the cosine between the old-batch and new-batch centroids.
+    * The means' 1/n factors cancel inside the cosine, so the statistic
+    * reduces to three exact integer sums per (label, dim):
+    * cos = Σ_d So_d·Sn_d / sqrt(Σ So_d² · Σ Sn_d²), with S the
+    * floor-quantized coordinate sums — integer arithmetic end-to-end,
+    * then ONE double expression (string-routed decimal→double, the
+    * engine rule), unrounded.
+    *
+    * Scale shape: one posexplode scan per batch collapsing to
+    * (label, dim) decimal sums under map-side partials (the fan-out
+    * never reaches an exchange at row grain); everything after is
+    * labels × dims. Precision bound: a per-(label,dim) sum reaches
+    * n_label·2²⁴·|x|, so the decimal(38,0) products stay exact up to
+    * ~10¹² rows per label — beyond that, drop the fixed-point scale a
+    * few bits. Labels present in only one batch have no defined drift
+    * and are omitted (inner join by construction). */
+  def centroidDrift(oldBatch: DataFrame, newBatch: DataFrame,
+      labelCol: String, embCol: String): DataFrame = {
+    def sums(df: DataFrame, s: String, c: String): DataFrame = df
+      .select(col(labelCol).as("label"),
+        posexplode(transform(col(embCol).cast("array<double>"),
+          x => floor(x * Q + 0.5).cast("long"))).as(Seq("__d", "__sv")))
+      .groupBy("label", "__d")
+      .agg(sum(col("__sv").cast(DecimalType(38, 0))).as(s),
+        count(lit(1)).as(c))
+    def d2d(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c).cast(DecimalType(38, 0))
+    sums(oldBatch, "__so", "__co")
+      .join(sums(newBatch, "__sn", "__cn"), Seq("label", "__d"))
+      .groupBy("label")
+      .agg(max(col("__co")).as("n_old"), max(col("__cn")).as("n_new"),
+        dsum(col("__so") * col("__sn")).as("__xy"),
+        dsum(col("__so") * col("__so")).as("__xx"),
+        dsum(col("__sn") * col("__sn")).as("__yy"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        when(col("__xx") > 0 && col("__yy") > 0,
+          d2d(col("__xy")) / sqrt(d2d(col("__xx")) * d2d(col("__yy"))))
+          .as("cos_centroid"))
+      .withColumn("drift", lit(1.0) - col("cos_centroid"))
+  }
+
   /** Distributed covariance Gramian in exact fixed-point arithmetic:
     * every coordinate floor-quantizes to [[Q]] units, and the (i, j)
     * cell is n·Σsᵢsⱼ − Σsᵢ·Σsⱼ over exact integer sums, divided ONCE in

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, TextOps, VectorOps}
+import graft.llm.{Dedup, EmbeddingOps, Multimodal, Pipeline, Similarity, TextAnalysis, TextOps, VectorOps}
 
 /** Training-data-pipeline operator suite over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -2204,6 +2204,19 @@ object LlmQueries {
         emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
         emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
         "vec_id", "embedding")
+    }),
+
+    // Per-label centroid drift between crawl batches (first-moment
+    // companion to q225's sign-cell JS): cosine of old/new batch
+    // centroids from exact fixed-point sums - the 1/n factors cancel,
+    // so the whole statistic is integer-exact up to one final double
+    // expression.
+    "q306_centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingOps.centroidDrift(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+        "label", "embedding")
     })
   )
 
@@ -6811,7 +6824,35 @@ object LlmQueries {
          |    / nn::DOUBLE AS load_factor,
          |  CAST(n_total AS HUGEINT) * l > CAST(nn AS HUGEINT) * 2
          |    AS needs_split
-         |FROM byc, tot, lst""".stripMargin
+         |FROM byc, tot, lst""".stripMargin,
+
+    "q306_centroid_drift" ->
+      s"""WITH s AS (
+         |  SELECT label, vec_id % 2 AS b, i.i AS d,
+         |    CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 16777216 + 0.5)
+         |      AS BIGINT) AS sv
+         |  FROM embeddings, unnest(range(1, 65)) AS i(i)),
+         |g AS (
+         |  SELECT label, b, d, SUM(sv) AS sm, COUNT(*) AS c
+         |  FROM s GROUP BY 1, 2, 3),
+         |j AS (
+         |  SELECT o.label, o.sm AS so, n.sm AS sn, o.c AS co, n.c AS cn
+         |  FROM g o JOIN g n ON o.label = n.label AND o.d = n.d
+         |  WHERE o.b = 0 AND n.b = 1),
+         |a AS (
+         |  SELECT label, MAX(co) AS n_old, MAX(cn) AS n_new,
+         |    SUM(so * sn) AS xy, SUM(so * so) AS xx, SUM(sn * sn) AS yy
+         |  FROM j GROUP BY 1)
+         |SELECT label, n_old, n_new,
+         |  CASE WHEN xx > 0 AND yy > 0 THEN
+         |    CAST(CAST(xy AS VARCHAR) AS DOUBLE) /
+         |      sqrt(CAST(CAST(xx AS VARCHAR) AS DOUBLE)
+         |        * CAST(CAST(yy AS VARCHAR) AS DOUBLE)) END AS cos_centroid,
+         |  1.0::DOUBLE - (CASE WHEN xx > 0 AND yy > 0 THEN
+         |    CAST(CAST(xy AS VARCHAR) AS DOUBLE) /
+         |      sqrt(CAST(CAST(xx AS VARCHAR) AS DOUBLE)
+         |        * CAST(CAST(yy AS VARCHAR) AS DOUBLE)) END) AS drift
+         |FROM a""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
