@@ -1361,6 +1361,42 @@ object Dedup {
             .cast("double")).as("jaccard"))
   }
 
+  /** Verbatim-window doc-pair evidence — the DOC-pair grain between
+    * q299's corpus-level ExactSubstr profile and q303's source-level
+    * leakage matrix: which document pairs share ≥ `minShared` verbatim
+    * `gramN`-token windows. Counted over RARE grams only
+    * (docs-per-gram ≤ `dfMax` — the q127 containment df-guard):
+    * a boilerplate gram present in thousands of docs fans doc-pairs
+    * quadratically while proving nothing about any PAIR; rare shared
+    * windows are the actual copying evidence.
+    *
+    * Scale shape: the unit is the distinct (doc, gram) set; the gram
+    * df census is one hash aggregate; the pair join runs only over
+    * grams with 2 ≤ df ≤ dfMax, so per-gram fan-out is ≤ dfMax² —
+    * Σdf² bounded, never all-pairs (the minhashPairs discipline).
+    * Counts are exact integers. */
+  def substrDocPairs(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8, dfMax: Int = 8, minShared: Int = 2): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+    val dg = gramKeys(toks, idCol, gramN)
+      .select(col(idCol), col("gk")).distinct()
+      .localCheckpoint() // df census + both sides of the pair join
+    val rare = dg.groupBy("gk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfMax)
+      .select("gk")
+    val hits = dg.join(rare, Seq("gk"), "left_semi")
+    hits.select(col("gk"), col(idCol).as("id_a"))
+      .join(hits.select(col("gk"), col(idCol).as("id_b")), Seq("gk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
   /** Fixed-round k-core peeling audit over the near-dup pair graph
     * (Seidman 1983, "Network structure and minimum degree"; the peeling
     * formulation of Matula & Beck 1983): each round removes every node

@@ -2217,7 +2217,15 @@ object LlmQueries {
         emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
         emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
         "label", "embedding")
-    })
+    }),
+
+    // Verbatim-window doc-pair evidence: doc pairs sharing >= 2 rare
+    // (df <= 8) 8-token windows - the pair-grain copying proof between
+    // q299's corpus profile and q303's source matrix, df-guarded so the
+    // fan-out is Sigma df^2 bounded, never all-pairs.
+    "q307_substr_pairs" -> ((s, dir) =>
+      Dedup.substrDocPairs(Tables.documents(s, dir), "doc_id", "text",
+        gramN = 8, dfMax = 8, minShared = 2))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -6852,7 +6860,23 @@ object LlmQueries {
          |    CAST(CAST(xy AS VARCHAR) AS DOUBLE) /
          |      sqrt(CAST(CAST(xx AS VARCHAR) AS DOUBLE)
          |        * CAST(CAST(yy AS VARCHAR) AS DOUBLE)) END) AS drift
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    "q307_substr_pairs" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, md5($gram) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+         |rare AS (
+         |  SELECT gk FROM g GROUP BY 1
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 8),
+         |h AS (SELECT g.doc_id, g.gk FROM g JOIN rare USING (gk))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  COUNT(*) AS n_shared_grams
+         |FROM h a JOIN h b ON a.gk = b.gk AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+    }
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
