@@ -2225,7 +2225,35 @@ object LlmQueries {
     // fan-out is Sigma df^2 bounded, never all-pairs.
     "q307_substr_pairs" -> ((s, dir) =>
       Dedup.substrDocPairs(Tables.documents(s, dir), "doc_id", "text",
-        gramN = 8, dfMax = 8, minShared = 2))
+        gramN = 8, dfMax = 8, minShared = 2)),
+
+    // Per-source crawl churn from MERGED MinHash signatures (Broder's
+    // union property, the q220 machinery turned inward): each source's
+    // old-batch signature vs its new-batch signature estimates the
+    // shingle-set Jaccard across crawl generations - high churn flags a
+    // source whose content rotates (news) vs accumulates (reference).
+    // Sketch-sized state per source; the text scans once per batch.
+    // The batch split is a SALTED md5 hash, not id parity: the synthetic
+    // ids are round-robin by source, so parity correlates perfectly with
+    // source and every source would land in exactly one half.
+    "q308_source_churn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def half(r: Long) = Dedup.mergedMinhash(
+        docs.filter(conv(substring(md5(concat(lit("churn1"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2 === r), "doc_id",
+        "text", "source", shingleN = 3, numHashes = 8)
+      half(0L).select(col("source"), col("mh").as("__ma"))
+        .join(half(1L).select(col("source"), col("mh").as("__mb")),
+          Seq("source"))
+        .withColumn("n_eq", expr(
+          "size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v))")
+          .cast("long"))
+        .withColumn("est_jaccard", round(col("n_eq").cast("double") / 8, 6))
+        .withColumn("est_churn",
+          round(lit(1.0) - col("n_eq").cast("double") / 8, 6))
+        .select("source", "n_eq", "est_jaccard", "est_churn")
+    })
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -6876,6 +6904,33 @@ object LlmQueries {
          |  COUNT(*) AS n_shared_grams
          |FROM h a JOIN h b ON a.gk = b.gk AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+    },
+
+    "q308_source_churn" -> {
+      val a = Dedup.HASH_A.mkString("[", ", ", "]")
+      val b = Dedup.HASH_B.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, unnest(${shinglesSql(3)}) AS shingle
+         |  FROM (SELECT doc_id, source, $WORDS AS w FROM documents)),
+         |h AS (
+         |  SELECT ('0x' || substr(md5('churn1' || CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT % 2 AS hb2, source,
+         |    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hb
+         |  FROM sh),
+         |sig AS (
+         |  SELECT hb2, source, j,
+         |    MIN((($a)[j+1] * hb + ($b)[j+1]) % ${Dedup.MINHASH_P}) AS mh
+         |  FROM h, unnest(range(0, 8)) AS t(j) GROUP BY 1, 2, 3)
+         |SELECT o.source,
+         |  CAST(COUNT(*) FILTER (WHERE o.mh = n.mh) AS BIGINT) AS n_eq,
+         |  ROUND((COUNT(*) FILTER (WHERE o.mh = n.mh))::DOUBLE / 8, 6)
+         |    AS est_jaccard,
+         |  ROUND(1.0::DOUBLE
+         |    - (COUNT(*) FILTER (WHERE o.mh = n.mh))::DOUBLE / 8, 6)
+         |    AS est_churn
+         |FROM sig o JOIN sig n ON o.source = n.source AND o.j = n.j
+         |WHERE o.hb2 = 0 AND n.hb2 = 1
+         |GROUP BY 1""".stripMargin
     }
   )
 
