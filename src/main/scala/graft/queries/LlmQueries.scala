@@ -2253,6 +2253,34 @@ object LlmQueries {
         .withColumn("est_churn",
           round(lit(1.0) - col("n_eq").cast("double") / 8, 6))
         .select("source", "n_eq", "est_jaccard", "est_churn")
+    }),
+
+    // Cross-batch LM drift: a Kneser-Ney model trained on the old crawl
+    // half scores the new half, rolled up per source - rising unseen
+    // fraction / NLL flags sources whose language shifts between
+    // generations (the temporal register of q245's in/out-domain
+    // Moore-Lewis). Same salted hash split as q308; the left-join
+    // scoring surfaces unseen bigrams instead of dropping them.
+    "q309_lm_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def half(r: Long) = docs.filter(conv(substring(md5(concat(
+        lit("churn1"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 === r)
+      val model = Pipeline.kneserNeyModel(half(0L), "doc_id", "text")
+      Pipeline.kneserNeyScore(half(1L), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("n_unseen")).as("n_unseen"),
+          count(col("avg_nll_kn")).as("__ns"),
+          graft.core.Det.sumDet(col("avg_nll_kn"), scale = 6).as("__sum"))
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          col("n_unseen"),
+          when(col("n_bigrams") > 0, col("n_unseen").cast("double") /
+            col("n_bigrams").cast("double")).as("unseen_frac"),
+          when(col("__ns") > 0, round(col("__sum") / col("__ns"), 6))
+            .as("mean_doc_nll"))
     })
   )
 
@@ -6931,7 +6959,57 @@ object LlmQueries {
          |FROM sig o JOIN sig n ON o.source = n.source AND o.j = n.j
          |WHERE o.hb2 = 0 AND n.hb2 = 1
          |GROUP BY 1""".stripMargin
-    }
+    },
+
+    "q309_lm_drift" ->
+      s"""WITH wr AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5('churn1' || CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT % 2 AS hb2, $WORDS AS w
+         |  FROM documents),
+         |b2t AS (
+         |  SELECT bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2 AND hb2 = 0)),
+         |counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2t GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |          COUNT(*) AS t1 FROM counts GROUP BY 1),
+         |cont AS (SELECT w2, COUNT(*) AS n2 FROM counts GROUP BY 1),
+         |nb AS (SELECT COUNT(*) AS nbt FROM counts),
+         |b2s AS (
+         |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+         |        FROM wr WHERE len(w) >= 2 AND hb2 = 1)),
+         |terms AS (
+         |  SELECT doc_id, c12, ROUND(-ln(
+         |    (c12 - 0.75::DOUBLE) / c1 +
+         |      ((0.75::DOUBLE * t1) / c1) * (n2::DOUBLE / nbt)), 6) AS nll
+         |  FROM b2s LEFT JOIN counts USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2) CROSS JOIN nb),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(COUNT(*) FILTER (WHERE c12 IS NULL) AS BIGINT) AS n_unseen,
+         |    CASE WHEN COUNT(nll) > 0 THEN
+         |      ROUND(${graft.core.Det.sumDetSql("nll", 6)} / COUNT(nll), 6)
+         |    END AS avg_nll_kn,
+         |    CAST(COUNT(nll) AS BIGINT) AS n_scored
+         |  FROM terms GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(COALESCE(n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(COALESCE(n_unseen, 0)) AS BIGINT) AS n_unseen,
+         |  CASE WHEN SUM(COALESCE(n_bigrams, 0)) > 0 THEN
+         |    CAST(SUM(COALESCE(n_unseen, 0)) AS BIGINT)::DOUBLE
+         |      / CAST(SUM(COALESCE(n_bigrams, 0)) AS BIGINT)::DOUBLE
+         |  END AS unseen_frac,
+         |  CASE WHEN COUNT(avg_nll_kn) > 0 THEN
+         |    ROUND(${graft.core.Det.sumDetSql("avg_nll_kn", 6)}
+         |      / COUNT(avg_nll_kn), 6)
+         |  END AS mean_doc_nll
+         |FROM (SELECT doc_id, source FROM wr WHERE hb2 = 1) d
+         |LEFT JOIN pd USING (doc_id)
+         |GROUP BY 1""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

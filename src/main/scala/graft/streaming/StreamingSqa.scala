@@ -730,6 +730,23 @@ object StreamingSqa {
         sum(coalesce(col("__hit"), lit(0L))).as("n_dup_windows"))
   }
 
+  /** Streaming twin of the q306 centroid-drift sufficient statistic:
+    * per-(label, dim) FIXED-POINT coordinate sums and counts over a
+    * live embedding stream. The centroid cosine needs only these sums
+    * (the 1/n factors cancel), and integer sums are mergeable by +
+    * across micro-batches, shards, and crawl generations — so a live
+    * batch can price its drift against any persisted older batch's
+    * sums the moment it lands, exactly. Exact integers end-to-end; the
+    * spec asserts bit parity with the batch aggregation. */
+  def streamingCentroidSums(emb: DataFrame, labelCol: String = "label",
+      embCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(transform(col(embCol).cast("array<double>"),
+          x => floor(x * (1 << 24) + 0.5).cast("long"))).as(Seq("d", "sv")))
+      .groupBy("label", "d")
+      .agg(sum(col("sv").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

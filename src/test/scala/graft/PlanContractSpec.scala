@@ -65,6 +65,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q300_substr_census_persist", // broadcast 1-row parity/shard scalars
     "q302_sq8_recall",      // broadcast 1-row range-array + q30's query side
     "q304_t_closeness",     // bounded class x source grid, broadcast side
+    "q309_lm_drift",        // q230's broadcast bigram-type-total scalar
     "q305_ivf_cell_drift",  // broadcast centroid seeds + 1-row total scalar
     "q292_fightin_words",     // broadcast 1-row corpus N/V scalars
     "q289_query_likelihood",  // broadcast 1-row collection-stats scalar

@@ -1079,4 +1079,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
   }
+
+  test("streaming centroid sums equal the batch fixed-point sums exactly " +
+      "across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdrift_stream").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label")
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingCentroidSums(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cdrift_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cdrift_stream")
+    val batch = StreamingSqa.streamingCentroidSums(
+      spark.read.parquet(s"$tmp/b1", s"$tmp/b2"))
+    assert(got.count() > 0 && got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
 }
