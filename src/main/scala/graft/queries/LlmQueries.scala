@@ -2281,6 +2281,37 @@ object LlmQueries {
             col("n_bigrams").cast("double")).as("unseen_frac"),
           when(col("__ns") > 0, round(col("__sum") / col("__ns"), 6))
             .as("mean_doc_nll"))
+    }),
+
+    // Local-match method Venn at the DOC level (q291's register, turned
+    // on the two sub-document detectors): winnowing char-gram
+    // fingerprints vs ExactSubstr token windows - docs only one method
+    // flags show each detector's blind spot (char-grams catch
+    // whitespace/tokenization-robust overlap; token windows catch exact
+    // verbatim runs). Both doc sets derive from BOUNDED df-guarded pair
+    // tables, never corpus joins.
+    "q310_local_dup_venn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def docsOf(p: org.apache.spark.sql.DataFrame) =
+        p.select(col("id_a").as("doc_id"))
+          .unionAll(p.select(col("id_b").as("doc_id"))).distinct()
+      val win = docsOf(Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 8, w = 4, maxDf = 10)).withColumn("__w", lit(1L))
+      val sub = docsOf(Dedup.substrDocPairs(docs, "doc_id", "text",
+        gramN = 8, dfMax = 8, minShared = 2)).withColumn("__s", lit(1L))
+      docs.select(col("doc_id"), col("source"))
+        .join(win, Seq("doc_id"), "left")
+        .join(sub, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__w").isNotNull && col("__s").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("__w").isNotNull && col("__s").isNull, 1L)
+            .otherwise(0L)).as("n_win_only"),
+          sum(when(col("__w").isNull && col("__s").isNotNull, 1L)
+            .otherwise(0L)).as("n_substr_only"),
+          sum(when(col("__w").isNull && col("__s").isNull, 1L)
+            .otherwise(0L)).as("n_neither"))
     })
   )
 
@@ -7009,7 +7040,56 @@ object LlmQueries {
          |  END AS mean_doc_nll
          |FROM (SELECT doc_id, source FROM wr WHERE hb2 = 1) d
          |LEFT JOIN pd USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
+    "q310_local_dup_venn" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+         |  SELECT doc_id, lower(text) AS t, length(lower(text)) - 7 AS m
+         |  FROM documents WHERE length(lower(text)) >= 11),
+         |pk AS (
+         |  SELECT doc_id, m, list_transform(range(0, m), i ->
+         |    ('0x' || substr(md5(substr(t, CAST(i + 1 AS INT), 8)), 1, 8))::BIGINT
+         |      * 1048576 + (1048575 - i)) AS p
+         |  FROM g),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, m - 3),
+         |    j -> list_aggregate(p[CAST(j + 1 AS INT):CAST(j + 4 AS INT)],
+         |      'min')))) AS v
+         |  FROM pk),
+         |f AS (SELECT DISTINCT doc_id, v // 1048576 AS h FROM fp),
+         |dfh AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY 1),
+         |r AS (SELECT f.doc_id, f.h FROM f JOIN dfh USING (h) WHERE df <= 10),
+         |wd AS (
+         |  SELECT DISTINCT a.doc_id FROM r a
+         |  JOIN r b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         |wr2 AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |gg AS (
+         |  SELECT DISTINCT doc_id, md5($gram) AS gk
+         |  FROM wr2, unnest(range(1, len(w) - 6)) AS t(i)),
+         |rare AS (
+         |  SELECT gk FROM gg GROUP BY 1
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 8),
+         |hh AS (SELECT gg.doc_id, gg.gk FROM gg JOIN rare USING (gk)),
+         |sp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hh a JOIN hh b ON a.gk = b.gk AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sd AS (SELECT id_a AS doc_id FROM sp UNION SELECT id_b FROM sp)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN wd.doc_id IS NOT NULL AND sd.doc_id IS NOT
+         |    NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN wd.doc_id IS NOT NULL AND sd.doc_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_win_only,
+         |  CAST(SUM(CASE WHEN wd.doc_id IS NULL AND sd.doc_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_substr_only,
+         |  CAST(SUM(CASE WHEN wd.doc_id IS NULL AND sd.doc_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |FROM documents d
+         |LEFT JOIN wd ON wd.doc_id = d.doc_id
+         |LEFT JOIN sd ON sd.doc_id = d.doc_id
          |GROUP BY 1""".stripMargin
+    }
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
