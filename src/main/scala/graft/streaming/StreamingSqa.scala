@@ -747,6 +747,40 @@ object StreamingSqa {
       .agg(sum(col("sv").cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n"))
 
+  /** Streaming twin of the q305 IVF cell-drift monitor: arriving
+    * vectors assign themselves to the FROZEN coarse quantizer PER ROW —
+    * a fold over the broadcast centroid array, the same N·cells·d work
+    * the batch argmax aggregate does, but with no shuffle and no
+    * per-key state — and the per-cell arrival counts are a bounded
+    * streaming SUM (state = nLists rows), mergeable with the persisted
+    * index's cell populations on read. Assignment reproduces the batch
+    * rule bit-exactly: unrounded double cosine (the HOF fold is the
+    * same widen-to-double, 0.0-seed, ascending sum as DotProductF),
+    * strict > over the id-ASCENDING centroid array = ties to the lower
+    * centroid id, exactly max_by(struct(cos, -cent_id)). */
+  def streamingIvfCellCounts(emb: DataFrame, centroids: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val cents = centroids.agg(sort_array(collect_list(struct(
+      col("cent_id").cast("long").as("id"),
+      col("c_emb").cast("array<double>").as("e")))).as("__cents"))
+    val cos = """(aggregate(zip_with(__x, c.e, (x, y) -> x * y),
+        cast(0.0 as double), (a, b) -> a + b)
+      / sqrt(__n2 * aggregate(zip_with(c.e, c.e, (x, y) -> x * y),
+        cast(0.0 as double), (a, b) -> a + b)))"""
+    emb
+      .crossJoin(broadcast(cents))
+      .withColumn("__x", col(embCol).cast("array<double>"))
+      .withColumn("__n2", expr("aggregate(zip_with(__x, __x, " +
+        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
+      .withColumn("cell", expr(s"""
+        aggregate(__cents,
+          named_struct('bc', cast(-1e300 as double),
+                       'bid', cast(-1 as bigint)),
+          (acc, c) -> if($cos > acc.bc,
+            named_struct('bc', $cos, 'bid', c.id), acc)).bid"""))
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+  }
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

@@ -1102,4 +1102,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
   }
+
+  test("streaming IVF cell counts reproduce the batch argmax assignment " +
+      "exactly across micro-batches") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // frozen quantizer: first ceil(sqrt(N)) old-half vectors by id
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val lists = graft.llm.Similarity.autoNList(old.count())
+    val cents = old.orderBy("vec_id").limit(lists)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+      .localCheckpoint()
+    // the "new batch" arrives as two files
+    val nw = emb.filter(col("vec_id") % 2 === 1)
+    nw.filter(col("vec_id") % 4 === 1).coalesce(1).write.parquet(s"$tmp/b1")
+    Thread.sleep(1100)
+    nw.filter(col("vec_id") % 4 === 3).coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = StreamingSqa.streamingIvfCellCounts(stream, cents)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ivf_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivf_stream")
+    // batch side: the q305 max_by argmax over the SAME frozen centroids
+    val vo = graft.llm.VectorOps
+    val batch = spark.read.parquet(s"$tmp/b1", s"$tmp/b2")
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      .withColumn("n2", vo.normSq(col("emb")))
+      .crossJoin(broadcast(cents.withColumn("c_n2", vo.normSq(col("c_emb")))))
+      .withColumn("__cc", vo.cosine(
+        vo.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
+      .groupBy("vid")
+      .agg(max_by(col("cent_id"), struct(col("__cc"), -col("cent_id")))
+        .as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
 }
