@@ -2312,6 +2312,48 @@ object LlmQueries {
             .otherwise(0L)).as("n_substr_only"),
           sum(when(col("__w").isNull && col("__s").isNull, 1L)
             .otherwise(0L)).as("n_neither"))
+    }),
+
+    // Hubness audit (Radovanovic, Nanopoulos & Ivanovic 2010, "Hubs in
+    // Space"): the k-occurrence distribution of the cell-confined kNN
+    // graph - N_k in-degree per vector, antihubs (never anyone's
+    // neighbor), hubs (N_k > 2k), and the distribution's skewness from
+    // EXACT integer moment sums (one double expression at the end) -
+    // high skew means a few hub vectors dominate retrieval results and
+    // ANN recall degrades asymmetrically.
+    "q311_hubness" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def d2d(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c).cast("decimal(38,0)")
+      val kc = emb.select(col("vec_id"))
+        .join(g.groupBy(col("nbr_id").as("vec_id"))
+          .agg(count(lit(1)).as("kc")), Seq("vec_id"), "left")
+        .na.fill(0L, Seq("kc"))
+      val nd = col("n_nodes").cast("double")
+      kc.agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("kc") === 0, 1L).otherwise(0L)).as("n_antihubs"),
+          sum(when(col("kc") > 6, 1L).otherwise(0L)).as("n_hubs"),
+          max(col("kc")).as("max_kocc"),
+          dsum(dec(col("kc"))).as("__s1"),
+          dsum(dec(col("kc")) * dec(col("kc"))).as("__s2"),
+          dsum(dec(col("kc")) * dec(col("kc")) * dec(col("kc"))).as("__s3"))
+        .withColumn("__v2",
+          dec(col("n_nodes")) * col("__s2") - col("__s1") * col("__s1"))
+        .withColumn("__v3",
+          dec(col("n_nodes")) * dec(col("n_nodes")) * col("__s3")
+            - lit(3) * dec(col("n_nodes")) * col("__s1") * col("__s2")
+            + lit(2) * col("__s1") * col("__s1") * col("__s1"))
+        .select(col("n_nodes"), col("n_antihubs"), col("n_hubs"),
+          col("max_kocc"),
+          (d2d(col("__s1")) / nd).as("mean_kocc"),
+          when(col("__v2") > 0,
+            (d2d(col("__v3")) / (nd * nd * nd)) /
+              ((d2d(col("__v2")) / (nd * nd)) *
+                sqrt(d2d(col("__v2")) / (nd * nd)))).as("skew_kocc"))
     })
   )
 
@@ -7089,7 +7131,44 @@ object LlmQueries {
          |LEFT JOIN wd ON wd.doc_id = d.doc_id
          |LEFT JOIN sd ON sd.doc_id = d.doc_id
          |GROUP BY 1""".stripMargin
-    }
+    },
+
+    "q311_hubness" ->
+      s"""WITH $knnGraphCtes,
+         |kcn AS (
+         |  SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS kc
+         |  FROM rk WHERE nbr_rank <= 3 GROUP BY 1),
+         |kocc AS (
+         |  SELECT e.vec_id, COALESCE(kcn.kc, 0) AS kc
+         |  FROM embeddings e LEFT JOIN kcn ON kcn.nbr_id = e.vec_id),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN kc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_antihubs,
+         |    CAST(SUM(CASE WHEN kc > 6 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hubs,
+         |    MAX(kc) AS max_kocc,
+         |    SUM(CAST(kc AS HUGEINT)) AS s1,
+         |    SUM(CAST(kc AS HUGEINT) * kc) AS s2,
+         |    SUM(CAST(kc AS HUGEINT) * kc * kc) AS s3
+         |  FROM kocc),
+         |b AS (
+         |  SELECT n, n_antihubs, n_hubs, max_kocc, s1,
+         |    n * s2 - s1 * s1 AS v2,
+         |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS v3
+         |  FROM a)
+         |SELECT n AS n_nodes, n_antihubs, n_hubs, max_kocc,
+         |  CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         |    AS mean_kocc,
+         |  CASE WHEN v2 > 0 THEN
+         |    (CAST(CAST(v3 AS VARCHAR) AS DOUBLE)
+         |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |    / ((CAST(CAST(v2 AS VARCHAR) AS DOUBLE)
+         |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |       * sqrt(CAST(CAST(v2 AS VARCHAR) AS DOUBLE)
+         |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         |  END AS skew_kocc
+         |FROM b""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian
