@@ -932,6 +932,56 @@ object Similarity {
           .as("needs_split"))
   }
 
+  /** IVF assignment-margin (boundary-mass) audit — the stability
+    * companion to [[ivfCellDriftAudit]]: a vector whose top-2 cell
+    * cosines differ by less than `eps` sits on a quantizer boundary and
+    * will churn cells on any retrain, so a cell with high boundary mass
+    * is unstable regardless of its size. Per cell: population, boundary
+    * count, boundary fraction.
+    *
+    * Scale shape: top-1 AND top-2 come from ONE per-row fold over the
+    * broadcast centroid array (the streaming-twin shape) — O(cells·d)
+    * compute per row, NO shuffle at all; a windowed top-2 over the
+    * exploded row×cell table would shuffle N·cells rows (the round-10
+    * anti-pattern). The fold's strict > over the id-ASCENDING array
+    * reproduces the batch argmax tie-break (lower centroid id). The
+    * fraction is one double division of exact counts; the margin
+    * compare runs on identical unrounded doubles on both engines. */
+  def ivfBoundaryAudit(emb: DataFrame, idCol: String, embCol: String,
+      nList: Int = 0, eps: Double = 0.05): DataFrame = {
+    val n0 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
+    val lists = if (nList > 0) nList else autoNList(n0.count())
+    require(lists >= 2, "boundary margin needs at least two cells")
+    val centsRow = n0.orderBy("vid").limit(lists)
+      .agg(sort_array(collect_list(struct(col("vid").cast("long").as("id"),
+        col("e").cast("array<double>").as("e")))).as("__cents"))
+    val cos = """(aggregate(zip_with(__x, c.e, (x, y) -> x * y),
+        cast(0.0 as double), (a, b) -> a + b)
+      / sqrt(__n2 * aggregate(zip_with(c.e, c.e, (x, y) -> x * y),
+        cast(0.0 as double), (a, b) -> a + b)))"""
+    emb.crossJoin(broadcast(centsRow))
+      .withColumn("__x", col(embCol).cast("array<double>"))
+      .withColumn("__n2", expr("aggregate(zip_with(__x, __x, " +
+        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
+      .withColumn("__t", expr(s"""
+        aggregate(__cents,
+          named_struct('c1', cast(-1e300 as double),
+                       'id1', cast(-1 as bigint),
+                       'c2', cast(-1e300 as double)),
+          (acc, c) -> if($cos > acc.c1,
+            named_struct('c1', $cos, 'id1', c.id, 'c2', acc.c1),
+            if($cos > acc.c2,
+              named_struct('c1', acc.c1, 'id1', acc.id1, 'c2', $cos),
+              acc)))"""))
+      .select(col("__t.id1").as("cell"),
+        (col("__t.c1") - col("__t.c2") < eps).as("__bnd"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__bnd"), 1L).otherwise(0L)).as("n_boundary"))
+      .withColumn("boundary_frac",
+        col("n_boundary").cast("double") / col("n_vecs").cast("double"))
+  }
+
   /** SQ8 (per-dimension uint8 scalar quantization) top-k: brute-force
     * cosine over DEQUANTIZED vectors, with min/max ranges learned from
     * the candidate corpus — the index-build side. Composed with

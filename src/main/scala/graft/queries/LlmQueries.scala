@@ -2354,7 +2354,17 @@ object LlmQueries {
             (d2d(col("__v3")) / (nd * nd * nd)) /
               ((d2d(col("__v2")) / (nd * nd)) *
                 sqrt(d2d(col("__v2")) / (nd * nd)))).as("skew_kocc"))
-    })
+    }),
+
+    // IVF assignment-margin audit: per cell, the mass of vectors whose
+    // top-2 cell cosines differ by < 0.05 - boundary vectors churn
+    // cells on any retrain, so high boundary fraction = unstable cell
+    // regardless of size. Top-2 from ONE per-row fold over the
+    // broadcast centroid array (no shuffle; a windowed top-2 over
+    // row x cell rows is the round-10 anti-pattern).
+    "q312_ivf_boundary" -> ((s, dir) =>
+      Similarity.ivfBoundaryAudit(Tables.embeddings(s, dir), "vec_id",
+        "embedding", eps = 0.05))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -7168,7 +7178,39 @@ object LlmQueries {
          |       * sqrt(CAST(CAST(v2 AS VARCHAR) AS DOUBLE)
          |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
          |  END AS skew_kocc
-         |FROM b""".stripMargin
+         |FROM b""".stripMargin,
+
+    "q312_ivf_boundary" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT cent_id, c_emb, c_n2 FROM (
+         |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+         |      COUNT(*) OVER () AS ccnt
+         |    FROM n)
+         |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+         |ranked AS (
+         |  SELECT n.vec_id, cent_id,
+         |    ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2)
+         |      AS cc,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2) DESC,
+         |      cent_id) AS rn
+         |  FROM n CROSS JOIN cents),
+         |t AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+         |    MAX(CASE WHEN rn = 1 THEN cc END) AS c1,
+         |    MAX(CASE WHEN rn = 2 THEN cc END) AS c2
+         |  FROM ranked WHERE rn <= 2 GROUP BY 1)
+         |SELECT cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN c1 - c2 < 0.05::DOUBLE THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boundary,
+         |  CAST(SUM(CASE WHEN c1 - c2 < 0.05::DOUBLE THEN 1 ELSE 0 END)
+         |    AS BIGINT)::DOUBLE / COUNT(*) AS boundary_frac
+         |FROM t GROUP BY 1""".stripMargin
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

@@ -66,6 +66,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q302_sq8_recall",      // broadcast 1-row range-array + q30's query side
     "q304_t_closeness",     // bounded class x source grid, broadcast side
     "q309_lm_drift",        // q230's broadcast bigram-type-total scalar
+    "q312_ivf_boundary",    // broadcast 1-row centroid-array scalar
     "q305_ivf_cell_drift",  // broadcast centroid seeds + 1-row total scalar
     "q292_fightin_words",     // broadcast 1-row corpus N/V scalars
     "q289_query_likelihood",  // broadcast 1-row collection-stats scalar
