@@ -952,26 +952,37 @@ object Similarity {
     val n0 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
     val lists = if (nList > 0) nList else autoNList(n0.count())
     require(lists >= 2, "boundary margin needs at least two cells")
+    // centroid norms ride IN the broadcast array (computed once per
+    // centroid, not once per row×cell), and each cell's cosine is
+    // scored exactly ONCE per row by a transform() before the top-2
+    // fold — the fold then compares precomputed struct fields only.
+    // (A cos expression inlined in the fold's condition AND both
+    // branches evaluated interpreted 3× per (row, cell): measured
+    // 2.8 s → the transform-then-fold shape at sf0.1.)
     val centsRow = n0.orderBy("vid").limit(lists)
+      .select(col("vid"), col("e").cast("array<double>").as("e"))
+      .withColumn("n2c", expr("aggregate(zip_with(e, e, " +
+        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
       .agg(sort_array(collect_list(struct(col("vid").cast("long").as("id"),
-        col("e").cast("array<double>").as("e")))).as("__cents"))
-    val cos = """(aggregate(zip_with(__x, c.e, (x, y) -> x * y),
-        cast(0.0 as double), (a, b) -> a + b)
-      / sqrt(__n2 * aggregate(zip_with(c.e, c.e, (x, y) -> x * y),
-        cast(0.0 as double), (a, b) -> a + b)))"""
+        col("e"), col("n2c")))).as("__cents"))
     emb.crossJoin(broadcast(centsRow))
       .withColumn("__x", col(embCol).cast("array<double>"))
       .withColumn("__n2", expr("aggregate(zip_with(__x, __x, " +
         "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
       .withColumn("__t", expr(s"""
-        aggregate(__cents,
+        aggregate(
+          transform(__cents, c -> named_struct(
+            'cc', aggregate(zip_with(__x, c.e, (x, y) -> x * y),
+              cast(0.0 as double), (a, b) -> a + b)
+              / sqrt(__n2 * c.n2c),
+            'id', c.id)),
           named_struct('c1', cast(-1e300 as double),
                        'id1', cast(-1 as bigint),
                        'c2', cast(-1e300 as double)),
-          (acc, c) -> if($cos > acc.c1,
-            named_struct('c1', $cos, 'id1', c.id, 'c2', acc.c1),
-            if($cos > acc.c2,
-              named_struct('c1', acc.c1, 'id1', acc.id1, 'c2', $cos),
+          (acc, c) -> if(c.cc > acc.c1,
+            named_struct('c1', c.cc, 'id1', c.id, 'c2', acc.c1),
+            if(c.cc > acc.c2,
+              named_struct('c1', acc.c1, 'id1', acc.id1, 'c2', c.cc),
               acc)))"""))
       .select(col("__t.id1").as("cell"),
         (col("__t.c1") - col("__t.c2") < eps).as("__bnd"))
