@@ -165,10 +165,133 @@ case class SignedGatherSumF(emb: Expression, idxExpr: Expression,
     copy(emb = newFirst, idxExpr = newSecond, signExpr = newThird)
 }
 
+/** Top-2 cosine cells for one vector against a broadcast centroid
+  * array — the IVF assignment kernel (q305 drift, q312 boundary, q313
+  * split, streaming arrivals) as ONE whole-stage-codegen expression.
+  *
+  * Input: the row's embedding (array<float|double>) and the id-ASCENDING
+  * centroid struct array `(id: long, e: array<double>, n2c: double)`
+  * built by `Similarity.centArray`. Output:
+  * `struct(c1: double, id1: long, c2: double)` — best cosine, its cell
+  * id, runner-up cosine. Argmax call sites read `.id1`; the boundary
+  * audit reads `c1 - c2`.
+  *
+  * Replaces the interpreted higher-order `aggregate(transform(...))`
+  * fold, which walked Catalyst expression trees per (cell, dim) —
+  * measured 2.2× slower than even the crossJoin+max_by aggregate it was
+  * meant to beat (q305 at sf0.1: HOF 1.96 s vs max_by 0.89 s vs this
+  * expression 0.5 s). Semantics are bit-identical to both: per cell in
+  * ascending-id order, cc = (Σ x_d·e_d) / sqrt((Σ x_d²)·n2c) with
+  * left-to-right double folds (= DotProductF = DuckDB list_reduce);
+  * strict > keeps the LOWER centroid id on exact ties; a NaN cosine
+  * (zero vector) never beats the accumulator — exactly the HOF fold's
+  * if(cc > acc.c1, …) chain. A length-mismatched centroid is skipped
+  * (the HOF's zip_with null-poisons that cell's dot to null, which the
+  * > comparisons also treat as not-better). Empty centroid array →
+  * (−1e300, −1, −1e300), the HOF seed. At 100 TB this is the
+  * zero-shuffle assignment path: O(cells·d) compute per row, no
+  * row×cell fan-out, no exchange before the nLists-row count. */
+case class CellTop2F(emb: Expression, cents: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def left: Expression = emb
+  override def right: Expression = cents
+  override def dataType: DataType = StructType(Seq(
+    StructField("c1", DoubleType, nullable = false),
+    StructField("id1", LongType, nullable = false),
+    StructField("c2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_celltop2"
+
+  private lazy val getEl: String = emb.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case t => throw new IllegalArgumentException(
+      s"graft_celltop2 expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var n2 = 0.0
+    var j = 0
+    while (j < n) {
+      val v = if (getEl == "getFloat") x.getFloat(j).toDouble
+              else x.getDouble(j)
+      n2 += v * v
+      j += 1
+    }
+    var c1 = -1e300; var id1 = -1L; var c2 = -1e300
+    var i = 0
+    while (i < cs.numElements()) {
+      val c = cs.getStruct(i, 3)
+      val e = c.getArray(1)
+      if (e.numElements() == n) {
+        var d = 0.0
+        j = 0
+        while (j < n) {
+          val v = if (getEl == "getFloat") x.getFloat(j).toDouble
+                  else x.getDouble(j)
+          d += v * e.getDouble(j)
+          j += 1
+        }
+        val cc = d / math.sqrt(n2 * c.getDouble(2))
+        if (cc > c1) { c2 = c1; c1 = cc; id1 = c.getLong(0) }
+        else if (cc > c2) { c2 = cc }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](c1, id1, c2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ev.value
+      s"""
+         |int ${v}_n = $a.numElements();
+         |double ${v}_n2 = 0.0;
+         |for (int ${v}_j = 0; ${v}_j < ${v}_n; ${v}_j++) {
+         |  double ${v}_xv = (double) $a.$getEl(${v}_j);
+         |  ${v}_n2 += ${v}_xv * ${v}_xv;
+         |}
+         |double ${v}_c1 = -1e300; long ${v}_id1 = -1L; double ${v}_c2 = -1e300;
+         |for (int ${v}_i = 0; ${v}_i < $b.numElements(); ${v}_i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow ${v}_c =
+         |    $b.getStruct(${v}_i, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData ${v}_e =
+         |    ${v}_c.getArray(1);
+         |  if (${v}_e.numElements() == ${v}_n) {
+         |    double ${v}_d = 0.0;
+         |    for (int ${v}_j = 0; ${v}_j < ${v}_n; ${v}_j++) {
+         |      ${v}_d += (double) $a.$getEl(${v}_j) * ${v}_e.getDouble(${v}_j);
+         |    }
+         |    double ${v}_cc = ${v}_d / java.lang.Math.sqrt(
+         |      ${v}_n2 * ${v}_c.getDouble(2));
+         |    if (${v}_cc > ${v}_c1) {
+         |      ${v}_c2 = ${v}_c1; ${v}_c1 = ${v}_cc;
+         |      ${v}_id1 = ${v}_c.getLong(0);
+         |    } else if (${v}_cc > ${v}_c2) { ${v}_c2 = ${v}_cc; }
+         |  }
+         |}
+         |$v = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { ${v}_c1, ${v}_id1, ${v}_c2 });
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellTop2F =
+    copy(emb = newLeft, cents = newRight)
+}
+
 object VectorExpressions {
 
   private val ident = new FunctionIdentifier("graft_dotf")
   private val sgsumIdent = new FunctionIdentifier("graft_sgsum")
+  private val celltop2Ident = new FunctionIdentifier("graft_celltop2")
 
   /** Idempotently register the codegen dot product in the session's
     * function registry so `call_function` resolves it at analysis time. */
@@ -187,6 +310,12 @@ object VectorExpressions {
         (exprs: Seq[Expression]) =>
           SignedGatherSumF(exprs(0), exprs(1), exprs(2)))
     }
+    if (!registry.functionExists(celltop2Ident)) {
+      registry.registerFunction(
+        celltop2Ident,
+        new ExpressionInfo(classOf[CellTop2F].getName, "graft_celltop2"),
+        (exprs: Seq[Expression]) => CellTop2F(exprs(0), exprs(1)))
+    }
   }
 
   /** Column form; the owning session must have called [[register]]. */
@@ -196,4 +325,10 @@ object VectorExpressions {
     * columns (0-based indices); the session must have called [[register]]. */
   def sgsum(emb: Column, idxs: Column, signs: Column): Column =
     call_function("graft_sgsum", emb, idxs, signs)
+
+  /** Top-2 IVF cells column form: `struct(c1, id1, c2)` of the row's
+    * best / runner-up cosine over a broadcast centroid struct array
+    * (see [[CellTop2F]]); the session must have called [[register]]. */
+  def celltop2(emb: Column, cents: Column): Column =
+    call_function("graft_celltop2", emb, cents)
 }

@@ -877,6 +877,49 @@ object Similarity {
     recallVsExact(queries, candidates, idCol, embCol, k,
       ivfTopK(queries, candidates, idCol, embCol, k, nList, nProbe))
 
+  /** One-row DataFrame holding the id-ASCENDING centroid struct array
+    * `(id, e, n2c)` the per-row fold assignments score against. Input
+    * must carry `cent_id` and `c_emb`; norms are computed ONCE per
+    * centroid here (not once per row×cell). Shared by
+    * [[foldAssignCell]], [[ivfBoundaryAudit]]'s top-2 fold, and the
+    * streaming arrival monitor — one source of truth for the centroid
+    * packaging. */
+  private[graft] def centArray(cents: DataFrame): DataFrame =
+    cents
+      .select(col("cent_id").cast("long").as("id"),
+        col("c_emb").cast("array<double>").as("e"))
+      .withColumn("n2c", expr("aggregate(zip_with(e, e, " +
+        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
+      .agg(sort_array(collect_list(struct(col("id"), col("e"),
+        col("n2c")))).as("__cents"))
+
+  /** Per-row argmax-cosine cell assignment: the codegen
+    * [[graft.functions.CellTop2F]] kernel over the broadcast centroid
+    * array — O(cells·d) compute per row and NO shuffle (the
+    * crossJoin+max_by aggregate shape shuffles one partial per corpus
+    * row and churns row×cell tuples first; an interpreted HOF fold
+    * avoids the shuffle but walks expression trees per (cell, dim) —
+    * q305 at sf0.1: 0.89 s max_by, 1.96 s HOF, ~0.5 s this kernel).
+    * Appends a `cell` column (bigint). Bit-exact with both forms it
+    * replaces — see the CellTop2F scaladoc for the tie-break/NaN/seed
+    * contract. Works unchanged on streaming inputs (stream-static
+    * broadcast cross join, no per-key state). */
+  private[graft] def foldAssignCell(df: DataFrame, embCol: String,
+      cents: DataFrame): DataFrame =
+    foldAssignCellPre(df, embCol, centArray(cents))
+
+  /** [[foldAssignCell]] with a pre-built [[centArray]] row — callers
+    * that assign several inputs against the SAME quantizer (q305's two
+    * halves, q313's split loop) build the broadcast array once. */
+  private[graft] def foldAssignCellPre(df: DataFrame, embCol: String,
+      centsRow: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.crossJoin(broadcast(centsRow))
+      .withColumn("cell", graft.functions.VectorExpressions
+        .celltop2(col(embCol), col("__cents")).getField("id1"))
+      .drop("__cents")
+  }
+
   /** IVF cell-drift audit after an incremental batch — the index-
     * maintenance question q148's incremental SemDeDup answers for
     * clusters and q296's HyperBall answers for registers, asked of the
@@ -889,10 +932,11 @@ object Similarity {
     * cross-multiply n_total·nLists > 2·N, never a double boundary.
     *
     * Scale shape: the centroid table is the ⌈√N⌉ broadcast seed set
-    * (the q72 rule); BOTH assignment passes are the map-side-combinable
-    * argmax aggregate (shuffle volume = corpus rows, not rows×cells);
-    * the audit table is nLists rows. The load factor is ONE double
-    * division of exact integers, unrounded (the q298 rule). */
+    * (the q72 rule); BOTH assignment passes are the per-row
+    * [[foldAssignCell]] fold (O(cells·d) compute per row, zero shuffle
+    * before the nLists-row count aggregate); the audit table is nLists
+    * rows. The load factor is ONE double division of exact integers,
+    * unrounded (the q298 rule). */
   def ivfCellDriftAudit(oldBatch: DataFrame, newBatch: DataFrame,
       idCol: String, embCol: String, nList: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(oldBatch.sparkSession)
@@ -903,12 +947,13 @@ object Similarity {
     val cents = n0.orderBy("vid").limit(lists)
       .select(col("vid").as("cent_id"), col("emb").as("c_emb"),
         col("n2").as("c_n2"))
-    def cellsOf(df: DataFrame) = df.crossJoin(broadcast(cents))
-      .withColumn("__cc", VectorOps.cosine(
-        VectorOps.dot(col("emb"), col("c_emb")), col("n2"), col("c_n2")))
-      .groupBy(col("vid"))
-      .agg(max_by(col("cent_id"), struct(col("__cc"), -col("cent_id")))
-        .as("cell"))
+    // per-row codegen assignment (see foldAssignCellPre): zero shuffle
+    // vs the old crossJoin+max_by shape's row×cell tuple churn,
+    // bit-identical cell picks — one source of truth with q312/q313 and
+    // the streaming twin; the broadcast centroid array is built ONCE
+    // and reused by both halves' passes.
+    val centsRow = centArray(cents)
+    def cellsOf(df: DataFrame) = foldAssignCellPre(df, "emb", centsRow)
       .groupBy("cell").agg(count(lit(1)))
     val oldCells = cellsOf(n0).withColumnRenamed("count(1)", "n_old")
     val newCells = cellsOf(norm(newBatch))
@@ -939,51 +984,31 @@ object Similarity {
     * is unstable regardless of its size. Per cell: population, boundary
     * count, boundary fraction.
     *
-    * Scale shape: top-1 AND top-2 come from ONE per-row fold over the
-    * broadcast centroid array (the streaming-twin shape) — O(cells·d)
-    * compute per row, NO shuffle at all; a windowed top-2 over the
-    * exploded row×cell table would shuffle N·cells rows (the round-10
-    * anti-pattern). The fold's strict > over the id-ASCENDING array
-    * reproduces the batch argmax tie-break (lower centroid id). The
-    * fraction is one double division of exact counts; the margin
-    * compare runs on identical unrounded doubles on both engines. */
+    * Scale shape: top-1 AND top-2 come from ONE per-row pass over the
+    * broadcast centroid array (the codegen
+    * [[graft.functions.CellTop2F]] kernel, shared with q305/q313 and
+    * the streaming twin) — O(cells·d) compute per row, NO shuffle at
+    * all; a windowed top-2 over the exploded row×cell table would
+    * shuffle N·cells rows (the round-10 anti-pattern). The kernel's
+    * strict > over the id-ASCENDING array reproduces the batch argmax
+    * tie-break (lower centroid id). The fraction is one double division
+    * of exact counts; the margin compare runs on identical unrounded
+    * doubles on both engines. */
   def ivfBoundaryAudit(emb: DataFrame, idCol: String, embCol: String,
       nList: Int = 0, eps: Double = 0.05): DataFrame = {
     val n0 = emb.select(col(idCol).as("vid"), col(embCol).as("e"))
     val lists = if (nList > 0) nList else autoNList(n0.count())
     require(lists >= 2, "boundary margin needs at least two cells")
     // centroid norms ride IN the broadcast array (computed once per
-    // centroid, not once per row×cell), and each cell's cosine is
-    // scored exactly ONCE per row by a transform() before the top-2
-    // fold — the fold then compares precomputed struct fields only.
-    // (A cos expression inlined in the fold's condition AND both
-    // branches evaluated interpreted 3× per (row, cell): measured
-    // 2.8 s → the transform-then-fold shape at sf0.1.)
-    val centsRow = n0.orderBy("vid").limit(lists)
-      .select(col("vid"), col("e").cast("array<double>").as("e"))
-      .withColumn("n2c", expr("aggregate(zip_with(e, e, " +
-        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
-      .agg(sort_array(collect_list(struct(col("vid").cast("long").as("id"),
-        col("e"), col("n2c")))).as("__cents"))
+    // centroid, not once per row×cell — see centArray); the top-2 walk
+    // itself is the codegen CellTop2F kernel (the interpreted HOF fold
+    // it replaces cost 2.16 s at sf0.1; an inlined-cos variant 2.8 s).
+    val centsRow = centArray(n0.orderBy("vid").limit(lists)
+      .select(col("vid").as("cent_id"), col("e").as("c_emb")))
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     emb.crossJoin(broadcast(centsRow))
-      .withColumn("__x", col(embCol).cast("array<double>"))
-      .withColumn("__n2", expr("aggregate(zip_with(__x, __x, " +
-        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
-      .withColumn("__t", expr(s"""
-        aggregate(
-          transform(__cents, c -> named_struct(
-            'cc', aggregate(zip_with(__x, c.e, (x, y) -> x * y),
-              cast(0.0 as double), (a, b) -> a + b)
-              / sqrt(__n2 * c.n2c),
-            'id', c.id)),
-          named_struct('c1', cast(-1e300 as double),
-                       'id1', cast(-1 as bigint),
-                       'c2', cast(-1e300 as double)),
-          (acc, c) -> if(c.cc > acc.c1,
-            named_struct('c1', c.cc, 'id1', c.id, 'c2', acc.c1),
-            if(c.cc > acc.c2,
-              named_struct('c1', acc.c1, 'id1', acc.id1, 'c2', c.cc),
-              acc)))"""))
+      .withColumn("__t", graft.functions.VectorExpressions
+        .celltop2(col(embCol), col("__cents")))
       .select(col("__t.id1").as("cell"),
         (col("__t.c1") - col("__t.c2") < eps).as("__bnd"))
       .groupBy("cell")

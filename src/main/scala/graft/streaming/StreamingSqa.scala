@@ -759,36 +759,14 @@ object StreamingSqa {
     * strict > over the id-ASCENDING centroid array = ties to the lower
     * centroid id, exactly max_by(struct(cos, -cent_id)). */
   def streamingIvfCellCounts(emb: DataFrame, centroids: DataFrame,
-      embCol: String = "embedding"): DataFrame = {
-    // centroid norms precomputed INTO the broadcast array, and each
-    // cell scored exactly once per row by a transform() feeding the
-    // argmax fold (an inlined cos in the fold's condition + branch
-    // evaluates interpreted twice per (row, cell) — the q312 lesson).
-    val cents = centroids
-      .select(col("cent_id").cast("long").as("id"),
-        col("c_emb").cast("array<double>").as("e"))
-      .withColumn("n2c", expr("aggregate(zip_with(e, e, " +
-        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
-      .agg(sort_array(collect_list(struct(col("id"), col("e"),
-        col("n2c")))).as("__cents"))
-    emb
-      .crossJoin(broadcast(cents))
-      .withColumn("__x", col(embCol).cast("array<double>"))
-      .withColumn("__n2", expr("aggregate(zip_with(__x, __x, " +
-        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
-      .withColumn("cell", expr(s"""
-        aggregate(
-          transform(__cents, c -> named_struct(
-            'cc', aggregate(zip_with(__x, c.e, (x, y) -> x * y),
-              cast(0.0 as double), (a, b) -> a + b)
-              / sqrt(__n2 * c.n2c),
-            'id', c.id)),
-          named_struct('bc', cast(-1e300 as double),
-                       'bid', cast(-1 as bigint)),
-          (acc, c) -> if(c.cc > acc.bc,
-            named_struct('bc', c.cc, 'bid', c.id), acc)).bid"""))
+      embCol: String = "embedding"): DataFrame =
+    // the shared per-row fold assignment (Similarity.foldAssignCell) —
+    // one source of truth for the centroid packaging, the dot fold,
+    // and the lower-id tie-break across q305, q312, q313, and this
+    // twin; works on the stream because the centroid side is a static
+    // broadcast and the fold keeps no per-key state.
+    graft.llm.Similarity.foldAssignCell(emb, embCol, centroids)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
-  }
 
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
