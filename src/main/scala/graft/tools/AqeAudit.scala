@@ -29,6 +29,7 @@ object AqeAudit {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     var skewTotal = 0
+    var errors = 0
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       try {
@@ -41,6 +42,10 @@ object AqeAudit {
         skewTotal += skews
         println(s"[aqe] $n skewSplits=$skews bnlj=$bnlj smj=$smj bhj=$bhj")
       } catch { case e: Throwable =>
+        // counted, surfaced in the summary, and fatal to the exit code:
+        // a query that starts crashing must shrink the sweep LOUDLY,
+        // never silently (r16 ADVICE) — coverage is the audit's product.
+        errors += 1
         println(s"[aqe] $n ERROR: ${e.getMessage}")
       }
       // mirror the bench's between-query hygiene so a checkpoint-heavy
@@ -48,7 +53,9 @@ object AqeAudit {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    println(s"[aqe] == ${names.size} audited, total skewSplits=$skewTotal")
+    println(s"[aqe] == ${names.size} audited (${names.size - errors} ok, " +
+      s"$errors errored), total skewSplits=$skewTotal")
     spark.stop()
+    if (errors > 0) sys.exit(1)
   }
 }

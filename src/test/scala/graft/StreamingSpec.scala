@@ -1048,16 +1048,21 @@ class StreamingSpec extends AnyFunSuite {
     val census = spark.read.parquet(censusPath)
     // batch 1 repeats the censused 4-gram mid-sentence; batch 2 is
     // clean plus a too-short doc (< gramN tokens, contributes nothing)
+    // micro-batches live under a dedicated subdir: a $tmp/* glob would
+    // ALSO match the census artifact written above, and the parity
+    // assertion would then hinge on schema projection nulling those rows
     Seq((10L, "he said the quick brown fox again", "web"),
         (11L, "nothing shared with anything else whatsoever", "web"))
-      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$tmp/b1")
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.parquet(s"$tmp/batches/b1")
     Thread.sleep(1100)
     Seq((12L, "fresh unseen content streaming in cleanly", "book"),
         (13L, "too short", "book"))
-      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$tmp/b2")
-    val schema = spark.read.parquet(s"$tmp/b1").schema
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.parquet(s"$tmp/batches/b2")
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
     val q = StreamingSqa.streamingSubstrCensus(stream, census, gramN = g)
       .writeStream.outputMode("complete").format("memory")
       .queryName("substr_stream").start()
@@ -1066,7 +1071,8 @@ class StreamingSpec extends AnyFunSuite {
     // the same (pure, batch-applicable) plan over the unioned files IS
     // the batch side — counts are mergeable sums, so exact parity holds
     val batch = StreamingSqa.streamingSubstrCensus(
-      spark.read.parquet(s"$tmp/b1", s"$tmp/b2"), census, gramN = g)
+      spark.read.parquet(s"$tmp/batches/b1", s"$tmp/batches/b2"),
+      census, gramN = g)
     // doc 10 has 4 windows, exactly 1 of them ("the quick brown fox")
     // is censused; doc 11 adds 3 clean windows
     val web = got.filter(col("source") === "web")

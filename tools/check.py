@@ -82,16 +82,20 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skipped = 0
     passed, failed, not_run = [], [], []
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
             # A missing qdir means the query was never executed (filtered
-            # dump) — a different fact from "ran and mismatched". Census
-            # mode must not adjudicate it as a NEW extra-scale failure.
-            print(f"FAIL {name}: no Spark output (not run)")
-            n_fail += 1
+            # dump) — a different fact from "ran and mismatched". It gets
+            # its own counter so the headline tally agrees with the census
+            # treatment (a filtered run must not overstate failures), and
+            # census mode must not adjudicate it as a NEW extra-scale
+            # failure. Still fatal unless --allow-partial said a subset
+            # was expected.
+            print(f"SKIP {name}: no Spark output (not run)")
+            n_skipped += 1
             not_run.append(name)
             continue
         try:
@@ -141,7 +145,8 @@ def main():
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
             passed.append(name)
-    print(f"== {n_pass} pass, {n_fail} fail")
+    skip_note = f", {n_skipped} not run" if n_skipped else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skip_note}")
     if census_golden is not None:
         allowed = {}
         for line in census_golden.read_text().splitlines():
@@ -179,7 +184,9 @@ def main():
         print(f"== CENSUS: 0 new failures, "
               f"{len(allowed) - len(stale)} expected, {len(stale)} stale")
         sys.exit(0)
-    sys.exit(1 if n_fail else 0)
+    # not-run queries are fatal too unless a partial dump was declared —
+    # a full verification with missing outputs is not a verification
+    sys.exit(1 if (n_fail or (n_skipped and not allow_partial)) else 0)
 
 
 if __name__ == "__main__":
