@@ -1018,6 +1018,274 @@ object Similarity {
         col("n_boundary").cast("double") / col("n_vecs").cast("double"))
   }
 
+  /** Intermediate state of [[ivfCellSplit]], shared with
+    * [[ivfSplitRecall]] so the recall audit reuses the SAME split
+    * pipeline (never a re-derivation that could drift).
+    *
+    * `assign`: (vid, cell, sub) post-split assignment of the full
+    * corpus (sub = 0 for unsplit-cell members).
+    * `cells`: original per-cell totals (cell, n_total) incl. empties.
+    * `flagged`: the cells the load rule selected for splitting.
+    * `children`: per split child (cell, j, sv array<decimal>, cn2) —
+    * the fixed-point Lloyd centroids; empty children are absent.
+    * `lists`: the original quantizer size. */
+  private[graft] case class IvfSplitState(assign: DataFrame,
+      cells: DataFrame, flagged: DataFrame, children: DataFrame,
+      cents: DataFrame, lists: Int)
+
+  /** Exact fixed-point dot of two long arrays (products ≤ 2^54 at the
+    * [[EmbeddingOps.Q]] scale, sums ≤ 2^60 over 64 dims — long-safe). */
+  private def dotLong(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      "cast(0 as bigint), (x, y) -> x + y)")
+
+  /** Exact dot of a long array with a decimal(38,0) array — the
+    * member·child-centroid products of the Lloyd round (child sums grow
+    * with cell population, so the accumulator must be decimal). */
+  private def dotDec(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as decimal(38,0)) * y), " +
+      "cast(0 as decimal(38,0)), (x, y) -> x + y)")
+
+  private def d2d(c: Column): Column = c.cast("string").cast("double")
+
+  /** The split pipeline shared by [[ivfCellSplit]] (load audit) and
+    * [[ivfSplitRecall]] (recall audit). Steps, each exactly mirrored by
+    * the DuckDB oracle:
+    *
+    *  1. q305's frozen quantizer (lowest-vid ⌈√N_old⌉ seeds of the old
+    *     batch) assigns the FULL corpus via the codegen
+    *     [[graft.functions.CellTop2F]] kernel — zero shuffle.
+    *  2. Cells with n·lists·thrDen > thrNum·N (integer cross-multiply,
+    *     never a double boundary) are flagged for splitting.
+    *  3. Local 2-means per flagged cell: seeds = the cell's two
+    *     lowest-vid members; members assign to the nearer seed; ONE
+    *     distributed Lloyd round re-centers (fixed-point integer sums —
+    *     the 1/n and 2^24 factors cancel in cosine, so the child
+    *     centroid IS the exact integer sum vector) and reassigns.
+    *
+    * Determinism: every sub-assignment cosine is built from EXACT
+    * integer/decimal sums (order-free — the q306 discipline) with ONE
+    * final double expression, so Spark's fold order and the oracle's
+    * SUM order cannot diverge; ties take the lower child index, and a
+    * NaN cosine (zero vector) never wins on either engine (both order
+    * NaN largest, so `c0 >= c1` agrees). An EMPTY child (possible when
+    * the Lloyd round drains a side) contributes cosine −1e300 via
+    * coalesce, never a null-comparison surprise.
+    *
+    * Scale shape: flagged membership is a broadcast semi-join (the flag
+    * table is ≤ nLists rows); the 2-means touches ONLY flagged-cell
+    * mass — per member it is O(d) integer work plus one d-row explode
+    * into a map-side-combinable (cell, j, dim) aggregate, the standard
+    * distributed-Lloyd reduction. Nothing quadratic, no corpus-wide
+    * extra pass: the weekly 100 TB maintenance job this models re-reads
+    * only the flagged cells' vectors. */
+  private[graft] def ivfSplitState(oldBatch: DataFrame, newBatch: DataFrame,
+      idCol: String, embCol: String, nList: Int = 0,
+      thrNum: Int = 2, thrDen: Int = 1): IvfSplitState = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.VectorExpressions.register(oldBatch.sparkSession)
+    val Q = EmbeddingOps.Q
+    def norm(df: DataFrame) = df.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("emb"))
+    val n0 = norm(oldBatch)
+    val lists = if (nList > 0) nList else autoNList(n0.count())
+    // nLists rows, read by the broadcast assignment array AND the
+    // survivor-centroid side of the search — pinned once
+    val cents = n0.orderBy("vid").limit(lists)
+      .select(col("vid").as("cent_id"), col("emb").as("c_emb"))
+      .localCheckpoint()
+    val centsRow = centArray(cents)
+    val all = n0.unionByName(norm(newBatch))
+    // step 1: frozen-quantizer assignment of the full corpus (q305's
+    // exact semantics: the kernel's strict > keeps the lower cent_id)
+    val asg = foldAssignCellPre(all, "emb", centsRow)
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val byCell = cents.select(col("cent_id").as("cell"))
+      .join(asg.groupBy("cell").agg(count(lit(1)).as("n_total")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_total"))
+      .localCheckpoint() // nLists rows
+    val withN = byCell
+      .crossJoin(broadcast(byCell.agg(sum(col("n_total")).as("__N"))))
+    // step 2: the load rule as an integer cross-multiply (q305, with the
+    // threshold a rational thrNum/thrDen — the audit's 2× is POLICY, and
+    // a maintenance job tightens it to act before probe latency hurts)
+    val flagged = withN
+      .filter(dec(col("n_total")) * lists * thrDen > dec(col("__N")) * thrNum)
+      .select("cell", "n_total")
+    // step 3a: flagged-cell members in fixed point (broadcast semi-join)
+    // the 2-means working set is PINNED: flagged-cell mass only (a
+    // bounded fraction of the corpus — the overloaded cells), and every
+    // downstream consumer (seeds, both assignment passes, the Lloyd
+    // sums) would otherwise replay the corpus-wide assignment scan
+    val mem = asg.join(broadcast(flagged.select("cell")), Seq("cell"))
+      .withColumn("mx", transform(col("emb"),
+        x => floor(x * Q + 0.5).cast("long")))
+      .withColumn("mn2", dotLong("mx", "mx"))
+      .localCheckpoint()
+    // step 3b: deterministic seeds — the two lowest-vid members
+    val wSeed = Window.partitionBy("cell").orderBy("vid")
+    val ranked = mem.select(col("cell"), col("vid"), col("mx"), col("mn2"))
+      .withColumn("__j", row_number().over(wSeed) - 1)
+      .filter(col("__j") <= 1)
+    val seeds = ranked.groupBy("cell").agg(
+      max(when(col("__j") === 0, col("mx"))).as("smx0"),
+      max(when(col("__j") === 0, col("mn2"))).as("sn20"),
+      max(when(col("__j") === 1, col("mx"))).as("smx1"),
+      max(when(col("__j") === 1, col("mn2"))).as("sn21"))
+    // step 3c: nearer-seed assignment (exact long dots; ONE double per
+    // cosine; ties and NaN resolve identically on both engines)
+    val sub1 = mem.join(broadcast(seeds), Seq("cell"))
+      .withColumn("__c0", dotLong("mx", "smx0").cast("double") /
+        sqrt(col("mn2").cast("double") * col("sn20").cast("double")))
+      .withColumn("__c1", dotLong("mx", "smx1").cast("double") /
+        sqrt(col("mn2").cast("double") * col("sn21").cast("double")))
+      .withColumn("__js", when(col("__c0") >= col("__c1"), 0L).otherwise(1L))
+    // step 3d: ONE distributed Lloyd round — per-(cell, child, dim)
+    // fixed-point sums (map-side combinable), re-collected into the
+    // child centroid array; the 2^24·n scale cancels in cosine
+    val dimsum = sub1
+      .select(col("cell"), col("__js").as("j"),
+        posexplode(col("mx")).as(Seq("d", "v")))
+      .groupBy("cell", "j", "d")
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+    val children = dimsum.groupBy("cell", "j").agg(
+      transform(array_sort(collect_list(struct(col("d"), col("sv")))),
+        x => x.getField("sv")).as("sv"),
+      sum(col("sv") * col("sv")).as("cn2"))
+      .localCheckpoint() // ≤ 2·|flagged| rows
+    val childPivot = children.groupBy("cell").agg(
+      max(when(col("j") === 0, col("sv"))).as("sv0"),
+      max(when(col("j") === 0, col("cn2"))).as("cn20"),
+      max(when(col("j") === 1, col("sv"))).as("sv1"),
+      max(when(col("j") === 1, col("cn2"))).as("cn21"))
+    // step 3e: Lloyd reassignment against the child centroids; an empty
+    // child's null cosine coalesces to −1e300 (never wins)
+    val re = sub1.join(broadcast(childPivot), Seq("cell"))
+      .withColumn("__e0", coalesce(d2d(dotDec("mx", "sv0")) /
+        sqrt(col("mn2").cast("double") * d2d(col("cn20"))), lit(-1e300)))
+      .withColumn("__e1", coalesce(d2d(dotDec("mx", "sv1")) /
+        sqrt(col("mn2").cast("double") * d2d(col("cn21"))), lit(-1e300)))
+      .select(col("vid"), col("cell"),
+        when(col("__e0") >= col("__e1"), 0L).otherwise(1L).as("sub"))
+    val assign = asg.select("vid", "cell")
+      .join(re.withColumnRenamed("sub", "__sub"), Seq("vid", "cell"), "left")
+      .withColumn("sub", coalesce(col("__sub"), lit(0L)))
+      .select("vid", "cell", "sub")
+    IvfSplitState(assign, byCell, flagged, children, cents, lists)
+  }
+
+  /** IVF cell-split remediation — the operator that ACTS on
+    * [[ivfCellDriftAudit]]'s needs_split flags: local 2-means on each
+    * oversized cell (deterministic lowest-vid seeds + one distributed
+    * Lloyd round over exact fixed-point sums — see [[ivfSplitState]]),
+    * then the post-split load table: per post-split cell (cell, sub),
+    * its population and load factor against the ENLARGED list count
+    * (lists + #flagged; every split adds one cell). Split cells emit
+    * BOTH children (an empty child shows as n_vecs = 0 — the honest
+    * account of a drained Lloyd side), so Σ n_vecs is always the corpus
+    * and the load factors are comparable before/after.
+    *
+    * This is the weekly maintenance job of a serving ANN index: q305
+    * flags, q312 prices the boundary mass, THIS rebalances — and its
+    * output is the evidence the rebalance worked (max load back under
+    * the threshold). */
+  def ivfCellSplit(oldBatch: DataFrame, newBatch: DataFrame,
+      idCol: String, embCol: String, nList: Int = 0,
+      thrNum: Int = 2, thrDen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val st = ivfSplitState(oldBatch, newBatch, idCol, embCol, nList,
+      thrNum, thrDen)
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    // both children of every split cell, empties included (left join)
+    val childRows = st.flagged.select(col("cell"),
+        explode(array(lit(0L), lit(1L))).as("sub"))
+      .join(st.assign.join(broadcast(st.flagged.select("cell")), Seq("cell"))
+          .groupBy("cell", "sub").agg(count(lit(1)).as("n_vecs")),
+        Seq("cell", "sub"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+      .withColumn("was_split", lit(true))
+    val unsplitRows = st.cells
+      .join(st.flagged.select("cell"), Seq("cell"), "left_anti")
+      .select(col("cell"), lit(0L).as("sub"), col("n_total").as("n_vecs"),
+        lit(false).as("was_split"))
+    unsplitRows
+      .unionByName(childRows.select("cell", "sub", "n_vecs", "was_split"))
+      .crossJoin(broadcast(st.cells.agg(sum(col("n_total")).as("__N"))))
+      .crossJoin(broadcast(st.flagged.agg(count(lit(1)).as("__ns"))))
+      .select(col("cell"), col("sub"), col("n_vecs"), col("was_split"),
+        // post-split load factor: population ÷ the NEW mean (every split
+        // adds one list) — decimal cross-multiply, one double division
+        (d2d(dec(col("n_vecs")) * dec(col("__ns") + lit(st.lists)))
+          / col("__N").cast("double")).as("load_factor"))
+  }
+
+  /** Top-k search over the POST-SPLIT index: the [[ivfSplitState]]
+    * assignment is the inverted file, the centroid set is the surviving
+    * original seeds plus the Lloyd children, and a query probes its
+    * `nProbe` nearest centroids. Probe ranking runs in the SAME
+    * fixed-point arithmetic as the split (exact integer dots, one final
+    * double, ties on (cell, sub)) so original seeds and integer-sum
+    * children rank on one deterministic scale — cosine is
+    * scale-invariant, so the 2^24·n child magnitudes are harmless. The
+    * final rerank is the q89 shape: raw-embedding cosine rounded to
+    * 6 dp, candidate-id tie-break.
+    *
+    * Scale shape: probes fan out |Q|·(lists+splits) rows (query-batch
+    * bounded, the q72 rule); candidates come from an equi-join of probed
+    * (cell, sub) against the corpus-sized assignment table — never a
+    * corpus cross join. */
+  def ivfSplitTopK(queries: DataFrame, oldBatch: DataFrame,
+      newBatch: DataFrame, idCol: String, embCol: String, k: Int,
+      nProbe: Int = 2, nList: Int = 0,
+      thrNum: Int = 2, thrDen: Int = 1): DataFrame = {
+    val Q = EmbeddingOps.Q
+    val st = ivfSplitState(oldBatch, newBatch, idCol, embCol, nList,
+      thrNum, thrDen)
+    val survivors = st.cents
+      .join(st.flagged.select(col("cell").as("cent_id")),
+        Seq("cent_id"), "left_anti")
+      .select(col("cent_id").as("cell"), lit(0L).as("sub"),
+        expr("transform(c_emb, v -> cast(cast(floor(" +
+          s"v * $Q + 0.5) as bigint) as decimal(38,0)))").as("sv"))
+      .withColumn("cn2", expr("aggregate(sv, cast(0 as decimal(38,0)), " +
+        "(a, b) -> a + b * b)"))
+    val newCents = survivors.select("cell", "sub", "sv", "cn2")
+      .unionByName(st.children
+        .select(col("cell"), col("j").as("sub"), col("sv"), col("cn2")))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("q_emb"))
+      .withColumn("mx", transform(col("q_emb"),
+        x => floor(x * Q + 0.5).cast("long")))
+      .withColumn("mn2", dotLong("mx", "mx"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__pc").desc, col("cell"), col("sub"))
+    val probes = qv.crossJoin(broadcast(newCents))
+      .withColumn("__pc", d2d(dotDec("mx", "sv")) /
+        sqrt(col("mn2").cast("double") * d2d(col("cn2"))))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "cell", "sub")
+    val cand = probes.join(st.assign, Seq("cell", "sub"))
+      .filter(col("query_id") =!= col("vid"))
+      .select(col("query_id"), col("vid").as("cand_id")).distinct()
+    // final rerank on RAW embeddings — identical to ivfTopK's tail
+    val c = oldBatch.unionByName(newBatch)
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+      .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("q_n2", VectorOps.normSq(col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("cand_id"))
+      .withColumn("cos", round(
+        VectorOps.cosine(VectorOps.dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos", "rnk")
+  }
+
   /** SQ8 (per-dimension uint8 scalar quantization) top-k: brute-force
     * cosine over DEQUANTIZED vectors, with min/max ranges learned from
     * the candidate corpus — the index-build side. Composed with

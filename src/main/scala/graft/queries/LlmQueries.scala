@@ -2364,7 +2364,52 @@ object LlmQueries {
     // row x cell rows is the round-10 anti-pattern).
     "q312_ivf_boundary" -> ((s, dir) =>
       Similarity.ivfBoundaryAudit(Tables.embeddings(s, dir), "vec_id",
-        "embedding", eps = 0.05))
+        "embedding", eps = 0.05)),
+
+    // IVF cell-split remediation: the operator that ACTS on q305's
+    // flags - local 2-means (lowest-vid seeds + one distributed Lloyd
+    // round in exact fixed-point sums) on each overloaded cell, then
+    // the post-split load table. Threshold 6/5 (vs the audit's policy
+    // 2x) so the split path exercises on the near-uniform synthetic
+    // embeddings - the rational-threshold rule stays an integer
+    // cross-multiply. Same frozen even/odd quantizer as q305.
+    "q313_ivf_cell_split" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfCellSplit(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+        "vec_id", "embedding", thrNum = 6, thrDen = 5)
+    }),
+
+    // Recall@5 of the POST-SPLIT index vs exact cosine (the q115
+    // harness on q313's output): proves the rebalance did not cost
+    // retrieval quality. Probes rank in the split's own fixed-point
+    // arithmetic; the final rerank is the q89 shape. nProbe = 5 is the
+    // pre-split budget of 4 scaled with the list growth
+    // (ceil(4*L'/L) = 5 at every test SF: 18/16, 18/16, 34/32) - the
+    // FAISS practice; a FIXED budget over more, smaller cells measurably
+    // dilutes coverage (0.68 -> 0.66 at sf0.01), while the scaled budget
+    // holds it (0.69 >= 0.68, asserted by IvfSplitSpec).
+    "q314_ivf_split_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallVsExact(q, emb, "vec_id", "embedding", k = 5,
+        Similarity.ivfSplitTopK(q,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+          "vec_id", "embedding", k = 5, nProbe = 5,
+          thrNum = 6, thrDen = 5))
+    }),
+
+    // Variable-length duplicated-span statistics (the true ExactSubstr
+    // grain): per (source, log2-length bucket), the span-length
+    // histogram of maximal cross-doc duplicated runs plus the count of
+    // docs whose LONGEST span lands in the bucket - "one 400-token
+    // verbatim block" vs "fifty scattered 8-token spans" at equal mass,
+    // the distinction q299's token-mass rollup cannot see.
+    "q315_dup_span_hist" -> ((s, dir) =>
+      Dedup.dupSpanHistogram(Tables.documents(s, dir), "doc_id",
+        "text", "source", gramN = 8))
   )
 
   /** q82 target mixture weights (sources outside the map get weight 0). */
@@ -2438,6 +2483,99 @@ object LlmQueries {
 
   private def dot(a: String, b: String): String =
     DOT.replace("A[", a + "[").replace("B[", b + "[")
+
+  /** Shared CTE chain for the q313/q314 oracles — the exact mirror of
+    * [[graft.llm.Similarity.ivfSplitState]]: q305's frozen even-half
+    * quantizer assigns the full corpus; cells breaching the rational
+    * load threshold split by local 2-means (two lowest-vid member
+    * seeds, one Lloyd round). Every sub-assignment cosine is built from
+    * EXACT integer sums (BIGINT/HUGEINT here, long/decimal in Spark) so
+    * DuckDB's unordered SUM and Spark's array folds cannot diverge;
+    * HUGEINT→DOUBLE goes through VARCHAR (the q306 casting rule). */
+  private def ivfSplitCtes(thrNum: Int, thrDen: Int): String = {
+    def fp(v: String) =
+      s"CAST(FLOOR(CAST($v AS DOUBLE) * 16777216 + 0.5) AS BIGINT)"
+    def dotL(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), " +
+        "(x, y) -> x + y)"
+    s"""n AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |o AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+       |cents AS (
+       |  SELECT cent_id, c_emb, c_n2 FROM (
+       |    SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS crn,
+       |      COUNT(*) OVER () AS ccnt
+       |    FROM o)
+       |  WHERE crn <= CAST(ceil(sqrt(ccnt::DOUBLE)) AS BIGINT)),
+       |lst AS (SELECT COUNT(*) AS l FROM cents),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${dot("n.embedding", "cents.c_emb")} / sqrt(n.n2 * cents.c_n2)
+       |          DESC, cent_id) AS rn
+       |    FROM n CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |byc AS (
+       |  SELECT cents.cent_id AS cell, COUNT(asg.vec_id) AS n_total
+       |  FROM cents LEFT JOIN asg ON asg.cell = cents.cent_id GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS nn FROM byc),
+       |flag AS (
+       |  SELECT cell, n_total FROM byc, tot, lst
+       |  WHERE CAST(n_total AS HUGEINT) * l * $thrDen
+       |      > CAST(nn AS HUGEINT) * $thrNum),
+       |nf AS (SELECT COUNT(*) AS nsplit FROM flag),
+       |mem AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, 65), i -> ${fp("e.embedding[i]")}) AS mx
+       |  FROM asg a JOIN flag USING (cell)
+       |    JOIN embeddings e ON e.vec_id = a.vec_id),
+       |mem2 AS (
+       |  SELECT vec_id, cell, mx, ${dotL("mx", "mx")} AS mn2 FROM mem),
+       |sr AS (
+       |  SELECT cell, vec_id, mx, mn2,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS j
+       |  FROM mem2),
+       |s0 AS (SELECT cell, mx AS smx0, mn2 AS sn20 FROM sr WHERE j = 0),
+       |s1 AS (SELECT cell, mx AS smx1, mn2 AS sn21 FROM sr WHERE j = 1),
+       |sub1 AS (
+       |  SELECT m.vec_id, m.cell, m.mx, m.mn2,
+       |    CASE WHEN
+       |      (${dotL("m.mx", "smx0")})::DOUBLE
+       |        / sqrt(m.mn2::DOUBLE * sn20::DOUBLE)
+       |      >= (${dotL("m.mx", "smx1")})::DOUBLE
+       |        / sqrt(m.mn2::DOUBLE * sn21::DOUBLE)
+       |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS j
+       |  FROM mem2 m JOIN s0 USING (cell) JOIN s1 USING (cell)),
+       |csum AS (
+       |  SELECT cell, j, i.i AS d, CAST(SUM(mx[i.i]) AS HUGEINT) AS sv
+       |  FROM sub1, unnest(range(1, 65)) AS i(i) GROUP BY 1, 2, 3),
+       |cn2t AS (SELECT cell, j, SUM(sv * sv) AS cn2 FROM csum GROUP BY 1, 2),
+       |red AS (
+       |  SELECT s.vec_id, s.cell, s.mn2, c.j,
+       |    SUM(CAST(s.mx[c.d] AS HUGEINT) * c.sv) AS dt
+       |  FROM sub1 s JOIN csum c ON c.cell = s.cell GROUP BY 1, 2, 3, 4),
+       |re AS (
+       |  SELECT vec_id, cell,
+       |    CASE WHEN COALESCE(c0e, -1e300) >= COALESCE(c1e, -1e300)
+       |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS sub
+       |  FROM (
+       |    SELECT r.vec_id, r.cell,
+       |      MAX(CASE WHEN r.j = 0 THEN CAST(CAST(r.dt AS VARCHAR) AS DOUBLE)
+       |        / sqrt(r.mn2::DOUBLE * CAST(CAST(t.cn2 AS VARCHAR) AS DOUBLE))
+       |        END) AS c0e,
+       |      MAX(CASE WHEN r.j = 1 THEN CAST(CAST(r.dt AS VARCHAR) AS DOUBLE)
+       |        / sqrt(r.mn2::DOUBLE * CAST(CAST(t.cn2 AS VARCHAR) AS DOUBLE))
+       |        END) AS c1e
+       |    FROM red r JOIN cn2t t ON t.cell = r.cell AND t.j = r.j
+       |    GROUP BY 1, 2)),
+       |asg2 AS (
+       |  SELECT a.vec_id, a.cell, COALESCE(re.sub, CAST(0 AS BIGINT)) AS sub
+       |  FROM asg a LEFT JOIN re ON re.vec_id = a.vec_id
+       |    AND re.cell = a.cell)""".stripMargin
+  }
 
   /** Shared CTE chain for the q154/q159 kNN-graph oracles: q83's
     * deterministic ceil(sqrt(N)) cell assignment, then within-cell
@@ -7210,7 +7348,138 @@ object LlmQueries {
          |    AS BIGINT) AS n_boundary,
          |  CAST(SUM(CASE WHEN c1 - c2 < 0.05::DOUBLE THEN 1 ELSE 0 END)
          |    AS BIGINT)::DOUBLE / COUNT(*) AS boundary_frac
-         |FROM t GROUP BY 1""".stripMargin
+         |FROM t GROUP BY 1""".stripMargin,
+
+    "q313_ivf_cell_split" ->
+      s"""WITH ${ivfSplitCtes(6, 5)},
+         |rows_ AS (
+         |  SELECT b.cell, CAST(0 AS BIGINT) AS sub, b.n_total AS n_vecs,
+         |    FALSE AS was_split
+         |  FROM byc b LEFT JOIN flag f ON f.cell = b.cell
+         |  WHERE f.cell IS NULL
+         |  UNION ALL
+         |  SELECT f.cell, t.j AS sub, COUNT(a2.vec_id) AS n_vecs,
+         |    TRUE AS was_split
+         |  FROM flag f
+         |  CROSS JOIN (SELECT CAST(0 AS BIGINT) AS j
+         |              UNION ALL SELECT CAST(1 AS BIGINT)) t
+         |  LEFT JOIN asg2 a2 ON a2.cell = f.cell AND a2.sub = t.j
+         |  GROUP BY 1, 2)
+         |SELECT cell, sub, n_vecs, was_split,
+         |  CAST(CAST(CAST(n_vecs AS HUGEINT) * (l + nsplit) AS VARCHAR)
+         |    AS DOUBLE) / nn::DOUBLE AS load_factor
+         |FROM rows_, lst, tot, nf""".stripMargin,
+
+    "q314_ivf_split_recall" ->
+      s"""WITH ${ivfSplitCtes(6, 5)},
+         |surv AS (
+         |  SELECT cents.cent_id AS cell, CAST(0 AS BIGINT) AS sub, c_emb
+         |  FROM cents LEFT JOIN flag f ON f.cell = cents.cent_id
+         |  WHERE f.cell IS NULL),
+         |survd AS (
+         |  SELECT cell, sub, i.i AS d,
+         |    CAST(CAST(FLOOR(CAST(c_emb[i.i] AS DOUBLE) * 16777216 + 0.5)
+         |      AS BIGINT) AS HUGEINT) AS sv
+         |  FROM surv, unnest(range(1, 65)) AS i(i)),
+         |ncd AS (SELECT * FROM survd
+         |  UNION ALL SELECT cell, j AS sub, d, sv FROM csum),
+         |ncn AS (SELECT cell, sub, SUM(sv * sv) AS cn2 FROM ncd
+         |  GROUP BY 1, 2),
+         |qv AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(range(1, 65), i -> CAST(FLOOR(
+         |      CAST(embedding[i] AS DOUBLE) * 16777216 + 0.5) AS BIGINT))
+         |      AS mx
+         |  FROM embeddings WHERE vec_id < 20),
+         |qv2 AS (SELECT query_id, mx,
+         |    list_reduce(list_transform(range(1, 65), i -> mx[i] * mx[i]),
+         |      (x, y) -> x + y) AS mn2 FROM qv),
+         |pd AS (
+         |  SELECT q.query_id, c.cell, c.sub,
+         |    SUM(CAST(q.mx[c.d] AS HUGEINT) * c.sv) AS dt
+         |  FROM qv2 q CROSS JOIN ncd c GROUP BY 1, 2, 3),
+         |pc AS (SELECT query_id, cell, sub FROM (
+         |    SELECT p.query_id, p.cell, p.sub,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |        CAST(CAST(p.dt AS VARCHAR) AS DOUBLE) /
+         |          sqrt(q.mn2::DOUBLE * CAST(CAST(n2.cn2 AS VARCHAR)
+         |            AS DOUBLE)) DESC,
+         |        p.cell, p.sub) AS pr
+         |    FROM pd p JOIN ncn n2 ON n2.cell = p.cell AND n2.sub = p.sub
+         |              JOIN qv2 q ON q.query_id = p.query_id)
+         |  WHERE pr <= 5),
+         |cand AS (
+         |  SELECT DISTINCT pc.query_id, a2.vec_id AS cand_id
+         |  FROM pc JOIN asg2 a2 ON a2.cell = pc.cell AND a2.sub = pc.sub
+         |  WHERE a2.vec_id <> pc.query_id),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT cand.query_id, cand.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.query_id
+         |        ORDER BY ROUND(${dot("q.embedding", "c.embedding")}
+         |          / sqrt(q.n2 * c.n2), 6) DESC, cand.cand_id) AS rnk
+         |    FROM cand JOIN n q ON cand.query_id = q.vec_id
+         |              JOIN n c ON cand.cand_id = c.vec_id)
+         |  WHERE rnk <= 5),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(${dot("q.embedding", "c.embedding")}
+         |          / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |    FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT e.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT)::DOUBLE / COUNT(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |GROUP BY 1""".stripMargin,
+
+    "q315_dup_span_hist" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+         |g AS (
+         |  SELECT source, doc_id, i - 1 AS pos, md5($gram) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+         |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+         |f AS (SELECT g.source, g.doc_id, g.pos FROM g JOIN dup USING (gk)),
+         |m AS (
+         |  SELECT source, doc_id, pos,
+         |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM f),
+         |sid AS (
+         |  SELECT source, doc_id, pos,
+         |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+         |      END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+         |  FROM m),
+         |spans AS (
+         |  SELECT MAX(source) AS source, doc_id,
+         |    CAST(MAX(pos + 8) - MIN(pos) AS BIGINT) AS len
+         |  FROM sid GROUP BY doc_id, sp),
+         |sl AS (
+         |  SELECT source, doc_id, len,
+         |    CAST(length(bin(len)) AS BIGINT) AS bucket
+         |  FROM spans),
+         |h AS (
+         |  SELECT source, bucket, COUNT(*) AS n_spans,
+         |    CAST(SUM(len) AS BIGINT) AS span_tokens,
+         |    MAX(len) AS max_span_len
+         |  FROM sl GROUP BY 1, 2),
+         |dl AS (
+         |  SELECT source, bucket, COUNT(*) AS n_docs_longest FROM (
+         |    SELECT source, doc_id,
+         |      CAST(length(bin(MAX(len))) AS BIGINT) AS bucket
+         |    FROM sl GROUP BY 1, 2)
+         |  GROUP BY 1, 2)
+         |SELECT h.source, h.bucket, n_spans, span_tokens, max_span_len,
+         |  COALESCE(n_docs_longest, CAST(0 AS BIGINT)) AS n_docs_longest
+         |FROM h LEFT JOIN dl USING (source, bucket)""".stripMargin
+    }
   )
 
   /** Shared CTE chain for q191/q192: the fixed-point covariance Gramian

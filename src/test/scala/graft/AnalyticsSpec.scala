@@ -48,6 +48,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1L) == 16L && out(2L) == 0L)
   }
 
+  test("dupSpanHistogram buckets maximal span lengths and per-doc " +
+      "longest spans by powers of two") {
+    // doc 1 and 2 share a 20-token run (one maximal span of 20 each:
+    // bucket ⌊log2 20⌋+1 = 5) AND, separated by unique filler, an
+    // 8-token run (span of 8: bucket 4). Doc 3 repeats only the 8-run.
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")
+    val small = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, big + " a1 a2 a3 a4 a5 a6 a7 a8 " + small, "sa"),
+      (2L, small + " b1 b2 b3 b4 b5 b6 b7 b8 " + big, "sa"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 " + small, "sb"),
+      (4L, (1 to 30).map(i => s"u$i").mkString(" "), "sb"))
+    val out = Dedup.dupSpanHistogram(d, "doc_id", "text", "source",
+      gramN = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // sa, bucket 5: two 20-token spans (one per doc); both docs' LONGEST
+    // span is the 20-run, so n_docs_longest = 2
+    assert(out(("sa", 5L)) == ((2L, 40L, 20L, 2L)))
+    // sa, bucket 4: two 8-token spans, but no doc's longest → 0
+    assert(out(("sa", 4L)) == ((2L, 16L, 8L, 0L)))
+    // sb, bucket 4: doc 3's single 8-token span IS its longest
+    assert(out(("sb", 4L)) == ((1L, 8L, 8L, 1L)))
+    assert(out.keySet == Set(("sa", 5L), ("sa", 4L), ("sb", 4L)))
+  }
+
   test("splitAssign is a stable total partition with ~80/10/10 mass") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q309_lm_drift",        // q230's broadcast bigram-type-total scalar
     "q312_ivf_boundary",    // broadcast 1-row centroid-array scalar
     "q305_ivf_cell_drift",  // broadcast centroid seeds + 1-row total scalar
+    "q313_ivf_cell_split",  // broadcast flagged-cell/seed/total scalars
+    "q314_ivf_split_recall", // q313's broadcast scalars + q89's query side
     "q292_fightin_words",     // broadcast 1-row corpus N/V scalars
     "q289_query_likelihood",  // broadcast 1-row collection-stats scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
