@@ -730,6 +730,55 @@ object StreamingSqa {
         sum(coalesce(col("__hit"), lit(0L))).as("n_dup_windows"))
   }
 
+  /** Streaming twin of the q308 source-churn audit: arriving new-crawl
+    * documents fold into per-source MinHash signatures LIVE (the merged
+    * signature is the canonical mergeable sketch — Broder's union
+    * property means per-(source, hash) MIN merges identically across
+    * micro-batches, shards, and crawl generations), and each signature
+    * joins the PERSISTED old-generation signature to estimate the
+    * cross-generation shingle Jaccard the moment the data lands — a
+    * news-like source's churn is visible mid-crawl, not after it.
+    *
+    * Shape: shingles build PER ROW (array ops — streams don't support
+    * the batch [[graft.llm.Dedup.shingleRows]] window `lead`;
+    * `array_distinct` collapses within-doc repeats, and cross-doc
+    * repeats are harmless under MIN), the signature is a bounded
+    * streaming MIN aggregate (state = sources × numHashes longs), and
+    * the old-generation side is a static broadcast join. Hash chain
+    * (md5-prefix base, a·h+b mod p) is byte-identical to the batch
+    * [[graft.llm.Dedup.mergedMinhash]], so the spec asserts EXACT
+    * parity with the registered q308 batch query. */
+  def streamingSourceChurn(newDocs: DataFrame, oldSig: DataFrame,
+      textCol: String = "text", sourceCol: String = "source",
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    import graft.llm.Dedup.{HASH_A, HASH_B, MINHASH_P}
+    val w = graft.llm.TextOps.words(col(textCol))
+    val sh = when(size(w) >= shingleN, array_distinct(transform(
+      sequence(lit(0), size(w) - shingleN),
+      i => array_join(slice(w, i + lit(1), lit(shingleN)), " "))))
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+      .cast("long")
+    val mins = (0 until numHashes).map(j =>
+      min((lit(HASH_A(j)) * base + lit(HASH_B(j))) % MINHASH_P)
+        .as(s"__mh$j"))
+    newDocs
+      .select(col(sourceCol).as("source"), explode(sh).as("shingle"))
+      .groupBy("source")
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("__mb",
+        array((0 until numHashes).map(j => col(s"__mh$j")): _*))
+      .join(broadcast(oldSig.select(col("source"), col("mh").as("__ma"))),
+        Seq("source"))
+      .withColumn("n_eq", expr(
+        "size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v))")
+        .cast("long"))
+      .withColumn("est_jaccard",
+        round(col("n_eq").cast("double") / numHashes, 6))
+      .withColumn("est_churn",
+        round(lit(1.0) - col("n_eq").cast("double") / numHashes, 6))
+      .select("source", "n_eq", "est_jaccard", "est_churn")
+  }
+
   /** Streaming twin of the q306 centroid-drift sufficient statistic:
     * per-(label, dim) FIXED-POINT coordinate sums and counts over a
     * live embedding stream. The centroid cosine needs only these sums

@@ -1086,6 +1086,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming source-churn signatures reproduce the q308 batch audit " +
+      "exactly across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("churn_stream").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // q308's salted generation split (id parity correlates with source
+    // in the synthetic ids, so the batch query salts — mirror it)
+    val gen = conv(substring(md5(concat(lit("churn1"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2
+    val oldHalf = docs.filter(gen === 0L)
+    val newHalf = docs.filter(gen === 1L)
+    // persisted old-generation signature — the batch mergeable sketch
+    val oldSig = graft.llm.Dedup.mergedMinhash(oldHalf, "doc_id", "text",
+      "source", shingleN = 3, numHashes = 8)
+    // the new generation arrives in two micro-batches
+    newHalf.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/batches/b1")
+    Thread.sleep(1100)
+    newHalf.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/batches/b2")
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val q = StreamingSqa.streamingSourceChurn(stream, oldSig)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("churn_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("churn_stream")
+    // the registered q308 batch query on the same table IS the oracle
+    val batch = SparkEntry.queries("q308_source_churn")(
+      spark, "/root/testdata/sf0.001")
+    assert(got.count() > 0 && got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("streaming centroid sums equal the batch fixed-point sums exactly " +
       "across micro-batches") {
     val tmp = java.nio.file.Files.createTempDirectory("cdrift_stream").toString
