@@ -33,7 +33,14 @@ object AqeAudit {
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       try {
-        df.count() // materialize: AQE finalizes the plan
+        // materialize THIS DataFrame's own adaptive execution so AQE
+        // finalizes the plan we inspect. df.count() plans a SEPARATE
+        // query and leaves df's AdaptiveSparkPlan in its initial state
+        // — the r1..r16 audits read exactly that initial plan, where
+        // `skew=true` can never appear (found by ZipfSkewSpec, whose
+        // deliberately-skewed join showed no split under the count()
+        // pattern and a real one under toRdd).
+        df.queryExecution.toRdd.count()
         val plan = df.queryExecution.executedPlan.toString
         val skews = "skew=true".r.findAllIn(plan).size
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
