@@ -756,7 +756,16 @@ object LlmDedupQueries {
     // the distinction q299's token-mass rollup cannot see.
     "q315_dup_span_hist" -> ((s, dir) =>
       Dedup.dupSpanHistogram(Tables.documents(s, dir), "doc_id",
-        "text", "source", gramN = 8))
+        "text", "source", gramN = 8)),
+
+    // ExactSubstr DELETION (Lee et al. 2022, the step the paper ships):
+    // every token inside a maximal cross-doc duplicated span is excised
+    // and the doc re-emitted from surviving tokens - the ACT side of
+    // q299's audit, as q313 is to q305. Per doc: token count, removed
+    // count, surviving text (single-space normalized).
+    "q316_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
+        gramN = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2103,6 +2112,48 @@ object LlmDedupQueries {
          |SELECT h.source, h.bucket, n_spans, span_tokens, max_span_len,
          |  COALESCE(n_docs_longest, CAST(0 AS BIGINT)) AS n_docs_longest
          |FROM h LEFT JOIN dl USING (source, bucket)""".stripMargin
+    },
+
+    "q316_remove_dup_spans" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS word
+         |  FROM wr, unnest(range(1, len(w) + 1)) AS i(i)),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos, md5($gram) AS gk
+         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+         |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gk)),
+         |m AS (
+         |  SELECT doc_id, pos,
+         |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM f),
+         |sid AS (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+         |      END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+         |  FROM m),
+         |spans AS (
+         |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 8) AS e0
+         |  FROM sid GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT t.doc_id, t.pos, t.word, s.s0 IS NOT NULL AS covd
+         |  FROM tok t LEFT JOIN spans s ON s.doc_id = t.doc_id
+         |    AND t.pos >= s.s0 AND t.pos < s.e0),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN covd THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removed,
+         |    COALESCE(string_agg(CASE WHEN NOT covd THEN word END, ' '
+         |      ORDER BY pos), '') AS text_clean
+         |  FROM cov GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+         |  COALESCE(text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
     }
   )
 }

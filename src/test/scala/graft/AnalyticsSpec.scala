@@ -48,6 +48,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1L) == 16L && out(2L) == 0L)
   }
 
+  test("removeDupSpans excises exactly the covered tokens and the " +
+      "re-audit on the cleaned corpus reads zero") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, shared + " a1 a2 a3", "s"),
+      (2L, "b1 b2 " + shared, "s"),
+      (3L, (1 to 9).map(i => s"u$i").mkString(" "), "s"),
+      (4L, "t1 t2 t3", "s"))
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", gramN = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((13L, 10L, "a1 a2 a3")))
+    assert(out(2L) == ((12L, 10L, "b1 b2")))
+    assert(out(3L) == ((9L, 0L, (1 to 9).map(i => s"u$i").mkString(" "))))
+    assert(out(4L) == ((3L, 0L, "t1 t2 t3")))
+    // the paper's fixed point: the audit over the CLEANED corpus reports
+    // zero duplicated coverage (no excision stitched a new 8-gram here)
+    val s = spark
+    import s.implicits._
+    val cleaned = out.toSeq.map { case (id, (_, _, t)) => (id, t) }
+      .toDF("doc_id", "text")
+    val re = Dedup.dupSpans(cleaned, "doc_id", "text", k = 8)
+      .agg(sum(col("covered_tokens"))).head.getLong(0)
+    assert(re == 0L, s"re-audit found $re covered tokens after removal")
+  }
+
   test("dupSpanHistogram buckets maximal span lengths and per-doc " +
       "longest spans by powers of two") {
     // doc 1 and 2 share a 20-token run (one maximal span of 20 each:
