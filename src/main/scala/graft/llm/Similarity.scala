@@ -1034,19 +1034,58 @@ object Similarity {
       cents: DataFrame, lists: Int)
 
   /** Exact fixed-point dot of two long arrays (products ≤ 2^54 at the
-    * [[EmbeddingOps.Q]] scale, sums ≤ 2^60 over 64 dims — long-safe). */
-  private def dotLong(a: String, b: String): Column =
+    * [[EmbeddingOps.Q]] scale, sums ≤ 2^60 over 64 dims — long-safe).
+    * Shared with the streaming post-split arrival twin. */
+  private[graft] def dotLong(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
       "cast(0 as bigint), (x, y) -> x + y)")
 
   /** Exact dot of a long array with a decimal(38,0) array — the
     * member·child-centroid products of the Lloyd round (child sums grow
     * with cell population, so the accumulator must be decimal). */
-  private def dotDec(a: String, b: String): Column =
+  private[graft] def dotDec(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as decimal(38,0)) * y), " +
       "cast(0 as decimal(38,0)), (x, y) -> x + y)")
 
-  private def d2d(c: Column): Column = c.cast("string").cast("double")
+  private[graft] def d2d(c: Column): Column = c.cast("string").cast("double")
+
+  /** Pivot of [[IvfSplitState.children]] to one row per split cell —
+    * the static side a stream-static arrival join broadcasts. */
+  private[graft] def childPivot(children: DataFrame): DataFrame =
+    children.groupBy("cell").agg(
+      max(when(col("j") === 0, col("sv"))).as("sv0"),
+      max(when(col("j") === 0, col("cn2"))).as("cn20"),
+      max(when(col("j") === 1, col("sv"))).as("sv1"),
+      max(when(col("j") === 1, col("cn2"))).as("cn21"))
+
+  /** Post-split assignment of one vector set against a FROZEN split
+    * index (original quantizer `cents` + Lloyd `children`): coarse cell
+    * by the codegen [[graft.functions.CellTop2F]] kernel, then — for
+    * split cells only — the child with the larger exact fixed-point
+    * cosine (ties to child 0, a drained child's null cosine coalesces
+    * to −1e300, NaN resolves identically on both engines). This IS the
+    * maintenance pipeline's own final reassignment rule, so for vectors
+    * that were IN the build it reproduces [[ivfSplitState]]'s `assign`
+    * bit-exactly (asserted by StreamingSpec) — and it is pure
+    * per-row/stream-static work, so a serving index keeps ingesting
+    * arrivals mid-maintenance with no semantic gap: zero shuffle, no
+    * per-key state, broadcast statics only. */
+  private[graft] def splitAssignArrivals(emb: DataFrame, cents: DataFrame,
+      children: DataFrame, embCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val Q = EmbeddingOps.Q
+    foldAssignCellPre(emb, embCol, centArray(cents))
+      .join(broadcast(childPivot(children)), Seq("cell"), "left")
+      .withColumn("mx", transform(col(embCol).cast("array<double>"),
+        x => floor(x * Q + 0.5).cast("long")))
+      .withColumn("mn2", dotLong("mx", "mx"))
+      .withColumn("__e0", coalesce(d2d(dotDec("mx", "sv0")) /
+        sqrt(col("mn2").cast("double") * d2d(col("cn20"))), lit(-1e300)))
+      .withColumn("__e1", coalesce(d2d(dotDec("mx", "sv1")) /
+        sqrt(col("mn2").cast("double") * d2d(col("cn21"))), lit(-1e300)))
+      .withColumn("sub", when(col("__e0") >= col("__e1"), 0L).otherwise(1L))
+      .drop("mx", "mn2", "__e0", "__e1", "sv0", "cn20", "sv1", "cn21")
+  }
 
   /** The split pipeline shared by [[ivfCellSplit]] (load audit) and
     * [[ivfSplitRecall]] (recall audit). Steps, each exactly mirrored by
@@ -1154,14 +1193,9 @@ object Similarity {
         x => x.getField("sv")).as("sv"),
       sum(col("sv") * col("sv")).as("cn2"))
       .localCheckpoint() // ≤ 2·|flagged| rows
-    val childPivot = children.groupBy("cell").agg(
-      max(when(col("j") === 0, col("sv"))).as("sv0"),
-      max(when(col("j") === 0, col("cn2"))).as("cn20"),
-      max(when(col("j") === 1, col("sv"))).as("sv1"),
-      max(when(col("j") === 1, col("cn2"))).as("cn21"))
     // step 3e: Lloyd reassignment against the child centroids; an empty
     // child's null cosine coalesces to −1e300 (never wins)
-    val re = sub1.join(broadcast(childPivot), Seq("cell"))
+    val re = sub1.join(broadcast(childPivot(children)), Seq("cell"))
       .withColumn("__e0", coalesce(d2d(dotDec("mx", "sv0")) /
         sqrt(col("mn2").cast("double") * d2d(col("cn20"))), lit(-1e300)))
       .withColumn("__e1", coalesce(d2d(dotDec("mx", "sv1")) /

@@ -817,6 +817,22 @@ object StreamingSqa {
     graft.llm.Similarity.foldAssignCell(emb, embCol, centroids)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
 
+  /** Streaming twin of the q313 POST-SPLIT index: arriving vectors
+    * route to (cell, sub) live against the frozen split index — coarse
+    * cell by the shared codegen CellTop2F kernel over the broadcast
+    * original quantizer, then (split cells only) the child with the
+    * larger exact fixed-point cosine, via the SAME
+    * [[graft.llm.Similarity.splitAssignArrivals]] rule the maintenance
+    * pipeline's final reassignment uses — so for vectors that were in
+    * the build this reproduces the batch q313 assignment bit-exactly
+    * (asserted by StreamingSpec), and a serving index keeps ingesting
+    * mid-maintenance with no semantic gap. Zero shuffle before the
+    * bounded (cells + splits)-row count state; statics broadcast. */
+  def streamingSplitArrivals(emb: DataFrame, cents: DataFrame,
+      children: DataFrame, embCol: String = "embedding"): DataFrame =
+    graft.llm.Similarity.splitAssignArrivals(emb, cents, children, embCol)
+      .groupBy("cell", "sub").agg(count(lit(1)).as("n_new"))
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

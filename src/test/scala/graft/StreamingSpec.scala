@@ -1145,6 +1145,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming post-split arrivals route to (cell, sub) exactly as " +
+      "the batch q313 assignment") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("split_stream").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val old = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    val nw = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    // frozen split index from the maintenance pipeline (6/5 threshold
+    // flags two cells on this data)
+    val st = graft.llm.Similarity.ivfSplitState(old, nw, "vec_id",
+      "embedding", thrNum = 6, thrDen = 5)
+    val cents = st.cents.localCheckpoint()
+    val children = st.children.localCheckpoint()
+    assert(st.flagged.count() > 0, "no cell flagged — geometry changed?")
+    // the serving rule reproduces the BUILD assignment bit-exactly for
+    // vectors that were in the build (the final Lloyd reassignment IS
+    // the arrival rule)
+    val replayed = graft.llm.Similarity.splitAssignArrivals(
+      emb, cents, children, "embedding")
+      .select(col("vec_id").as("vid"), col("cell"), col("sub"))
+    assert(replayed.exceptAll(st.assign).count() == 0)
+    assert(st.assign.exceptAll(replayed).count() == 0)
+    // arrivals stream in two micro-batches; counts merge exactly
+    nw.filter(col("vec_id") % 4 === 1).coalesce(1)
+      .write.parquet(s"$tmp/batches/b1")
+    Thread.sleep(1100)
+    nw.filter(col("vec_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$tmp/batches/b2")
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val q = StreamingSqa.streamingSplitArrivals(stream, cents, children)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("split_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("split_stream")
+    val batch = StreamingSqa.streamingSplitArrivals(
+      spark.read.parquet(s"$tmp/batches/b1", s"$tmp/batches/b2"),
+      cents, children)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("streaming IVF cell counts reproduce the batch argmax assignment " +
       "exactly across micro-batches") {
     import org.apache.spark.sql.functions._
