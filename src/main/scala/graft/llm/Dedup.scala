@@ -1559,18 +1559,20 @@ object Dedup {
     val snaps = scala.collection.mutable.ArrayBuffer(
       snap(0, alive, eAlive, alive))
     (1 to rounds).foreach { r =>
-      // LAZY pins (eager = false): each round's survivor/edge sets still
-      // materialize exactly once (on first use) so no round recomputes,
-      // but no per-round synchronous job barrier — the whole peel
-      // schedules inside the consuming action (the HITS loop lesson).
+      // EAGER pins (r17): the lazy form materialized each round's sets
+      // on their first consumer — often a broadcast-exchange thread —
+      // which deadlocks against the DAG scheduler on the global
+      // RDDCheckpointData lock (ABBA caught live by jstack in the
+      // concurrent Verify; see the PageRank loop comment). Eager keeps
+      // every materialization job on this thread.
       val aliveNext = eAlive.groupBy("u")
         .agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select("u")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val eNext = eAlive
         .join(aliveNext, Seq("u"), "left_semi")
         .join(aliveNext.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint(eager = false)
+        .select("u", "v").localCheckpoint()
       snaps += snap(r, aliveNext, eNext, alive)
       alive = aliveNext
       eAlive = eNext

@@ -145,12 +145,17 @@ object PageRank {
       ranks = updated
         .select(col("node"),
           expr(s"($baseSql + 85 * ($inMassSql)) div 100").as("pr"))
-        // LAZY truncation: still pins each round's (node, pr) rows on
-        // first use so no round is ever recomputed and the lineage stays
-        // flat, but without scheduling an eager materialization job per
-        // iteration — the rank table materializes inside the job that
-        // first consumes it (the next round's broadcast build).
-        .localCheckpoint(eager = false)
+        // EAGER truncation (r17): the lazy form let the NEXT round's
+        // broadcast build be the first consumer, so the checkpoint
+        // materialized ON A BROADCAST-EXCHANGE THREAD — which completes
+        // holding the global RDDCheckpointData lock while wanting the
+        // RDD's state lock, the exact ABBA the DAG scheduler runs in
+        // the opposite order (holds state lock in getCacheLocs, wants
+        // the class lock via partitions→checkpointRDD). jstack caught
+        // the deadlock live in the r17 concurrent Verify. Eager keeps
+        // the materialization job on THIS thread, where the window
+        // cannot interleave with the scheduler.
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("pr").as("rank_scaled"))
   }
@@ -230,12 +235,14 @@ object PageRank {
         .agg(sum(expr("h * __deg")).as("__ta")))
       // Raw authority mass — consumed once (inside the h-side join), so
       // left unmaterialized except in the FINAL round, where it also
-      // feeds the authority output and a lazy checkpoint pins it.
+      // feeds the authority output and an EAGER checkpoint pins it
+      // (lazy checkpoints materialize on whichever consumer fires
+      // first — a broadcast thread here — and deadlock against the
+      // scheduler; see the PageRank loop comment).
       val rawA0 = eByDst
         .join(gated(h.select(col("node").as("src"), col("h"))), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__ar"))
-      val rawA = if (it == iters) rawA0.localCheckpoint(eager = false)
-        else rawA0
+      val rawA = if (it == iters) rawA0.localCheckpoint() else rawA0
       val rawH = eBySrc
         .join(gated(rawA.select(col("node").as("dst"), col("__ar"))),
           Seq("dst"))
@@ -243,7 +250,7 @@ object PageRank {
         .select(col("src").as("node"),
           expr(s"(__ar * $HitsScale) div __ta").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__hr"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint() // eager: the next line broadcasts over it
       val th = broadcast(rawH.agg(sum(col("__hr")).as("__th")))
       h = rawH.crossJoin(th)
         .select(col("node"), expr(s"(__hr * $HitsScale) div __th").as("h"))

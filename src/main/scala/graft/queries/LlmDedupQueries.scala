@@ -765,7 +765,25 @@ object LlmDedupQueries {
     // count, surviving text (single-space normalized).
     "q316_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
-        gramN = 8))
+        gramN = 8)),
+
+    // Deletion EFFICACY at the corpus grain - the paper's fixed-point
+    // check run in-oracle: q299's audit over q316's CLEANED corpus.
+    // The residual dup mass is the NEW windows excision stitches
+    // together from previously-distant tokens (Lee et al. 2022 report
+    // the same second-order effect); per source it must be a small
+    // fraction of the pre-removal dup mass (IvfSplitSpec's batch
+    // sibling asserts zero on stitch-free geometry; the corpus number
+    // rides this query).
+    "q317_remove_reaudit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cleaned = Dedup.removeDupSpans(docs, "doc_id", "text", gramN = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("doc_id"),
+          col("text_clean").as("text"))
+      Dedup.exactSubstringDupProfile(cleaned, "doc_id", "text", "source",
+        gramN = 8)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2114,46 +2132,96 @@ object LlmDedupQueries {
          |FROM h LEFT JOIN dl USING (source, bucket)""".stripMargin
     },
 
-    "q316_remove_dup_spans" -> {
+    "q316_remove_dup_spans" ->
+      s"""WITH $removeSpansCtes
+         |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+         |  COALESCE(text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q317_remove_reaudit" -> {
       val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-      s"""WITH wr AS (SELECT doc_id, $WORDS AS w FROM documents),
-         |tok AS (
-         |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS word
-         |  FROM wr, unnest(range(1, len(w) + 1)) AS i(i)),
-         |g AS (
+      s"""WITH $removeSpansCtes,
+         |cleaned AS (
+         |  SELECT d.source, d.doc_id, COALESCE(pd.text_clean, '') AS text
+         |  FROM documents d LEFT JOIN pd USING (doc_id)),
+         |wr2 AS (SELECT source, doc_id, $WORDS AS w FROM cleaned),
+         |tok2 AS (
+         |  SELECT source, doc_id, COUNT(*) AS nt
+         |  FROM (SELECT source, doc_id, unnest(w) FROM wr2) GROUP BY 1, 2),
+         |g2 AS (
          |  SELECT doc_id, i - 1 AS pos, md5($gram) AS gk
-         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
-         |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
-         |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gk)),
-         |m AS (
+         |  FROM wr2, unnest(range(1, len(w) - 6)) AS t(i)),
+         |dup2 AS (SELECT gk FROM g2 GROUP BY 1 HAVING COUNT(*) >= 2),
+         |f2 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup2 USING (gk)),
+         |m2 AS (
          |  SELECT doc_id, pos,
          |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-         |  FROM f),
-         |sid AS (
+         |  FROM f2),
+         |sid2 AS (
          |  SELECT doc_id, pos,
          |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
          |      END) OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
-         |  FROM m),
-         |spans AS (
+         |  FROM m2),
+         |spans2 AS (
          |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 8) AS e0
-         |  FROM sid GROUP BY 1, 2),
-         |cov AS (
-         |  SELECT t.doc_id, t.pos, t.word, s.s0 IS NOT NULL AS covd
-         |  FROM tok t LEFT JOIN spans s ON s.doc_id = t.doc_id
-         |    AND t.pos >= s.s0 AND t.pos < s.e0),
-         |pd AS (
-         |  SELECT doc_id, COUNT(*) AS n_tokens,
-         |    CAST(SUM(CASE WHEN covd THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_removed,
-         |    COALESCE(string_agg(CASE WHEN NOT covd THEN word END, ' '
-         |      ORDER BY pos), '') AS text_clean
-         |  FROM cov GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
-         |  COALESCE(text_clean, '') AS text_clean
-         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+         |  FROM sid2 GROUP BY 1, 2),
+         |pd2 AS (
+         |  SELECT doc_id, CAST(SUM(e0 - s0) AS BIGINT) AS dup_t
+         |  FROM spans2 GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(dup_t, 0) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_dup,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT) AS n_dup_tokens,
+         |  CAST(SUM(COALESCE(dup_t, 0)) AS BIGINT)::DOUBLE
+         |    / CAST(SUM(nt) AS BIGINT)::DOUBLE AS dup_token_frac
+         |FROM tok2 LEFT JOIN pd2 USING (doc_id) GROUP BY 1""".stripMargin
     }
   )
+
+  /** Shared CTE chain for the q316/q317 oracles — the exact mirror of
+    * [[graft.llm.Dedup.removeDupSpans]] through the per-doc `pd` table
+    * (n_tokens, n_removed, text_clean). Spans are q299's maximal merged
+    * windows; coverage joins each token to its (unique — spans are
+    * disjoint) covering span. */
+  private def removeSpansCtes: String = {
+    val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""wr AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS word
+       |  FROM wr, unnest(range(1, len(w) + 1)) AS i(i)),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, md5($gram) AS gk
+       |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+       |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+       |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gk)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM f),
+       |sid AS (
+       |  SELECT doc_id, pos,
+       |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+       |      END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 8) AS e0
+       |  FROM sid GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT t.doc_id, t.pos, t.word, s.s0 IS NOT NULL AS covd
+       |  FROM tok t LEFT JOIN spans s ON s.doc_id = t.doc_id
+       |    AND t.pos >= s.s0 AND t.pos < s.e0),
+       |pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN covd THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN NOT covd THEN word END, ' '
+       |      ORDER BY pos), '') AS text_clean
+       |  FROM cov GROUP BY 1)""".stripMargin
+  }
 }

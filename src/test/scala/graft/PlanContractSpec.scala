@@ -196,4 +196,30 @@ class PlanContractSpec extends AnyFunSuite {
           diffs.mkString("\n"))
     }
   }
+
+  test("no lazy localCheckpoint anywhere in main sources (deadlock ban)") {
+    // A lazy checkpoint materializes inside whichever consumer fires
+    // first — in the graph loops that is a broadcast-exchange thread,
+    // which completes the checkpoint holding the global
+    // RDDCheckpointData lock while wanting the RDD's state lock; the
+    // DAG scheduler takes the same two locks in the OPPOSITE order in
+    // getCacheLocs → partitions → checkpointRDD. jstack caught the
+    // ABBA deadlock live in the r17 four-thread Verify (it wedges the
+    // whole SparkContext, zeroing the round's correctness gate). Eager
+    // checkpoints materialize on the calling thread, where the window
+    // cannot interleave — so the lazy form is structurally BANNED.
+    val root = java.nio.file.Paths.get(sys.props("user.dir"),
+      "src", "main", "scala")
+    val bad = collection.mutable.ArrayBuffer.empty[String]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p))
+        if (txt.contains("localCheckpoint(eager = false)") ||
+            txt.contains("localCheckpoint(false)") ||
+            txt.contains("localCheckpoint(eager=false)"))
+          bad += p.toString
+      }
+    }
+    assert(bad.isEmpty, s"lazy localCheckpoint (deadlock-prone) in: $bad")
+  }
 }
