@@ -38,6 +38,34 @@ object Verify {
         // place, so a reused outDir is a complete verification again.
         Files.deleteIfExists(Paths.get(s"$outDir/PARTIAL_RUN.txt"))
     }
+    // oracle_sql.json is written BEFORE the query dumps (r17): it used
+    // to be written last, so a wedged or externally-killed run left NO
+    // oracle file and the whole round's correctness read zero even
+    // though most dumps were on disk. Written first, a partial run
+    // still adjudicates every completed query (check.py counts the
+    // missing ones as not-run).
+    writeOracleJson(outDir, only)
+    // Deadlock watchdog (r17): the lazy-checkpoint ABBA (see
+    // PlanContractSpec's ban) WEDGED a concurrent Verify this round —
+    // main parked forever and the external kill would have zeroed the
+    // correctness gate. The hazard class is fixed at the source, but if
+    // any JVM-level deadlock ever recurs, print the cycle and exit
+    // nonzero immediately: a loud partial dump beats an eternal hang.
+    val watchdog = new Thread(() => {
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      while (true) {
+        Thread.sleep(60000)
+        val dead = mx.findDeadlockedThreads()
+        if (dead != null && dead.nonEmpty) {
+          System.err.println("[verify] FATAL: JVM deadlock detected:")
+          mx.getThreadInfo(dead, true, true)
+            .foreach(ti => System.err.println(ti.toString))
+          Runtime.getRuntime.halt(2)
+        }
+      }
+    }, "verify-deadlock-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
     // Dump queries CONCURRENTLY (4 submitter threads): every query is an
     // independent read-only plan over the sf tables (the one shared memo,
     // EditQueries.appliedShared, is a ConcurrentHashMap with atomic
@@ -62,9 +90,15 @@ object Verify {
         })
       }.foreach(_.get())
     } finally pool.shutdown()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  /** oracle_sql.json for the driver's DuckDB compare. JSON string
+    * escape: backslash, quote, and ALL control chars (<0x20) — a tab or
+    * CR in builder-authored SQL would otherwise make the driver's
+    * json.load fail and silently zero the round's correctness. */
+  private def writeOracleJson(outDir: String,
+      only: Option[Set[String]]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -78,6 +112,5 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
