@@ -146,7 +146,11 @@ object Bench {
         // ratio 0.46) — meaningless in BOTH directions as a suite-state
         // check. Same between-repeat cleanup as the measured loop so the
         // first measured repeat starts from the same persist state.
-        val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP_REPEATS", "0").toInt
+        // Tolerant parse: a malformed value must not kill the child JVM
+        // before any measurement (it runs outside the per-repeat catch).
+        val warmups = sys.env.get("SPARK_GRAFT_WARMUP_REPEATS")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .getOrElse(0)
         (1 to warmups).foreach { _ =>
           val beforeWarm = spark.sparkContext.getPersistentRDDs.keySet
           try { fn(spark, sfDir).count() } catch { case _: Throwable => }
@@ -219,7 +223,7 @@ object Bench {
     // fails the ratio is JSON null with inflation_known:false — unknown,
     // never a value a `<= 1.3` ratchet could misread as green.
     def shortName(k: String): String = k.takeWhile(_ != '_')
-    val (inflation, freshQueries) = if (results.size >= 10 &&
+    val (inflation, freshQueries, recheckQueries) = if (results.size >= 10 &&
         !sys.env.get("SPARK_GRAFT_FRESH_CHECK").contains("0")) {
       // q290 rides along regardless of suite rank (round-15 verdict #6):
       // the r14 "HITS isolated <= 2.5 s" criterion needs a driver-artifact
@@ -286,15 +290,55 @@ object Bench {
       }
       // No numeric sentinel for "unknown" (a -1 reads as green to any
       // `<= 1.3` ratchet): unknown is JSON null + inflation_known:false.
-      if (pairs.isEmpty) (None, Map.empty[String, Double])
+      if (pairs.isEmpty) (None, Map.empty[String, Double],
+        Map.empty[String, Double])
       else {
         val worst = pairs.map(_._3).max
         if (worst > 1.3) System.err.println(
           f"[bench] WARN inflation_ratio=$worst%.2f > 1.3 — in-suite " +
             "per-query numbers are not trustworthy as ratchets this run")
-        (Some(worst), pairs.map(p => p._1 -> p._2).toMap)
+        // End-of-suite RECHECK pass (r17 verdict #1): the artifact must
+        // be able to prove its own innocence. A band miss has two causes
+        // the sweep alone cannot distinguish: transient box contention
+        // during that query's suite slot (r17: driver read q203=15.87 s,
+        // three independent reruns read 1.3-1.8 s) or genuine suite
+        // state. Re-timing the missed query in-suite AFTER the sweep
+        // separates them: the suite state is still fully loaded (317
+        // queries' code-cache/metaspace/broadcast history), so a recheck
+        // that lands back inside the band indicts the original slot's
+        // contention, while a recheck that stays high names real suite
+        // state. Same measurement protocol as the sweep (repeat loop,
+        // between-repeat cleanup, lower median, GC between queries).
+        val recheck = pairs.filter(_._3 > 1.3).map { case (name, fresh, r0) =>
+          val fn = SparkEntry.queries(name)
+          val times = (1 to repeat).map { rep =>
+            val before = spark.sparkContext.getPersistentRDDs.keySet
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] recheck $name FAILED: ${e.getMessage}")
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.collect {
+              case (id, rdd) if !before.contains(id) => rdd.unpersist(true)
+            }
+            System.gc()
+            dt
+          }
+          val med = times.sorted.apply((times.length - 1) / 2)
+          val rr = med / fresh
+          System.err.println(
+            f"[bench] recheck $name%-22s fresh=$fresh%.2f sweep-ratio=$r0%.2f " +
+              f"recheck=$med%.2f recheck-ratio=$rr%.2f — " +
+              (if (rr <= 1.3) "transient contention (sweep slot was busy; " +
+                "query innocent)"
+               else "GENUINE suite state (recheck reproduces the miss)"))
+          name -> med
+        }.toMap
+        (Some(worst), pairs.map(p => p._1 -> p._2).toMap, recheck)
       }
-    } else (Some(1.0), Map.empty[String, Double])
+    } else (Some(1.0), Map.empty[String, Double], Map.empty[String, Double])
     // The driver keeps only the LAST ~2 kB of this process's stdout, and
     // the JSON line must fit inside that tail WHOLE: round 12's 186-query
     // line grew to ~2.6 kB and was clipped at the FRONT, leaving
@@ -324,8 +368,14 @@ object Bench {
     val inflKnown = inflation.isDefined
     val freshQs = freshQueries.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + shortName(k) + "\":" + fmt2(v) }.mkString("{", ",", "}")
+    // Per-query band misses + end-of-suite recheck medians (r17 verdict
+    // #1): recheck/fresh <= 1.3 in the artifact itself means the sweep
+    // slot hit transient contention and the query is innocent; a recheck
+    // that stays high names genuine suite state. Empty when no miss.
+    val recheckQs = recheckQueries.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + shortName(k) + "\":" + fmt2(v) }.mkString("{", ",", "}")
     val credJson =
-      s""""inflation_ratio":$inflJson,"inflation_known":$inflKnown,"fresh_queries":$freshQs"""
+      s""""inflation_ratio":$inflJson,"inflation_known":$inflKnown,"fresh_queries":$freshQs,"recheck_queries":$recheckQs"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"repeat":$repeat,"n_queries":${results.size},$credJson,"sf":"$sfDir","queries":$fullQs,"cold_queries":$fullCold}"""
     System.err.println("[bench] full detail: " + detail)

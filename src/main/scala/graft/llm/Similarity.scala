@@ -1273,9 +1273,20 @@ object Similarity {
       newBatch: DataFrame, idCol: String, embCol: String, k: Int,
       nProbe: Int = 2, nList: Int = 0,
       thrNum: Int = 2, thrDen: Int = 1): DataFrame = {
-    val Q = EmbeddingOps.Q
     val st = ivfSplitState(oldBatch, newBatch, idCol, embCol, nList,
       thrNum, thrDen)
+    ivfSplitTopKFrom(queries, oldBatch.unionByName(newBatch), st,
+      idCol, embCol, k, nProbe)
+  }
+
+  /** The search tail of [[ivfSplitTopK]], runnable against ANY
+    * [[IvfSplitState]] — a live build or one re-read from parquet via
+    * [[ivfSplitReadIndex]]. `corpus` supplies the raw embeddings for
+    * the final rerank (the index stores only fixed-point state). */
+  private[graft] def ivfSplitTopKFrom(queries: DataFrame,
+      corpus: DataFrame, st: IvfSplitState, idCol: String,
+      embCol: String, k: Int, nProbe: Int): DataFrame = {
+    val Q = EmbeddingOps.Q
     val survivors = st.cents
       .join(st.flagged.select(col("cell").as("cent_id")),
         Seq("cent_id"), "left_anti")
@@ -1304,7 +1315,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vid"))
       .select(col("query_id"), col("vid").as("cand_id")).distinct()
     // final rerank on RAW embeddings — identical to ivfTopK's tail
-    val c = oldBatch.unionByName(newBatch)
+    val c = corpus
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
       .withColumn("c_n2", VectorOps.normSq(col("c_emb")))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
@@ -1319,6 +1330,36 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "cos", "rnk")
   }
+
+  /** Persist / re-open the post-split index as parquet — the q140
+    * serving discipline applied to [[ivfSplitState]]'s output: the
+    * weekly maintenance job writes these artifacts ONCE and every
+    * query/arrival consumer reloads them instead of re-deriving the
+    * split pipeline. All five tables are integer/decimal/double exact
+    * (longs, decimal(38,0) Lloyd sums, double centroid coordinates),
+    * so parquet round-trips them bit-faithfully and a search from the
+    * re-read state is value-identical to one from the live build. */
+  def ivfSplitWriteIndex(st: IvfSplitState, dir: String): Unit = {
+    Seq("assign" -> st.assign, "cells" -> st.cells,
+      "flagged" -> st.flagged, "children" -> st.children,
+      "cents" -> st.cents)
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name") }
+    val spark = st.assign.sparkSession
+    import spark.implicits._
+    Seq(st.lists).toDF("lists")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def ivfSplitReadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfSplitState =
+    IvfSplitState(
+      spark.read.parquet(s"$dir/assign"),
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/flagged"),
+      spark.read.parquet(s"$dir/children"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
 
   /** SQ8 (per-dimension uint8 scalar quantization) top-k: brute-force
     * cosine over DEQUANTIZED vectors, with min/max ranges learned from

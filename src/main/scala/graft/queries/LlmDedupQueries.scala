@@ -758,6 +758,18 @@ object LlmDedupQueries {
       Dedup.dupSpanHistogram(Tables.documents(s, dir), "doc_id",
         "text", "source", gramN = 8)),
 
+    // INCREMENTAL span census (the q300 persist->re-merge discipline
+    // composed with the q315 span walk - the weekly-crawl form): each
+    // doc shard persists its gram census `gk -> count` to parquet,
+    // the pipeline reloads and re-merges by ONE sum per key, and the
+    // span walk runs off the merged duplicated-key set. Count merging
+    // is integer-exact, so the result must be bit-identical to the
+    // from-scratch q315 build - certified by sharing q315's oracle.
+    "q320_span_census_incr" -> ((s, dir) =>
+      Dedup.dupSpanHistogramIncremental(Tables.documents(s, dir),
+        "doc_id", "text", "source",
+        path = s"${IoQueries.sinkDir}/q320_span_census", gramN = 8)),
+
     // ExactSubstr DELETION (Lee et al. 2022, the step the paper ships):
     // every token inside a maximal cross-doc duplicated span is excised
     // and the doc re-emitted from surviving tokens - the ACT side of
@@ -766,6 +778,18 @@ object LlmDedupQueries {
     "q316_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
         gramN = 8)),
+
+    // Threshold-matched deletion (Lee et al. 2022 ship a 50-token
+    // minimum span; q316's every->=8-token excision is MORE aggressive
+    // than the published recipe and would delete idiom/boilerplate-
+    // adjacent legitimate text at corpus scale). minSpanLen = 16 - the
+    // grain q315's histogram separates (bucket 5+, lengths >= 16) at
+    // the sf0.01 doc sizes - keeps short duplicated idioms and excises
+    // only long verbatim runs; the filter rides the span length the
+    // pipeline already computed, before the coverage join.
+    "q318_remove_spans_min16" -> ((s, dir) =>
+      Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
+        gramN = 8, minSpanLen = 16)),
 
     // Deletion EFFICACY at the corpus grain - the paper's fixed-point
     // check run in-oracle: q299's audit over q316's CLEANED corpus.
@@ -2089,51 +2113,22 @@ object LlmDedupQueries {
     },
 
 
-    "q315_dup_span_hist" -> {
-      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-      s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
-         |g AS (
-         |  SELECT source, doc_id, i - 1 AS pos, md5($gram) AS gk
-         |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
-         |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
-         |f AS (SELECT g.source, g.doc_id, g.pos FROM g JOIN dup USING (gk)),
-         |m AS (
-         |  SELECT source, doc_id, pos,
-         |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-         |  FROM f),
-         |sid AS (
-         |  SELECT source, doc_id, pos,
-         |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
-         |      END) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
-         |  FROM m),
-         |spans AS (
-         |  SELECT MAX(source) AS source, doc_id,
-         |    CAST(MAX(pos + 8) - MIN(pos) AS BIGINT) AS len
-         |  FROM sid GROUP BY doc_id, sp),
-         |sl AS (
-         |  SELECT source, doc_id, len,
-         |    CAST(length(bin(len)) AS BIGINT) AS bucket
-         |  FROM spans),
-         |h AS (
-         |  SELECT source, bucket, COUNT(*) AS n_spans,
-         |    CAST(SUM(len) AS BIGINT) AS span_tokens,
-         |    MAX(len) AS max_span_len
-         |  FROM sl GROUP BY 1, 2),
-         |dl AS (
-         |  SELECT source, bucket, COUNT(*) AS n_docs_longest FROM (
-         |    SELECT source, doc_id,
-         |      CAST(length(bin(MAX(len))) AS BIGINT) AS bucket
-         |    FROM sl GROUP BY 1, 2)
-         |  GROUP BY 1, 2)
-         |SELECT h.source, h.bucket, n_spans, span_tokens, max_span_len,
-         |  COALESCE(n_docs_longest, CAST(0 AS BIGINT)) AS n_docs_longest
-         |FROM h LEFT JOIN dl USING (source, bucket)""".stripMargin
-    },
+    "q315_dup_span_hist" -> dupSpanHistSql,
+
+    // The incremental build re-merges persisted per-shard censuses into
+    // the SAME duplicated-key set, so it shares q315's oracle verbatim
+    // — the hash match IS the parity proof with the from-scratch build.
+    "q320_span_census_incr" -> dupSpanHistSql,
 
     "q316_remove_dup_spans" ->
-      s"""WITH $removeSpansCtes
+      s"""WITH ${removeSpansCtes()}
+         |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+         |  COALESCE(text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q318_remove_spans_min16" ->
+      s"""WITH ${removeSpansCtes(minLen = 16)}
          |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
          |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
          |  COALESCE(text_clean, '') AS text_clean
@@ -2141,7 +2136,7 @@ object LlmDedupQueries {
 
     "q317_remove_reaudit" -> {
       val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-      s"""WITH $removeSpansCtes,
+      s"""WITH ${removeSpansCtes()},
          |cleaned AS (
          |  SELECT d.source, d.doc_id, COALESCE(pd.text_clean, '') AS text
          |  FROM documents d LEFT JOIN pd USING (doc_id)),
@@ -2182,13 +2177,62 @@ object LlmDedupQueries {
     }
   )
 
-  /** Shared CTE chain for the q316/q317 oracles — the exact mirror of
-    * [[graft.llm.Dedup.removeDupSpans]] through the per-doc `pd` table
-    * (n_tokens, n_removed, text_clean). Spans are q299's maximal merged
-    * windows; coverage joins each token to its (unique — spans are
-    * disjoint) covering span. */
-  private def removeSpansCtes: String = {
+  /** q315's span-histogram oracle — also the q320 oracle (the
+    * incremental sum-re-merged census must reproduce it exactly). */
+  private def dupSpanHistSql: String = {
     val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH wr AS (SELECT source, doc_id, $WORDS AS w FROM documents),
+       |g AS (
+       |  SELECT source, doc_id, i - 1 AS pos, md5($gram) AS gk
+       |  FROM wr, unnest(range(1, len(w) - 6)) AS t(i)),
+       |dup AS (SELECT gk FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+       |f AS (SELECT g.source, g.doc_id, g.pos FROM g JOIN dup USING (gk)),
+       |m AS (
+       |  SELECT source, doc_id, pos,
+       |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM f),
+       |sid AS (
+       |  SELECT source, doc_id, pos,
+       |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+       |      END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+       |  FROM m),
+       |spans AS (
+       |  SELECT MAX(source) AS source, doc_id,
+       |    CAST(MAX(pos + 8) - MIN(pos) AS BIGINT) AS len
+       |  FROM sid GROUP BY doc_id, sp),
+       |sl AS (
+       |  SELECT source, doc_id, len,
+       |    CAST(length(bin(len)) AS BIGINT) AS bucket
+       |  FROM spans),
+       |h AS (
+       |  SELECT source, bucket, COUNT(*) AS n_spans,
+       |    CAST(SUM(len) AS BIGINT) AS span_tokens,
+       |    MAX(len) AS max_span_len
+       |  FROM sl GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT source, bucket, COUNT(*) AS n_docs_longest FROM (
+       |    SELECT source, doc_id,
+       |      CAST(length(bin(MAX(len))) AS BIGINT) AS bucket
+       |    FROM sl GROUP BY 1, 2)
+       |  GROUP BY 1, 2)
+       |SELECT h.source, h.bucket, n_spans, span_tokens, max_span_len,
+       |  COALESCE(n_docs_longest, CAST(0 AS BIGINT)) AS n_docs_longest
+       |FROM h LEFT JOIN dl USING (source, bucket)""".stripMargin
+  }
+
+  /** Shared CTE chain for the q316/q317/q318 oracles — the exact mirror
+    * of [[graft.llm.Dedup.removeDupSpans]] through the per-doc `pd`
+    * table (n_tokens, n_removed, text_clean). Spans are q299's maximal
+    * merged windows; coverage joins each token to its (unique — spans
+    * are disjoint) covering span. `minLen` mirrors the operator's
+    * minSpanLen: only merged spans of ≥ minLen tokens survive into the
+    * coverage join (the q318 threshold-matched variant). */
+  private def removeSpansCtes(minLen: Int = 0): String = {
+    val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    val minClause =
+      if (minLen > 8) s"\nHAVING MAX(pos + 8) - MIN(pos) >= $minLen" else ""
     s"""wr AS (SELECT doc_id, $WORDS AS w FROM documents),
        |tok AS (
        |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS word
@@ -2211,7 +2255,7 @@ object LlmDedupQueries {
        |  FROM m),
        |spans AS (
        |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 8) AS e0
-       |  FROM sid GROUP BY 1, 2),
+       |  FROM sid GROUP BY 1, 2$minClause),
        |cov AS (
        |  SELECT t.doc_id, t.pos, t.word, s.s0 IS NOT NULL AS covd
        |  FROM tok t LEFT JOIN spans s ON s.doc_id = t.doc_id

@@ -588,6 +588,30 @@ object LlmSimilarityQueries {
           emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
           "vec_id", "embedding", k = 5, nProbe = 5,
           thrNum = 6, thrDen = 5))
+    }),
+
+
+    // Persisted POST-SPLIT index (the q140 serving discipline applied
+    // to q313's output, r17 verdict #5): build the split state ONCE,
+    // write its five parquet artifacts (assign / cells / flagged /
+    // children / cents + meta), re-READ them, and run the q314 recall
+    // harness from the persisted copy. Same parameters and oracle as
+    // q314, so a green row certifies the on-disk index reproduces the
+    // live build's search bit-exactly - the build-once/serve-many loop
+    // a weekly 100 TB maintenance job actually runs.
+    "q319_ivf_split_persist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val st = Similarity.ivfSplitState(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+        "vec_id", "embedding", thrNum = 6, thrDen = 5)
+      val path = s"${IoQueries.sinkDir}/q319_ivf_split_index"
+      Similarity.ivfSplitWriteIndex(st, path)
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallVsExact(q, emb, "vec_id", "embedding", k = 5,
+        Similarity.ivfSplitTopKFrom(q, emb,
+          Similarity.ivfSplitReadIndex(s, path),
+          "vec_id", "embedding", k = 5, nProbe = 5))
     })
   )
 
@@ -1899,7 +1923,17 @@ object LlmSimilarityQueries {
          |FROM rows_, lst, tot, nf""".stripMargin,
 
 
-    "q314_ivf_split_recall" ->
+    "q314_ivf_split_recall" -> ivfSplitRecallSql,
+
+    // Persisted-index round trip: value-identical to the live q314
+    // build, so it shares q314's oracle verbatim — a hash match
+    // certifies the on-disk artifacts reproduce the live search.
+    "q319_ivf_split_persist" -> ivfSplitRecallSql
+  )
+
+  /** q314's recall-vs-exact oracle over the split index — also the
+    * q319 oracle (the persisted index must reproduce it exactly). */
+  private def ivfSplitRecallSql: String =
       s"""WITH ${ivfSplitCtes(6, 5)},
          |surv AS (
          |  SELECT cents.cent_id AS cell, CAST(0 AS BIGINT) AS sub, c_emb
@@ -1966,5 +2000,4 @@ object LlmSimilarityQueries {
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
          |GROUP BY 1""".stripMargin
-  )
 }

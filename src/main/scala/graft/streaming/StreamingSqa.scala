@@ -833,6 +833,25 @@ object StreamingSqa {
     graft.llm.Similarity.splitAssignArrivals(emb, cents, children, embCol)
       .groupBy("cell", "sub").agg(count(lit(1)).as("n_new"))
 
+  /** Watermarked, windowed form of [[streamingSplitArrivals]] — the
+    * serving monitor's production shape: per event-time window, the
+    * (cell, sub) arrival counts, with the watermark bounding state and
+    * DEFINING the drop contract (an arrival older than the watermark
+    * when its window has been emitted and evicted is dropped, exactly
+    * the rollingSqaMetrics late-data semantics — pinned by
+    * StreamingSpec). The per-row assignment is unchanged (stream-static
+    * broadcast, no per-key state); only the count aggregation gains
+    * event-time scoping, so state is (windows in flight) × (cells +
+    * splits) rows, bounded by the watermark horizon. */
+  def streamingSplitArrivalsWindowed(emb: DataFrame, cents: DataFrame,
+      children: DataFrame, embCol: String = "embedding",
+      tsCol: String = "ts", windowDur: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    graft.llm.Similarity.splitAssignArrivals(
+        emb.withWatermark(tsCol, watermark), cents, children, embCol)
+      .groupBy(window(col(tsCol), windowDur), col("cell"), col("sub"))
+      .agg(count(lit(1)).as("n_new"))
+
   /** Streaming twin of the q249 Benford first-digit audit: per-type
     * leading-digit counts as a streaming aggregation (counts are the
     * sufficient statistic — shares, deviations, and chi² derive from

@@ -74,6 +74,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(re == 0L, s"re-audit found $re covered tokens after removal")
   }
 
+  test("removeDupSpans minSpanLen excises only spans at or over the " +
+      "threshold (Lee et al.'s minimum span length)") {
+    // docs 1/2 share a 20-token run AND an 8-token run; minSpanLen = 16
+    // must excise only the 20-run, keeping the short duplicated idiom
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")
+    val small = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, big + " a1 a2 " + small, "s"),
+      (2L, small + " b1 b2 " + big, "s"))
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", gramN = 8,
+      minSpanLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((30L, 20L, "a1 a2 " + small)))
+    assert(out(2L) == ((30L, 20L, small + " b1 b2")))
+    // default threshold (= gramN) on the same corpus excises BOTH runs —
+    // the q316 semantics are unchanged by the knob's existence
+    val all = Dedup.removeDupSpans(d, "doc_id", "text", gramN = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all(1L) == 28L && all(2L) == 28L)
+  }
+
   test("dupSpanHistogram buckets maximal span lengths and per-doc " +
       "longest spans by powers of two") {
     // doc 1 and 2 share a 20-token run (one maximal span of 20 each:

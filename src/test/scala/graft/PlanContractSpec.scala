@@ -70,6 +70,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q305_ivf_cell_drift",  // broadcast centroid seeds + 1-row total scalar
     "q313_ivf_cell_split",  // broadcast flagged-cell/seed/total scalars
     "q314_ivf_split_recall", // q313's broadcast scalars + q89's query side
+    "q319_ivf_split_persist", // q314's shape from the persisted index
     "q292_fightin_words",     // broadcast 1-row corpus N/V scalars
     "q289_query_likelihood",  // broadcast 1-row collection-stats scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table
@@ -210,14 +211,17 @@ class PlanContractSpec extends AnyFunSuite {
     // cannot interleave — so the lazy form is structurally BANNED.
     val root = java.nio.file.Paths.get(sys.props("user.dir"),
       "src", "main", "scala")
+    // Whitespace-tolerant (line wraps, `eager =false`) and also bans the
+    // indirect form `localCheckpoint(<identifier>)` — a boolean routed
+    // through a val would evade any literal match, and no call site has
+    // a legitimate reason to parameterize eagerness.
+    val lazyCall =
+      """localCheckpoint\s*\(\s*(eager\s*=\s*)?(false|(?!true\b)[A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
     val bad = collection.mutable.ArrayBuffer.empty[String]
     java.nio.file.Files.walk(root).forEach { p =>
       if (p.toString.endsWith(".scala")) {
         val txt = new String(java.nio.file.Files.readAllBytes(p))
-        if (txt.contains("localCheckpoint(eager = false)") ||
-            txt.contains("localCheckpoint(false)") ||
-            txt.contains("localCheckpoint(eager=false)"))
-          bad += p.toString
+        lazyCall.findFirstIn(txt).foreach(m => bad += s"$p ($m)")
       }
     }
     assert(bad.isEmpty, s"lazy localCheckpoint (deadlock-prone) in: $bad")

@@ -1190,6 +1190,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("windowed split arrivals: late data behind the watermark drops, " +
+      "open window keeps") {
+    // The replay-parity test above pins the ASSIGNMENT; this pins the
+    // DROP contract of the windowed serving monitor (r17 verdict #7):
+    // an arrival older than the watermark whose window was emitted and
+    // evicted must be dropped, a late arrival into a still-open window
+    // kept — the rollingSqaMetrics late-data semantics, on the split
+    // twin. Same empirical Spark 4.1 timing note as that test: the drop
+    // guarantee starts one batch AFTER the close, so a filler batch
+    // sits between the watermark advance and the late row.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("split_late").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val st = graft.llm.Similarity.ivfSplitState(
+      emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+      emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+      "vec_id", "embedding", thrNum = 6, thrDen = 5)
+    val cents = st.cents.localCheckpoint()
+    val children = st.children.localCheckpoint()
+    var n = 0
+    def write(rows: (Long, String)*): Unit = {
+      n += 1
+      rows.map { case (vid, t) =>
+          emb.filter(col("vec_id") === vid)
+            .withColumn("ts", lit(t).cast("timestamp")) }
+        .reduce(_ unionByName _)
+        .coalesce(1).write.parquet(s"$tmp/batches/b$n")
+      Thread.sleep(1100) // distinct mtimes: the file source orders by them
+    }
+    write((1L, "2026-01-01 00:00:10"), (3L, "2026-01-01 00:00:20"))
+    write((5L, "2026-01-01 00:05:00"))  // advances the watermark to 00:04
+    write((7L, "2026-01-01 00:05:30"))  // emits + evicts [00:00, 00:01)
+    write((9L, "2026-01-01 00:00:30"),  // late into EVICTED window: drop
+      (11L, "2026-01-01 00:04:30"))     // late into OPEN window: keep
+    write((13L, "2026-01-01 00:10:00")) // emits [00:04,00:05) + [00:05,00:06)
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val q = StreamingSqa.streamingSplitArrivalsWindowed(
+        stream, cents, children)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("split_late").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("split_late")
+      .groupBy(col("window.start").cast("string").as("w"))
+      .agg(sum("n_new").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(
+      // 2, not 3: vec 9 arrived after emission + eviction and dropped
+      ("2026-01-01 00:00:00", 2L),
+      // vec 11 was late but its window was still open: kept
+      ("2026-01-01 00:04:00", 1L),
+      ("2026-01-01 00:05:00", 2L)),
+      // and [00:10, 00:11) is absent: the watermark never passed it
+      s"split-arrival late-data contract violated: $got")
+  }
+
   test("streaming IVF cell counts reproduce the batch argmax assignment " +
       "exactly across micro-batches") {
     import org.apache.spark.sql.functions._

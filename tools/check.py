@@ -183,7 +183,10 @@ def main():
             sys.exit(1)
         print(f"== CENSUS: 0 new failures, "
               f"{len(allowed) - len(stale)} expected, {len(stale)} stale")
-        sys.exit(0)
+        # A partial dump must be DECLARED partial even in census mode:
+        # a wedged/killed Verify leaves a parseable prefix that would
+        # otherwise pass the census gate silently (r17 advice).
+        sys.exit(1 if (not_run and not allow_partial) else 0)
     # not-run queries are fatal too unless a partial dump was declared —
     # a full verification with missing outputs is not a verification
     sys.exit(1 if (n_fail or (n_skipped and not allow_partial)) else 0)
