@@ -1332,6 +1332,44 @@ object Dedup {
     val grams = gramKeys(toks, idCol, gramN)
     val dupKeys = grams.groupBy("gk").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("gk")
+    removeSpansFrom(docs, toks, grams, dupKeys, idCol, gramN, minSpanLen)
+  }
+
+  /** INCREMENTAL deletion — [[removeDupSpans]] with its global gram
+    * census replaced by the q300/q320 persist → sum-re-merge form: each
+    * doc shard persists `gk → count` to parquet once, the deletion run
+    * reloads and merges the shards by ONE sum per key, and the span
+    * walk + excision run off the merged duplicated-key set. Count
+    * merging is integer-exact, so the output is bit-identical to the
+    * from-scratch deletion (certified by sharing q316's oracle) — this
+    * is the weekly-crawl deletion job: a new generation adds its own
+    * shard census and the sum, never a re-aggregation of prior
+    * generations' grams. */
+  def removeDupSpansIncremental(docs: DataFrame, idCol: String,
+      textCol: String, path: String, gramN: Int = 8,
+      numShards: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .localCheckpoint() // token totals + gram build + rebuild share it
+    val grams = gramKeys(toks, idCol, gramN)
+    grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+      .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(path)
+    val dupKeys = spark.read.parquet(path)
+      .groupBy("gk").agg(sum(col("c")).as("cm"))
+      .filter(col("cm") >= 2).select("gk")
+    removeSpansFrom(docs, toks, grams, dupKeys, idCol, gramN, 0)
+  }
+
+  /** The span-merge + coverage + rebuild tail of [[removeDupSpans]],
+    * runnable against ANY duplicated-key set (from-scratch census or a
+    * persisted-and-re-merged one). */
+  private def removeSpansFrom(docs: DataFrame, toks: DataFrame,
+      grams: DataFrame, dupKeys: DataFrame, idCol: String, gramN: Int,
+      minSpanLen: Int): DataFrame = {
     val sw = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val spans = grams.join(dupKeys, Seq("gk"), "left_semi")
       .withColumn("__pmax", max(col("__pos") + gramN).over(

@@ -791,6 +791,16 @@ object LlmDedupQueries {
       Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text",
         gramN = 8, minSpanLen = 16)),
 
+    // INCREMENTAL deletion (the q320 census discipline driving q316's
+    // excision - the weekly-crawl deletion job): per-shard persisted
+    // gram censuses, re-merged by one sum per key, feed the span walk
+    // and excision. Integer-exact merge => bit parity with the
+    // from-scratch deletion, certified by sharing q316's oracle.
+    "q321_remove_spans_incr" -> ((s, dir) =>
+      Dedup.removeDupSpansIncremental(Tables.documents(s, dir),
+        "doc_id", "text",
+        path = s"${IoQueries.sinkDir}/q321_span_census", gramN = 8)),
+
     // Deletion EFFICACY at the corpus grain - the paper's fixed-point
     // check run in-oracle: q299's audit over q316's CLEANED corpus.
     // The residual dup mass is the NEW windows excision stitches
@@ -2120,12 +2130,12 @@ object LlmDedupQueries {
     // — the hash match IS the parity proof with the from-scratch build.
     "q320_span_census_incr" -> dupSpanHistSql,
 
-    "q316_remove_dup_spans" ->
-      s"""WITH ${removeSpansCtes()}
-         |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
-         |  COALESCE(text_clean, '') AS text_clean
-         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q316_remove_dup_spans" -> removeSpansSql,
+
+    // Incremental build: the sum-re-merged census yields the SAME dup
+    // keys, so it shares q316's oracle verbatim — the hash match IS the
+    // parity proof with the from-scratch deletion.
+    "q321_remove_spans_incr" -> removeSpansSql,
 
     "q318_remove_spans_min16" ->
       s"""WITH ${removeSpansCtes(minLen = 16)}
@@ -2176,6 +2186,15 @@ object LlmDedupQueries {
          |FROM tok2 LEFT JOIN pd2 USING (doc_id) GROUP BY 1""".stripMargin
     }
   )
+
+  /** q316's deletion oracle — also the q321 oracle (the incremental
+    * sum-re-merged census must reproduce the deletion exactly). */
+  private def removeSpansSql: String =
+    s"""WITH ${removeSpansCtes()}
+       |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       |  COALESCE(text_clean, '') AS text_clean
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
   /** q315's span-histogram oracle — also the q320 oracle (the
     * incremental sum-re-merged census must reproduce it exactly). */
