@@ -108,4 +108,26 @@ class IvfSplitSpec extends AnyFunSuite {
     assert(split >= unsplit,
       s"split recall $split regressed below unsplit $unsplit")
   }
+
+  test("persisted split index reproduces the live build's search " +
+      "row-for-row (q319's write -> read -> search round trip)") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 20)
+    val old = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    val nw = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    val st = Similarity.ivfSplitState(old, nw, "vec_id", "embedding",
+      thrNum = 6, thrDen = 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_split_persist").toString
+    Similarity.ivfSplitWriteIndex(st, dir)
+    val re = Similarity.ivfSplitReadIndex(spark, dir)
+    assert(re.lists == st.lists)
+    val live = Similarity.ivfSplitTopKFrom(q, emb, st,
+      "vec_id", "embedding", k = 5, nProbe = 5)
+    val persisted = Similarity.ivfSplitTopKFrom(q, emb, re,
+      "vec_id", "embedding", k = 5, nProbe = 5)
+    assert(persisted.count() == live.count() && live.count() > 0)
+    assert(persisted.exceptAll(live).count() == 0)
+    assert(live.exceptAll(persisted).count() == 0)
+  }
 }
