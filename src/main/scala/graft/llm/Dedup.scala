@@ -1355,6 +1355,7 @@ object Dedup {
         posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
       .localCheckpoint() // token totals + gram build + rebuild share it
     val grams = gramKeys(toks, idCol, gramN)
+      .localCheckpoint() // shard censuses + the span walk share the pass
     grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
       .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(path)
