@@ -1274,6 +1274,49 @@ object Dedup {
     * generations' text. The span walk still touches every doc it
     * reports on (spans are positional), but its dup-key input no
     * longer costs a corpus-wide aggregation. */
+  /** ONE generation's gram census (`gk → count`), written as its own
+    * parquet directory — the unit a weekly crawl APPENDS: each new
+    * generation writes exactly one shard under a shared census root
+    * and never re-reads prior generations' text. The reader side
+    * ([[dupSpanHistogramFromCensus]]) globs the root and sum-merges,
+    * so census shards written by SEPARATE runs compose exactly
+    * (integer counts, one hash aggregate) — the cross-run form of
+    * what [[dupSpanHistogramIncremental]] demonstrates within one
+    * job. Verified by AnalyticsSpec: two independently-written
+    * generation shards reproduce the from-scratch histogram
+    * bit-for-bit. */
+  def writeSpanCensusShard(docs: DataFrame, idCol: String,
+      textCol: String, path: String, gramN: Int = 8): Unit = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+    gramKeys(toks, idCol, gramN)
+      .groupBy("gk").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[dupSpanHistogram]] with its census replaced by the sum-merge of
+    * ALL persisted shards matching `censusGlob` (a glob over the
+    * per-generation [[writeSpanCensusShard]] outputs). The span walk
+    * still scans `docs` (spans are positional); only the corpus-wide
+    * census aggregation is replaced by the shard merge. */
+  def dupSpanHistogramFromCensus(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, censusGlob: String,
+      gramN: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(sourceCol).as("source"), col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+    val grams = gramKeys(toks, idCol, gramN, carry = Seq("source"))
+    val dupKeys = spark.read.parquet(censusGlob)
+      .groupBy("gk").agg(sum(col("c")).as("cm"))
+      .filter(col("cm") >= 2).select("gk")
+    spanHistogramFrom(grams, dupKeys, idCol, gramN)
+  }
+
   def dupSpanHistogramIncremental(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, path: String, gramN: Int = 8,
       numShards: Int = 4): DataFrame = {

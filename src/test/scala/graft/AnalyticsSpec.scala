@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.core.Tables
 import graft.llm.{Dedup, Pipeline, Similarity}
 
 /** Round-13 operators: exact-substring duplicate spans, deterministic
@@ -120,6 +121,28 @@ class AnalyticsSpec extends AnyFunSuite {
     // sb, bucket 4: doc 3's single 8-token span IS its longest
     assert(out(("sb", 4L)) == ((1L, 8L, 8L, 1L)))
     assert(out.keySet == Set(("sa", 5L), ("sa", 4L), ("sb", 4L)))
+  }
+
+  test("census shards written by separate runs compose: glob + sum-merge " +
+      "reproduces the from-scratch span histogram exactly") {
+    // the cross-RUN form of the q320 discipline: generation A and
+    // generation B each write their own census shard in INDEPENDENT
+    // calls; the reader globs the root, merges by one sum per key, and
+    // must reproduce the from-scratch histogram bit-for-bit
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = java.nio.file.Files
+      .createTempDirectory("census_gens").toString
+    Dedup.writeSpanCensusShard(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", s"$root/genA")
+    Dedup.writeSpanCensusShard(
+      d.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$root/genB")
+    val merged = Dedup.dupSpanHistogramFromCensus(d, "doc_id", "text",
+      "source", s"$root/*")
+    val direct = Dedup.dupSpanHistogram(d, "doc_id", "text", "source")
+    assert(merged.count() == direct.count() && direct.count() > 0)
+    assert(merged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(merged).count() == 0)
   }
 
   test("splitAssign is a stable total partition with ~80/10/10 mass") {
