@@ -147,10 +147,18 @@ object Bench {
         // check. Same between-repeat cleanup as the measured loop so the
         // first measured repeat starts from the same persist state.
         // Tolerant parse: a malformed value must not kill the child JVM
-        // before any measurement (it runs outside the per-repeat catch).
-        val warmups = sys.env.get("SPARK_GRAFT_WARMUP_REPEATS")
-          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-          .getOrElse(0)
+        // before any measurement (it runs outside the per-repeat catch)
+        // — but it must degrade LOUDLY: 0 warmups silently turns the
+        // fresh-JVM medians into JIT readings (the r17 distortion).
+        val warmups = sys.env.get("SPARK_GRAFT_WARMUP_REPEATS") match {
+          case None => 0
+          case Some(v) => scala.util.Try(v.trim.toInt).getOrElse {
+            System.err.println(
+              s"[bench] WARN ignoring malformed SPARK_GRAFT_WARMUP_REPEATS='$v'" +
+                " — running 0 warm-ups; fresh medians may read JIT time")
+            0
+          }
+        }
         (1 to warmups).foreach { _ =>
           val beforeWarm = spark.sparkContext.getPersistentRDDs.keySet
           try { fn(spark, sfDir).count() } catch { case _: Throwable => }
@@ -315,13 +323,24 @@ object Bench {
         // contention, while a recheck that stays high names real suite
         // state. Same measurement protocol as the sweep (repeat loop,
         // between-repeat cleanup, lower median, GC between queries).
-        val recheck = pairs.filter(_._3 > band).map { case (name, fresh, r0) =>
+        // HIGH-side misses only: inflation is what a ratchet can
+        // misread, and an in-suite recheck can only adjudicate the
+        // SUITE reading — a low-side miss (fresh slower than suite)
+        // suspects the fresh child's slot instead, which re-timing
+        // in-suite cannot test.
+        val recheck = pairs.filter(_._3 > band).flatMap { case (name, fresh, r0) =>
           val fn = SparkEntry.queries(name)
+          // A failed repeat must never count as near-zero elapsed —
+          // the same exclusion rule the fresh-JVM child carries: a
+          // ~0 s "median" would divide to ratio ~0 and ship a bogus
+          // exonerating entry for a query that CRASHED.
+          var failed = false
           val times = (1 to repeat).map { rep =>
             val before = spark.sparkContext.getPersistentRDDs.keySet
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch {
               case e: Throwable =>
+                failed = true
                 System.err.println(s"[bench] recheck $name FAILED: ${e.getMessage}")
             }
             val dt = (System.nanoTime() - t0) / 1e9
@@ -332,15 +351,21 @@ object Bench {
             System.gc()
             dt
           }
-          val med = times.sorted.apply((times.length - 1) / 2)
-          val rr = med / fresh
-          System.err.println(
-            f"[bench] recheck $name%-22s fresh=$fresh%.2f sweep-ratio=$r0%.2f " +
-              f"recheck=$med%.2f recheck-ratio=$rr%.2f — " +
-              (if (rr <= band) "transient contention (sweep slot was busy; " +
-                "query innocent)"
-               else "GENUINE suite state (recheck reproduces the miss)"))
-          name -> med
+          if (failed) {
+            System.err.println(s"[bench] recheck $name errored — EXCLUDED " +
+              "from recheck_queries (verdict on this miss: unknown)")
+            None
+          } else {
+            val med = times.sorted.apply((times.length - 1) / 2)
+            val rr = med / fresh
+            System.err.println(
+              f"[bench] recheck $name%-22s fresh=$fresh%.2f sweep-ratio=$r0%.2f " +
+                f"recheck=$med%.2f recheck-ratio=$rr%.2f — " +
+                (if (rr <= band) "transient contention (sweep slot was busy; " +
+                  "query innocent)"
+                 else "GENUINE suite state (recheck reproduces the miss)"))
+            Some(name -> med)
+          }
         }.toMap
         (Some(worst), pairs.map(p => p._1 -> p._2).toMap, recheck)
       }

@@ -1256,24 +1256,6 @@ object Dedup {
         "max_span_len", "n_docs_longest")
   }
 
-  /** INCREMENTAL span census — the form a weekly 100 TB crawl actually
-    * runs (r17 verdict, stretch): the gram census `gk → count` is a
-    * mergeable count table (the q300 discipline), so instead of
-    * re-aggregating the global census per run, each document shard
-    * persists its own census to parquet ONCE and the deletion/histogram
-    * pipeline re-merges the shards by a single `sum` per key. The
-    * duplicated-key set from the merged census is IDENTICAL to the
-    * from-scratch one (count merging is integer-exact), so the span
-    * walk over it reproduces [[dupSpanHistogram]] bit-for-bit — which
-    * is exactly what the shared q315 oracle certifies.
-    *
-    * Scale shape: the persisted table is vocab-bounded (distinct grams
-    * × shards); the re-merge is ONE hash aggregate over the reloaded
-    * parquet — the only census work a new crawl generation adds is its
-    * own shard's census plus the sum, never a re-scan of prior
-    * generations' text. The span walk still touches every doc it
-    * reports on (spans are positional), but its dup-key input no
-    * longer costs a corpus-wide aggregation. */
   /** ONE generation's gram census (`gk → count`), written as its own
     * parquet directory — the unit a weekly crawl APPENDS: each new
     * generation writes exactly one shard under a shared census root
@@ -1311,12 +1293,28 @@ object Dedup {
       .select(col(sourceCol).as("source"), col(idCol),
         posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
     val grams = gramKeys(toks, idCol, gramN, carry = Seq("source"))
-    val dupKeys = spark.read.parquet(censusGlob)
-      .groupBy("gk").agg(sum(col("c")).as("cm"))
-      .filter(col("cm") >= 2).select("gk")
-    spanHistogramFrom(grams, dupKeys, idCol, gramN)
+    spanHistogramFrom(grams, mergedDupKeys(docs.sparkSession, censusGlob),
+      idCol, gramN)
   }
 
+  /** INCREMENTAL span census — the form a weekly 100 TB crawl actually
+    * runs (r17 verdict, stretch): the gram census `gk → count` is a
+    * mergeable count table (the q300 discipline), so instead of
+    * re-aggregating the global census per run, each document shard
+    * persists its own census to parquet ONCE and the deletion/histogram
+    * pipeline re-merges the shards by a single `sum` per key. The
+    * duplicated-key set from the merged census is IDENTICAL to the
+    * from-scratch one (count merging is integer-exact), so the span
+    * walk over it reproduces [[dupSpanHistogram]] bit-for-bit — which
+    * is exactly what the shared q315 oracle certifies.
+    *
+    * Scale shape: the persisted table is vocab-bounded (distinct grams
+    * × shards); the re-merge is ONE hash aggregate over the reloaded
+    * parquet — the only census work a new crawl generation adds is its
+    * own shard's census plus the sum, never a re-scan of prior
+    * generations' text. The span walk still touches every doc it
+    * reports on (spans are positional), but its dup-key input no
+    * longer costs a corpus-wide aggregation. */
   def dupSpanHistogramIncremental(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, path: String, gramN: Int = 8,
       numShards: Int = 4): DataFrame = {
@@ -1327,14 +1325,29 @@ object Dedup {
         posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
     val grams = gramKeys(toks, idCol, gramN, carry = Seq("source"))
       .localCheckpoint() // shard censuses + the span walk share the pass
+    spanHistogramFrom(grams,
+      persistAndMergeCensus(grams, idCol, path, numShards), idCol, gramN)
+  }
+
+  /** Persist `grams`' per-shard census (shard, gk → count) to `path`
+    * and return the duplicated-key set from the sum-re-merged reload —
+    * the shared census step of BOTH incremental pipelines (q320/q321),
+    * defined ONCE so their shared-oracle parity proofs cannot drift. */
+  private def persistAndMergeCensus(grams: DataFrame, idCol: String,
+      path: String, numShards: Int): DataFrame = {
     grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
       .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(path)
-    val dupKeys = spark.read.parquet(path)
+    mergedDupKeys(grams.sparkSession, path)
+  }
+
+  /** Duplicated keys (count ≥ 2) from the sum-merge of every persisted
+    * census shard under `glob`. */
+  private def mergedDupKeys(
+      spark: org.apache.spark.sql.SparkSession, glob: String): DataFrame =
+    spark.read.parquet(glob)
       .groupBy("gk").agg(sum(col("c")).as("cm"))
       .filter(col("cm") >= 2).select("gk")
-    spanHistogramFrom(grams, dupKeys, idCol, gramN)
-  }
 
   /** ExactSubstr DELETION — the ACT side of the q299 audit, and the
     * step Lee et al. 2022 actually ship: every token inside a maximal
@@ -1399,13 +1412,9 @@ object Dedup {
       .localCheckpoint() // token totals + gram build + rebuild share it
     val grams = gramKeys(toks, idCol, gramN)
       .localCheckpoint() // shard censuses + the span walk share the pass
-    grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
-      .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(path)
-    val dupKeys = spark.read.parquet(path)
-      .groupBy("gk").agg(sum(col("c")).as("cm"))
-      .filter(col("cm") >= 2).select("gk")
-    removeSpansFrom(docs, toks, grams, dupKeys, idCol, gramN, 0)
+    removeSpansFrom(docs, toks, grams,
+      persistAndMergeCensus(grams, idCol, path, numShards),
+      idCol, gramN, 0)
   }
 
   /** The span-merge + coverage + rebuild tail of [[removeDupSpans]],
