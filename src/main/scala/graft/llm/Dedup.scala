@@ -1283,7 +1283,17 @@ object Dedup {
     * ALL persisted shards matching `censusGlob` (a glob over the
     * per-generation [[writeSpanCensusShard]] outputs). The span walk
     * still scans `docs` (spans are positional); only the corpus-wide
-    * census aggregation is replaced by the shard merge. */
+    * census aggregation is replaced by the shard merge.
+    *
+    * Coverage guard: a generation present in `docs` whose census shard
+    * is missing from the glob would silently drop its unique
+    * duplicates and UNDER-report — a plausible-but-wrong histogram. So
+    * the merged census's total gram count is checked against `docs`'
+    * own gram count (every doc gram must be censused somewhere, so
+    * Σ merged counts ≥ |doc grams| whenever coverage is complete) and
+    * a shortfall fails LOUDLY instead. Cost: one sum over the
+    * vocab-bounded reloaded census + one count on the gram pass the
+    * span walk shares via the checkpoint. */
   def dupSpanHistogramFromCensus(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, censusGlob: String,
       gramN: Int = 8): DataFrame = {
@@ -1293,8 +1303,9 @@ object Dedup {
       .select(col(sourceCol).as("source"), col(idCol),
         posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
     val grams = gramKeys(toks, idCol, gramN, carry = Seq("source"))
-    spanHistogramFrom(grams, mergedDupKeys(docs.sparkSession, censusGlob),
-      idCol, gramN)
+      .localCheckpoint() // coverage guard + span walk share the pass
+    spanHistogramFrom(grams,
+      guardedMergedDupKeys(grams, censusGlob), idCol, gramN)
   }
 
   /** INCREMENTAL span census — the form a weekly 100 TB crawl actually
@@ -1332,10 +1343,15 @@ object Dedup {
   /** Persist `grams`' per-shard census (shard, gk → count) to `path`
     * and return the duplicated-key set from the sum-re-merged reload —
     * the shared census step of BOTH incremental pipelines (q320/q321),
-    * defined ONCE so their shared-oracle parity proofs cannot drift. */
+    * defined ONCE so their shared-oracle parity proofs cannot drift.
+    * Sharding hashes the id (xxhash64) so string doc ids — accepted by
+    * every other Dedup entry point — shard too; the merge sums over
+    * ALL shards, so the shard function never affects the merged
+    * counts. */
   private def persistAndMergeCensus(grams: DataFrame, idCol: String,
       path: String, numShards: Int): DataFrame = {
-    grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+    grams.withColumn("shard",
+        pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
       .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(path)
     mergedDupKeys(grams.sparkSession, path)
@@ -1348,6 +1364,26 @@ object Dedup {
     spark.read.parquet(glob)
       .groupBy("gk").agg(sum(col("c")).as("cm"))
       .filter(col("cm") >= 2).select("gk")
+
+  /** [[mergedDupKeys]] with the cross-run COVERAGE GUARD: the merged
+    * census must account for at least as many gram occurrences as
+    * `grams` (the caller's own positioned gram table, eagerly
+    * checkpointed) carries — if a generation in the query corpus never
+    * wrote its shard (or the glob misses it), the merged total falls
+    * short and this fails loudly instead of returning a dup-key set
+    * that silently under-reports. */
+  private def guardedMergedDupKeys(grams: DataFrame,
+      glob: String): DataFrame = {
+    val spark = grams.sparkSession
+    val censusTotal = spark.read.parquet(glob)
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val docGrams = grams.count()
+    require(censusTotal >= docGrams,
+      s"census glob '$glob' covers $censusTotal gram occurrences but the " +
+        s"query corpus carries $docGrams — a generation's census shard " +
+        "is missing (write it with writeSpanCensusShard before querying)")
+    mergedDupKeys(spark, glob)
+  }
 
   /** ExactSubstr DELETION — the ACT side of the q299 audit, and the
     * step Lee et al. 2022 actually ship: every token inside a maximal
@@ -1415,6 +1451,84 @@ object Dedup {
     removeSpansFrom(docs, toks, grams,
       persistAndMergeCensus(grams, idCol, path, numShards),
       idCol, gramN, 0)
+  }
+
+  /** CROSS-RUN deletion — the actual weekly-crawl deletion job
+    * (r18 verdict #3): [[removeDupSpans]] with its census replaced by
+    * the sum-merge of ALL persisted generation shards matching
+    * `censusGlob` ([[writeSpanCensusShard]] outputs, written by
+    * INDEPENDENT runs). A new generation writes its own shard, then
+    * excises against the merged corpus-wide duplicated-key set without
+    * ever re-scanning prior generations' text. Count merging is
+    * integer-exact, so when the glob covers exactly the corpus the
+    * output is bit-identical to the from-scratch deletion (q323 shares
+    * q316's oracle; AnalyticsSpec proves the two-generation
+    * composition). Carries the same coverage guard as
+    * [[dupSpanHistogramFromCensus]]: a missing generation shard fails
+    * loudly instead of silently under-deleting. */
+  def removeDupSpansFromCensus(docs: DataFrame, idCol: String,
+      textCol: String, censusGlob: String, gramN: Int = 8,
+      minSpanLen: Int = 0): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol),
+        posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .localCheckpoint() // token totals + gram build + rebuild share it
+    val grams = gramKeys(toks, idCol, gramN)
+      .localCheckpoint() // coverage guard + span walk share the pass
+    removeSpansFrom(docs, toks, grams,
+      guardedMergedDupKeys(grams, censusGlob), idCol, gramN, minSpanLen)
+  }
+
+  /** Fixed-point ExactSubstr deletion (Lee et al. 2022 §4.2's
+    * second-order effect, closed): excision can STITCH previously
+    * distant tokens into NEW duplicated windows — two docs sharing a
+    * short prefix and suffix around distinct duplicated middles become
+    * verbatim twins once the middles are excised — so one pass is not
+    * always enough. This iterates [[removeDupSpans]] until a pass
+    * removes nothing (the residual audit reads zero by construction)
+    * or `maxPasses` is hit. Per doc: the ORIGINAL token count, the
+    * CUMULATIVE removed count across passes, and the converged text.
+    *
+    * The loop is driver-bounded exactly like the PageRank family: one
+    * scalar action per pass (Σ removed — the convergence test), each
+    * pass's output pinned by an EAGER checkpoint so lineage stays
+    * flat; pass count is data-dependent but small (the synthetic
+    * corpora converge in 1 excision pass; the stitch fixture in
+    * AnalyticsSpec needs 2 — the positive control that a nonzero
+    * residual is actually detected and then closed).
+    *
+    * Scale shape per pass = [[removeDupSpans]] (one token scan, one
+    * vocab-bounded census, disjoint-span coverage join); passes after
+    * the first run on the ALREADY-SHRUNK corpus, so the fixed-point
+    * cost is ≤ passes × the single-pass cost with a decreasing base —
+    * and the convergence criterion ("a pass removed 0 tokens") needs
+    * no extra census pass, it reads the pass's own output. */
+  def removeDupSpansToFixedPoint(docs: DataFrame, idCol: String,
+      textCol: String, gramN: Int = 8, minSpanLen: Int = 0,
+      maxPasses: Int = 8): DataFrame = {
+    var total = removeDupSpans(docs, idCol, textCol, gramN, minSpanLen)
+      .localCheckpoint()
+    var removed = total.agg(coalesce(sum(col("n_removed")), lit(0L)))
+      .head().getLong(0)
+    var pass = 1
+    while (removed > 0 && pass < maxPasses) {
+      val nxt = removeDupSpans(
+        total.select(col(idCol), col("text_clean").as(textCol)),
+        idCol, textCol, gramN, minSpanLen).localCheckpoint()
+      removed = nxt.agg(coalesce(sum(col("n_removed")), lit(0L)))
+        .head().getLong(0)
+      pass += 1
+      total = total
+        .select(col(idCol), col("n_tokens"), col("n_removed").as("__r0"))
+        .join(nxt.select(col(idCol), col("n_removed").as("__r1"),
+          col("text_clean")), Seq(idCol))
+        .select(col(idCol), col("n_tokens"),
+          (col("__r0") + col("__r1")).as("n_removed"), col("text_clean"))
+        .localCheckpoint()
+    }
+    total
   }
 
   /** The span-merge + coverage + rebuild tail of [[removeDupSpans]],

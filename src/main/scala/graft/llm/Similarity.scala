@@ -1121,9 +1121,7 @@ object Similarity {
   private[graft] def ivfSplitState(oldBatch: DataFrame, newBatch: DataFrame,
       idCol: String, embCol: String, nList: Int = 0,
       thrNum: Int = 2, thrDen: Int = 1): IvfSplitState = {
-    import org.apache.spark.sql.types.DecimalType
     graft.functions.VectorExpressions.register(oldBatch.sparkSession)
-    val Q = EmbeddingOps.Q
     def norm(df: DataFrame) = df.select(col(idCol).as("vid"),
       col(embCol).cast("array<double>").as("emb"))
     val n0 = norm(oldBatch)
@@ -1138,12 +1136,32 @@ object Similarity {
     // step 1: frozen-quantizer assignment of the full corpus (q305's
     // exact semantics: the kernel's strict > keeps the lower cent_id)
     val asg = foldAssignCellPre(all, "emb", centsRow)
-    def dec(c: Column) = c.cast(DecimalType(38, 0))
     val byCell = cents.select(col("cent_id").as("cell"))
       .join(asg.groupBy("cell").agg(count(lit(1)).as("n_total")),
         Seq("cell"), "left")
       .na.fill(0L, Seq("n_total"))
       .localCheckpoint() // nLists rows
+    ivfSplitFinish(asg.select("vid", "cell"), all, byCell, cents, lists,
+      thrNum, thrDen)
+  }
+
+  /** Steps 2–5 of the split pipeline (flag → seed → Lloyd → reassign),
+    * runnable off ANY pre-split assignment: `asgIds` is the full
+    * corpus's (vid, cell) — a fresh frozen-quantizer scan in
+    * [[ivfSplitState]], or the PERSISTED assignment plus one arrival
+    * batch in [[ivfSplitUpdateIndex]] (where re-running the corpus
+    * scan is exactly the cost the incremental form exists to avoid);
+    * `embSrc` (vid, emb) supplies embeddings and is joined AFTER the
+    * flagged semi-join, so only flagged-cell members' vectors are
+    * fetched — the "re-read only the flagged cells" contract;
+    * `byCell` is the per-cell census including empties (from-scratch
+    * aggregate, or persisted counts + one arrival-batch sum). */
+  private def ivfSplitFinish(asgIds: DataFrame, embSrc: DataFrame,
+      byCell: DataFrame, cents: DataFrame, lists: Int,
+      thrNum: Int, thrDen: Int): IvfSplitState = {
+    import org.apache.spark.sql.types.DecimalType
+    val Q = EmbeddingOps.Q
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
     val withN = byCell
       .crossJoin(broadcast(byCell.agg(sum(col("n_total")).as("__N"))))
     // step 2: the load rule as an integer cross-multiply (q305, with the
@@ -1152,12 +1170,14 @@ object Similarity {
     val flagged = withN
       .filter(dec(col("n_total")) * lists * thrDen > dec(col("__N")) * thrNum)
       .select("cell", "n_total")
-    // step 3a: flagged-cell members in fixed point (broadcast semi-join)
+    // step 3a: flagged-cell members in fixed point (broadcast semi-join
+    // FIRST, so the embedding fetch touches only flagged-cell vids)
     // the 2-means working set is PINNED: flagged-cell mass only (a
     // bounded fraction of the corpus — the overloaded cells), and every
     // downstream consumer (seeds, both assignment passes, the Lloyd
     // sums) would otherwise replay the corpus-wide assignment scan
-    val mem = asg.join(broadcast(flagged.select("cell")), Seq("cell"))
+    val mem = asgIds.join(broadcast(flagged.select("cell")), Seq("cell"))
+      .join(embSrc, Seq("vid"))
       .withColumn("mx", transform(col("emb"),
         x => floor(x * Q + 0.5).cast("long")))
       .withColumn("mn2", dotLong("mx", "mx"))
@@ -1202,11 +1222,60 @@ object Similarity {
         sqrt(col("mn2").cast("double") * d2d(col("cn21"))), lit(-1e300)))
       .select(col("vid"), col("cell"),
         when(col("__e0") >= col("__e1"), 0L).otherwise(1L).as("sub"))
-    val assign = asg.select("vid", "cell")
+    val assign = asgIds
       .join(re.withColumnRenamed("sub", "__sub"), Seq("vid", "cell"), "left")
       .withColumn("sub", coalesce(col("__sub"), lit(0L)))
       .select("vid", "cell", "sub")
     IvfSplitState(assign, byCell, flagged, children, cents, lists)
+  }
+
+  /** ARRIVAL WRITE-BACK — the update step that closes the persisted
+    * index's life cycle (r18 verdict #5): q319 persists the split
+    * index and the streaming twin routes arrivals, but nothing
+    * appended them INTO the persisted state. This reads the index at
+    * `dir`, assigns the arrival batch against the SAME frozen
+    * quantizer (one CellTop2F scan over the arrivals only — never a
+    * corpus re-scan: the corpus's pre-split cells come from the
+    * persisted `assign`), merges per-cell counts (persisted totals +
+    * ONE aggregate over the arrivals — integer-exact, the census
+    * merge discipline), then re-runs flag → seed → Lloyd → reassign
+    * off the merged state via [[ivfSplitFinish]]. Because every step
+    * downstream of the merge sees exactly the inputs a from-scratch
+    * build over corpus + arrivals would see (frozen cents are
+    * arrival-independent; per-vector cells depend only on the vector
+    * and the cents; counts merge exactly; seeds/Lloyd are
+    * deterministic integer arithmetic), the updated state is
+    * VALUE-IDENTICAL to the from-scratch rebuild — q324 certifies it
+    * by sharing q314's oracle, and IvfSplitSpec asserts component
+    * parity table-by-table.
+    *
+    * `corpus` supplies embeddings for vectors already in the index;
+    * it is joined only for flagged-cell members (the
+    * [[ivfSplitFinish]] contract), so the weekly job re-reads only
+    * the overloaded cells' vectors plus the arrival batch. */
+  private[graft] def ivfSplitUpdateIndex(corpus: DataFrame,
+      arrivals: DataFrame, idCol: String, embCol: String, dir: String,
+      thrNum: Int = 2, thrDen: Int = 1): IvfSplitState = {
+    val st = ivfSplitReadIndex(corpus.sparkSession, dir)
+    def norm(df: DataFrame) = df.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("emb"))
+    // arrivals assign against the frozen quantizer — the only
+    // assignment scan the update runs
+    val arrAsg = foldAssignCellPre(norm(arrivals), "emb",
+      centArray(st.cents)).localCheckpoint()
+    // merged census: persisted totals + one arrival aggregate
+    val byCell = st.cells
+      .select(col("cell"), col("n_total").as("__n0"))
+      .join(arrAsg.groupBy("cell").agg(count(lit(1)).as("__n1")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("__n1"))
+      .select(col("cell"), (col("__n0") + col("__n1")).as("n_total"))
+      .localCheckpoint() // nLists rows
+    val asgIds = st.assign.select("vid", "cell")
+      .unionByName(arrAsg.select("vid", "cell"))
+    val embSrc = norm(corpus).unionByName(arrAsg.select("vid", "emb"))
+    ivfSplitFinish(asgIds, embSrc, byCell, st.cents, st.lists,
+      thrNum, thrDen)
   }
 
   /** IVF cell-split remediation — the operator that ACTS on
@@ -1339,7 +1408,8 @@ object Similarity {
     * (longs, decimal(38,0) Lloyd sums, double centroid coordinates),
     * so parquet round-trips them bit-faithfully and a search from the
     * re-read state is value-identical to one from the live build. */
-  def ivfSplitWriteIndex(st: IvfSplitState, dir: String): Unit = {
+  private[graft] def ivfSplitWriteIndex(st: IvfSplitState,
+      dir: String): Unit = {
     Seq("assign" -> st.assign, "cells" -> st.cells,
       "flagged" -> st.flagged, "children" -> st.children,
       "cents" -> st.cents)
@@ -1351,7 +1421,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  def ivfSplitReadIndex(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def ivfSplitReadIndex(
+      spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfSplitState =
     IvfSplitState(
       spark.read.parquet(s"$dir/assign"),

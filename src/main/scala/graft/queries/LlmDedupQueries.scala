@@ -801,6 +801,40 @@ object LlmDedupQueries {
         "doc_id", "text",
         path = s"${IoQueries.sinkDir}/q321_span_census", gramN = 8)),
 
+    // FIXED-POINT deletion (Lee et al. 2022's second-order effect,
+    // closed): excision can stitch previously-distant tokens into NEW
+    // duplicated windows, so the deletion iterates until a pass removes
+    // nothing. Per doc: ORIGINAL token count, CUMULATIVE removed count,
+    // converged text. This corpus converges after one excision pass
+    // (the residual audit q317 reads zero), so the oracle is the 2-pass
+    // unrolled CTE whose second pass provably removes nothing — and the
+    // POSITIVE control (a fixture where pass 1 stitches a new dup 8-gram
+    // and pass 2 must fire) is AnalyticsSpec's stitch fixture.
+    "q322_remove_fixed_point" -> ((s, dir) =>
+      Dedup.removeDupSpansToFixedPoint(Tables.documents(s, dir),
+        "doc_id", "text", gramN = 8)),
+
+    // CROSS-RUN deletion (the public weekly-crawl deletion job, r18
+    // verdict #3): each generation writes its own gram-census shard in
+    // an INDEPENDENT call; the deletion run globs the census root,
+    // sum-merges (integer-exact), and excises against the merged
+    // duplicated-key set — never re-scanning prior generations' text.
+    // Bit parity with the from-scratch deletion is certified by sharing
+    // q316's oracle; a missing generation shard fails loudly via the
+    // coverage guard instead of silently under-deleting.
+    "q323_remove_from_census" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = s"${IoQueries.sinkDir}/q323_census_gens"
+      Dedup.writeSpanCensusShard(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", s"$root/genA", gramN = 8)
+      Dedup.writeSpanCensusShard(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+        "doc_id", "text", s"$root/genB", gramN = 8)
+      Dedup.removeDupSpansFromCensus(docs, "doc_id", "text",
+        censusGlob = s"$root/*", gramN = 8)
+    }),
+
     // Deletion EFFICACY at the corpus grain - the paper's fixed-point
     // check run in-oracle: q299's audit over q316's CLEANED corpus.
     // The residual dup mass is the NEW windows excision stitches
@@ -2144,6 +2178,32 @@ object LlmDedupQueries {
          |  COALESCE(text_clean, '') AS text_clean
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
+    // Fixed-point oracle: the 2-pass UNROLLED form at this corpus's
+    // known convergence depth (pass 2 removes nothing here — the
+    // nonzero-residual convergence case is AnalyticsSpec's stitch
+    // fixture, which DuckDB-style recursion cannot see from the gate's
+    // fixed tables). n_tokens is pass 1's (= original) count; n_removed
+    // accumulates both passes; text_clean is pass 2's output.
+    "q322_remove_fixed_point" ->
+      s"""WITH ${removeSpansCtes()},
+         |c1 AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |    COALESCE(pd.n_removed, CAST(0 AS BIGINT)) AS r1,
+         |    COALESCE(pd.text_clean, '') AS text
+         |  FROM documents d LEFT JOIN pd USING (doc_id)),
+         |${removeSpansPassCtes(src = "c1", sfx = "2")}
+         |SELECT c1.doc_id, c1.n_tokens,
+         |  CAST(c1.r1 + COALESCE(pd2.n_removed, CAST(0 AS BIGINT))
+         |    AS BIGINT) AS n_removed,
+         |  COALESCE(pd2.text_clean, c1.text) AS text_clean
+         |FROM c1 LEFT JOIN pd2 USING (doc_id)""".stripMargin,
+
+    // Cross-run census deletion: the glob-merged generation shards
+    // yield the SAME dup keys as the from-scratch census, so it shares
+    // q316's oracle verbatim — the hash match IS the parity proof.
+    "q323_remove_from_census" -> removeSpansSql,
+
     "q317_remove_reaudit" -> {
       val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
       s"""WITH ${removeSpansCtes()},
@@ -2239,6 +2299,52 @@ object LlmDedupQueries {
        |SELECT h.source, h.bucket, n_spans, span_tokens, max_span_len,
        |  COALESCE(n_docs_longest, CAST(0 AS BIGINT)) AS n_docs_longest
        |FROM h LEFT JOIN dl USING (source, bucket)""".stripMargin
+  }
+
+  /** ONE ExactSubstr deletion pass as suffixed CTEs over `src`
+    * (doc_id, text) — the q322 fixed-point oracle's second unrolled
+    * pass. Same chain as [[removeSpansCtes]] (which stays verbatim so
+    * the q316/q317/q318 oracle strings are untouched), with every CTE
+    * name suffixed to avoid collisions, ending in `pd$sfx`. Docs whose
+    * `src` text is empty produce no token rows and therefore no
+    * `pd$sfx` row — the caller's LEFT JOIN coalesces them back. */
+  private def removeSpansPassCtes(src: String, sfx: String): String = {
+    val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""wr$sfx AS (SELECT doc_id, $WORDS AS w FROM $src),
+       |tok$sfx AS (
+       |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS word
+       |  FROM wr$sfx, unnest(range(1, len(w) + 1)) AS i(i)),
+       |g$sfx AS (
+       |  SELECT doc_id, i - 1 AS pos, md5($gram) AS gk
+       |  FROM wr$sfx, unnest(range(1, len(w) - 6)) AS t(i)),
+       |dup$sfx AS (SELECT gk FROM g$sfx GROUP BY 1 HAVING COUNT(*) >= 2),
+       |f$sfx AS (SELECT g$sfx.doc_id, g$sfx.pos
+       |  FROM g$sfx JOIN dup$sfx USING (gk)),
+       |m$sfx AS (
+       |  SELECT doc_id, pos,
+       |    MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM f$sfx),
+       |sid$sfx AS (
+       |  SELECT doc_id, pos,
+       |    CAST(SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0
+       |      END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp
+       |  FROM m$sfx),
+       |spans$sfx AS (
+       |  SELECT doc_id, sp, MIN(pos) AS s0, MAX(pos + 8) AS e0
+       |  FROM sid$sfx GROUP BY 1, 2),
+       |cov$sfx AS (
+       |  SELECT t.doc_id, t.pos, t.word, s.s0 IS NOT NULL AS covd
+       |  FROM tok$sfx t LEFT JOIN spans$sfx s ON s.doc_id = t.doc_id
+       |    AND t.pos >= s.s0 AND t.pos < s.e0),
+       |pd$sfx AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN covd THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN NOT covd THEN word END, ' '
+       |      ORDER BY pos), '') AS text_clean
+       |  FROM cov$sfx GROUP BY 1)""".stripMargin
   }
 
   /** Shared CTE chain for the q316/q317/q318 oracles — the exact mirror

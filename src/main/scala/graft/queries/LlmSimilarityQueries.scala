@@ -612,6 +612,40 @@ object LlmSimilarityQueries {
         Similarity.ivfSplitTopKFrom(q, emb,
           Similarity.ivfSplitReadIndex(s, path),
           "vec_id", "embedding", k = 5, nProbe = 5))
+    }),
+
+
+    // ARRIVAL WRITE-BACK (r18 verdict #5 - the update step that closes
+    // the persisted-index cycle): build + persist the index over the
+    // corpus MINUS an arrival batch (vec_id % 4 == 3 held out), then
+    // READ the index, append the arrivals (frozen-quantizer assignment
+    // of the batch only - never a corpus re-scan), merge the per-cell
+    // counts, re-evaluate the flags, re-split off the merged state,
+    // and persist the UPDATED index. Every post-merge step sees exactly
+    // what a from-scratch build over corpus + arrivals sees, so the
+    // updated index is value-identical to q314's live build - it shares
+    // q314's oracle, and the hash match IS the rebuild-parity proof.
+    // The recall harness serves from the re-read updated copy, closing
+    // read -> update -> write -> serve.
+    "q324_ivf_split_update" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val even = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+      val oddPre = emb.filter(pmod(col("vec_id"), lit(4L)) === 1L)
+      val arrivals = emb.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      val pre = s"${IoQueries.sinkDir}/q324_ivf_pre_index"
+      val post = s"${IoQueries.sinkDir}/q324_ivf_post_index"
+      Similarity.ivfSplitWriteIndex(
+        Similarity.ivfSplitState(even, oddPre, "vec_id", "embedding",
+          thrNum = 6, thrDen = 5), pre)
+      Similarity.ivfSplitWriteIndex(
+        Similarity.ivfSplitUpdateIndex(even.unionByName(oddPre),
+          arrivals, "vec_id", "embedding", pre,
+          thrNum = 6, thrDen = 5), post)
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallVsExact(q, emb, "vec_id", "embedding", k = 5,
+        Similarity.ivfSplitTopKFrom(q, emb,
+          Similarity.ivfSplitReadIndex(s, post),
+          "vec_id", "embedding", k = 5, nProbe = 5))
     })
   )
 
@@ -1928,7 +1962,13 @@ object LlmSimilarityQueries {
     // Persisted-index round trip: value-identical to the live q314
     // build, so it shares q314's oracle verbatim — a hash match
     // certifies the on-disk artifacts reproduce the live search.
-    "q319_ivf_split_persist" -> ivfSplitRecallSql
+    "q319_ivf_split_persist" -> ivfSplitRecallSql,
+
+    // Arrival write-back: the updated index must be value-identical to
+    // the from-scratch rebuild over corpus + arrivals (= q314's build),
+    // so it shares q314's oracle verbatim — the hash match IS the
+    // rebuild-parity proof.
+    "q324_ivf_split_update" -> ivfSplitRecallSql
   )
 
   /** q314's recall-vs-exact oracle over the split index — also the

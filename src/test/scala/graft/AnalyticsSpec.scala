@@ -145,6 +145,98 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(direct.exceptAll(merged).count() == 0)
   }
 
+  test("stitched-residual POSITIVE control: one deletion pass stitches a " +
+      "NEW duplicated window, the re-audit reads NONZERO, and the fixed " +
+      "point closes it") {
+    // The synthetic corpora inject duplicates contiguously, so q317's
+    // re-audit has only ever read zero — an always-zero bug would be
+    // invisible (r18 verdict, What's-missing #1). This fixture forces
+    // the paper's second-order effect: docs 1 and 2 share a 7-token
+    // prefix and suffix (too short to form an 8-gram window on their
+    // own) around DISTINCT duplicated middles (each middle recurs in
+    // docs 3/4), so pass 1 excises exactly the middles and stitches the
+    // prefix+suffix into 14-token verbatim twins — a brand-new
+    // duplicated run the audit MUST see.
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val y = (1 to 12).map(i => s"y$i").mkString(" ")
+    val p = (1 to 7).map(i => s"p$i").mkString(" ")
+    val q = (1 to 7).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 30).map(i => s"u$i").mkString(" ")
+    val d = docs(
+      (1L, s"$p $x $q", "sa"),
+      (2L, s"$p $y $q", "sa"),
+      (3L, x, "sb"),
+      (4L, y, "sb"),
+      (5L, filler, "sb"))
+    val pass1 = Dedup.removeDupSpans(d, "doc_id", "text", gramN = 8)
+      .localCheckpoint()
+    val t1 = pass1.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // pass 1 excised exactly the duplicated middles: the merged span in
+    // doc 1 is [7, 19) = x1..x12 (straddle windows are unique)
+    assert(t1(1L) == ((26L, 12L, s"$p $q")))
+    assert(t1(2L) == ((26L, 12L, s"$p $q")))
+    assert(t1(3L) == ((12L, 12L, "")))
+    assert(t1(4L) == ((12L, 12L, "")))
+    assert(t1(5L) == ((30L, 0L, filler)))
+    // ...and the q317-shaped re-audit over the cleaned text reads
+    // NONZERO — the detector provably fires on a stitched residual
+    val clean1 = pass1
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("text_clean").as("text"))
+    val resid = Dedup.exactSubstringDupProfile(clean1, "doc_id", "text",
+        "source", gramN = 8)
+      .agg(coalesce(sum(col("n_dup_tokens")), lit(0L))).head().getLong(0)
+    assert(resid > 0,
+      s"stitched residual read $resid — the positive control must be nonzero")
+    // the fixed point converges: the stitched twins are excised in pass
+    // 2 and the converged corpus has zero residual dup mass
+    val fp = Dedup.removeDupSpansToFixedPoint(d, "doc_id", "text",
+      gramN = 8)
+    val t = fp.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(t(1L) == ((26L, 26L, "")))  // 12 (middle) + 14 (stitched twin)
+    assert(t(2L) == ((26L, 26L, "")))
+    assert(t(3L) == ((12L, 12L, "")))
+    assert(t(4L) == ((12L, 12L, "")))
+    assert(t(5L) == ((30L, 0L, filler)))
+    val cleanFp = fp
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("text_clean").as("text"))
+    val residFp = Dedup.exactSubstringDupProfile(cleanFp, "doc_id", "text",
+        "source", gramN = 8)
+      .agg(coalesce(sum(col("n_dup_tokens")), lit(0L))).head().getLong(0)
+    assert(residFp == 0L,
+      s"fixed point left residual dup mass $residFp — did not converge")
+  }
+
+  test("cross-run census DELETION: glob + sum-merge over independently " +
+      "written generation shards reproduces the from-scratch deletion " +
+      "exactly, and a missing shard fails loudly") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = java.nio.file.Files
+      .createTempDirectory("census_del_gens").toString
+    Dedup.writeSpanCensusShard(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", s"$root/genA")
+    Dedup.writeSpanCensusShard(
+      d.filter(col("doc_id") % 2 === 1), "doc_id", "text", s"$root/genB")
+    val merged = Dedup.removeDupSpansFromCensus(d, "doc_id", "text",
+      censusGlob = s"$root/*")
+    val direct = Dedup.removeDupSpans(d, "doc_id", "text")
+    assert(merged.count() == direct.count() && direct.count() > 0)
+    assert(merged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(merged).count() == 0)
+    // coverage guard: querying the full corpus against only generation
+    // A's shard must fail loudly, never silently under-delete
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeDupSpansFromCensus(d, "doc_id", "text",
+        censusGlob = s"$root/genA")
+    }
+    assert(e.getMessage.contains("census"),
+      s"unexpected guard message: ${e.getMessage}")
+  }
+
   test("splitAssign is a stable total partition with ~80/10/10 mass") {
     val s = spark
     import s.implicits._

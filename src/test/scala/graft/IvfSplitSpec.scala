@@ -130,4 +130,37 @@ class IvfSplitSpec extends AnyFunSuite {
     assert(persisted.exceptAll(live).count() == 0)
     assert(live.exceptAll(persisted).count() == 0)
   }
+
+  test("arrival write-back: read the persisted index, append a batch, " +
+      "re-split off the merged state — identical, table for table, to " +
+      "the from-scratch build over corpus + arrivals (q324)") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val even = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    val oddPre = emb.filter(pmod(col("vec_id"), lit(4L)) === 1L)
+    val arrivals = emb.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_split_update").toString
+    Similarity.ivfSplitWriteIndex(Similarity.ivfSplitState(even, oddPre,
+      "vec_id", "embedding", thrNum = 6, thrDen = 5), dir)
+    val updated = Similarity.ivfSplitUpdateIndex(even.unionByName(oddPre),
+      arrivals, "vec_id", "embedding", dir, thrNum = 6, thrDen = 5)
+    val scratch = Similarity.ivfSplitState(even,
+      emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+      "vec_id", "embedding", thrNum = 6, thrDen = 5)
+    // the parity claim is only meaningful if the merged state actually
+    // splits something
+    assert(scratch.flagged.count() > 0, "no cell flagged — geometry changed?")
+    assert(updated.lists == scratch.lists)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.count() == b.count(), s"$what row count diverged")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what content diverged")
+    }
+    same(updated.assign, scratch.assign, "assign")
+    same(updated.cells, scratch.cells, "cells")
+    same(updated.flagged, scratch.flagged, "flagged")
+    same(updated.children, scratch.children, "children")
+    same(updated.cents, scratch.cents, "cents")
+  }
 }
