@@ -730,6 +730,41 @@ object StreamingSqa {
         sum(coalesce(col("__hit"), lit(0L))).as("n_dup_windows"))
   }
 
+  /** Streaming twin of the q320 incremental span census — the census
+    * MAINTENANCE side, where [[streamingSubstrCensus]] is the screen
+    * side: each arriving document's `gramN`-token window keys fold
+    * into a per-key streaming COUNT (the q308 merge pattern with SUM
+    * in place of MIN — occurrence counts are the census's sufficient
+    * statistic and merge by + across micro-batches, shards, and crawl
+    * generations), and the PERSISTED old-generation census
+    * ([[graft.llm.Dedup.writeSpanCensusShard]] output) joins
+    * stream-static BEFORE the aggregation, so every emitted row is the
+    * MERGED `gk → count` the deletion/histogram pipelines key on — the
+    * q320/q321 duplicated-key screen is live while the crawl runs.
+    *
+    * Shape: gram keys build per row (array slices — streams don't
+    * support the batch window `lead`), byte-identical to the batch
+    * gram chain (full 128-bit md5 of the space-joined window); the
+    * static side contributes one constant per key (max-folded, since
+    * the pre-aggregation join repeats it per occurrence); state is
+    * bounded by the ARRIVING generation's gram vocabulary — the old
+    * generations stay on disk. StreamingSpec asserts the live merged
+    * census reproduces the from-scratch batch census bit-for-bit. */
+  def streamingCensusMerge(newDocs: DataFrame, oldCensus: DataFrame,
+      textCol: String = "text", gramN: Int = 8): DataFrame = {
+    val w = col("__w")
+    val gks = when(size(w) >= gramN,
+      transform(sequence(lit(0), size(w) - gramN),
+        i => md5(array_join(slice(w, i + lit(1), lit(gramN)), " "))))
+    newDocs
+      .select(graft.llm.TextOps.words(col(textCol)).as("__w"))
+      .select(explode(gks).as("gk"))
+      .join(oldCensus.select(col("gk"), col("c").as("__c0")),
+        Seq("gk"), "left")
+      .groupBy("gk")
+      .agg((count(lit(1)) + coalesce(max(col("__c0")), lit(0L))).as("c"))
+  }
+
   /** Streaming twin of the q308 source-churn audit: arriving new-crawl
     * documents fold into per-source MinHash signatures LIVE (the merged
     * signature is the canonical mergeable sketch — Broder's union

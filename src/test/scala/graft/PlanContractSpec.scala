@@ -71,6 +71,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q313_ivf_cell_split",  // broadcast flagged-cell/seed/total scalars
     "q314_ivf_split_recall", // q313's broadcast scalars + q89's query side
     "q319_ivf_split_persist", // q314's shape from the persisted index
+    "q324_ivf_split_update",  // q314's shape from the updated index
     "q292_fightin_words",     // broadcast 1-row corpus N/V scalars
     "q289_query_likelihood",  // broadcast 1-row collection-stats scalar
     "q207_label_separation", // L x L self-cross of the literal centroid table

@@ -1086,6 +1086,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming census merge: the live SUM-fold over arriving docs plus " +
+      "the persisted generation census reproduces the from-scratch gram " +
+      "census bit-for-bit (q320's live form)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("census_stream").toString
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val genA = d.filter(col("doc_id") % 2 === 0)
+    val genB = d.filter(col("doc_id") % 2 === 1)
+    // generation A's census persisted by the batch writer — the static
+    // side the stream merges into
+    graft.llm.Dedup.writeSpanCensusShard(genA, "doc_id", "text",
+      s"$tmp/genA")
+    val oldCensus = spark.read.parquet(s"$tmp/genA")
+    // generation B arrives as two micro-batches (order is irrelevant to
+    // a complete-mode SUM, so no mtime choreography is needed)
+    genB.filter(col("doc_id") % 4 === 1).coalesce(1)
+      .write.parquet(s"$tmp/batches/b1")
+    genB.filter(col("doc_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$tmp/batches/b2")
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val q = StreamingSqa.streamingCensusMerge(stream, oldCensus)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("census_merge_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("census_merge_stream")
+    // the stream emits merged counts for generation B's grams; grams
+    // ONLY in generation A ride over from the persisted shard untouched
+    val full = got.unionByName(
+      oldCensus.join(got, Seq("gk"), "left_anti"))
+    // from-scratch census over the whole corpus — the batch writer again
+    graft.llm.Dedup.writeSpanCensusShard(d, "doc_id", "text", s"$tmp/full")
+    val scratch = spark.read.parquet(s"$tmp/full")
+    assert(got.count() > 0 && full.count() == scratch.count())
+    assert(full.exceptAll(scratch).count() == 0)
+    assert(scratch.exceptAll(full).count() == 0)
+    // and the duplicated-key screen (the q320/q321 input) agrees too
+    assert(full.filter(col("c") >= 2).exceptAll(
+      scratch.filter(col("c") >= 2)).count() == 0)
+  }
+
   test("streaming source-churn signatures reproduce the q308 batch audit " +
       "exactly across micro-batches") {
     import org.apache.spark.sql.functions._
@@ -1200,8 +1243,12 @@ class StreamingSpec extends AnyFunSuite {
     // twin. Same empirical Spark 4.1 timing note as that test: the drop
     // guarantee starts one batch AFTER the close, so a filler batch
     // sits between the watermark advance and the late row.
+    // Batches arrive via MemoryStream (r18 ADVICE): one addData +
+    // processAllAvailable per batch is deterministic trigger order,
+    // where the file source's mtime sort + sleeps could collapse on a
+    // loaded box or a coarse-mtime filesystem and flake the contract.
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("split_late").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
     val st = graft.llm.Similarity.ivfSplitState(
@@ -1210,30 +1257,30 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id", "embedding", thrNum = 6, thrDen = 5)
     val cents = st.cents.localCheckpoint()
     val children = st.children.localCheckpoint()
-    var n = 0
-    def write(rows: (Long, String)*): Unit = {
-      n += 1
-      rows.map { case (vid, t) =>
-          emb.filter(col("vec_id") === vid)
-            .withColumn("ts", lit(t).cast("timestamp")) }
-        .reduce(_ unionByName _)
-        .coalesce(1).write.parquet(s"$tmp/batches/b$n")
-      Thread.sleep(1100) // distinct mtimes: the file source orders by them
-    }
-    write((1L, "2026-01-01 00:00:10"), (3L, "2026-01-01 00:00:20"))
-    write((5L, "2026-01-01 00:05:00"))  // advances the watermark to 00:04
-    write((7L, "2026-01-01 00:05:30"))  // emits + evicts [00:00, 00:01)
-    write((9L, "2026-01-01 00:00:30"),  // late into EVICTED window: drop
-      (11L, "2026-01-01 00:04:30"))     // late into OPEN window: keep
-    write((13L, "2026-01-01 00:10:00")) // emits [00:04,00:05) + [00:05,00:06)
-    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val embOf: Map[Long, Seq[Double]] = emb
+      .filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L, 11L, 13L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
     val q = StreamingSqa.streamingSplitArrivalsWindowed(
-        stream, cents, children)
+        ms.toDF().toDF("vec_id", "embedding", "ts"), cents, children)
       .writeStream.outputMode("append").format("memory")
       .queryName("split_late").start()
-    q.processAllAvailable(); q.stop()
+    def feed(rows: (Long, String)*): Unit = {
+      ms.addData(rows.map { case (vid, t) =>
+        (vid, embOf(vid), java.sql.Timestamp.valueOf(t)) })
+      q.processAllAvailable() // exactly ONE micro-batch per feed
+    }
+    feed((1L, "2026-01-01 00:00:10"), (3L, "2026-01-01 00:00:20"))
+    feed((5L, "2026-01-01 00:05:00"))  // advances the watermark to 00:04
+    feed((7L, "2026-01-01 00:05:30"))  // emits + evicts [00:00, 00:01)
+    feed((9L, "2026-01-01 00:00:30"),  // late into EVICTED window: drop
+      (11L, "2026-01-01 00:04:30"))    // late into OPEN window: keep
+    feed((13L, "2026-01-01 00:10:00")) // emits [00:04,00:05) + [00:05,00:06)
+    q.stop()
     val got = spark.table("split_late")
       .groupBy(col("window.start").cast("string").as("w"))
       .agg(sum("n_new").as("n"))
