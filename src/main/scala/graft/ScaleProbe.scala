@@ -115,6 +115,18 @@ object ScaleProbe {
       System.err.println(s"[probe] scale ${sc}x: ${d.count()} docs, " +
         s"${e.count()} vectors")
       val times = ops(d, e, s"s$sc").map { case (name, mk) =>
+        // one unrecorded warm-up per op: the FIRST scale otherwise pays
+        // every op's one-time codegen/JIT cost and the exponent reads
+        // systematically low (the first probe run showed ivf_cell_split
+        // at a NEGATIVE exponent purely from this)
+        locally {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          mk().count()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.collect {
+            case (id, rdd) if !before.contains(id) => rdd.unpersist(true)
+          }
+        }
         val ts = (1 to repeat).map { _ =>
           val before = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
