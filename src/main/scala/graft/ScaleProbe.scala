@@ -101,7 +101,10 @@ object ScaleProbe {
           emb.filter(col("vec_id") < 20), emb,
           Similarity.ivfSplitReadIndex(spark, s"$tmp/ivf_$tag"),
           "vec_id", "embedding", k = 5, nProbe = 5)
-      }))
+      }),
+      "train_classifier" -> (() =>
+        graft.llm.TextAnalysis.trainQualityClassifier(docs, "doc_id",
+          "text", pmod(col("doc_id"), lit(4L)) === 0L)))
 
     val results = scales.map { sc =>
       // materialize to parquet first so the ops time their own work,

@@ -571,6 +571,189 @@ object TextAnalysis {
       .withColumn("label", coalesce(col("prob") >= threshold, lit(false)))
   }
 
+  /** TRAINED quality classifier — full-batch logistic regression over
+    * hashed bag-of-words features (Joulin et al. 2017's fastText
+    * architecture; the quality-model stage GPT-3/CCNet-class pipelines
+    * actually TRAIN against a target distribution — [[hashClassifier]]
+    * exercises the fixed-weight serving plan, this is the learning
+    * loop). `target` labels the positive class (CCNet trains
+    * wiki-vs-crawl; the registered query trains lang='en' vs rest, the
+    * q128 DSIR target); `iters` full-batch gradient steps at rate `lr`
+    * from w = 0 over `numBuckets` hashed features, x normalized by doc
+    * length. Output: one row per bucket, (bucket, weight).
+    *
+    * Determinism (the oracle mirrors every step): feature hash is the
+    * house md5-prefix chain mod numBuckets; each dot-product/gradient
+    * term is an identical-IEEE double product ROUNDED to 12 dp and
+    * summed EXACTLY in decimal(38,12) — reduction order cannot shift
+    * the result; the margin rounds to 6 dp BEFORE the logistic link
+    * and the probability to 6 dp after it (the q129 discipline that
+    * keeps the JVM's and DuckDB's libm exp agreeing through rounding);
+    * the label is exact 0/1. The oracle unrolls the `iters` steps as
+    * CTEs over the same arithmetic.
+    *
+    * Scale shape: the feature table is one explode + one hash
+    * aggregate (map-side partials), checkpointed and reused by every
+    * step; a step is one doc-grain aggregation (margins), one
+    * id-co-partitioned join (errors back onto features), and one
+    * bucket-grain aggregation whose result — `numBuckets` rows, the
+    * k-means centroid-pull discipline — is the only thing the driver
+    * ever holds. Nothing unbounded is broadcast or collected; steps
+    * are a fixed constant. */
+  def trainQualityClassifier(docs: DataFrame, idCol: String,
+      textCol: String, target: Column, numBuckets: Int = 64,
+      iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    val (feat, nDocs) =
+      classifierFeatures(docs, idCol, textCol, target, numBuckets)
+    val w = trainWeights(feat, nDocs, numBuckets, iters, lr)
+    import spark.implicits._
+    w.zipWithIndex.map { case (wt, j) => (j.toLong, wt) }.toSeq
+      .toDF("bucket", "__w")
+      .select(col("bucket"), round(col("__w"), 6).as("weight"))
+  }
+
+  /** [[trainQualityClassifier]] + the serving pass + the per-group
+    * report a corpus build reads before gating on the classifier:
+    * per `groupCol`, document count, positive-label count, kept count
+    * (probability ≥ `threshold`), train-accuracy count (kept ==
+    * positive), and the exact-decimal mean probability. The training
+    * chain is shared with [[trainQualityClassifier]] (same features,
+    * same weights); scoring is one more pass over the checkpointed
+    * feature table and the rollup collapses to ≤ |groups| rows. */
+  def qualityClassifierReport(docs: DataFrame, idCol: String,
+      textCol: String, target: Column, groupCol: String,
+      numBuckets: Int = 64, iters: Int = 3, lr: Double = 1.0,
+      threshold: Double = 0.5): DataFrame = {
+    val (feat, nDocs) =
+      classifierFeatures(docs, idCol, textCol, target, numBuckets)
+    val w = trainWeights(feat, nDocs, numBuckets, iters, lr)
+    val scored = margins(feat, w)
+      .withColumn("__p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6))
+    reportRollup(docs, idCol, groupCol, scored, threshold)
+  }
+
+  /** Persist the trained classifier — the weight table [[
+    * trainQualityClassifier]] emits (6-dp weights, the served
+    * artifact), written once to parquet. The q140/q319 build-once/
+    * serve-many discipline applied to the quality model. */
+  def writeClassifier(docs: DataFrame, idCol: String, textCol: String,
+      target: Column, path: String, numBuckets: Int = 64,
+      iters: Int = 3, lr: Double = 1.0): Unit =
+    trainQualityClassifier(docs, idCol, textCol, target, numBuckets,
+      iters, lr).write.mode("overwrite").parquet(path)
+
+  /** Serve from the PERSISTED classifier: reload the weight table
+    * written by [[writeClassifier]] (its row count IS the feature
+    * dimensionality — the artifact carries its own shape) and run the
+    * [[qualityClassifierReport]] serving pass + rollup from it. The
+    * persisted weights are the 6-dp table, so a re-served report is a
+    * pure function of the artifact — the oracle proves serving parity
+    * by scoring from ROUND(w, 6) in SQL. Driver cost: one bounded
+    * numBuckets-row read. */
+  def qualityClassifierReportFrom(docs: DataFrame, idCol: String,
+      textCol: String, target: Column, groupCol: String,
+      weightsPath: String, threshold: Double = 0.5): DataFrame = {
+    val rows = docs.sparkSession.read.parquet(weightsPath)
+      .collect() // numBuckets rows — the persisted bounded artifact
+    val w = Array.fill(rows.length)(0.0)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
+    val (feat, _) =
+      classifierFeatures(docs, idCol, textCol, target, w.length)
+    val scored = margins(feat, w)
+      .withColumn("__p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6))
+    reportRollup(docs, idCol, groupCol, scored, threshold)
+  }
+
+  /** The per-group report tail shared by the live and persisted
+    * serving paths. */
+  private def reportRollup(docs: DataFrame, idCol: String,
+      groupCol: String, scored: DataFrame,
+      threshold: Double): DataFrame =
+    docs.select(col(idCol).as("__id"), col(groupCol).as("source"))
+      .join(scored, Seq("__id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__y")).cast("long").as("n_target"),
+        sum(when(col("__p") >= threshold, 1L).otherwise(0L)).as("n_keep"),
+        sum(when((col("__p") >= threshold) === (col("__y") === 1.0), 1L)
+          .otherwise(0L)).as("n_correct"),
+        round(sum(col("__p").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_p"))
+
+  /** Hashed-feature table shared by train and serve: one row per
+    * (doc, bucket) with x = count/len, plus the label; empty docs are
+    * excluded (no features to learn from). Checkpointed — every
+    * gradient step and the scoring pass re-reads it. */
+  private def classifierFeatures(docs: DataFrame, idCol: String,
+      textCol: String, target: Column,
+      numBuckets: Int): (DataFrame, Long) = {
+    val w = TextOps.words(col(textCol))
+    val feat = docs
+      .select(col(idCol).as("__id"),
+        target.cast("boolean").cast("int").cast("double").as("__y"),
+        w.as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("__id"), col("__y"),
+        size(col("__w")).cast("double").as("__n"),
+        explode(col("__w")).as("__word"))
+      .withColumn("__b",
+        pmod(TextOps.wordHash60(concat(lit("qc:"), col("__word"))),
+          lit(numBuckets.toLong)))
+      .groupBy("__id", "__y", "__n", "__b")
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__id"), col("__y"), col("__b"),
+        (col("__c").cast("double") / col("__n")).as("__x"))
+      // pin the checkpoint on the doc id (explicit width — the AQE
+      // byte-coalescing trap): the per-step margin aggregation
+      // (ClusteredDistribution on (id, y) — satisfied by the id
+      // subset) and the error join back onto features then both run
+      // shuffle-free, leaving one numBuckets-row shuffle per step
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
+      .localCheckpoint() // every GD step + scoring re-reads it
+    val nDocs = feat.select(countDistinct(col("__id"))).head().getLong(0)
+    (feat, nDocs)
+  }
+
+  /** Per-doc 6-dp margins against a literal weight vector: terms
+    * rounded to 12 dp, summed exactly in decimal (order-free). */
+  private def margins(feat: DataFrame, w: Array[Double]): DataFrame = {
+    val wArr = array(w.map(lit): _*)
+    feat
+      .withColumn("__t",
+        round(element_at(wArr, (col("__b") + 1).cast("int")) * col("__x"),
+          12).cast("decimal(38,12)"))
+      .groupBy("__id", "__y").agg(sum(col("__t")).as("__z"))
+      .withColumn("__m", round(col("__z").cast("double"), 6))
+  }
+
+  /** The gradient loop: `iters` full-batch steps, weights on the
+    * driver (numBuckets doubles — bounded, like the k-means centroid
+    * pulls), gradient sums exact in decimal. */
+  private def trainWeights(feat: DataFrame, nDocs: Long,
+      numBuckets: Int, iters: Int, lr: Double): Array[Double] = {
+    var w = Array.fill(numBuckets)(0.0)
+    for (_ <- 1 to iters) {
+      val err = margins(feat, w)
+        .withColumn("__err",
+          round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6) - col("__y"))
+        .select("__id", "__err")
+      val g = feat.join(err, Seq("__id"))
+        .withColumn("__g",
+          round(col("__err") * col("__x"), 12).cast("decimal(38,12)"))
+        .groupBy("__b").agg(sum(col("__g")).as("__gs"))
+        .collect() // numBuckets rows — bounded driver pull
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (g.get(j.toLong).map(_.doubleValue).getOrElse(0.0)
+          / nDocs) }
+    }
+    w
+  }
+
   /** Reliability diagram + Expected Calibration Error (Guo et al. 2017,
     * "On Calibration of Modern Neural Networks") for the
     * [[hashClassifier]] probability against a caller-supplied boolean

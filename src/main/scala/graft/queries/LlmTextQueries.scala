@@ -598,10 +598,123 @@ object LlmTextQueries {
             col("n_bigrams").cast("double")).as("unseen_frac"),
           when(col("__ns") > 0, round(col("__sum") / col("__ns"), 6))
             .as("mean_doc_nll"))
+    }),
+
+
+    // TRAINED fastText-style quality classifier (Joulin 2017; the
+    // CCNet/GPT-3 stage that LEARNS the quality model q129 only
+    // serves): 3 full-batch logistic-regression steps over 64 hashed
+    // features against the q128 target (lang='en'), exact-decimal
+    // term sums, 6-dp link rounding. Output: the weight vector a
+    // pipeline persists and serves.
+    "q325_train_classifier" -> ((s, dir) =>
+      TextAnalysis.trainQualityClassifier(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en")),
+
+
+    // The trained classifier's serving pass + per-source report card:
+    // document/target/keep/train-accuracy counts and the exact-decimal
+    // mean probability — what a corpus build reads before gating on
+    // the model.
+    "q326_classifier_report" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierReport(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", "source")),
+
+
+    // The persisted-model serve (q140/q319 discipline on the quality
+    // model): train -> write the 6-dp weight table to parquet -> reload
+    // -> re-serve the report from the artifact alone. The oracle scores
+    // from ROUND(w,6) in SQL, so the hash match proves the served
+    // report is a pure function of what was persisted.
+    "q327_classifier_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"${IoQueries.sinkDir}/q327_classifier"
+      TextAnalysis.writeClassifier(docs, "doc_id", "text",
+        col("lang") === "en", path)
+      TextAnalysis.qualityClassifierReportFrom(docs, "doc_id", "text",
+        col("lang") === "en", "source", path)
     })
   )
 
+  /** The q325/q326 shared training chain as unrolled DuckDB CTEs:
+    * `iters` gradient steps over 64 hashed features (the engine's exact
+    * arithmetic — 12-dp rounded terms, exact decimal sums, 6-dp link
+    * rounding), ending at weight CTE `w<iters>`. */
+  private def qcTrainCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""z$i AS (SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
+         |    SUM(CAST(ROUND(w${i - 1}.wt * fx.x, 12) AS DECIMAL(38,12)))
+         |      AS z
+         |  FROM fx JOIN w${i - 1} USING (b) GROUP BY fx.doc_id),
+         |e$i AS (SELECT doc_id,
+         |    ROUND(1.0 / (1.0 + exp(-ROUND(CAST(z AS DOUBLE), 6))), 6)
+         |      - y AS err FROM z$i),
+         |g$i AS (SELECT fx.b,
+         |    SUM(CAST(ROUND(e$i.err * fx.x, 12) AS DECIMAL(38,12))) AS g
+         |  FROM fx JOIN e$i USING (doc_id) GROUP BY fx.b),
+         |w$i AS (SELECT w${i - 1}.b,
+         |    w${i - 1}.wt - CAST(COALESCE(g$i.g, 0) AS DOUBLE) / nd.nd
+         |      AS wt
+         |  FROM w${i - 1} LEFT JOIN g$i USING (b), nd)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $WORDS AS w FROM documents),
+       |nn AS (SELECT doc_id, source, y, CAST(len(w) AS DOUBLE) AS n, w
+       |  FROM d WHERE len(w) > 0),
+       |tok AS (SELECT doc_id, y, n, unnest(w) AS word FROM nn),
+       |fx AS (SELECT doc_id, y,
+       |    ('0x' || substr(md5('qc:' || word), 1, 15))::BIGINT % 64 AS b,
+       |    COUNT(*) / ANY_VALUE(n) AS x
+       |  FROM tok GROUP BY doc_id, y, b),
+       |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM fx),
+       |bk AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS b),
+       |w0 AS (SELECT b, 0.0 AS wt FROM bk),
+       |$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q325_train_classifier" ->
+      s"""${qcTrainCtes(3)}
+         |SELECT b AS bucket, ROUND(wt, 6) AS weight FROM w3""".stripMargin,
+
+
+    "q327_classifier_persist" ->
+      s"""${qcTrainCtes(3)},
+         |wr AS (SELECT b, ROUND(wt, 6) AS wt FROM w3),
+         |sc AS (SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
+         |    ROUND(1.0 / (1.0 + exp(-ROUND(CAST(
+         |      SUM(CAST(ROUND(wr.wt * fx.x, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE), 6))), 6) AS p
+         |  FROM fx JOIN wr USING (b) GROUP BY fx.doc_id)
+         |SELECT nn.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sc.y) AS BIGINT) AS n_target,
+         |  CAST(SUM(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  CAST(SUM(CASE WHEN (sc.p >= 0.5) = (sc.y = 1.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CAST(sc.p AS DECIMAL(38,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_p
+         |FROM sc JOIN nn USING (doc_id) GROUP BY 1""".stripMargin,
+
+
+    "q326_classifier_report" ->
+      s"""${qcTrainCtes(3)},
+         |sc AS (SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
+         |    ROUND(1.0 / (1.0 + exp(-ROUND(CAST(
+         |      SUM(CAST(ROUND(w3.wt * fx.x, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE), 6))), 6) AS p
+         |  FROM fx JOIN w3 USING (b) GROUP BY fx.doc_id)
+         |SELECT nn.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sc.y) AS BIGINT) AS n_target,
+         |  CAST(SUM(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  CAST(SUM(CASE WHEN (sc.p >= 0.5) = (sc.y = 1.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CAST(sc.p AS DECIMAL(38,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_p
+         |FROM sc JOIN nn USING (doc_id) GROUP BY 1""".stripMargin,
 
     "q90_pii" -> {
       val pats = TextAnalysis.PiiPatterns

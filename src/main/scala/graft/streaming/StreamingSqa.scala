@@ -765,6 +765,130 @@ object StreamingSqa {
       .agg((count(lit(1)) + coalesce(max(col("__c0")), lit(0L))).as("c"))
   }
 
+  /** Streaming twin of the q323 cross-run deletion — the SERVE side of
+    * ExactSubstr excision (Lee et al. 2022), completing the live census
+    * triad: [[streamingSubstrCensus]] screens arrivals,
+    * [[streamingCensusMerge]] maintains the census, and this APPLIES
+    * the deletion: each arriving document's duplicated spans (every
+    * `gramN`-token window whose gram key is duplicated in the merged
+    * PERSISTED census, count ≥ 2 across all generation shards — the
+    * cross-run contract, so callers write the arriving generation's own
+    * shard first, exactly like the batch job) are excised and the
+    * document re-emitted from its surviving tokens the moment it lands.
+    * Output per document matches the batch deletion schema
+    * (n_tokens / n_removed / text_clean), and StreamingSpec asserts
+    * BIT parity with [[graft.llm.Dedup.removeDupSpansFromCensus]] at
+    * the default span grain (minSpanLen = 0: every merged span is
+    * ≥ gramN by construction, so coverage = the union of duplicated
+    * windows — computable per token with no span table).
+    *
+    * Shape: gram keys build PER ROW (array slices — streams don't
+    * support the batch window `lead`; the hash chain is byte-identical
+    * to the batch gramKeys: full 128-bit md5 of the space-joined
+    * window); the words array materializes once per row behind the
+    * explode's child projection (multi-referenced alias). The census
+    * side is a static sum-merge + `≥ 2` screen joined stream-static at
+    * the window grain; the rebuild is ONE per-document streaming
+    * aggregation (state bounded by in-flight documents' token structs,
+    * the same per-doc bound every batch rebuild carries), and the span
+    * coverage test runs as a pure post-aggregation expression over the
+    * sorted token array — token i is covered iff some duplicated window
+    * starts in (i−gramN, i], an O(gramN) slice-exists per token. */
+  def streamingRemoveSpans(newDocs: DataFrame, census: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      gramN: Int = 8): DataFrame = {
+    val dupKeys = census.groupBy("gk").agg(sum(col("c")).as("__cm"))
+      .filter(col("__cm") >= 2).select(col("gk"), lit(1).as("__hit"))
+    val w = col("__w")
+    // one struct per token: the word + the gram key of the window
+    // STARTING here (null for the last gramN-1 positions)
+    val toks = transform(w, (word, i) => struct(
+      word.as("__tw"),
+      when(i <= size(w) - gramN,
+        md5(array_join(slice(w, i + lit(1), lit(gramN)), " ")))
+        .as("__gk")))
+    val ts = col("__ts")
+    val cov = col("__cov")
+    newDocs
+      .select(col(idCol), graft.llm.TextOps.words(col(textCol)).as("__w"))
+      .select(col(idCol), posexplode(toks).as(Seq("__pos", "__t")))
+      .select(col(idCol), col("__pos"), col("__t.__tw").as("__tw"),
+        col("__t.__gk").as("gk"))
+      .join(dupKeys, Seq("gk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("__pos"), col("__tw"),
+          (col("__hit") === 1).as("__dup")))).as("__ts"))
+      // covered(i) = a duplicated window starts within the gramN-wide
+      // slice ending at i (positions are dense 0..n-1, so the sorted
+      // array index IS the position)
+      .withColumn("__cov", transform(ts, (_, i) => exists(
+        slice(ts, greatest(lit(1), i - gramN + 2), least(i + 1, lit(gramN))),
+        x => coalesce(x.getField("__dup"), lit(false)))))
+      .select(col(idCol), col("n_tokens"),
+        aggregate(cov, lit(0L),
+          (acc, c) => acc + when(c, 1L).otherwise(0L)).as("n_removed"),
+        array_join(filter(zip_with(ts, cov,
+          (t, c) => when(!c, t.getField("__tw"))), x => x.isNotNull), " ")
+          .as("text_clean"))
+  }
+
+  /** Streaming twin of the q327 persisted-classifier serve — the LIVE
+    * quality gate: arriving documents score against the PERSISTED
+    * trained weight table ([[graft.llm.TextAnalysis.writeClassifier]]
+    * output, read once at twin construction — numBuckets rows, the
+    * bounded artifact) the moment they land, emitting the margin,
+    * 6-dp probability, and keep flag per document. StreamingSpec
+    * asserts exact parity with the batch serving pass on the same
+    * documents and the same persisted weights.
+    *
+    * Shape: one explode + ONE streaming aggregation (streams allow no
+    * chained aggregations, so the per-bucket counting that batch does
+    * as a second groupBy runs as a pure post-aggregation expression:
+    * collect the doc's bucket list, count each distinct bucket with a
+    * filter-size, round each w·(c/n) term to 12 dp, and sum exactly
+    * in decimal — order-free, so the batch/stream hash cannot drift).
+    * Weights ride as a literal array (they ARE the model — static by
+    * definition until the next train job), so the score is
+    * join-free. */
+  def streamingClassifierScores(newDocs: DataFrame, weightsPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rows = spark.read.parquet(weightsPath)
+      .collect() // numBuckets rows — the persisted bounded artifact
+    val w = Array.fill(rows.length)(0.0)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
+    val wArr = array(w.map(lit): _*)
+    val ws = col("__w")
+    val bs = col("__bs")
+    val dec = "decimal(38,12)"
+    newDocs
+      .select(col(idCol), graft.llm.TextOps.words(col(textCol)).as("__w"))
+      .filter(size(ws) > 0)
+      .select(col(idCol), size(ws).cast("double").as("__n"),
+        explode(ws).as("__word"))
+      .select(col(idCol), col("__n"),
+        pmod(graft.llm.TextOps.wordHash60(
+          concat(lit("qc:"), col("__word"))), lit(w.length.toLong))
+          .as("__b"))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("__n"),
+        sort_array(collect_list(col("__b"))).as("__bs"))
+      .withColumn("__z", aggregate(
+        transform(array_distinct(bs), b =>
+          round(element_at(wArr, (b + 1).cast("int")) *
+            (size(filter(bs, x => x === b)).cast("double") / col("__n")),
+            12).cast(dec)),
+        lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)))
+      .withColumn("margin", round(col("__z").cast("double"), 6))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
+      .select(col(idCol), col("__n").cast("long").as("n_words"),
+        col("margin"), col("prob"),
+        (col("prob") >= threshold).as("keep"))
+  }
+
   /** Streaming twin of the q308 source-churn audit: arriving new-crawl
     * documents fold into per-source MinHash signatures LIVE (the merged
     * signature is the canonical mergeable sketch — Broder's union

@@ -238,6 +238,43 @@ class CorpusQaSpec extends AnyFunSuite {
     assert(out(4L)._2.isEmpty && out(4L)._3.isEmpty && !out(4L)._4)
   }
 
+  test("trainQualityClassifier separates a vocabulary-split corpus and " +
+      "the report prices the gate (deterministic across runs)") {
+    import org.apache.spark.sql.functions.col
+    val posV = Seq("good", "great", "fine", "nice", "solid", "clean")
+    val negV = Seq("bad", "awful", "poor", "noisy", "junk", "spam")
+    def doc(v: Seq[String], k: Int) =
+      (0 until 6).map(i => v((i + k) % 6)).mkString(" ")
+    val d = docs(
+      (1L to 8L).map(i => (i, doc(posV, i.toInt), "pos")) ++
+      (9L to 16L).map(i => (i, doc(negV, i.toInt), "neg")) :+
+      ((17L, "", "neg")): _*)
+    val target = col("source") === "pos"
+    val w1 = TextAnalysis.trainQualityClassifier(d, "doc_id", "text",
+      target).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // full bucket spine, learning actually moved weights off zero
+    assert(w1.size == 64 && w1.keySet == (0L until 64L).toSet)
+    assert(w1.values.exists(_ > 0) && w1.values.exists(_ < 0))
+    // deterministic: the loop is exact-decimal sums + fixed driver math
+    val w2 = TextAnalysis.trainQualityClassifier(d, "doc_id", "text",
+      target).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 == w2)
+    val rep = TextAnalysis.qualityClassifierReport(d, "doc_id", "text",
+      target, "source").collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val (pn, pt, pk, pc, pm) = rep("pos")
+    val (nn, nt, nk, nc, nm) = rep("neg")
+    // the empty doc has no features: excluded from training and serving
+    assert(pn == 8 && nn == 8)
+    assert(pt == 8 && nt == 0)
+    // disjoint vocabularies: 3 steps fully separate at the 0.5 gate
+    assert(pk == 8 && nk == 0, s"keep counts pos=$pk neg=$nk")
+    assert(pc == 8 && nc == 8)
+    assert(pm > 0.5 && nm < 0.5 && pm > nm + 0.01,
+      s"mean_p pos=$pm neg=$nm")
+  }
+
   test("gopherRules: each rule fires on its designed violation") {
     val okWords = "the of and " + (1 to 30).map(i => s"word$i").mkString(" ")
     val d = docs(

@@ -1129,6 +1129,100 @@ class StreamingSpec extends AnyFunSuite {
       scratch.filter(col("c") >= 2)).count() == 0)
   }
 
+  test("streaming span excision serves arrivals bit-identically to the " +
+      "batch cross-run deletion (q323's live form)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("excise_stream").toString
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val genA = d.filter(col("doc_id") % 2 === 0)
+    val genB = d.filter(col("doc_id") % 2 === 1)
+    // the cross-run contract: every generation's census shard is written
+    // before deletion runs — the arriving generation's own shard too
+    graft.llm.Dedup.writeSpanCensusShard(genA, "doc_id", "text",
+      s"$tmp/census/genA")
+    graft.llm.Dedup.writeSpanCensusShard(genB, "doc_id", "text",
+      s"$tmp/census/genB")
+    val census = spark.read.parquet(s"$tmp/census/*")
+    // generation B arrives as two micro-batches (per-doc rows land whole
+    // within one batch, so complete-mode parity needs no ordering)
+    genB.filter(col("doc_id") % 4 === 1).coalesce(1)
+      .write.parquet(s"$tmp/batches/b1")
+    genB.filter(col("doc_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$tmp/batches/b2")
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val q = StreamingSqa.streamingRemoveSpans(stream, census)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("excise_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("excise_stream")
+    // the registered batch cross-run deletion on the same arrivals and
+    // the same census glob IS the oracle — bit parity, all four columns
+    val batch = graft.llm.Dedup.removeDupSpansFromCensus(
+      genB, "doc_id", "text", s"$tmp/census/*")
+    assert(got.count() == genB.count())
+    // the corpus's cross-doc duplicated blocks must actually excise —
+    // a trivially-zero twin would pass a parity-only check
+    val removed = got.agg(sum(col("n_removed"))).head().getLong(0)
+    assert(removed > 0, s"expected nonzero excision, read $removed")
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
+  test("streaming classifier scores serve arrivals exactly like the batch " +
+      "pass over the same persisted weights (q327's live form)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("clf_stream").toString
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    // the weekly train job: fit on half the corpus, persist the model
+    val train = d.filter(col("doc_id") % 2 === 0)
+    graft.llm.TextAnalysis.writeClassifier(train, "doc_id", "text",
+      col("lang") === "en", s"$tmp/weights")
+    // the other half arrives as two micro-batches and scores live
+    val arrivals = d.filter(col("doc_id") % 2 === 1)
+    arrivals.filter(col("doc_id") % 4 === 1).coalesce(1)
+      .write.parquet(s"$tmp/batches/b1")
+    arrivals.filter(col("doc_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$tmp/batches/b2")
+    val schema = spark.read.parquet(s"$tmp/batches/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batches/*")
+    val q = StreamingSqa.streamingClassifierScores(stream, s"$tmp/weights")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("clf_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("clf_stream")
+    // batch side: the SAME (pure, batch-applicable) plan over the union
+    // of the micro-batch files — per-doc scores have no cross-doc state,
+    // so exact per-row parity must hold
+    val batch = StreamingSqa.streamingClassifierScores(
+      spark.read.parquet(s"$tmp/batches/b1", s"$tmp/batches/b2"),
+      s"$tmp/weights")
+    assert(got.count() == arrivals.count())
+    // the model actually scores (nonzero margins) and separates
+    // DIRECTIONALLY: target-language arrivals average a higher served
+    // probability than the rest
+    assert(got.filter(col("margin") =!= 0.0).count() > 0)
+    val byLang = got.join(arrivals.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang") === "en").agg(avg(col("prob")))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean prob ${byLang(true)} !> other ${byLang(false)}")
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    // and the persisted-serve ENGINE path agrees on the kept set: the
+    // twin's per-doc keep flags must reproduce the q327 rollup counts
+    val rep = graft.llm.TextAnalysis.qualityClassifierReportFrom(
+      arrivals.withColumn("g", lit("all")), "doc_id", "text",
+      col("lang") === "en", "g", s"$tmp/weights")
+      .select("n_docs", "n_keep").head()
+    assert(rep.getLong(0) == got.count() &&
+      rep.getLong(1) == got.filter(col("keep")).count())
+  }
+
   test("streaming source-churn signatures reproduce the q308 batch audit " +
       "exactly across micro-batches") {
     import org.apache.spark.sql.functions._
