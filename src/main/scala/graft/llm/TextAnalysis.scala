@@ -628,9 +628,7 @@ object TextAnalysis {
     val (feat, nDocs) =
       classifierFeatures(docs, idCol, textCol, target, numBuckets)
     val w = trainWeights(feat, nDocs, numBuckets, iters, lr)
-    val scored = margins(feat, w)
-      .withColumn("__p",
-        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6))
+    val scored = margins(feat, w).withColumn("__p", sigmoid6(col("__m")))
     reportRollup(docs, idCol, groupCol, scored, threshold)
   }
 
@@ -655,17 +653,30 @@ object TextAnalysis {
   def qualityClassifierReportFrom(docs: DataFrame, idCol: String,
       textCol: String, target: Column, groupCol: String,
       weightsPath: String, threshold: Double = 0.5): DataFrame = {
-    val rows = docs.sparkSession.read.parquet(weightsPath)
+    val w = readWeights(docs.sparkSession, weightsPath)
+    val (feat, _) =
+      classifierFeatures(docs, idCol, textCol, target, w.length)
+    val scored = margins(feat, w).withColumn("__p", sigmoid6(col("__m")))
+    reportRollup(docs, idCol, groupCol, scored, threshold)
+  }
+
+  /** Reload the persisted weight table as a dense driver array (its
+    * row count IS the feature dimensionality) — the single loading
+    * path every batch and streaming serve shares. */
+  private[graft] def readWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val rows = spark.read.parquet(path)
       .collect() // numBuckets rows — the persisted bounded artifact
     val w = Array.fill(rows.length)(0.0)
     rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
-    val (feat, _) =
-      classifierFeatures(docs, idCol, textCol, target, w.length)
-    val scored = margins(feat, w)
-      .withColumn("__p",
-        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6))
-    reportRollup(docs, idCol, groupCol, scored, threshold)
+    w
   }
+
+  /** The 6-dp logistic link every scoring path shares (the rounding
+    * that keeps both engines' libm exp agreeing). */
+  private[graft] def sigmoid6(m: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-m)), 6)
 
   /** The per-group report tail shared by the live and persisted
     * serving paths. */
@@ -738,8 +749,7 @@ object TextAnalysis {
     var w = Array.fill(numBuckets)(0.0)
     for (_ <- 1 to iters) {
       val err = margins(feat, w)
-        .withColumn("__err",
-          round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6) - col("__y"))
+        .withColumn("__err", sigmoid6(col("__m")) - col("__y"))
         .select("__id", "__err")
       val g = feat.join(err, Seq("__id"))
         .withColumn("__g",

@@ -673,6 +673,26 @@ object LlmTextQueries {
        |$steps""".stripMargin
   }
 
+  /** The q326/q327 shared scoring + per-source rollup tail, scored
+    * against weight CTE `wt` — ONE definition so the two oracles (live
+    * weights vs the persisted 6-dp table) cannot drift from the single
+    * engine-side [[graft.llm.TextAnalysis]] reportRollup. */
+  private def qcReportSql(wt: String): String =
+    s"""sc AS (SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
+       |    ROUND(1.0 / (1.0 + exp(-ROUND(CAST(
+       |      SUM(CAST(ROUND($wt.wt * fx.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE), 6))), 6) AS p
+       |  FROM fx JOIN $wt USING (b) GROUP BY fx.doc_id)
+       |SELECT nn.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(sc.y) AS BIGINT) AS n_target,
+       |  CAST(SUM(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(SUM(CASE WHEN (sc.p >= 0.5) = (sc.y = 1.0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  ROUND(CAST(SUM(CAST(sc.p AS DECIMAL(38,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_p
+       |FROM sc JOIN nn USING (doc_id) GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q325_train_classifier" ->
@@ -683,38 +703,12 @@ object LlmTextQueries {
     "q327_classifier_persist" ->
       s"""${qcTrainCtes(3)},
          |wr AS (SELECT b, ROUND(wt, 6) AS wt FROM w3),
-         |sc AS (SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
-         |    ROUND(1.0 / (1.0 + exp(-ROUND(CAST(
-         |      SUM(CAST(ROUND(wr.wt * fx.x, 12) AS DECIMAL(38,12)))
-         |      AS DOUBLE), 6))), 6) AS p
-         |  FROM fx JOIN wr USING (b) GROUP BY fx.doc_id)
-         |SELECT nn.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(sc.y) AS BIGINT) AS n_target,
-         |  CAST(SUM(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_keep,
-         |  CAST(SUM(CASE WHEN (sc.p >= 0.5) = (sc.y = 1.0)
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |  ROUND(CAST(SUM(CAST(sc.p AS DECIMAL(38,6))) AS DOUBLE)
-         |    / COUNT(*), 6) AS mean_p
-         |FROM sc JOIN nn USING (doc_id) GROUP BY 1""".stripMargin,
+         |${qcReportSql("wr")}""".stripMargin,
 
 
     "q326_classifier_report" ->
       s"""${qcTrainCtes(3)},
-         |sc AS (SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
-         |    ROUND(1.0 / (1.0 + exp(-ROUND(CAST(
-         |      SUM(CAST(ROUND(w3.wt * fx.x, 12) AS DECIMAL(38,12)))
-         |      AS DOUBLE), 6))), 6) AS p
-         |  FROM fx JOIN w3 USING (b) GROUP BY fx.doc_id)
-         |SELECT nn.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(sc.y) AS BIGINT) AS n_target,
-         |  CAST(SUM(CASE WHEN sc.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_keep,
-         |  CAST(SUM(CASE WHEN (sc.p >= 0.5) = (sc.y = 1.0)
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |  ROUND(CAST(SUM(CAST(sc.p AS DECIMAL(38,6))) AS DOUBLE)
-         |    / COUNT(*), 6) AS mean_p
-         |FROM sc JOIN nn USING (doc_id) GROUP BY 1""".stripMargin,
+         |${qcReportSql("w3")}""".stripMargin,
 
     "q90_pii" -> {
       val pats = TextAnalysis.PiiPatterns

@@ -797,8 +797,22 @@ object StreamingSqa {
   def streamingRemoveSpans(newDocs: DataFrame, census: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       gramN: Int = 8): DataFrame = {
+    // the merged >=2 key set materializes ONCE (eager checkpoint): the
+    // static side of a stream-static join re-evaluates per trigger, and
+    // without the pin every micro-batch would re-scan and re-aggregate
+    // the full multi-generation census
+    // the batch path's coverage guard (merged census total >= the query
+    // corpus's gram count) cannot run against an unbounded stream; what
+    // CAN be checked is checked at construction — the artifact layout —
+    // and the live screen twin ([[streamingSubstrCensus]]) is the
+    // monitoring side that surfaces an under-covering census while the
+    // crawl runs
+    require(census.columns.contains("gk") && census.columns.contains("c"),
+      s"census carries ${census.columns.mkString(",")} — expected the " +
+        "writeSpanCensusShard (gk, c) layout")
     val dupKeys = census.groupBy("gk").agg(sum(col("c")).as("__cm"))
       .filter(col("__cm") >= 2).select(col("gk"), lit(1).as("__hit"))
+      .localCheckpoint()
     val w = col("__w")
     // one struct per token: the word + the gram key of the window
     // STARTING here (null for the last gramN-1 positions)
@@ -811,14 +825,18 @@ object StreamingSqa {
     val cov = col("__cov")
     newDocs
       .select(col(idCol), graft.llm.TextOps.words(col(textCol)).as("__w"))
-      .select(col(idCol), posexplode(toks).as(Seq("__pos", "__t")))
+      // OUTER explode + null-skipping collect: a doc with no tokens
+      // (empty/null text) must still emit its (id, 0, 0, "") row — the
+      // batch tail's left-join contract, pinned by StreamingSpec
+      .select(col(idCol), posexplode_outer(toks).as(Seq("__pos", "__t")))
       .select(col(idCol), col("__pos"), col("__t.__tw").as("__tw"),
         col("__t.__gk").as("gk"))
       .join(dupKeys, Seq("gk"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sort_array(collect_list(struct(col("__pos"), col("__tw"),
-          (col("__hit") === 1).as("__dup")))).as("__ts"))
+      .agg(count(col("__tw")).as("n_tokens"),
+        sort_array(collect_list(when(col("__tw").isNotNull,
+          struct(col("__pos"), col("__tw"),
+            (col("__hit") === 1).as("__dup"))))).as("__ts"))
       // covered(i) = a duplicated window starts within the gramN-wide
       // slice ending at i (positions are dense 0..n-1, so the sorted
       // array index IS the position)
@@ -854,11 +872,8 @@ object StreamingSqa {
   def streamingClassifierScores(newDocs: DataFrame, weightsPath: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.5): DataFrame = {
-    val spark = newDocs.sparkSession
-    val rows = spark.read.parquet(weightsPath)
-      .collect() // numBuckets rows — the persisted bounded artifact
-    val w = Array.fill(rows.length)(0.0)
-    rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
+    val w = graft.llm.TextAnalysis.readWeights(
+      newDocs.sparkSession, weightsPath)
     val wArr = array(w.map(lit): _*)
     val ws = col("__w")
     val bs = col("__bs")
@@ -882,8 +897,7 @@ object StreamingSqa {
             12).cast(dec)),
         lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)))
       .withColumn("margin", round(col("__z").cast("double"), 6))
-      .withColumn("prob",
-        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
+      .withColumn("prob", graft.llm.TextAnalysis.sigmoid6(col("margin")))
       .select(col(idCol), col("__n").cast("long").as("n_words"),
         col("margin"), col("prob"),
         (col("prob") >= threshold).as("keep"))

@@ -1132,6 +1132,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming span excision serves arrivals bit-identically to the " +
       "batch cross-run deletion (q323's live form)") {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("excise_stream").toString
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
@@ -1145,10 +1146,16 @@ class StreamingSpec extends AnyFunSuite {
       s"$tmp/census/genB")
     val census = spark.read.parquet(s"$tmp/census/*")
     // generation B arrives as two micro-batches (per-doc rows land whole
-    // within one batch, so complete-mode parity needs no ordering)
-    genB.filter(col("doc_id") % 4 === 1).coalesce(1)
+    // within one batch, so complete-mode parity needs no ordering); an
+    // EMPTY doc rides along — it contributes no grams to any census but
+    // must still be re-emitted as (id, 0, 0, ""), the batch left-join
+    // contract (a twin that drops it would silently delete the doc
+    // from the served corpus)
+    val arrivals = genB.unionByName(
+      Seq((999999L, "")).toDF("doc_id", "text"))
+    arrivals.filter(col("doc_id") % 4 === 1).coalesce(1)
       .write.parquet(s"$tmp/batches/b1")
-    genB.filter(col("doc_id") % 4 === 3).coalesce(1)
+    arrivals.filter(col("doc_id") % 4 =!= 1).coalesce(1)
       .write.parquet(s"$tmp/batches/b2")
     val schema = spark.read.parquet(s"$tmp/batches/b1").schema
     val stream = spark.readStream.schema(schema)
@@ -1161,8 +1168,11 @@ class StreamingSpec extends AnyFunSuite {
     // the registered batch cross-run deletion on the same arrivals and
     // the same census glob IS the oracle — bit parity, all four columns
     val batch = graft.llm.Dedup.removeDupSpansFromCensus(
-      genB, "doc_id", "text", s"$tmp/census/*")
-    assert(got.count() == genB.count())
+      arrivals, "doc_id", "text", s"$tmp/census/*")
+    assert(got.count() == arrivals.count())
+    assert(got.filter(col("doc_id") === 999999L)
+      .select("n_tokens", "n_removed", "text_clean").head() ==
+      org.apache.spark.sql.Row(0L, 0L, ""))
     // the corpus's cross-doc duplicated blocks must actually excise —
     // a trivially-zero twin would pass a parity-only check
     val removed = got.agg(sum(col("n_removed"))).head().getLong(0)
