@@ -13,11 +13,49 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Schema memo for the driver-provided INPUT tables (r20 guide §1/§6):
+    * every bare `spark.read.parquet(path)` submits a footer-reading
+    * schema-inference JOB — ~30-50 ms of fixed cost per read call, paid
+    * again on every call even though the input tables are immutable for
+    * the life of the process. Caching the inferred StructType per path
+    * removes that job; the DATA is still scanned from parquet on every
+    * action (this memoizes metadata only, never results — the same class
+    * of caching a production deployment gets from a declared-schema
+    * catalog table). Keyed by the full path, so distinct scale-factor
+    * dirs never share an entry. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  /** Memoized-schema parquet read for SCHEMA-STABLE paths: the driver's
+    * input tables and the engine's own persisted artifacts (index
+    * tables, censuses, sketches, weight tables), whose writers are
+    * deterministic so the schema at a path never changes within a
+    * process. Only the StructType is memoized — every action still
+    * scans the current files, so a re-written artifact is re-READ in
+    * full; there is no data or result caching here. */
+  def readStable(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   /** Read a raw table by name from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readStable(spark, s"$sfDir/$name.parquet")
   }
+
+  /** Write a BOUNDED artifact table as ONE parquet file (guide §6 output
+    * sizing): the callers' tables are nLists-/vocab-/numBuckets-bounded
+    * (≤ tens of MB even at 1e9-vector / 100 TB scale), and the default
+    * write otherwise lands one near-empty file per shuffle partition —
+    * paying file-commit and read-back listing cost at every scale for
+    * no parallelism anybody uses. Corpus-sized tables (assignments, PQ
+    * codes, token censuses) must NOT go through this — they keep their
+    * natural partitioning. */
+  def writeSmall(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
 
   /** events with `ts` (µs timestamp), `ts_us` (epoch micros, BIGINT).
     *

@@ -230,8 +230,13 @@ object Readers {
     * header CSV for the reference's export surface
     * (reference dashboard/callbacks.py:794-1101 temp-CSV materialization).
     */
+  /** One file per export (guide §6): every caller writes a BOUNDED
+    * per-subject/per-recording table (the reference's own layout is one
+    * CSV per subject), and the ambient partitioning otherwise lands one
+    * near-empty part file per shuffle partition — slower to commit and
+    * to read back at every scale. */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
@@ -256,6 +261,7 @@ object Readers {
       col(sigCol).as("Signal"),
       col("beat").as("Beat"),
       col("artifact").as("Artifact"))
+      .coalesce(1) // bounded per-recording export — one file (guide §6)
       .write.mode("overwrite").json(outPath)
 
   /** Beat-editor edit-instruction source (S10; `_edited.json`):

@@ -1361,7 +1361,7 @@ object Dedup {
     * census shard under `glob`. */
   private def mergedDupKeys(
       spark: org.apache.spark.sql.SparkSession, glob: String): DataFrame =
-    spark.read.parquet(glob)
+    graft.core.Tables.readStable(spark, glob)
       .groupBy("gk").agg(sum(col("c")).as("cm"))
       .filter(col("cm") >= 2).select("gk")
 
@@ -1375,7 +1375,7 @@ object Dedup {
   private def guardedMergedDupKeys(grams: DataFrame,
       glob: String): DataFrame = {
     val spark = grams.sparkSession
-    val censusTotal = spark.read.parquet(glob)
+    val censusTotal = graft.core.Tables.readStable(spark, glob)
       .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     val docGrams = grams.count()
     require(censusTotal >= docGrams,
@@ -1679,7 +1679,7 @@ object Dedup {
     grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
       .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(path)
-    val shards = spark.read.parquet(path)
+    val shards = graft.core.Tables.readStable(spark, path)
     val merged = shards.groupBy("gk").agg(sum(col("c")).as("cm"))
     val direct = grams.groupBy("gk").agg(count(lit(1)).as("cd"))
     val cmp = merged.join(direct, Seq("gk"), "full")

@@ -1410,27 +1410,30 @@ object Similarity {
     * re-read state is value-identical to one from the live build. */
   private[graft] def ivfSplitWriteIndex(st: IvfSplitState,
       dir: String): Unit = {
-    Seq("assign" -> st.assign, "cells" -> st.cells,
-      "flagged" -> st.flagged, "children" -> st.children,
-      "cents" -> st.cents)
+    // assign is corpus-sized — natural partitioning; the other four are
+    // nLists-bounded (≤ ~60 MB at 1e9 vectors), so they land as one
+    // well-sized file each instead of a near-empty file per partition
+    // (guide §6; also cuts the read-back listing/scheduling cost).
+    st.assign.write.mode("overwrite").parquet(s"$dir/assign")
+    Seq("cells" -> st.cells, "flagged" -> st.flagged,
+      "children" -> st.children, "cents" -> st.cents)
       .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name") }
+        graft.core.Tables.writeSmall(df, s"$dir/$name") }
     val spark = st.assign.sparkSession
     import spark.implicits._
-    Seq(st.lists).toDF("lists")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.core.Tables.writeSmall(Seq(st.lists).toDF("lists"), s"$dir/meta")
   }
 
   private[graft] def ivfSplitReadIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfSplitState =
     IvfSplitState(
-      spark.read.parquet(s"$dir/assign"),
-      spark.read.parquet(s"$dir/cells"),
-      spark.read.parquet(s"$dir/flagged"),
-      spark.read.parquet(s"$dir/children"),
-      spark.read.parquet(s"$dir/cents"),
-      spark.read.parquet(s"$dir/meta").head().getInt(0))
+      graft.core.Tables.readStable(spark, s"$dir/assign"),
+      graft.core.Tables.readStable(spark, s"$dir/cells"),
+      graft.core.Tables.readStable(spark, s"$dir/flagged"),
+      graft.core.Tables.readStable(spark, s"$dir/children"),
+      graft.core.Tables.readStable(spark, s"$dir/cents"),
+      graft.core.Tables.readStable(spark, s"$dir/meta").head().getInt(0))
 
   /** SQ8 (per-dimension uint8 scalar quantization) top-k: brute-force
     * cosine over DEQUANTIZED vectors, with min/max ranges learned from
@@ -1595,18 +1598,24 @@ object Similarity {
   /** Persist / re-open the index artifacts as four parquet tables —
     * doubles and floats round-trip parquet bit-exactly, so a search from
     * the re-read index is value-identical to one from the live build. */
-  def ivfPqWriteIndex(index: IvfPqIndex, dir: String): Unit =
-    Seq("cents" -> index.cents, "cells" -> index.cells,
-      "codes" -> index.codes, "codebook" -> index.codebook)
+  def ivfPqWriteIndex(index: IvfPqIndex, dir: String): Unit = {
+    // cells/codes are corpus-sized (one narrow row per vector) — natural
+    // partitioning; cents (nLists rows) and codebook (m·k' rows) are
+    // bounded and land as one file each (guide §6).
+    Seq("cells" -> index.cells, "codes" -> index.codes)
       .foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$dir/$name") }
+    Seq("cents" -> index.cents, "codebook" -> index.codebook)
+      .foreach { case (name, df) =>
+        graft.core.Tables.writeSmall(df, s"$dir/$name") }
+  }
 
   def ivfPqReadIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex =
-    IvfPqIndex(spark.read.parquet(s"$dir/cents"),
-      spark.read.parquet(s"$dir/cells"),
-      spark.read.parquet(s"$dir/codes"),
-      spark.read.parquet(s"$dir/codebook"))
+    IvfPqIndex(graft.core.Tables.readStable(spark, s"$dir/cents"),
+      graft.core.Tables.readStable(spark, s"$dir/cells"),
+      graft.core.Tables.readStable(spark, s"$dir/codes"),
+      graft.core.Tables.readStable(spark, s"$dir/codebook"))
 
   /** IVFADC+R (Jegou, Douze, Schmid 2011 §IV-B): exact re-ranking of the
     * ADC shortlist. [[ivfPqTopK]] produces an R-deep shortlist from

@@ -603,14 +603,44 @@ object TextAnalysis {
   def trainQualityClassifier(docs: DataFrame, idCol: String,
       textCol: String, target: Column, numBuckets: Int = 64,
       iters: Int = 3, lr: Double = 1.0): DataFrame = {
-    val spark = docs.sparkSession
     val (feat, nDocs) =
       classifierFeatures(docs, idCol, textCol, target, numBuckets)
-    val w = trainWeights(feat, nDocs, numBuckets, iters, lr)
+    weightsDf(docs.sparkSession,
+      trainWeights(feat, nDocs, numBuckets, iters, lr))
+  }
+
+  /** The (bucket, 6-dp weight) table from a trained weight vector — the
+    * served/persisted artifact shape, factored so the train-only and
+    * train-then-serve paths emit byte-identical tables. */
+  private def weightsDf(spark: org.apache.spark.sql.SparkSession,
+      w: Array[Double]): DataFrame = {
     import spark.implicits._
     w.zipWithIndex.map { case (wt, j) => (j.toLong, wt) }.toSeq
       .toDF("bucket", "__w")
       .select(col("bucket"), round(col("__w"), 6).as("weight"))
+  }
+
+  /** [[writeClassifier]] + [[qualityClassifierReportFrom]] fused over ONE
+    * feature table (r20, guide §2.4): train, persist the 6-dp weight
+    * table, then serve the per-group report from the RE-READ artifact.
+    * The serve's weights come from the persisted parquet exactly as in
+    * the two-call form — the report stays a pure function of the written
+    * artifact — but the hashed-feature table (an input derivation, not
+    * artifact state) is built and checkpointed once instead of twice,
+    * saving a full docs scan + explode + aggregate + checkpoint. */
+  def writeAndServeClassifier(docs: DataFrame, idCol: String,
+      textCol: String, target: Column, groupCol: String, path: String,
+      numBuckets: Int = 64, iters: Int = 3, lr: Double = 1.0,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val (feat, nDocs) =
+      classifierFeatures(docs, idCol, textCol, target, numBuckets)
+    graft.core.Tables.writeSmall(
+      weightsDf(spark, trainWeights(feat, nDocs, numBuckets, iters, lr)),
+      path)
+    val served = readWeights(spark, path)
+    val scored = margins(feat, served).withColumn("__p", sigmoid6(col("__m")))
+    reportRollup(docs, idCol, groupCol, scored, threshold)
   }
 
   /** [[trainQualityClassifier]] + the serving pass + the per-group
@@ -639,8 +669,9 @@ object TextAnalysis {
   def writeClassifier(docs: DataFrame, idCol: String, textCol: String,
       target: Column, path: String, numBuckets: Int = 64,
       iters: Int = 3, lr: Double = 1.0): Unit =
-    trainQualityClassifier(docs, idCol, textCol, target, numBuckets,
-      iters, lr).write.mode("overwrite").parquet(path)
+    graft.core.Tables.writeSmall(
+      trainQualityClassifier(docs, idCol, textCol, target, numBuckets,
+        iters, lr), path) // numBuckets rows — one file at any scale
 
   /** Serve from the PERSISTED classifier: reload the weight table
     * written by [[writeClassifier]] (its row count IS the feature
@@ -666,7 +697,7 @@ object TextAnalysis {
   private[graft] def readWeights(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Double] = {
-    val rows = spark.read.parquet(path)
+    val rows = graft.core.Tables.readStable(spark, path)
       .collect() // numBuckets rows — the persisted bounded artifact
     val w = Array.fill(rows.length)(0.0)
     rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))

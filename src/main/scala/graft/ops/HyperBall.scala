@@ -148,7 +148,7 @@ object HyperBall {
     r1Of(e1).write.mode("overwrite").parquet(persistPath)
     // batch 2 arrives: reload + register-MAX merge of ITS t=1 registers,
     // then one more propagation round on the full union edge set
-    val merged1 = s.read.parquet(persistPath).unionByName(r1Of(e2))
+    val merged1 = graft.core.Tables.readStable(s, persistPath).unionByName(r1Of(e2))
       .groupBy("v", "bucket").agg(max(col("m")).as("m")).localCheckpoint()
     val incr2 = step(merged1, eAll).localCheckpoint()
     val direct2 = step(step(

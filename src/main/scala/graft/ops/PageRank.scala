@@ -124,7 +124,7 @@ object PageRank {
     var ranks =
       if (seeds == null) nodes.select(col("node"), lit(base).as("pr"))
       else nodesTb.select(col("node"), col("tb").as("pr"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = e
         .join(gated(ranks), col("node") === col("src"))
         .select(col("dst").as("node"), expr("pr div deg").as("c"))
@@ -142,20 +142,35 @@ object PageRank {
         else withMass.crossJoin(broadcast(
           ranks.join(gated(dangling), Seq("node"))
             .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))))
-      ranks = updated
+      val next = updated
         .select(col("node"),
           expr(s"($baseSql + 85 * ($inMassSql)) div 100").as("pr"))
-        // EAGER truncation (r17): the lazy form let the NEXT round's
-        // broadcast build be the first consumer, so the checkpoint
-        // materialized ON A BROADCAST-EXCHANGE THREAD — which completes
-        // holding the global RDDCheckpointData lock while wanting the
-        // RDD's state lock, the exact ABBA the DAG scheduler runs in
-        // the opposite order (holds state lock in getCacheLocs, wants
-        // the class lock via partitions→checkpointRDD). jstack caught
-        // the deadlock live in the r17 concurrent Verify. Eager keeps
-        // the materialization job on THIS thread, where the window
-        // cannot interleave with the scheduler.
-        .localCheckpoint()
+      // EAGER truncation (r17): the lazy form let the NEXT round's
+      // broadcast build be the first consumer, so the checkpoint
+      // materialized ON A BROADCAST-EXCHANGE THREAD — which completes
+      // holding the global RDDCheckpointData lock while wanting the
+      // RDD's state lock, the exact ABBA the DAG scheduler runs in
+      // the opposite order (holds state lock in getCacheLocs, wants
+      // the class lock via partitions→checkpointRDD). jstack caught
+      // the deadlock live in the r17 concurrent Verify. Eager keeps
+      // the materialization job on THIS thread, where the window
+      // cannot interleave with the scheduler.
+      //
+      // CHECKPOINT EVERY 2nd ROUND in the single-consumer modes (r20,
+      // guide §2.4/measured gaps): each checkpoint action costs a job
+      // PLUS ~30-120 ms of driver planning gaps around it, and in the
+      // plain/personalized modes `ranks` is consumed exactly ONCE per
+      // round (the contribution join), so letting one lazy round ride
+      // into the next action duplicates no work and halves the
+      // action count of the loop. The DANGLING mode reads `ranks`
+      // TWICE per round (contribution join + dangling-mass aggregate),
+      // so skipping its checkpoint would re-execute the previous
+      // round's tail, including its broadcast builds — it keeps the
+      // per-round pin. Lineage depth stays bounded (2 rounds).
+      ranks =
+        if (redistributeDangling || it % 2 == 0 || it == iters)
+          next.localCheckpoint()
+        else next
     }
     ranks.select(col("node"), col("pr").as("rank_scaled"))
   }

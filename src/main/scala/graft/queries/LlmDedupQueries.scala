@@ -206,10 +206,10 @@ object LlmDedupQueries {
     "q231_sketch_shard_merge" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = s"${IoQueries.sinkDir}/q231_shard_sketches"
-      Dedup.shardSketches(docs, "doc_id", "text", "source",
-        numShards = 4, shingleN = 3, numHashes = 8)
-        .write.mode("overwrite").parquet(path)
-      val merged = Dedup.mergeShardSketches(s.read.parquet(path), "source",
+      graft.core.Tables.writeSmall(
+        Dedup.shardSketches(docs, "doc_id", "text", "source",
+          numShards = 4, shingleN = 3, numHashes = 8), path)
+      val merged = Dedup.mergeShardSketches(graft.core.Tables.readStable(s, path), "source",
         numHashes = 8)
       val direct = Dedup.mergedMinhash(docs, "doc_id", "text", "source",
         shingleN = 3, numHashes = 8)
@@ -606,11 +606,11 @@ object LlmDedupQueries {
         .localCheckpoint() // shard sketches + direct side share one scan
       val ws = org.apache.spark.sql.expressions.Window
         .partitionBy("shard", "source").orderBy(col("__h"), col("gk"))
-      sh.withColumn("__rnk", row_number().over(ws))
-        .filter(col("__rnk") <= k)
-        .select("shard", "source", "gk", "__h")
-        .write.mode("overwrite").parquet(path)
-      val shards = s.read.parquet(path).localCheckpoint()
+      graft.core.Tables.writeSmall(
+        sh.withColumn("__rnk", row_number().over(ws))
+          .filter(col("__rnk") <= k)
+          .select("shard", "source", "gk", "__h"), path)
+      val shards = graft.core.Tables.readStable(s, path).localCheckpoint()
       val wm = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("__h"), col("gk"))
       def bottomK(df: DataFrame) = df.select("source", "gk", "__h")

@@ -366,15 +366,15 @@ object LlmGovernanceQueries {
       // count word types per (source, shard) FIRST so the 16 sign
       // hashes run once per TYPE, not per token occurrence (Σ_occ sg =
       // sg·c exactly) — ~100× fewer md5 evaluations at sf0.1
-      docs.select(col("source"), (col("doc_id") % 4).as("shard"),
-          explode(TextOps.words(col("text"))).as("w"))
-        .groupBy("source", "shard", "w").agg(count(lit(1)).as("__c"))
-        .select(col("source"), col("shard"), col("__c"),
-          posexplode(signs(col("w"))).as(Seq("j", "sg")))
-        .groupBy("source", "shard", "j")
-        .agg(sum(col("sg") * col("__c")).as("y"))
-        .write.mode("overwrite").parquet(path)
-      val merged = s.read.parquet(path)
+      graft.core.Tables.writeSmall(
+        docs.select(col("source"), (col("doc_id") % 4).as("shard"),
+            explode(TextOps.words(col("text"))).as("w"))
+          .groupBy("source", "shard", "w").agg(count(lit(1)).as("__c"))
+          .select(col("source"), col("shard"), col("__c"),
+            posexplode(signs(col("w"))).as(Seq("j", "sg")))
+          .groupBy("source", "shard", "j")
+          .agg(sum(col("sg") * col("__c")).as("y")), path)
+      val merged = graft.core.Tables.readStable(s, path)
         .groupBy("source", "j")
         .agg(sum(col("y")).as("y_m"),
           countDistinct(col("shard")).as("__ns"))
@@ -651,13 +651,13 @@ object LlmGovernanceQueries {
         .localCheckpoint() // shard side + direct side share one scan
       def dsum8(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(24, 8)))
-      base.withColumn("shard", pmod(col("doc_id"), lit(4L)))
-        .groupBy("source", "shard")
-        .agg(count(lit(1)).as("n"), dsum8(col("__t")).as("s1"),
-          dsum8(col("__t2")).as("s2"), dsum8(col("__t3")).as("s3"),
-          dsum8(col("__t4")).as("s4"))
-        .write.mode("overwrite").parquet(path)
-      val merged = s.read.parquet(path).groupBy("source")
+      graft.core.Tables.writeSmall(
+        base.withColumn("shard", pmod(col("doc_id"), lit(4L)))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n"), dsum8(col("__t")).as("s1"),
+            dsum8(col("__t2")).as("s2"), dsum8(col("__t3")).as("s3"),
+            dsum8(col("__t4")).as("s4")), path)
+      val merged = graft.core.Tables.readStable(s, path).groupBy("source")
         .agg(countDistinct(col("shard")).as("n_shards"),
           sum(col("n")).as("n_docs"),
           sum(col("s1")).cast("double").as("__s1"),

@@ -313,7 +313,7 @@ object LlmTextQueries {
         .write.mode("overwrite").parquet(path)
       val direct = Pipeline.kneserNeyLmScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("avg_nll_kn").as("__direct"))
-      Pipeline.kneserNeyScore(docs, "doc_id", "text", s.read.parquet(path))
+      Pipeline.kneserNeyScore(docs, "doc_id", "text", graft.core.Tables.readStable(s, path))
         .join(direct, Seq("doc_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("avg_nll_kn").isNotNull, 1L).otherwise(0L))
@@ -629,9 +629,9 @@ object LlmTextQueries {
     "q327_classifier_persist" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = s"${IoQueries.sinkDir}/q327_classifier"
-      TextAnalysis.writeClassifier(docs, "doc_id", "text",
-        col("lang") === "en", path)
-      TextAnalysis.qualityClassifierReportFrom(docs, "doc_id", "text",
+      // fused train→persist→serve-from-artifact (one shared feature
+      // table; the served weights still come from the parquet reload)
+      TextAnalysis.writeAndServeClassifier(docs, "doc_id", "text",
         col("lang") === "en", "source", path)
     })
   )
