@@ -167,9 +167,27 @@ object Readers {
     * -> canonical role (Timestamp, ECG/PPG/BVP/EDA, X, Y, Z, TEMP). A
     * 1-based `Sample` column is synthesized when no Timestamp is mapped
     * (reference dashboard/utils.py:437-492). */
+  /** CSV type-inference memo (r20, guide §1): `inferSchema=true` costs a
+    * full extra pass over the file per READ CALL; the mapped-CSV fixtures
+    * and pipeline inputs are schema-stable per path within a process, so
+    * the inferred StructType is memoized (keyed by path + parse options)
+    * and re-reads supply it explicitly. Types are still the INFERRED ones
+    * — the oracle's DuckDB sniffing sees the same file — and the data
+    * pass itself always reads the current bytes. */
+  private val csvSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def inferredCsv(spark: SparkSession, path: String,
+      opts: Map[String, String]): DataFrame = {
+    val key = path + "|" + opts.toSeq.sorted.mkString(",")
+    val schema = csvSchemaCache.computeIfAbsent(key, _ =>
+      spark.read.options(opts).option("inferSchema", "true").csv(path).schema)
+    spark.read.options(opts).schema(schema).csv(path)
+  }
+
   def mappedCsv(spark: SparkSession, path: String,
       mapping: Map[String, String]): DataFrame = {
-    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val raw = inferredCsv(spark, path, Map("header" -> "true"))
     val projected = raw.select(mapping.keys.toSeq.map(c =>
       col(s"`$c`").as(mapping(c))): _*)
     if (mapping.values.exists(_ == "Timestamp")) projected
@@ -211,10 +229,8 @@ object Readers {
     // DataSource's FileStreamSink.hasMetadata probe stat the literal glob
     // string and log a WARN with a full FileNotFoundException stack trace
     // on every read (observed polluting the bench stderr tail).
-    val raw = spark.read.option("header", "true").option("inferSchema", "true")
-      .option("multiLine", (!hasTs).toString)
-      .option("pathGlobFilter", "*.csv")
-      .csv(dir)
+    val raw = inferredCsv(spark, dir, Map("header" -> "true",
+      "multiLine" -> (!hasTs).toString, "pathGlobFilter" -> "*.csv"))
     val w = Window.partitionBy("subject").orderBy(
       (if (hasTs) Seq(col("Timestamp"), monotonically_increasing_id())
        else Seq(monotonically_increasing_id())): _*)
