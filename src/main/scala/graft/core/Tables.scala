@@ -57,6 +57,32 @@ object Tables {
   def writeSmall(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
+  /** Run INDEPENDENT write/output actions concurrently from a small
+    * thread pool (guide §2.6 "overlap independent jobs"): a multi-table
+    * artifact persist otherwise serializes one tiny job + commit +
+    * driver gap per table while 31 cores idle. FIFO scheduling means
+    * later jobs back-fill the earlier jobs' task tails — wall time
+    * approaches the max, not the sum.
+    *
+    * Callers MUST have materialized any localCheckpoint state these
+    * plans read BEFORE calling (every call site's state tables derive
+    * from eagerly-pinned intermediates): concurrently materializing a
+    * checkpoint off the main thread re-opens the r17 ABBA deadlock
+    * window (see the PageRank loop comment) — plain write jobs over
+    * pinned state do not touch RDDCheckpointData at all. */
+  def parWrite(writes: Seq[() => Unit]): Unit =
+    if (writes.size <= 1) writes.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(writes.size, 4))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fs = writes.map(w => scala.concurrent.Future(w())(ec))
+        fs.foreach(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
+
   /** events with `ts` (µs timestamp), `ts_us` (epoch micros, BIGINT).
     *
     * The driver has shipped `events.parquet` with two physical `ts`

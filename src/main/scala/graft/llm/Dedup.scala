@@ -1520,13 +1520,19 @@ object Dedup {
       removed = nxt.agg(coalesce(sum(col("n_removed")), lit(0L)))
         .head().getLong(0)
       pass += 1
-      total = total
-        .select(col(idCol), col("n_tokens"), col("n_removed").as("__r0"))
-        .join(nxt.select(col(idCol), col("n_removed").as("__r1"),
-          col("text_clean")), Seq(idCol))
-        .select(col(idCol), col("n_tokens"),
-          (col("__r0") + col("__r1")).as("n_removed"), col("text_clean"))
-        .localCheckpoint()
+      // A ZERO-removal pass changes nothing: every per-doc n_removed is
+      // 0 (the Σ is 0 and each term is ≥ 0) and its text_clean equals
+      // its input — merging it into `total` would be a row-identical
+      // no-op costing a join + checkpoint (r20 session 2, guide §2.4).
+      // The converging pass's cost is just its census + the Σ scalar.
+      if (removed > 0)
+        total = total
+          .select(col(idCol), col("n_tokens"), col("n_removed").as("__r0"))
+          .join(nxt.select(col(idCol), col("n_removed").as("__r1"),
+            col("text_clean")), Seq(idCol))
+          .select(col(idCol), col("n_tokens"),
+            (col("__r0") + col("__r1")).as("n_removed"), col("text_clean"))
+          .localCheckpoint()
     }
     total
   }
@@ -1833,10 +1839,15 @@ object Dedup {
         .agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select("u")
         .localCheckpoint()
-      val eNext = eAlive
+      // The FINAL round's edge set feeds only snap(rounds)'s single
+      // count — eliding its pin saves a job + gap with no recompute
+      // (aliveNext stays pinned: it appears twice in eNext's semi-joins
+      // plus the next round; r20 session 2, guide §2.4).
+      val eNext0 = eAlive
         .join(aliveNext, Seq("u"), "left_semi")
         .join(aliveNext.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint()
+        .select("u", "v")
+      val eNext = if (r == rounds) eNext0 else eNext0.localCheckpoint()
       snaps += snap(r, aliveNext, eNext, alive)
       alive = aliveNext
       eAlive = eNext
@@ -2179,14 +2190,20 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("u").as("id"))
       .distinct().withColumn("lab", col("id")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      labels = edges
+    for (it <- 1 to iters) {
+      val next = edges
         .join(labels.select(col("id").as("v"), col("lab")), Seq("v"))
         .groupBy(col("u"), col("lab"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("u").as("id"))
         .agg(min_by(col("lab"), struct(-col("__c"), col("lab"))).as("lab"))
-        .localCheckpoint()
+      // `labels` has exactly ONE consumer per round (the join above) and
+      // the final round feeds only the caller's single action, so the
+      // loop checkpoints every 2nd round and never the last — the
+      // PageRank plain-mode cadence (r20, guide §2.4): fewer checkpoint
+      // jobs + driver gaps, zero recompute, lineage depth ≤ 2.
+      labels =
+        if (it % 2 == 0 && it != iters) next.localCheckpoint() else next
     }
     labels.select(col("id"), col("lab").as("community"))
       .withColumn("community_size",

@@ -1414,14 +1414,19 @@ object Similarity {
     // nLists-bounded (≤ ~60 MB at 1e9 vectors), so they land as one
     // well-sized file each instead of a near-empty file per partition
     // (guide §6; also cuts the read-back listing/scheduling cost).
-    st.assign.write.mode("overwrite").parquet(s"$dir/assign")
-    Seq("cells" -> st.cells, "flagged" -> st.flagged,
-      "children" -> st.children, "cents" -> st.cents)
-      .foreach { case (name, df) =>
-        graft.core.Tables.writeSmall(df, s"$dir/$name") }
+    // The six tables are INDEPENDENT outputs over eagerly-pinned state
+    // — write them concurrently (guide §2.6 via Tables.parWrite) instead
+    // of paying six serialized job+commit+gap rounds.
     val spark = st.assign.sparkSession
     import spark.implicits._
-    graft.core.Tables.writeSmall(Seq(st.lists).toDF("lists"), s"$dir/meta")
+    graft.core.Tables.parWrite(Seq(
+      () => st.assign.write.mode("overwrite").parquet(s"$dir/assign"),
+      () => graft.core.Tables.writeSmall(st.cells, s"$dir/cells"),
+      () => graft.core.Tables.writeSmall(st.flagged, s"$dir/flagged"),
+      () => graft.core.Tables.writeSmall(st.children, s"$dir/children"),
+      () => graft.core.Tables.writeSmall(st.cents, s"$dir/cents"),
+      () => graft.core.Tables.writeSmall(
+        Seq(st.lists).toDF("lists"), s"$dir/meta")))
   }
 
   private[graft] def ivfSplitReadIndex(
@@ -1601,13 +1606,15 @@ object Similarity {
   def ivfPqWriteIndex(index: IvfPqIndex, dir: String): Unit = {
     // cells/codes are corpus-sized (one narrow row per vector) — natural
     // partitioning; cents (nLists rows) and codebook (m·k' rows) are
-    // bounded and land as one file each (guide §6).
-    Seq("cells" -> index.cells, "codes" -> index.codes)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name") }
-    Seq("cents" -> index.cents, "codebook" -> index.codebook)
-      .foreach { case (name, df) =>
-        graft.core.Tables.writeSmall(df, s"$dir/$name") }
+    // bounded and land as one file each (guide §6). The four tables are
+    // independent outputs — written concurrently (guide §2.6 via
+    // Tables.parWrite): overlapping the two corpus-sized writes' task
+    // tails with the two bounded single-file commits.
+    graft.core.Tables.parWrite(Seq(
+      () => index.cells.write.mode("overwrite").parquet(s"$dir/cells"),
+      () => index.codes.write.mode("overwrite").parquet(s"$dir/codes"),
+      () => graft.core.Tables.writeSmall(index.cents, s"$dir/cents"),
+      () => graft.core.Tables.writeSmall(index.codebook, s"$dir/codebook")))
   }
 
   def ivfPqReadIndex(spark: org.apache.spark.sql.SparkSession,

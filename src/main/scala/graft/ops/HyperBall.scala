@@ -102,12 +102,19 @@ object HyperBall {
 
     val snaps = scala.collection.mutable.ArrayBuffer(snapshot(0))
     (1 to iters).foreach { t =>
-      regs = step(regs, edges).localCheckpoint()
-      ball = ball
+      // Intermediate rounds pin (2 consumers each: this round's snapshot
+      // + the next round); the FINAL round's regs/ball feed ONLY
+      // snapshot(iters), each read once inside the caller's single
+      // action — eliding their checkpoints saves 2 jobs + driver gaps
+      // with zero recompute (r20 session 2, guide §2.4).
+      val last = t == iters
+      val regsNext = step(regs, edges)
+      regs = if (last) regsNext else regsNext.localCheckpoint()
+      val ballNext = ball
         .unionByName(edges.join(ball, edges("s") === ball("v"))
           .select(edges("d").as("v"), ball("u")))
         .distinct()
-        .localCheckpoint()
+      ball = if (last) ballNext else ballNext.localCheckpoint()
       snaps += snapshot(t)
     }
     snaps.reduce(_ unionByName _)

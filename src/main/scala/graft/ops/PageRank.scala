@@ -167,8 +167,15 @@ object PageRank {
       // so skipping its checkpoint would re-execute the previous
       // round's tail, including its broadcast builds — it keeps the
       // per-round pin. Lineage depth stays bounded (2 rounds).
+      //
+      // The FINAL round is elided too (r20 session 2): the returned
+      // DataFrame has exactly one downstream consumer (the caller's
+      // single action), so the last odd round rides into that action
+      // like any other lazy round — one fewer checkpoint job + gap,
+      // no recompute, and no lazy-checkpoint deadlock window because
+      // nothing is left to materialize off-thread.
       ranks =
-        if (redistributeDangling || it % 2 == 0 || it == iters)
+        if (it != iters && (redistributeDangling || it % 2 == 0))
           next.localCheckpoint()
         else next
     }
@@ -198,7 +205,8 @@ object PageRank {
     * identical to materializing a normalized score table first). The L1
     * totals never re-run an edge join: the a-side total Σ_v raw_a(v)
     * telescopes to Σ_u h(u)·outdeg(u), a node-scale aggregate over the
-    * checkpointed raw table and the loop-invariant out-degree table, and
+    * checkpointed raw table (which carries the loop-invariant
+    * out-degree as a folded-in column — no per-round degree join), and
     * the h-side total is a 1-row aggregate over the pinned raw table —
     * both ride in as broadcast 1-row scalars, never a driver sync (a
     * literal-collect variant was measured SLOWER in r15: each collect
@@ -219,14 +227,18 @@ object PageRank {
     // round scans eBySrc likewise — with the score tables broadcast
     // (below), NO edge-table shuffle happens inside the loop at all.
     // Pinned partition count, not AQE-coalesced (the q203 trap).
-    val eBySrc = e0.repartition(P, col("src")).localCheckpoint()
+    //
+    // The loop-invariant out-degree is FOLDED INTO the src copy (r20
+    // session 2, the PageRank idiom): it rides the edge rows (+8 bytes)
+    // and the hub-state rows, so each round's a-side L1 total
+    // (Σ h·outdeg == Σ_v raw_a(v)) is a node-scale aggregate over the
+    // hub table ALONE — no per-round degree join and no per-round
+    // degree-table broadcast build (measured: 1 AQE broadcast job +
+    // its driver gap per round, plus the setup table's own checkpoint).
+    val eBySrc = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("__deg")), Seq("src"))
+      .repartition(P, col("src")).localCheckpoint()
     val eByDst = e0.repartition(P, col("dst")).localCheckpoint()
-    // Loop-invariant out-degree: lets each round's a-side L1 total be a
-    // node-scale agg (Σ h·outdeg == Σ_v raw_a(v)) instead of a second
-    // pass over the edge join that produced raw_a. Exchange-free on the
-    // src-partitioned copy.
-    val degOut = eBySrc.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("__deg")).localCheckpoint()
     // Node-scale score tables broadcast under the [[BroadcastMaxNodes]]
     // gate (the PageRank contract: 2M nodes ≈ 32 MB; web-scale graphs
     // fall back to keyed joins against the pre-partitioned edge copies).
@@ -239,15 +251,19 @@ object PageRank {
       math.max(r.getLong(0), r.getLong(1)) <= BroadcastMaxNodes
     }
     def gated(df: DataFrame) = if (small) broadcast(df) else df
-    // Hub state (node, h): normalized integer scores; seeded unnormalized
-    // at HitsScale per Kleinberg's z-vector. After round 1 this is a LAZY
+    // Hub state (node, h, __deg): normalized integer scores with the
+    // loop-invariant out-degree alongside; seeded unnormalized at
+    // HitsScale per Kleinberg's z-vector. After round 1 this is a LAZY
     // projection over the checkpointed raw table — never its own job.
-    var h = eBySrc.select(col("src").as("node")).distinct()
+    var h = eBySrc.groupBy(col("src").as("node"))
+      .agg(max(col("__deg")).as("__deg"))
       .withColumn("h", lit(HitsScale)).localCheckpoint()
     var a: DataFrame = null
     for (it <- 1 to iters) {
-      val ta = broadcast(h.join(gated(degOut), Seq("node"))
-        .agg(sum(expr("h * __deg")).as("__ta")))
+      // Σ h·outdeg over the hub table alone (deg rides the state rows):
+      // value-identical to the former h ⨝ degOut aggregate — h's node
+      // set IS the src-node set every round.
+      val ta = broadcast(h.agg(sum(expr("h * __deg")).as("__ta")))
       // Raw authority mass — consumed once (inside the h-side join), so
       // left unmaterialized except in the FINAL round, where it also
       // feeds the authority output and an EAGER checkpoint pins it
@@ -262,13 +278,15 @@ object PageRank {
         .join(gated(rawA.select(col("node").as("dst"), col("__ar"))),
           Seq("dst"))
         .crossJoin(ta)
-        .select(col("src").as("node"),
+        .select(col("src").as("node"), col("__deg"),
           expr(s"(__ar * $HitsScale) div __ta").as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__hr"))
+        .groupBy("node").agg(sum(col("__c")).as("__hr"),
+          max(col("__deg")).as("__deg")) // deg is per-src constant
         .localCheckpoint() // eager: the next line broadcasts over it
       val th = broadcast(rawH.agg(sum(col("__hr")).as("__th")))
       h = rawH.crossJoin(th)
-        .select(col("node"), expr(s"(__hr * $HitsScale) div __th").as("h"))
+        .select(col("node"), col("__deg"),
+          expr(s"(__hr * $HitsScale) div __th").as("h"))
       if (it == iters)
         a = rawA.crossJoin(ta)
           .select(col("node"),

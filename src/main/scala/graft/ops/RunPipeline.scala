@@ -105,16 +105,25 @@ object RunPipeline {
     new File(tempDir).mkdirs()
     val renderSub = new File(renderDir, name); renderSub.mkdirs()
 
-    def sink(df: DataFrame, key: String, dest: String): (String, String) = {
+    def writable(df: DataFrame): DataFrame =
       // all-null columns (e.g. n_scrs with SCR detection off) type as VOID,
       // which the CSV datasource rejects; land them as empty double cells,
       // pandas' NaN-column rendering
-      val writable = df.schema.fields.foldLeft(df) { (d, fld) =>
+      df.schema.fields.foldLeft(df) { (d, fld) =>
         if (fld.dataType == org.apache.spark.sql.types.NullType)
           d.withColumn(fld.name, col(fld.name).cast("double"))
         else d
       }
-      Readers.writeCsv(writable, dest); key -> dest
+    // A routed file's sinks are INDEPENDENT outputs (signal / SQA / IBI /
+    // render read disjoint destinations off the same eagerly-pinned beat
+    // table) — write them concurrently (guide §2.6, Tables.parWrite)
+    // instead of one serialized job + commit + driver gap per sink. The
+    // only checkpoint in the chain (`beats`) is materialized before any
+    // sink fires, so these are plain write jobs (the r17 discipline).
+    def sinkAll(outs: (DataFrame, String, String)*): Map[String, String] = {
+      graft.core.Tables.parWrite(outs.map { case (df, _, dest) =>
+        () => Readers.writeCsv(writable(df), dest) })
+      outs.map { case (_, key, dest) => key -> dest }.toMap
     }
 
     Readers.dispatch(path) match {
@@ -128,17 +137,17 @@ object RunPipeline {
           .withColumn("subject", lit(1L))
           .select("subject", "idx", "ts_us", "value")
         val (annotated, metrics, ibi) = cardiacChain(frame, fs, "ECG", opts.segSize)
-        val outs = Map(
-          sink(annotated, "signal", s"$tempDir/${name}_ECG.csv"),
-          sink(metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
-          sink(ibi, "ibi", s"$tempDir/${name}_IBI.csv"),
-          sink(renderFrame(annotated, fs, opts.renderFsMax), "render",
+        val outs = sinkAll(
+          (annotated, "signal", s"$tempDir/${name}_ECG.csv"),
+          (metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
+          (ibi, "ibi", s"$tempDir/${name}_IBI.csv"),
+          (renderFrame(annotated, fs, opts.renderFsMax), "render",
             s"$renderSub/signal.csv"))
         Output(name, FileSource.Actiwave, "ECG", fs, metrics, outs)
 
       case FileSource.E4 =>
         val acc = Readers.e4Modality(spark, path, "ACC.csv")
-        val accOut = sink(acc, "acc", s"$tempDir/${name}_ACC.csv")
+        val accSink = (acc, "acc", s"$tempDir/${name}_ACC.csv")
         if (opts.e4Dtype == "EDA") {
           val eda = Readers.e4Modality(spark, path, "EDA.csv")
             .withColumn("subject", lit(1L))
@@ -151,10 +160,10 @@ object RunPipeline {
             Seq("subject", "idx"), "left")
           val fs = 4
           val metrics = edaChain(withTemp, fs, opts.segSize, Some("TEMP"))
-          val outs = Map(accOut,
-            sink(withTemp, "signal", s"$tempDir/${name}_EDA.csv"),
-            sink(metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
-            sink(renderFrame(withTemp, fs, opts.renderFsMax), "render",
+          val outs = sinkAll(accSink,
+            (withTemp, "signal", s"$tempDir/${name}_EDA.csv"),
+            (metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
+            (renderFrame(withTemp, fs, opts.renderFsMax), "render",
               s"$renderSub/signal.csv"))
           Output(name, FileSource.E4, "EDA", fs, metrics, outs)
         } else {
@@ -163,11 +172,11 @@ object RunPipeline {
             .withColumnRenamed("BVP", "value")
           val fs = 64
           val (annotated, metrics, ibi) = cardiacChain(bvp, fs, "BVP", opts.segSize)
-          val outs = Map(accOut,
-            sink(annotated, "signal", s"$tempDir/${name}_BVP.csv"),
-            sink(metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
-            sink(ibi, "ibi", s"$tempDir/${name}_IBI.csv"),
-            sink(renderFrame(annotated, fs, opts.renderFsMax), "render",
+          val outs = sinkAll(accSink,
+            (annotated, "signal", s"$tempDir/${name}_BVP.csv"),
+            (metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
+            (ibi, "ibi", s"$tempDir/${name}_IBI.csv"),
+            (renderFrame(annotated, fs, opts.renderFsMax), "render",
               s"$renderSub/signal.csv"))
           Output(name, FileSource.E4, "BVP", fs, metrics, outs)
         }
@@ -188,11 +197,11 @@ object RunPipeline {
             .select("subject", "idx", "ts_us", "value")
           val (annotated, metrics, ibi) =
             cardiacChain(frame, fs, opts.csvDtype, opts.segSize)
-          val outs = Map(
-            sink(annotated, "signal", s"$tempDir/${name}_${opts.csvDtype}.csv"),
-            sink(metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
-            sink(ibi, "ibi", s"$tempDir/${name}_IBI.csv"),
-            sink(renderFrame(annotated, fs, opts.renderFsMax), "render",
+          val outs = sinkAll(
+            (annotated, "signal", s"$tempDir/${name}_${opts.csvDtype}.csv"),
+            (metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
+            (ibi, "ibi", s"$tempDir/${name}_IBI.csv"),
+            (renderFrame(annotated, fs, opts.renderFsMax), "render",
               s"$renderSub/signal.csv"))
           Output(name, FileSource.Csv, opts.csvDtype, fs, metrics, outs)
         } else { // EDA-mapped CSV routes to the EDA plan (callbacks.py:838-858)
@@ -200,10 +209,10 @@ object RunPipeline {
           val frame = base.withColumnRenamed("EDA", "value")
             .select(Seq("subject", "idx", "ts_us", "value") ++ tempCol map col: _*)
           val metrics = edaChain(frame, fs, opts.segSize, tempCol)
-          val outs = Map(
-            sink(frame, "signal", s"$tempDir/${name}_EDA.csv"),
-            sink(metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
-            sink(renderFrame(frame, fs, opts.renderFsMax), "render",
+          val outs = sinkAll(
+            (frame, "signal", s"$tempDir/${name}_EDA.csv"),
+            (metrics, "sqa", s"$tempDir/${name}_SQA.csv"),
+            (renderFrame(frame, fs, opts.renderFsMax), "render",
               s"$renderSub/signal.csv"))
           Output(name, FileSource.Csv, "EDA", fs, metrics, outs)
         }
