@@ -276,8 +276,13 @@ object Bench {
         !sys.env.get("SPARK_GRAFT_FRESH_CHECK").contains("0")) {
       // q290 rides along regardless of suite rank (round-15 verdict #6):
       // the r14 "HITS isolated <= 2.5 s" criterion needs a driver-artifact
-      // fresh-JVM number, not an A/B cost ratio.
-      val forced = Set("q290_hits")
+      // fresh-JVM number, not an A/B cost ratio. q296 added in r21
+      // (r20 verdict item 2): its r20 driver sweep reading regressed on
+      // a steal transient and was exonerated only by out-of-artifact
+      // evidence — forcing it here puts the fresh-JVM number IN the
+      // artifact. Forced queries only ADD fresh/recheck evidence; the
+      // sweep numbers and the JSON contract are untouched.
+      val forced = Set("q290_hits", "q296_hyperball_persist")
       val slowest = (results.sortBy(-_._2).take(5) ++
         results.filter(r => forced.contains(r._1))).distinctBy(_._1)
       val childDetail = java.nio.file.Files.createTempFile("bench_fresh", ".json")

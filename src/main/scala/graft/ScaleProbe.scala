@@ -51,6 +51,20 @@ object ScaleProbe {
           .cast("double") / (1L << 19).toDouble - 1.0).cast("float"))
         .as("embedding"))
 
+  /** Deterministic directed multigraph: `nNodes * avgDeg` edges with
+    * uniform xxhash64 endpoints (self-loops dropped) — the same
+    * seeded-expression discipline as the doc/emb generators. Node count
+    * scales with the probe scale, so a big enough scale pushes the
+    * graph loops PAST [[graft.ops.PageRank.BroadcastMaxNodes]] and
+    * exercises the keyed-join fallback path the sf benches never
+    * reach (r21, verdict item 1). */
+  private[graft] def synthEdges(spark: SparkSession, nNodes: Long,
+      avgDeg: Int = 8): DataFrame =
+    spark.range(nNodes * avgDeg).select(
+      pmod(xxhash64(col("id"), lit(5L)), lit(nNodes)).as("src"),
+      pmod(xxhash64(col("id"), lit(13L)), lit(nNodes)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -72,8 +86,20 @@ object ScaleProbe {
 
     // the family the 100 TB story leans on — each entry builds its
     // DataFrame fresh per repeat so persists/checkpoints never carry
-    def ops(docs: DataFrame, emb: DataFrame,
+    def ops(docs: DataFrame, emb: DataFrame, edges: DataFrame,
         tag: String): Seq[(String, () => DataFrame)] = Seq(
+      // graph loops (r21, verdict item 1): the families whose r20
+      // checkpoint-cadence rework was only ever measured driver-bound
+      "pagerank" -> (() => graft.ops.PageRank.run(edges, iters = 5)),
+      "hits" -> (() => graft.ops.PageRank.hits(edges, iters = 5)),
+      "hyperball" -> (() => graft.ops.HyperBall.neighborhoodFunction(
+        spark, edges.select(col("src").as("id_a"), col("dst").as("id_b")),
+        iters = 2)),
+      "kcore" -> (() => Dedup.kCorePeel(docs, "doc_id", "text",
+        k = 2, rounds = 3, shingleN = 3, numHashes = 8, numBands = 4,
+        threshold = 0.3)),
+      "containment" -> (() => Dedup.containmentPairs(docs, "doc_id",
+        "text", shingleN = 3, maxDf = 5, threshold = 0.3, prefixK = 5)),
       "exact_profile" -> (() => Dedup.exactSubstringDupProfile(
         docs, "doc_id", "text", "source", gramN = 8)),
       "remove_spans" -> (() => Dedup.removeDupSpans(
@@ -106,6 +132,8 @@ object ScaleProbe {
         graft.llm.TextAnalysis.trainQualityClassifier(docs, "doc_id",
           "text", pmod(col("doc_id"), lit(4L)) === 0L)))
 
+    val baseNodes = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "20000").toLong
+    val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS").map(_.split(",").toSet)
     val results = scales.map { sc =>
       // materialize to parquet first so the ops time their own work,
       // not the generator expressions
@@ -113,11 +141,16 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$tmp/docs_$sc")
       synthEmb(spark, baseVecs * sc)
         .write.mode("overwrite").parquet(s"$tmp/emb_$sc")
+      synthEdges(spark, baseNodes * sc)
+        .write.mode("overwrite").parquet(s"$tmp/edges_$sc")
       val d = spark.read.parquet(s"$tmp/docs_$sc")
       val e = spark.read.parquet(s"$tmp/emb_$sc")
+      val g = spark.read.parquet(s"$tmp/edges_$sc")
       System.err.println(s"[probe] scale ${sc}x: ${d.count()} docs, " +
-        s"${e.count()} vectors")
-      val times = ops(d, e, s"s$sc").map { case (name, mk) =>
+        s"${e.count()} vectors, ${g.count()} edges")
+      val times = ops(d, e, g, s"s$sc")
+        .filter { case (name, _) => onlyOps.forall(_.contains(name)) }
+        .map { case (name, mk) =>
         // one unrecorded warm-up per op: the FIRST scale otherwise pays
         // every op's one-time codegen/JIT cost and the exponent reads
         // systematically low (the first probe run showed ivf_cell_split

@@ -40,6 +40,23 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Evict a path's memoized schema (r21, verdict item 7): every
+    * artifact writer calls this after an overwrite so that a same-path
+    * rewrite with an EVOLVED schema is never served a stale StructType
+    * by [[readStable]] within one process. Writers today are
+    * deterministic (same schema every rewrite), so this is a
+    * correctness guard, not a behavior change. */
+  def evictSchema(path: String): Unit = schemaCache.remove(path)
+
+  /** Overwrite-write a parquet artifact at its natural partitioning,
+    * evicting the path's schema memo (see [[evictSchema]]). The write
+    * path for CORPUS-SIZED artifacts (censuses, assignments, codes);
+    * bounded tables go through [[writeSmall]]. */
+  def writeArtifact(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    evictSchema(path)
+  }
+
   /** Read a raw table by name from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -54,8 +71,10 @@ object Tables {
     * no parallelism anybody uses. Corpus-sized tables (assignments, PQ
     * codes, token censuses) must NOT go through this — they keep their
     * natural partitioning. */
-  def writeSmall(df: DataFrame, path: String): Unit =
+  def writeSmall(df: DataFrame, path: String): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(path)
+    evictSchema(path)
+  }
 
   /** Run INDEPENDENT write/output actions concurrently from a small
     * thread pool (guide §2.6 "overlap independent jobs"): a multi-table

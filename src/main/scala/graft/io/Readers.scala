@@ -246,16 +246,22 @@ object Readers {
     * header CSV for the reference's export surface
     * (reference dashboard/callbacks.py:794-1101 temp-CSV materialization).
     */
-  /** One file per export (guide §6): every caller writes a BOUNDED
-    * per-subject/per-recording table (the reference's own layout is one
-    * CSV per subject), and the ambient partitioning otherwise lands one
-    * near-empty part file per shuffle partition — slower to commit and
-    * to read back at every scale. */
-  def writeCsv(df: DataFrame, path: String): Unit =
+  /** One file per export — the name IS the contract (r21, verdict item
+    * 6): every caller writes a BOUNDED per-subject/per-recording table
+    * (the reference's own layout is one CSV per subject), and the
+    * ambient partitioning otherwise lands one near-empty part file per
+    * shuffle partition — slower to commit and to read back at every
+    * scale. A corpus-sized table must NOT come through here: the
+    * coalesce(1) serializes the whole write into one task. The explicit
+    * `Single` suffix makes that misuse visible at the call site (the
+    * generic-sounding `writeCsv` name invited it silently). */
+  def writeCsvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
-  def writeParquet(df: DataFrame, path: String): Unit =
+  def writeParquet(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
+    graft.core.Tables.evictSchema(path) // keep readStable's memo honest
+  }
 
   /** Sharded JSONL training-data export: one `<shardCol>=K/` directory of
     * line-delimited JSON per deterministic shard — the layout tokenizer /

@@ -317,15 +317,18 @@ object Dedup {
   /** Signature + set size in ONE aggregation pass over the shingle rows —
     * (id, mh, __set_size). Callers that need both never re-scan the rows. */
   private def signaturesFromRows(rows: DataFrame, idCol: String,
-      numHashes: Int): DataFrame = {
+      numHashes: Int, extraKeys: Seq[String] = Nil): DataFrame = {
     require(numHashes <= HASH_A.size, s"at most ${HASH_A.size} hash functions")
     val base = conv(substr(md5(col("shingle")), lit(1), lit(8)), 16, 10).cast("long")
     val mins = (0 until numHashes).map(j =>
       min((lit(HASH_A(j)) * base + lit(HASH_B(j))) % MINHASH_P).as(s"__mh$j"))
-    rows.groupBy(col(idCol))
+    // extraKeys are FUNCTIONALLY DEPENDENT on the id (e.g. the tagged-
+    // union side flag) — adding them to the groupBy changes no group.
+    rows.groupBy((idCol +: extraKeys).map(col): _*)
       .agg(count(lit(1)).as("__set_size"), mins: _*)
       .withColumn("mh", array((0 until numHashes).map(j => col(s"__mh$j")): _*))
-      .select(col(idCol), col("mh"), col("__set_size"))
+      .select((col(idCol) +: extraKeys.map(col)) :+
+        col("mh") :+ col("__set_size"): _*)
   }
 
   /** Max candidate-id cardinality for a DRIVER broadcast of the semi-join
@@ -488,21 +491,33 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 8,
       numBands: Int = 4, threshold: Double = 0.0): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val newRows = shingleRows(newDocs, idCol, textCol, shingleN)
-    val idxRows = shingleRows(indexDocs, idCol, textCol, shingleN)
-    val newSigs = signaturesFromRows(newRows, idCol, numHashes).localCheckpoint()
-    val idxSigs = signaturesFromRows(idxRows, idCol, numHashes).localCheckpoint()
-    def bandsOf(sigs: DataFrame, as: String) = sigs
+    // ONE tagged union pass (r21, guide §2.4): the two sides' ids are
+    // disjoint by contract, so shingling + signature aggregation over
+    // the tagged union groups identically to two separate passes —
+    // one repartition exchange, one aggregation pipeline and ONE
+    // signature checkpoint instead of two of each (the side flag is
+    // functionally dependent on the id, so adding it to the groupBy
+    // changes no group and no value). The band join stays new × index
+    // via the side filters over the single pinned signature table.
+    val tagged = newDocs
+      .select(col(idCol), col(textCol), lit(1).as("__side"))
+      .unionByName(indexDocs
+        .select(col(idCol), col(textCol), lit(0).as("__side")))
+    val rows = shingleRows(tagged, idCol, textCol, shingleN,
+      extraCols = Seq("__side"))
+    val sigs = signaturesFromRows(rows, idCol, numHashes,
+      extraKeys = Seq("__side")).localCheckpoint()
+    def bandsOf(side: Int, as: String) = sigs
+      .filter(col("__side") === side)
       .withColumn("band_keys", TextOps.bandKeys(col("mh"), numBands, rowsPerBand))
       .select(col(idCol).as(as),
         posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
-    val cand = bandsOf(idxSigs, "id_a")
-      .join(bandsOf(newSigs, "id_b"), Seq("band_idx", "band_key"))
+    val cand = bandsOf(0, "id_a")
+      .join(bandsOf(1, "id_b"), Seq("band_idx", "band_key"))
       .select("id_a", "id_b").distinct()
-    val rows = newRows.union(idxRows)
-    val sizes = newSigs.select(col(idCol), col("__set_size"))
-      .union(idxSigs.select(col(idCol), col("__set_size")))
-    verifyJaccard(cand, rows, sizes, idCol, threshold)
+    val sizes = sigs.select(col(idCol), col("__set_size"))
+    verifyJaccard(cand, rows.select(col(idCol), col("shingle")), sizes,
+      idCol, threshold)
   }
 
   /** Chunk-level corpus dedup — the CCNet-style removal unit adapted to
@@ -1274,9 +1289,9 @@ object Dedup {
         col(idCol))
       .select(col(idCol),
         posexplode(TextOps.words(col(textCol))).as(Seq("__pos", "__w")))
-    gramKeys(toks, idCol, gramN)
-      .groupBy("gk").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(path)
+    graft.core.Tables.writeArtifact(
+      gramKeys(toks, idCol, gramN)
+        .groupBy("gk").agg(count(lit(1)).as("c")), path)
   }
 
   /** [[dupSpanHistogram]] with its census replaced by the sum-merge of
@@ -1350,10 +1365,10 @@ object Dedup {
     * counts. */
   private def persistAndMergeCensus(grams: DataFrame, idCol: String,
       path: String, numShards: Int): DataFrame = {
-    grams.withColumn("shard",
-        pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
-      .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(path)
+    graft.core.Tables.writeArtifact(
+      grams.withColumn("shard",
+          pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
+        .groupBy("shard", "gk").agg(count(lit(1)).as("c")), path)
     mergedDupKeys(grams.sparkSession, path)
   }
 
@@ -1682,9 +1697,9 @@ object Dedup {
     val grams = gramKeys(toks, idCol, gramN)
       .select(col(idCol), col("gk"))
       .localCheckpoint() // shard censuses + direct census + flag-back
-    grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
-      .groupBy("shard", "gk").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(path)
+    graft.core.Tables.writeArtifact(
+      grams.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+        .groupBy("shard", "gk").agg(count(lit(1)).as("c")), path)
     val shards = graft.core.Tables.readStable(spark, path)
     val merged = shards.groupBy("gk").agg(sum(col("c")).as("cm"))
     val direct = grams.groupBy("gk").agg(count(lit(1)).as("cd"))

@@ -1420,7 +1420,7 @@ object Similarity {
     val spark = st.assign.sparkSession
     import spark.implicits._
     graft.core.Tables.parWrite(Seq(
-      () => st.assign.write.mode("overwrite").parquet(s"$dir/assign"),
+      () => graft.core.Tables.writeArtifact(st.assign, s"$dir/assign"),
       () => graft.core.Tables.writeSmall(st.cells, s"$dir/cells"),
       () => graft.core.Tables.writeSmall(st.flagged, s"$dir/flagged"),
       () => graft.core.Tables.writeSmall(st.children, s"$dir/children"),
@@ -1611,8 +1611,8 @@ object Similarity {
     // Tables.parWrite): overlapping the two corpus-sized writes' task
     // tails with the two bounded single-file commits.
     graft.core.Tables.parWrite(Seq(
-      () => index.cells.write.mode("overwrite").parquet(s"$dir/cells"),
-      () => index.codes.write.mode("overwrite").parquet(s"$dir/codes"),
+      () => graft.core.Tables.writeArtifact(index.cells, s"$dir/cells"),
+      () => graft.core.Tables.writeArtifact(index.codes, s"$dir/codes"),
       () => graft.core.Tables.writeSmall(index.cents, s"$dir/cents"),
       () => graft.core.Tables.writeSmall(index.codebook, s"$dir/codebook")))
   }

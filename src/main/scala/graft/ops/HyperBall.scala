@@ -152,7 +152,7 @@ object HyperBall {
     def r1Of(e: DataFrame) =
       step(regsOf(e.select(col("s").as("v")).distinct()), e)
     // batch 1: t=1 registers → parquet (the crawl checkpoint)
-    r1Of(e1).write.mode("overwrite").parquet(persistPath)
+    graft.core.Tables.writeArtifact(r1Of(e1), persistPath)
     // batch 2 arrives: reload + register-MAX merge of ITS t=1 registers,
     // then one more propagation round on the full union edge set
     val merged1 = graft.core.Tables.readStable(s, persistPath).unionByName(r1Of(e2))

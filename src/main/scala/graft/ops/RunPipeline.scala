@@ -122,7 +122,7 @@ object RunPipeline {
     // sink fires, so these are plain write jobs (the r17 discipline).
     def sinkAll(outs: (DataFrame, String, String)*): Map[String, String] = {
       graft.core.Tables.parWrite(outs.map { case (df, _, dest) =>
-        () => Readers.writeCsv(writable(df), dest) })
+        () => Readers.writeCsvSingle(writable(df), dest) })
       outs.map { case (_, key, dest) => key -> dest }.toMap
     }
 

@@ -110,7 +110,7 @@ object IoQueries {
     // files, so hash-green certifies the written format end to end.
     "q99_sink_csv" -> ((s, dir) => {
       val out = s"$sinkDir/q99_metrics_csv"
-      Readers.writeCsv(SqaQueries.queries("q19_sqa_metrics")(s, dir), out)
+      Readers.writeCsvSingle(SqaQueries.queries("q19_sqa_metrics")(s, dir), out)
       s.read.schema(metricsSchema).option("header", "true").csv(out)
     }),
 

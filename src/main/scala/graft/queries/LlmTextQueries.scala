@@ -309,8 +309,8 @@ object LlmTextQueries {
     "q256_lm_persist" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = s"${IoQueries.sinkDir}/q256_kn_model"
-      Pipeline.kneserNeyModel(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
+      graft.core.Tables.writeArtifact(
+        Pipeline.kneserNeyModel(docs, "doc_id", "text"), path)
       val direct = Pipeline.kneserNeyLmScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("avg_nll_kn").as("__direct"))
       Pipeline.kneserNeyScore(docs, "doc_id", "text", graft.core.Tables.readStable(s, path))

@@ -45,7 +45,7 @@ object TimePipeline {
     val metrics = t("metrics build")(
       graft.sqa.Cardio.computeMetrics(annotated, 64, 1))
     t("metrics count")(metrics.count())
-    t("annotated write")(graft.io.Readers.writeCsv(annotated, s"$base/w1"))
+    t("annotated write")(graft.io.Readers.writeCsvSingle(annotated, s"$base/w1"))
     t("zip route (BVP cardiac)")(graft.ops.RunPipeline.run(spark,
       zipPath, s"$base/t1", s"$base/r1", opts))
     t("csv route (EDA)")(graft.ops.RunPipeline.run(spark,

@@ -98,7 +98,7 @@ class IoRound3Spec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq((1L, 2.5, "a"), (2L, 3.5, "b")).toDF("idx", "v", "tag")
     val base = Files.createTempDirectory("sink_").toString
-    Readers.writeCsv(df, s"$base/csv")
+    Readers.writeCsvSingle(df, s"$base/csv")
     val csvBack = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$base/csv")
     assert(csvBack.columns.toSeq == Seq("idx", "v", "tag"))

@@ -51,4 +51,30 @@ class TablesSpec extends AnyFunSuite {
   test("events loader: TIMESTAMP_NTZ (µs wall time)") {
     check(writeEvents(timestamp_micros(lit(US)).cast(TimestampNTZType)))
   }
+
+  test("readStable memo is evicted on artifact rewrite (schema evolution)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("art")
+      .toFile.getPath + "/t"
+    Tables.writeArtifact(Seq((1L, "a")).toDF("id", "v"), path)
+    assert(Tables.readStable(spark, path).columns.toSeq == Seq("id", "v"))
+    // rewrite the SAME path with an evolved schema: the memo must not
+    // serve the stale StructType (r21 guard; writeSmall evicts too)
+    Tables.writeSmall(Seq((2L, "b", 3.0)).toDF("id", "v", "w"), path)
+    val back = Tables.readStable(spark, path)
+    assert(back.columns.toSeq == Seq("id", "v", "w"))
+    assert(back.head.getDouble(2) == 3.0)
+  }
+
+  test("writeCsvSingle lands exactly one CSV part file") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("csv1")
+      .toFile.getPath + "/out"
+    graft.io.Readers.writeCsvSingle(
+      spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(8), path)
+    val parts = new java.io.File(path).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.length == 1, s"expected 1 part file, got ${parts.length}")
+  }
 }
